@@ -1,0 +1,107 @@
+"""Collector configuration model.
+
+Mirrors the semantic knobs of the reference's HOCON-backed config tree
+(``core/.../model.scala:231-265``, defaults ``core/src/main/resources/
+reference.conf:1-98``) as plain dataclasses.  Only knobs that affect
+dataflow semantics are modeled; HTTP-serving knobs (interface, port, TLS)
+belong to the thin receiver, not the engine.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+ZERO_UUID = "00000000-0000-0000-0000-000000000000"
+PAYLOAD_DATA_SCHEMA = "iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4"
+COLLECTOR_PAYLOAD_SCHEMA = "iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0"
+
+
+@dataclass(frozen=True)
+class CookieConfig:
+    """reference: core/.../model.scala:54-63"""
+
+    enabled: bool = True
+    name: str = "sp"
+    expiration_ms: int = 365 * 24 * 3600 * 1000  # reference.conf:25 (365 days)
+    domains: tuple[str, ...] | None = None
+    fallback_domain: str | None = None
+    secure: bool = False
+    http_only: bool = False
+    same_site: str | None = None
+
+
+@dataclass(frozen=True)
+class DoNotTrackCookieConfig:
+    """DNT cookie with regex-matched value — reference: model.scala:69-72"""
+
+    enabled: bool = False
+    name: str = ""
+    value: str = ""  # regex
+
+    def matches(self, cookie_value: str | None) -> bool:
+        if not self.enabled or cookie_value is None:
+            return False
+        return re.fullmatch(self.value, cookie_value) is not None
+
+
+@dataclass(frozen=True)
+class CookieBounceConfig:
+    """reference: model.scala:73-78"""
+
+    enabled: bool = False
+    name: str = "n3pc"
+    fallback_network_user_id: str = ZERO_UUID
+    forwarded_protocol_header: str | None = None
+
+
+@dataclass(frozen=True)
+class RedirectMacroConfig:
+    """reference: model.scala:79-82"""
+
+    enabled: bool = False
+    placeholder: str | None = None  # defaults to ${SP_NUID}
+
+
+@dataclass(frozen=True)
+class BufferConfig:
+    """Flush thresholds — reference: model.scala:174; example defaults
+    examples/config.kinesis.extended.hocon:253-255.  In Structured
+    Streaming these become trigger/maxOffsets options (SURVEY §2.5)."""
+
+    byte_limit: int = 3145728
+    record_limit: int = 500
+    time_limit_ms: int = 5000
+
+
+@dataclass(frozen=True)
+class SinkConfig:
+    """Per-sink knobs shared by all sink kinds — reference: model.scala:104-173"""
+
+    kind: str = "stdout"
+    max_bytes: int = 1000000000  # stdout default, config.stdout.extended.hocon:190
+    buffer: BufferConfig = field(default_factory=BufferConfig)
+    options: dict = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class CollectorConfig:
+    app_name: str = "opensnowcat-collector-spark"
+    app_version: str = "0.1.0"
+    cookie: CookieConfig = field(default_factory=CookieConfig)
+    do_not_track_cookie: DoNotTrackCookieConfig = field(default_factory=DoNotTrackCookieConfig)
+    cookie_bounce: CookieBounceConfig = field(default_factory=CookieBounceConfig)
+    redirect_macro: RedirectMacroConfig = field(default_factory=RedirectMacroConfig)
+    redirect_domains: tuple[str, ...] = ()
+    paths: dict[str, str] = field(default_factory=dict)  # path mappings, model.scala:234
+    use_ip_address_as_partition_key: bool = False  # model.scala:178
+    good_sink: SinkConfig = field(default_factory=SinkConfig)
+    bad_sink: SinkConfig = field(default_factory=SinkConfig)
+    # engine-only knob: freeze nondeterministic exprs (uuid/now) for tests —
+    # when set, uuids derive from request_id and "now" is this epoch-millis.
+    deterministic_now_ms: int | None = None
+
+    @property
+    def collector_tag(self) -> str:
+        """'appName-appVersion-sinktype' — reference: CollectorService.scala:85-86"""
+        return f"{self.app_name}-{self.app_version}-{self.good_sink.kind}"

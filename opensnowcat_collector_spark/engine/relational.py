@@ -1,0 +1,784 @@
+"""Relational query surface (SURVEY.md §2.8) over the synthetic tables.
+
+Each query is registered as ``(spark, sf_dir) -> DataFrame`` together with an
+equivalent ANSI-SQL oracle string for DuckDB.  The driver (and our own
+tests/test_relational_oracle.py) runs both and compares row-count + schema +
+order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- money/measure aggregations use **fixed-point cents arithmetic**: each term
+  is rounded to an exact integer (the inputs are 2-decimal doubles, so
+  ``round(x*100)`` is exact and engine-independent), summed as BIGINT
+  (associative, order-independent — immune to the float summation-order
+  differences between Spark partial aggregation and DuckDB parallel
+  aggregation), then scaled back with a single double division.  At 100 TB
+  the same trick holds (sum of 6-dp cents fits int64 up to ~9e12 rows per
+  group; beyond that switch the accumulator to DecimalType(38,6)).
+
+Scale notes (100 TB design):
+- Scans are plain parquet reads -> predicate pushdown + column pruning.
+- Dimension joins (region/nation/supplier) are broadcast explicitly.
+- Fact-fact joins (orders x lineitem) shuffle on the join key; AQE handles
+  skew.  Top-k uses orderBy().limit() which Spark executes as
+  TakeOrderedAndProject (per-partition heap + driver merge — no full sort).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tables import table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def _cents(col, scale: int = 100):
+    """Exact integer fixed-point of a k-decimal double (see module doc)."""
+    return F.round(col * F.lit(scale), 0).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (TPC-H-flavored; reference has no analytical aggs — SURVEY §2.5
+# — these are the [EXT] §2.8 capability targets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_disc_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_charge,
+       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_price,
+       CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: partial+final hash aggregation, fully
+    pushed-down scan (only 7 of 11 lineitem columns read)."""
+    l = table(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents(F.col("l_quantity"))).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100.0).alias("sum_base_price"),
+            (
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).cast("double") / 10000.0
+            ).alias("sum_disc_price"),
+            (
+                F.sum(
+                    _cents(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                        1000000,
+                    )
+                ).cast("double")
+                / 1000000.0
+            ).alias("sum_charge"),
+            (F.sum(_cents(F.col("l_quantity"))).cast("double") / 100.0 / cnt).alias("avg_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100.0 / cnt).alias("avg_price"),
+            (F.sum(_cents(F.col("l_discount"))).cast("double") / 100.0 / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "avg_qty",
+            "avg_price",
+            "avg_disc",
+            "count_order",
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+  AND l.l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dimension filter -> fact join -> top-k.
+    Customer side is small after the segment filter -> broadcast; the
+    orderBy().limit() compiles to TakeOrderedAndProject (no global sort).
+    Tie-break on o_orderkey keeps the LIMIT deterministic across engines."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).cast("double") / 10000.0
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 variant: star join through region->nation->customer then to
+    the fact tables.  All dimensions broadcast; only orders x lineitem
+    shuffles (on orderkey)."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).cast("double") / 10000.0
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer, top 20."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).cast("double") / 10000.0
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_acctbal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count + count_distinct in one agg (expand-based distinct aggregation).
+    approx_count_distinct (HLL) is exercised in tests, not oracle-compared —
+    sketch values are engine-specific."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        (F.sum(_cents(F.col("c_acctbal"))).cast("double") / 100.0).alias("total_acctbal"),
+    )
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum(_cents(F.col("c_acctbal"))).cast("double") / 100.0).alias("total_acctbal"),
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "orders")
+    return c.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(_cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("total_price"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_left_order_counts",
+    oracle="""
+SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)), 0) AS DOUBLE)/100.0 AS total_spent
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (COUNT over the null
+    column yields 0, mirroring SQL semantics)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (F.coalesce(F.sum(_cents(F.col("o_totalprice"))), F.lit(0)).cast("double") / 100.0).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "join_semi_open_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+)
+def join_semi_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_theta_quantity_over_size",
+    oracle="""
+SELECT p.p_brand,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS gross
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size
+GROUP BY p.p_brand
+""",
+)
+def join_theta_quantity_over_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with an extra range predicate (stays a hash join with a
+    post-join filter — no BNLJ needed because one conjunct is an equality)."""
+    p = table(spark, sf_dir, "part")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), (l.l_partkey == p.p_partkey) & (l.l_quantity > p.p_size))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100.0).alias("gross"),
+        )
+    )
+
+
+@register(
+    "join_full_outer_nation_activity",
+    oracle="""
+SELECT n.n_name,
+       COALESCE(cu.n_cust, 0) AS n_cust,
+       COALESCE(su.n_supp, 0) AS n_supp
+FROM nation n
+LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) cu
+  ON cu.c_nationkey = n.n_nationkey
+LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) su
+  ON su.s_nationkey = n.n_nationkey
+""",
+)
+def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer joins of pre-aggregated subqueries against the nation dim
+    (aggregate-then-join: shrinks the shuffle to one row per nation)."""
+    n = table(spark, sf_dir, "nation")
+    cu = table(spark, sf_dir, "customer").groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    su = table(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    return (
+        n.join(cu, n.n_nationkey == cu.c_nationkey, "left")
+        .join(su, n.n_nationkey == su.s_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_acctbal",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def window_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank over a deterministic order (unique
+    c_custkey tie-break)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "window_running_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+         AS running_spend,
+       CAST(ROUND(COALESCE(LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0)*100) AS BIGINT) AS prev_price_cents,
+       CAST(ROUND(COALESCE(LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0)*100) AS BIGINT) AS next_price_cents
+FROM orders
+""",
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + lag/lead with an explicit ROWS frame."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(_cents(F.col("o_totalprice"))).over(wf).cast("double") / 100.0).alias("running_spend"),
+        _cents(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0))).alias("prev_price_cents"),
+        _cents(F.coalesce(F.lead("o_totalprice").over(w), F.lit(0.0))).alias("next_price_cents"),
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject (heap per partition, merge on
+    driver) — no full shuffle sort even at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_union_segments",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+""",
+)
+def setop_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "setop_intersect_active_auto",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+)
+def setop_intersect_active_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+@register(
+    "setop_except_inactive",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+)
+def setop_except_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (string / datetime / JSON) — the toolkit the collector
+# transforms (SURVEY §2.3) are compositions of.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+       string_split(p_name, ' ')[1] AS first_word,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       SUBSTRING(p_brand, 7) AS brand_num,
+       CONCAT(p_brand, '|', p_type) AS brand_type,
+       REPLACE(p_type, 'PROMO', 'P') AS type_abbrev
+FROM part
+""",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String toolkit parity: upper/length/split/regexp_extract/substring/
+    concat/replace (the same functions that power querystring and path
+    handling in the collector pipeline)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract(F.col("p_name"), "([a-z]+)$", 1).alias("last_word"),
+        F.substring(F.col("p_brand"), 7, 1000000).alias("brand_num"),
+        F.concat(F.col("p_brand"), F.lit("|"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit("PROMO"), F.lit("P")).alias("type_abbrev"),
+    )
+
+
+@register(
+    "scalar_datetime_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+       CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+       CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch_start
+FROM orders
+""",
+)
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON probing with get_json_object — the same primitive the collector
+    uses on tracker-payload bodies (SURVEY §1.3)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.withColumn("k_bucket", (F.get_json_object("props", "$.k").cast("long") % 10))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))).cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (batch-equivalent forms; streaming variants live in
+# streaming/ and are exercised by tests)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation in batch form (streaming twin:
+    groupBy(window('ts','1 hour')) with a watermark)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))).cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS session_end
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via gaps-and-islands — the
+    batch twin of session_window()/applyInPandasWithState.  One shuffle on
+    user_id serves both window passes and the final aggregation."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w) > 1800000, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("new_session").over(wf))
+    return sessions.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "events_dedup_latest",
+    oracle="""
+SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup per (user_id, event_type) — deterministic
+    row_number()=1 rather than dropDuplicates (which keeps an arbitrary
+    row).  Streaming twin: dropDuplicatesWithinWatermark on event_id."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@register(
+    "events_type_matrix",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events
+GROUP BY user_id
+""",
+)
+def events_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (pivot without the pivot operator — a single
+    hash aggregate, no extra pass to discover pivot values)."""
+    e = table(spark, sf_dir, "events")
+
+    def cnt(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        cnt("click"),
+        cnt("view"),
+        cnt("purchase"),
+        cnt("signup"),
+        cnt("error"),
+    )

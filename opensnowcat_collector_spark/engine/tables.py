@@ -1,0 +1,61 @@
+"""Loaders for the synthetic test tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under an sf dir.
+
+Scans go through ``spark.read.parquet`` so Catalyst gets predicate
+pushdown + column pruning for free; the dimension tables are tiny at any
+scale factor and are broadcast by the planner (we hint explicitly in the
+queries where it matters).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..ship import ensure_shipped
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimensions small enough to broadcast at any scale factor.
+BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
+    ensure_shipped(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in parquet, surfaced as nanos-since-epoch
+        # long (spark.sql.legacy.parquet.nanosAsLong); truncate to micros —
+        # the same truncation DuckDB applies casting TIMESTAMP_NS->TIMESTAMP.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for spark.sql access."""
+    for n in TABLE_NAMES:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,197 @@
+"""The collector dataflow: raw requests DataFrame -> (good, bad) DataFrames.
+
+Mirrors the reference's request path (SURVEY §3.1): route/filter ->
+identity resolution -> bridge rewrites -> buildEvent -> split/serialize ->
+good/bad routing.  The same function serves batch fixtures and Structured
+Streaming input (the plan is identical; streaming/ wires the triggers).
+
+Flow (all single-pass column expressions; one Python stage for the rare
+oversized-payload split):
+
+    raw ─ path mapping ─ qs parse/validate ─ nuid ─ ip/pk ─ DNT/bounce
+        ─ header scrub ─ bridge rewrites (segment/amplitude explode)
+        ─ buildEvent columns ─ size routing ─ split(mapInPandas, oversized
+        subset only) ─ union -> good | bad
+
+Scale: the pipeline is shuffle-free end-to-end (narrow transformations
+only — even the amplitude explode is per-row fan-out).  Sink partitioning
+is by ``partition_key``, exactly the reference's Kinesis/Kafka keying.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import COLLECTOR_PAYLOAD_SCHEMA, CollectorConfig
+from .transforms import badrows, identity, paths, privacy, split
+from .transforms.bridges import amplitude, analyticsjs
+
+#: event endpoints served by the collector (SURVEY §2.1); anything else is
+#: an ops endpoint or 404 and produces no event.
+_EVENT_PATH_RE = (
+    r"^(/r/.*|/i|/ice\.png|/com\.snowplowanalytics\.snowplow/tp2"
+    r"|/com\.segment/v1/[itpsga]|/com\.amplitude/2/(httpapi|batch)|/[^/]+/[^/]+)$"
+)
+_OPS_PATH_RE = r"^/(health|sink-health|crossdomain\.xml|robots\.txt|)$"
+
+
+@dataclass
+class PipelineResult:
+    enriched: DataFrame  # pre-split, all decision columns (for response building)
+    good: DataFrame  # canonical collector payloads (struct columns + serialized)
+    bad: DataFrame  # BAD_ROW_SCHEMA rows
+
+
+def enrich(raw: DataFrame, cfg: CollectorConfig) -> DataFrame:
+    """Steps 1-3 of the request lifecycle as one narrow projection chain."""
+    df = paths.apply_path_mapping(raw, cfg)
+    df = paths.extract_query_params(df)
+    df = paths.detect_redirect(df)
+    df = paths.pixel_expected(df)
+    df = identity.resolve_network_user_id(df, cfg)
+    df = identity.ip_and_partition_key(df, cfg)
+    df = privacy.do_not_track(df, cfg)
+    df = privacy.cookie_bounce(df, cfg)
+    df = privacy.scrub_headers(df)
+    df = privacy.cookie_domain(df, cfg)
+    df = privacy.set_cookie_struct(df, cfg)
+    df = privacy.redirect_allowed(df, cfg)
+    df = privacy.redirect_location(df, cfg)
+    df = analyticsjs.rewrite(df)
+    df = amplitude.fan_out(df)
+    return df
+
+
+def build_events(enriched: DataFrame, cfg: CollectorConfig) -> DataFrame:
+    """buildEvent (CollectorService.scala:251-305): one row per stored
+    event, with bridge bodies/paths coalesced over the originals and
+    Amplitude batches exploded into per-event rows."""
+    is_event = (
+        F.col("mapped_path").rlike(_EVENT_PATH_RE)
+        & ~F.col("mapped_path").rlike(_OPS_PATH_RE)
+        & F.col("method").isin("GET", "POST", "HEAD")
+    )
+    stored = (
+        enriched.filter(is_event)
+        .filter(~F.col("do_not_track") & ~F.col("bounce"))
+        # invalid querystring rows route to bad (F3), handled in run()
+        .filter(F.col("qs_valid"))
+        # bridge-invalid rows are rejected with 400 and produce no event
+        .filter(F.coalesce(F.col("ajs_valid"), F.lit(True)))
+        .filter(F.coalesce(F.col("amp_valid"), F.lit(True)))
+    )
+    # Amplitude fan-out: one row per element of amp_events
+    amp = (
+        stored.filter(F.col("is_amplitude"))
+        .withColumn("amp_event", F.explode("amp_events"))
+    )
+    amp = amplitude.rewrite_event(amp)
+    non_amp = stored.filter(~F.col("is_amplitude"))
+
+    def payload_cols(df: DataFrame, body_col, path_col, ct_col) -> DataFrame:
+        ts = (
+            F.lit(cfg.deterministic_now_ms).cast("long")
+            if cfg.deterministic_now_ms is not None
+            else F.unix_millis(F.current_timestamp())
+        )
+        return df.select(
+            "request_id",
+            F.lit(COLLECTOR_PAYLOAD_SCHEMA).alias("schema"),
+            F.col("ip_address"),
+            ts.alias("timestamp"),
+            F.lit("UTF-8").alias("encoding"),
+            F.lit(cfg.collector_tag).alias("collector"),
+            F.col("querystring"),
+            body_col.alias("body"),
+            path_col.alias("path"),
+            F.col("user_agent"),
+            F.col("referer_uri"),
+            F.col("hostname"),
+            F.col("network_user_id"),
+            F.concat(
+                F.col("scrubbed_headers"),
+                F.when(
+                    F.col("content_type").isNotNull(), F.array(F.col("content_type"))
+                ).otherwise(F.array().cast("array<string>")),
+            ).alias("headers"),
+            ct_col.alias("content_type"),
+            F.col("partition_key"),
+        )
+
+    events_non_amp = payload_cols(
+        non_amp,
+        F.coalesce(F.col("ajs_body"), F.col("body")),
+        F.coalesce(F.col("ajs_path"), F.col("mapped_path")),
+        F.coalesce(F.col("ajs_content_type"), F.col("content_type")),
+    )
+    events_amp = payload_cols(
+        amp, F.col("amp_body"), F.col("amp_path"), F.lit("application/json")
+    )
+    return events_non_amp.unionByName(events_amp)
+
+
+def run(raw: DataFrame, cfg: CollectorConfig) -> PipelineResult:
+    from .ship import ensure_shipped
+
+    ensure_shipped(raw.sparkSession)
+    enriched = enrich(raw, cfg)
+    events = build_events(enriched, cfg)
+
+    max_bytes = cfg.good_sink.max_bytes
+
+    # F7 size routing: serialized size via the same canonical JSON the
+    # splitter uses; the JVM computes it (to_json) for the routing decision
+    # so only oversized rows pay the Python stage.
+    # ignoreNullFields=false so the JVM byte accounting matches the Python
+    # splitter's canonical serialization exactly (null fields included)
+    serialized = F.to_json(
+        F.struct(*[F.col(c) for c in split._PAYLOAD_FIELDS]), {"ignoreNullFields": "false"}
+    )
+    sized = events.withColumn("serialized", serialized).withColumn(
+        "serialized_size", F.octet_length("serialized").cast("long")
+    )
+    small = sized.filter(F.col("serialized_size") < max_bytes)
+    oversized = sized.filter(F.col("serialized_size") >= max_bytes)
+
+    split_out = oversized.mapInPandas(
+        split.make_split_map_fn(cfg, max_bytes), split.SPLIT_OUT_SCHEMA
+    )
+    split_good_bodies = split_out.filter(F.col("is_bad") == 0).select(
+        "request_id", "split_index", F.col("body").alias("split_body")
+    )
+    # Re-attach payload columns to split goods (join back on request_id —
+    # oversized rows are rare, this join is tiny and broadcast)
+    split_good = (
+        oversized.drop("serialized", "serialized_size")
+        .join(F.broadcast(split_good_bodies), "request_id")
+        .withColumn("body", F.col("split_body"))
+        .drop("split_body")
+        .withColumn("serialized", serialized)
+        .withColumn("serialized_size", F.octet_length("serialized").cast("long"))
+    )
+    good = small.withColumn("split_index", F.lit(0)).unionByName(split_good)
+
+    bad_split = split_out.filter(F.col("is_bad") == 1).select(
+        badrows.size_violation(
+            cfg,
+            max_bytes,
+            F.col("bad_actual_size"),
+            F.col("bad_expectation"),
+            F.col("bad_payload"),
+        ).alias("bad")
+    )
+    bad_qs = (
+        enriched.filter(~F.col("qs_valid"))
+        .select(
+            badrows.generic_error(
+                cfg,
+                F.array(F.lit("Illegal query: invalid percent-encoding")),
+                F.col("querystring"),
+            ).alias("bad")
+        )
+    )
+    bad = bad_split.select("bad.*").unionByName(bad_qs.select("bad.*"))
+    return PipelineResult(enriched=enriched, good=good, bad=bad)

@@ -1,0 +1,173 @@
+"""Collector pipeline golden tests — CollectorServiceSpec semantics ported
+as input->output assertions (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensnowcat_collector_spark import pipeline
+from opensnowcat_collector_spark.config import (
+    ZERO_UUID,
+    CollectorConfig,
+    CookieBounceConfig,
+    CookieConfig,
+    DoNotTrackCookieConfig,
+)
+from opensnowcat_collector_spark.schema import RAW_REQUEST_SCHEMA
+
+from .fixtures import raw_requests
+
+CFG = CollectorConfig(
+    deterministic_now_ms=1705320000000,
+    do_not_track_cookie=DoNotTrackCookieConfig(enabled=True, name="dnt", value="1|yes"),
+    cookie=CookieConfig(domains=("example.com",), fallback_domain="fallback.example"),
+)
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    raw = spark.createDataFrame(raw_requests(), RAW_REQUEST_SCHEMA)
+    res = pipeline.run(raw, CFG)
+    good_rows = [r.asDict() for r in res.good.collect()]
+    good = {}
+    for r in good_rows:
+        good.setdefault(r["request_id"], r)
+    bad = [r.asDict() for r in res.bad.collect()]
+    enriched = {r["request_id"]: r.asDict() for r in res.enriched.collect()}
+    return good, bad, enriched, good_rows
+
+
+def test_nuid_resolution(result):
+    good, _, _, _ = result
+    # cookie nuid wins when no qs nuid
+    assert good["req-0000"]["network_user_id"] == "11111111-1111-4111-8111-111111111111"
+    # qs nuid wins over cookie
+    assert good["req-0001"]["network_user_id"] == "22222222-2222-4222-8222-222222222222"
+    # nothing -> deterministic uuid (frozen), shaped like a uuid
+    nuid2 = good["req-0002"]["network_user_id"]
+    assert len(nuid2) == 36 and nuid2.count("-") == 4
+    # SP-Anonymous -> zero uuid
+    assert good["req-0003"]["network_user_id"] == ZERO_UUID
+
+
+def test_header_scrubbing(result):
+    good, _, _, _ = result
+    # always scrubbed
+    normal = good["req-0000"]["headers"]
+    assert not any(h.lower().startswith("remote-address") for h in normal)
+    assert not any(h.lower().startswith("raw-request-uri") for h in normal)
+    assert any(h.startswith("X-Forwarded-For") for h in normal)
+    # anonymous additionally scrubs xff/cookie
+    anon = good["req-0003"]["headers"]
+    assert not any(h.startswith("X-Forwarded-For") for h in anon)
+    assert not any(h.startswith("Cookie") for h in anon)
+    assert any(h.startswith("User-Agent") for h in anon)
+
+
+def test_payload_constants(result):
+    good, _, _, _ = result
+    row = good["req-0000"]
+    assert row["schema"] == "iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0"
+    assert row["encoding"] == "UTF-8"
+    assert row["collector"] == CFG.collector_tag
+    assert row["ip_address"] == "198.51.100.7"
+    assert row["timestamp"] == 1705320000000
+    assert row["hostname"] == "collector.example.com"
+
+
+def test_unknown_ip(result):
+    good, _, _, _ = result
+    assert good["req-0012"]["ip_address"] == "unknown"
+
+
+def test_dnt_suppression(result):
+    good, _, _, _ = result
+    assert "req-0010" not in good  # dnt cookie value '1' matches regex '1|yes'
+
+
+def test_ops_and_options_produce_no_event(result):
+    good, _, _, _ = result
+    assert "req-0009" not in good
+    assert "req-0011" not in good
+
+
+def test_bad_querystring_generic_error(result):
+    _, bad, _, _ = result
+    ge = [b for b in bad if b["kind"] == "generic_error"]
+    assert len(ge) == 1
+    assert ge[0]["payload"] == "bad=%zz"
+    assert ge[0]["failure_timestamp"] == 1705320000000
+
+
+def test_redirect_location(result):
+    _, _, enriched, _ = result
+    row = enriched["req-0005"]
+    assert row["is_redirect"] is True
+    assert row["redirect_allowed"] is True
+    assert row["redirect_location"] == "https://dest.example/land"
+
+
+def test_cookie_domain_and_set_cookie(result):
+    _, _, enriched, _ = result
+    row = enriched["req-0000"]  # origin shop.example.com matches example.com
+    assert row["cookie_domain"] == "example.com"
+    sc = row["set_cookie"]
+    assert sc["name"] == "sp" and sc["value"] == row["network_user_id"]
+    assert sc["expires_ms"] == 1705320000000 + CFG.cookie.expiration_ms
+    # anonymous suppresses set-cookie
+    assert enriched["req-0003"]["set_cookie"] is None
+
+
+def test_analyticsjs_bridge(result):
+    good, _, _, _ = result
+    row = good["req-0007"]
+    assert row["path"] == "/com.snowplowanalytics.snowplow/tp2"
+    assert row["content_type"] == "application/json"
+    env = json.loads(row["body"])
+    assert env["schema"] == "iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4"
+    ev = env["data"][0]
+    assert ev["aid"] == "ajs_bridge" and ev["e"] == "ue" and ev["p"] == "web"
+    assert ev["tv"] == "next-1.51.3"
+    assert ev["uid"] == "user-cookie" and ev["duid"] == "anon-cookie"
+    assert ev["url"] == "https://example.com/pricing" and ev["page"] == "Pricing"
+    assert ev["lang"] == "en-US" and ev["tz"] == "Europe/Amsterdam"
+    inner = json.loads(base64.b64decode(ev["ue_px"]))
+    assert inner["schema"].endswith("unstruct_event/jsonschema/1-0-0")
+    assert inner["data"]["schema"] == "iglu:com.segment/page/jsonschema/2-0-0"
+    assert inner["data"]["data"]["type"] == "page"
+
+
+def test_amplitude_fan_out(result):
+    _, _, _, good_rows = result
+    rows = [r for r in good_rows if r["request_id"] == "req-0008"]
+    assert len(rows) == 2  # two events in the batch
+    for row in rows:
+        env = json.loads(row["body"])
+        ev = env["data"][0]
+        assert ev["aid"] == "amp_bridge" and ev["p"] == "app"
+        inner = json.loads(base64.b64decode(ev["ue_px"]))
+        assert inner["data"]["schema"] == "iglu:com.amplitude/payload/jsonschema/1-0-0"
+    evs = [json.loads(r["body"])["data"][0] for r in rows]
+    by_duid = {e["duid"]: e for e in evs}
+    assert by_duid["dev-1"]["uid"] == "amp-user-1"
+    assert by_duid["dev-1"]["tv"] == "amplitude-ts/2.9.2"
+    assert by_duid["dev-2"]["tv"] == "amplitude-unknown"
+    # $remote ip substituted with client ip
+    inner1 = json.loads(base64.b64decode(by_duid["dev-1"]["ue_px"]))
+    assert inner1["data"]["data"]["data"]["ip"] == "198.51.100.7"
+    inner2 = json.loads(base64.b64decode(by_duid["dev-2"]["ue_px"]))
+    assert inner2["data"]["data"]["data"]["ip"] == "203.0.113.9"
+
+
+def test_tracker_post_passthrough(result):
+    good, _, _, _ = result
+    row = good["req-0004"]
+    body = json.loads(row["body"])
+    assert len(body["data"]) == 2
+    assert row["content_type"] == "application/json"
+    # content type is appended to headers (CollectorService.scala:302)
+    assert row["headers"][-1] == "application/json"

@@ -1,0 +1,157 @@
+"""Structured Streaming tests: end-to-end streaming collector (file
+landing zone -> foreachBatch -> memory sinks) and §2.8 streaming
+operators (windowed agg, dedup within watermark, session windows)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensnowcat_collector_spark.config import CollectorConfig, SinkConfig
+from opensnowcat_collector_spark.sinks.memory import MemorySink
+from opensnowcat_collector_spark.streaming.job import StreamingCollector
+
+from .fixtures import raw_requests
+
+
+def _write_landing(tmpdir: str, rows: list[dict]) -> None:
+    os.makedirs(tmpdir, exist_ok=True)
+    with open(os.path.join(tmpdir, "batch0.json"), "w") as f:
+        for r in rows:
+            r = dict(r)
+            r["request_time"] = r["request_time"].isoformat()
+            f.write(json.dumps(r) + "\n")
+
+
+def test_streaming_collector_end_to_end(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    _write_landing(landing, raw_requests())
+    cfg = CollectorConfig(deterministic_now_ms=1705320000000)
+    good, bad = MemorySink(), MemorySink()
+    job = StreamingCollector(spark, cfg, good, bad)
+    q = job.start(job.source_from_files(landing), ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+    ids = {r["request_id"] for r in good.rows}
+    assert "req-0000" in ids and "req-0004" in ids
+    # amplitude batch fans out to 2 events
+    assert sum(1 for r in good.rows if r["request_id"] == "req-0008") == 2
+    assert any(b["kind"] == "generic_error" for b in bad.rows)
+
+
+def test_streaming_windowed_aggregation(spark, sf_dir, tmp_path):
+    """Tumbling-window streaming agg == batch equivalent (events table
+    replayed through a file stream)."""
+    from opensnowcat_collector_spark.engine.tables import table
+
+    events = table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_json")
+    events.withColumn("ts", F.col("ts").cast("string")).coalesce(1).write.mode(
+        "overwrite"
+    ).json(src)
+
+    schema = "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hourly_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w"]["start"], r["event_type"]): r["n"]
+        for r in spark.table("hourly_stream").collect()
+    }
+    expected = {
+        (r["hour_start"], r["event_type"]): r["n"]
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on an insert_id-style key (the
+    Amplitude dedup surface, SURVEY §2.8 streaming)."""
+    rows = [
+        {"insert_id": "a", "ts": "2024-01-01T00:00:00", "v": 1},
+        {"insert_id": "a", "ts": "2024-01-01T00:00:05", "v": 2},  # dup
+        {"insert_id": "b", "ts": "2024-01-01T00:00:10", "v": 3},
+    ]
+    src = str(tmp_path / "dupsrc")
+    os.makedirs(src)
+    with open(os.path.join(src, "d.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("insert_id string, ts string, v int")
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["insert_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["insert_id"] for r in spark.table("dedup_stream").collect())
+    assert got == ["a", "b"]
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window() native streaming sessionization (30-min gap),
+    cross-checked against the batch gaps-and-islands operator."""
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00"},
+        {"user_id": 1, "ts": "2024-01-01T00:10:00"},
+        {"user_id": 1, "ts": "2024-01-01T01:00:00"},  # new session (50 min gap)
+        {"user_id": 2, "ts": "2024-01-01T00:05:00"},
+    ]
+    src = str(tmp_path / "sesssrc")
+    os.makedirs(src)
+    with open(os.path.join(src, "s.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("user_id bigint, ts string")
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["n"]) for r in spark.table("sess_stream").collect()
+    )
+    assert got == [(1, 1), (1, 2), (2, 1)]
