@@ -29,6 +29,9 @@ HEADLINE = [
     "window_running_spend",
     "events_sessionize",
     "events_hourly_rollup",
+    "collector_enrich_events",
+    "join_asof_last_click",
+    "dedup_embedding_cosine",
     "agg_rollup_region_nation",
     "topk_orders",
     "dedup_exact",

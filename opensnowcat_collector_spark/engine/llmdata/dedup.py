@@ -323,3 +323,65 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(*[F.col(f"bit_{b}").cast("string") for b in range(_SIMHASH_BITS)]).alias("simhash"),
         F.count(F.lit(1)).over(w).alias("bucket_size"),
     )
+
+
+# Embedding-cosine near-dup: same-label blocking (the stand-in for an LSH /
+# IVF bucket at scale) -> pairwise cosine within the block -> a vector is a
+# duplicate if an earlier (lower vec_id) neighbor is within the threshold.
+_COSINE_DUP_THRESHOLD = 0.3
+
+
+def _emb_dedup_oracle() -> str:
+    from .similarity import _duck_cos
+
+    # anti-join form (DuckDB can't correlate the dot-product lambdas through
+    # a NOT EXISTS subquery)
+    cos = _duck_cos("b.embedding", "a.embedding")
+    return f"""
+SELECT e.vec_id, e.label FROM embeddings e
+ANTI JOIN (
+  SELECT DISTINCT b.vec_id FROM embeddings b
+  JOIN embeddings a ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {cos} >= {_COSINE_DUP_THRESHOLD}
+) d ON e.vec_id = d.vec_id
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_emb_dedup_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup removal: keep vectors with no earlier same-block
+    neighbor at cosine >= 0.3 (rounded to 6 dp on both engines).
+
+    Scale path: the label column stands in for a coarse quantizer/LSH
+    bucket — pairs are only formed inside a block, so the self-join is an
+    equi-join on the block key (hash shuffle, AQE-skew-safe), never a full
+    cross product.  Per-vector norms are computed ONCE before the pair
+    join (N sqrt's instead of 2·P), so each pair pays only the flat
+    codegen'd 64-term dot product + one divide — numerically identical to
+    the per-pair formula since sqrt(n_a)·sqrt(n_b) is unchanged."""
+    from .similarity import _SPARK_DOT
+
+    e = table(spark, sf_dir, "embeddings")
+    norm = F.expr(f"SQRT({_SPARK_DOT.format(a='embedding', b='embedding')})")
+    en = e.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    a = en.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = en.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="b_emb", b="a_emb"))
+    cosine = F.round(dot / (F.col("b_nrm") * F.col("a_nrm")), 6)
+    dup_ids = (
+        b.join(a, (F.col("a_label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")))
+        .filter(cosine >= _COSINE_DUP_THRESHOLD)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(dup_ids, "vec_id", "left_anti").select("vec_id", "label")

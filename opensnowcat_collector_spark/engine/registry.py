@@ -10,7 +10,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import relational
+from . import collector_queries, relational  # noqa: F401  (registration side effects)
 from .llmdata import dedup, multimodal, similarity, text  # noqa: F401  (registration side effects)
 
 

@@ -372,12 +372,18 @@ def join_semi_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_customers_without_orders",
     oracle="""
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01')
 """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders since 1998 (the date filter keeps
+    the result non-empty on the synthetic data, where every customer has
+    *some* order)."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -555,12 +561,18 @@ def setop_intersect_active_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey FROM customer
 EXCEPT
-SELECT o_custkey AS c_custkey FROM orders
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
 """,
 )
 def setop_except_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers with no pending-status order (the status filter
+    keeps the result non-empty — every customer has orders overall)."""
     c = table(spark, sf_dir, "customer").select("c_custkey")
-    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.exceptAll(o).distinct()
 
 
@@ -781,4 +793,259 @@ def events_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("purchase"),
         cnt("signup"),
         cnt("error"),
+    )
+
+# ---------------------------------------------------------------------------
+# As-of / range joins (operators Spark lacks natively — composed from
+# window/broadcast primitives, SURVEY §2.8 "custom operators" case (a))
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_last_click",
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       CAST(c.ts AS TIMESTAMP) AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click at
+    or before it.  Implemented as the scalable union+window pattern — one
+    shuffle on user_id, carry the last click timestamp forward with
+    last_value(ignoreNulls) — instead of a per-row lookup join.  At 100 TB
+    this is the standard formulation (range partition on user, sort within
+    partition); DuckDB's native ASOF JOIN is the oracle."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    kind = F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), kind, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("last_click_ts", click_ts)
+        .filter((F.col("event_type") == "purchase") & F.col("last_click_ts").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+        )
+    )
+
+
+@register(
+    "join_range_price_bins",
+    oracle="""
+SELECT bin_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_price
+FROM orders
+JOIN (VALUES (0, 50000, 'small'), (50000, 150000, 'medium'),
+             (150000, 300000, 'large'), (300000, 1000000000, 'jumbo'))
+     AS bins(lo, hi, bin_name)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY bin_name
+""",
+)
+def join_range_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join against a tiny bins dimension: broadcast nested
+    loop — 4 bin rows x N orders streams with no shuffle; the aggregation
+    is the only exchange.  (With a large band table the scale path is an
+    interval-bucketing equi-join; the bins here are the broadcast case.)"""
+    o = table(spark, sf_dir, "orders")
+    bins = spark.createDataFrame(
+        [(0, 50000, "small"), (50000, 150000, "medium"),
+         (150000, 300000, "large"), (300000, 1000000000, "jumbo")],
+        "lo INT, hi INT, bin_name STRING",
+    )
+    return (
+        o.join(F.broadcast(bins), (o.o_totalprice >= bins.lo) & (o.o_totalprice < bins.hi))
+        .groupBy("bin_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / statistics aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pivot_status",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit values — a single hash aggregate (no
+    value-discovery pass because the pivot values are given)."""
+    o = table(spark, sf_dir, "orders")
+    p = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@register(
+    "agg_stats_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       MIN(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS min_cents,
+       MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS max_cents,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_price,
+       quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5) AS median_cents
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median via percentile() on integer cents (linear interpolation
+    on int64 inputs is engine-independent; float stddev/variance are NOT
+    oracle-safe and live in tests instead).  At scale the exact percentile
+    is a sort-based agg — swap to approx_percentile when an epsilon is
+    acceptable."""
+    o = table(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+        (F.sum(cents).cast("double") / 100.0 / F.count(F.lit(1))).alias("avg_price"),
+        F.expr(
+            "percentile(CAST(ROUND(o_totalprice*100, 0) AS BIGINT), 0.5)"
+        ).alias("median_cents"),
+    )
+
+
+@register("agg_approx_distinct")  # no oracle: HLL sketches are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — rows-only check; tests assert
+    the estimate is within 5% of the exact count.  At 100 TB this replaces
+    the expand-based exact distinct (one pass, mergeable sketches, no
+    per-key state explosion)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar toolkit: URL / map / hash-encode functions (the primitives behind
+# collector transforms T4-T6 and the bridges' base64 envelopes, SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_url_map_funcs",
+    oracle="""
+SELECT doc_id,
+       'cdn.example.com' AS url_host,
+       '/' || source || '/doc-' || CAST(doc_id AS VARCHAR) AS url_path,
+       lang AS url_lang,
+       CAST(n_chars AS INTEGER) AS qs_n
+FROM documents
+""",
+)
+def scalar_url_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url HOST/PATH/QUERY + str_to_map round-trip: the URL is built
+    from table columns, parsed back with the Spark primitives, and checked
+    against the directly-constructed truth in the oracle."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://cdn.example.com/"),
+        F.col("source"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    qs_map = F.str_to_map(F.parse_url(url, F.lit("QUERY")), F.lit("&"), F.lit("="))
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("url_host"),
+        F.parse_url(url, F.lit("PATH")).alias("url_path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("url_lang"),
+        qs_map["n"].cast("int").alias("qs_n"),
+    )
+
+
+@register(
+    "scalar_hash_encode_funcs",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS text_md5,
+       sha256(text) AS text_sha256,
+       base64(encode(substr(text, 1, 12))) AS prefix_b64,
+       CAST(octet_length(encode(text)) AS BIGINT) AS text_bytes
+FROM documents
+""",
+)
+def scalar_hash_encode_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 / sha2 / base64 / octet_length — the hash-encode toolkit used by
+    the bridges (base64 ue_px envelopes, T7/T8) and fingerprinting."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("text_sha256"),
+        F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("prefix_b64"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("text_bytes"),
+    )
+
+
+@register(
+    "array_hof_embeddings",
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+       CAST(list_sum(list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS sum_milli,
+       CAST(list_max(list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS max_milli,
+       CAST(len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 0.5)) > 0
+            AS BOOLEAN) AS has_extreme
+FROM embeddings
+""",
+)
+def array_hof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (filter/transform/aggregate/exists) over
+    the embedding column.  Floats are discretized with FLOOR (no rounding
+    tie-break divergence between engines)."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.expr("size(filter(embedding, x -> x > CAST(0 AS FLOAT)))").alias("n_pos"),
+        F.expr(
+            "aggregate(embedding, CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("sum_milli"),
+        F.expr(
+            "array_max(transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)))"
+        ).alias("max_milli"),
+        F.expr("exists(embedding, x -> abs(CAST(x AS DOUBLE)) > CAST(0.5 AS DOUBLE))").alias(
+            "has_extreme"
+        ),
     )

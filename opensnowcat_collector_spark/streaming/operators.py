@@ -1,0 +1,173 @@
+"""Streaming operators beyond the plain pipeline (SURVEY §2.8 streaming):
+
+- stream-static enrichment join (event stream x dimension table),
+- stream-stream interval join with watermarks (click->purchase
+  attribution within a bounded horizon),
+- custom stateful sessionization via ``applyInPandasWithState``
+  (the escape hatch for session logic ``session_window`` can't express,
+  e.g. carrying per-session aggregates or emitting on timeout only).
+
+All three are the idiomatic Structured Streaming formulations: state is
+keyed and watermark-bounded, so RocksDB state size stays proportional to
+the active-key working set, not the stream history (the 100 TB design
+constraint from SURVEY §7's risk register).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def enrich_stream_static(stream: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream-static join: the static side is re-read per micro-batch and
+    broadcast (dimension tables are small by definition here) — the
+    streaming twin of the pipeline's T3 path-mapping/enrichment joins."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def attribute_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: purchase attributed to any click by the
+    same user within the preceding `horizon_minutes`.  Both sides carry
+    watermarks so the join state is bounded: a click can be dropped from
+    state once its attribution horizon has passed the watermark."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL {horizon_minutes} MINUTES
+            """
+        ),
+    ).select("c_user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+    ]
+)
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("closed_by", StringType()),  # 'gap' | 'timeout'
+    ]
+)
+
+
+def make_session_fn(gap_ms: int):
+    """applyInPandasWithState function: accumulates per-user session state,
+    emits a session row whenever a gap > gap_ms is observed inside a batch,
+    and flushes the open session on processing-time timeout.  State per key
+    is three longs — constant-size, watermark-independent."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        out: list[dict] = []
+        if state.hasTimedOut:
+            if state.exists:
+                n, start_ms, last_ms = state.get
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "n_events": n,
+                        "start_ms": start_ms,
+                        "last_ms": last_ms,
+                        "closed_by": "timeout",
+                    }
+                )
+            state.remove()
+        else:
+            ts_ms: list[int] = []
+            for pdf in pdfs:
+                ts_ms.extend(int(t.value // 1_000_000) for t in pdf["ts"])
+            ts_ms.sort()
+            if state.exists:
+                n, start_ms, last_ms = state.get
+            else:
+                n, start_ms, last_ms = 0, None, None
+            for t in ts_ms:
+                if last_ms is not None and t - last_ms > gap_ms:
+                    out.append(
+                        {
+                            "user_id": user_id,
+                            "n_events": n,
+                            "start_ms": start_ms,
+                            "last_ms": last_ms,
+                            "closed_by": "gap",
+                        }
+                    )
+                    n, start_ms = 0, None
+                n += 1
+                start_ms = t if start_ms is None else start_ms
+                last_ms = t
+            state.update((n, start_ms, last_ms))
+            state.setTimeoutDuration(gap_ms)
+        if out:
+            df = pd.DataFrame(out)
+            yield pd.DataFrame(
+                {
+                    "user_id": df["user_id"].astype("int64"),
+                    "n_events": df["n_events"].astype("int64"),
+                    "session_start": pd.to_datetime(df["start_ms"], unit="ms"),
+                    "session_end": pd.to_datetime(df["last_ms"], unit="ms"),
+                    "closed_by": df["closed_by"],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful sessionization (applyInPandasWithState) — closed
+    sessions emit on gap within the stream, open sessions on
+    processing-time timeout."""
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_session_fn(gap_minutes * 60 * 1000),
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

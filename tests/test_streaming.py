@@ -155,3 +155,119 @@ def test_streaming_session_window(spark, tmp_path):
         (r["user_id"], r["n"]) for r in spark.table("sess_stream").collect()
     )
     assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join: streaming events enriched with a
+    static dimension re-read per micro-batch."""
+    from opensnowcat_collector_spark.streaming.operators import enrich_stream_static
+
+    rows = [
+        {"user_id": 1, "event_type": "click"},
+        {"user_id": 2, "event_type": "view"},
+        {"user_id": 99, "event_type": "click"},  # no dim row -> left join null
+    ]
+    src = str(tmp_path / "enrsrc")
+    os.makedirs(src)
+    with open(os.path.join(src, "e.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id bigint, tier string"
+    )
+    stream = spark.readStream.schema("user_id bigint, event_type string").json(src)
+    out = enrich_stream_static(stream, dim, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_enr"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["tier"]) for r in spark.table("enriched_stream").collect()}
+    assert got == {(1, "gold"), (2, "silver"), (99, None)}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join with watermarks: purchases attributed to clicks
+    within a 30-minute horizon."""
+    from opensnowcat_collector_spark.streaming.operators import attribute_purchases
+
+    clicks = [
+        {"user_id": 1, "event_id": 10, "ts": "2024-01-01T00:00:00"},
+        {"user_id": 2, "event_id": 20, "ts": "2024-01-01T00:00:00"},
+    ]
+    purchases = [
+        {"user_id": 1, "event_id": 11, "ts": "2024-01-01T00:10:00"},  # within 30m
+        {"user_id": 2, "event_id": 21, "ts": "2024-01-01T02:00:00"},  # outside
+    ]
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    for d, rows in ((csrc, clicks), (psrc, purchases)):
+        os.makedirs(d)
+        with open(os.path.join(d, "x.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    schema = "user_id bigint, event_id bigint, ts string"
+
+    def rd(d):
+        return (
+            spark.readStream.schema(schema)
+            .json(d)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    out = attribute_purchases(rd(csrc), rd(psrc), horizon_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["click_id"], r["purchase_id"]) for r in spark.table("attr_stream").collect()}
+    assert got == {(10, 11)}
+
+
+def test_stateful_sessionize_applyinpandaswithstate(spark, tmp_path):
+    """Custom stateful sessionization: gap-closed sessions emitted from
+    applyInPandasWithState (timeout path exercised separately — availableNow
+    terminates before processing-time timeouts fire)."""
+    from opensnowcat_collector_spark.streaming.operators import sessionize_stateful
+
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00"},
+        {"user_id": 1, "ts": "2024-01-01T00:10:00"},
+        {"user_id": 1, "ts": "2024-01-01T01:00:00"},  # 50-min gap -> closes session of 2
+        {"user_id": 2, "ts": "2024-01-01T00:00:00"},
+    ]
+    src = str(tmp_path / "sessrc2")
+    os.makedirs(src)
+    with open(os.path.join(src, "s.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("user_id bigint, ts string")
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = sessionize_stateful(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_state_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_st"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["user_id"], r["n_events"], r["closed_by"])
+        for r in spark.table("sess_state_stream").collect()
+    ]
+    # only the gap-closed session is emitted (user 1's first session, 2 events);
+    # open sessions stay in state awaiting timeout
+    assert got == [(1, 2, "gap")]
