@@ -11,9 +11,26 @@ with-edge-loss delivery to at-least-once (exactly-once into idempotent /
 transactional sinks) — SURVEY §4.1.
 """
 
-from .base import Sink, SinkHealth
+from .base import BackoffPolicy, CircuitBreaker, RetryingSink, Sink, SinkHealth
+from .cloud import KinesisSink, SqsSink
 from .files import ParquetSink
 from .memory import MemorySink
+from .queues import EventBuffer, NsqSink, PubSubSink, RabbitMQSink
 from .stdout import StdoutSink
 
-__all__ = ["Sink", "SinkHealth", "ParquetSink", "MemorySink", "StdoutSink"]
+__all__ = [
+    "BackoffPolicy",
+    "CircuitBreaker",
+    "EventBuffer",
+    "KinesisSink",
+    "MemorySink",
+    "NsqSink",
+    "ParquetSink",
+    "PubSubSink",
+    "RabbitMQSink",
+    "RetryingSink",
+    "Sink",
+    "SinkHealth",
+    "SqsSink",
+    "StdoutSink",
+]
