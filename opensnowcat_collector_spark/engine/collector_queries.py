@@ -135,3 +135,132 @@ def collector_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "do_not_track",
         F.col("set_cookie").isNotNull().alias("has_set_cookie"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T7/T8 bridge round-trip: synthesize Segment + Amplitude requests from
+# events, run the REAL pipeline (enrich + build_events, incl. the
+# amplitude explode fan-out), then extract every constructed envelope
+# field back out (incl. unbase64'ing ue_px) and compare to the oracle's
+# directly-computed truth.
+# ---------------------------------------------------------------------------
+
+_BRIDGE_ORACLE = """
+WITH seg AS (
+  SELECT 'ev-' || CAST(event_id AS VARCHAR) AS request_id,
+         user_id, event_id, event_type
+  FROM events WHERE user_id % 2 = 0
+), amp AS (
+  SELECT 'ev-' || CAST(e.event_id AS VARCHAR) AS request_id,
+         e.user_id, e.event_id, e.ts, sub.sfx
+  FROM events e CROSS JOIN (VALUES ('a'), ('b')) AS sub(sfx)
+  WHERE e.user_id % 2 = 1
+)
+SELECT request_id,
+       '/com.snowplowanalytics.snowplow/tp2' AS path,
+       'ajs_bridge' AS aid, 'ue' AS e_param, 'web' AS p_param,
+       '1.2.3' AS tv,
+       'u-' || CAST(user_id AS VARCHAR) AS tnuid,
+       'su' || CAST(user_id AS VARCHAR) AS uid_param,
+       'anon-' || CAST(user_id AS VARCHAR) AS duid,
+       CAST(NULL AS VARCHAR) AS dtm,
+       'https://site/' || event_type AS url,
+       'pg-' || CAST(event_id AS VARCHAR) AS page,
+       'en-US' AS lang,
+       'iglu:com.segment/page/jsonschema/2-0-0' AS inner_schema,
+       CAST(NULL AS VARCHAR) AS inner_ip
+FROM seg
+UNION ALL
+SELECT request_id,
+       '/com.snowplowanalytics.snowplow/tp2' AS path,
+       'amp_bridge' AS aid, 'ue' AS e_param, 'app' AS p_param,
+       'amplitude-js/8.0' AS tv,
+       'u-' || CAST(user_id AS VARCHAR) AS tnuid,
+       'au' || CAST(user_id AS VARCHAR) || '-' || sfx AS uid_param,
+       'd' || CAST(user_id AS VARCHAR) || '-' || sfx AS duid,
+       CAST(epoch_ms(ts) AS VARCHAR) AS dtm,
+       CAST(NULL AS VARCHAR) AS url,
+       CAST(NULL AS VARCHAR) AS page,
+       CAST(NULL AS VARCHAR) AS lang,
+       'iglu:com.amplitude/payload/jsonschema/1-0-0' AS inner_schema,
+       '10.0.' || CAST(user_id % 250 AS VARCHAR) || '.7' AS inner_ip
+FROM amp
+"""
+
+
+@register("collector_bridge_roundtrip", oracle=_BRIDGE_ORACLE)
+def collector_bridge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment (T7) and Amplitude (T8, 2-event fan-out) requests through
+    the full pipeline; every envelope field is then re-extracted from the
+    produced body — aid/e/p constants, tv, uid/duid/dtm lifts, url/page/
+    locale lifts, and the base64 ue_px inner payload (schema + substituted
+    $remote ip).  Narrow plan + one explode; no shuffle."""
+    e = table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    uid_s = uid.cast("string")
+    eid_s = F.col("event_id").cast("string")
+    ip = F.concat(F.lit("10.0."), (uid % 250).cast("string"), F.lit(".7"))
+    ms = F.unix_millis(F.col("ts")).cast("string")
+
+    seg_body = F.concat(
+        F.lit('{"userId":"su'), uid_s,
+        F.lit('","properties":{"url":"https://site/'), F.col("event_type"),
+        F.lit('","page":"pg-'), eid_s,
+        F.lit('"},"context":{"library":{"version":"1.2.3"},"locale":"en-US","timezone":"UTC"}}'),
+    )
+
+    def amp_event(sfx: str):
+        return F.concat(
+            F.lit('{"device_id":"d'), uid_s, F.lit(f'-{sfx}'),
+            F.lit('","user_id":"au'), uid_s, F.lit(f'-{sfx}'),
+            F.lit('","time":'), ms,
+            F.lit(',"ip":"$remote","library":"amplitude-js/8.0"}'),
+        )
+
+    amp_body = F.concat(
+        F.lit('{"api_key":"k","events":['), amp_event("a"), F.lit(","), amp_event("b"), F.lit("]}")
+    )
+
+    is_seg = uid % 2 == 0
+    raw = e.select(
+        F.concat(F.lit("ev-"), eid_s).alias("request_id"),
+        F.lit("POST").alias("method"),
+        F.when(is_seg, F.lit("/com.segment/v1/p"))
+        .otherwise(F.lit("/com.amplitude/2/httpapi"))
+        .alias("path"),
+        F.concat(F.lit("nuid=u-"), uid_s).alias("querystring"),
+        F.when(is_seg, seg_body).otherwise(amp_body).alias("body"),
+        F.lit("UA").alias("user_agent"),
+        F.lit(None).cast("string").alias("referer_uri"),
+        F.lit("collector.local").alias("hostname"),
+        ip.alias("remote_ip"),
+        F.array().cast("array<string>").alias("headers"),
+        F.lit(None).cast("string").alias("origin"),
+        F.when(
+            is_seg, F.create_map(F.lit("ajs_anonymous_id"), F.concat(F.lit("anon-"), uid_s))
+        ).otherwise(F.create_map().cast("map<string,string>")).alias("cookies"),
+        F.lit("application/json").alias("content_type"),
+        F.lit(None).cast("string").alias("sp_anonymous"),
+        F.col("ts").alias("request_time"),
+    )
+    res = pipeline.run(raw, _CFG)
+    body = F.col("body")
+    d0 = "$.data[0]."
+    ue_px = F.decode(F.unbase64(F.get_json_object(body, d0 + "ue_px")), "UTF-8")
+    return res.good.select(
+        "request_id",
+        "path",
+        F.get_json_object(body, d0 + "aid").alias("aid"),
+        F.get_json_object(body, d0 + "e").alias("e_param"),
+        F.get_json_object(body, d0 + "p").alias("p_param"),
+        F.get_json_object(body, d0 + "tv").alias("tv"),
+        F.get_json_object(body, d0 + "tnuid").alias("tnuid"),
+        F.get_json_object(body, d0 + "uid").alias("uid_param"),
+        F.get_json_object(body, d0 + "duid").alias("duid"),
+        F.get_json_object(body, d0 + "dtm").alias("dtm"),
+        F.get_json_object(body, d0 + "url").alias("url"),
+        F.get_json_object(body, d0 + "page").alias("page"),
+        F.get_json_object(body, d0 + "lang").alias("lang"),
+        F.get_json_object(ue_px, "$.data.schema").alias("inner_schema"),
+        F.get_json_object(ue_px, "$.data.data.data.ip").alias("inner_ip"),
+    )
