@@ -1,0 +1,273 @@
+"""Thin HTTP receiver: the serving edge in front of the Spark pipeline.
+
+reference: the Pekko routing tree + response building
+(CollectorRoute.scala:57-236, CollectorService.scala:110-248,326-464).
+The receiver does NO event processing — it appends one raw-request JSON
+row per request to a landing directory (the ``readStream`` source of
+``streaming.job.StreamingCollector``) and answers the request-scoped
+responses the engine cannot (pixel GIF, ``ok`` acks, 302 redirects,
+Set-Cookie, ops endpoints).  Response *decisions* (nuid resolution, DNT,
+cookie suppression) replicate the pipeline's column-expression semantics
+in plain Python — the duplication is intentional and confined to this
+file (SURVEY §7 risk register: HTTP response semantics are
+request-scoped and can't live in Spark).
+
+stdlib-only (http.server) — suitable as a test rig and a shape-reference
+for a production receiver (nginx/lambda/anything that can append JSON
+rows to the landing zone or a Kafka topic).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import re
+import threading
+import uuid
+from datetime import datetime, timezone
+from http.cookies import SimpleCookie
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlsplit
+
+from .config import ZERO_UUID, CollectorConfig
+from .schema import PIXEL_GIF_BASE64
+
+PIXEL_GIF = base64.b64decode(PIXEL_GIF_BASE64)
+_EVENT_PATH_RE = re.compile(
+    r"^(/r/.*|/i|/ice\.png|/com\.snowplowanalytics\.snowplow/tp2"
+    r"|/com\.segment/v1/[itpsga]|/com\.amplitude/2/(httpapi|batch)|/[^/]+/[^/]+)$"
+)
+_OPS_PATHS = {"/health", "/sink-health", "/crossdomain.xml", "/robots.txt", "/"}
+
+CROSSDOMAIN_XML = (
+    '<?xml version="1.0"?>\n<cross-domain-policy>\n'
+    '  <allow-access-from domain="*" secure="false" />\n</cross-domain-policy>'
+)
+
+
+class LandingWriter:
+    """Append raw-request rows as JSON lines; one file per writer, rotated
+    by row count so the file stream source picks up closed files promptly."""
+
+    def __init__(self, landing_dir: str, rotate_rows: int = 1000):
+        os.makedirs(landing_dir, exist_ok=True)
+        self.landing_dir = landing_dir
+        self.rotate_rows = rotate_rows
+        self._lock = threading.Lock()
+        self._rows = 0
+        self._seq = 0
+        self._fh = None
+
+    def _open(self):
+        name = f"requests-{os.getpid()}-{self._seq:06d}.json"
+        self._fh = open(os.path.join(self.landing_dir, name), "a", encoding="utf-8")
+
+    def append(self, row: dict) -> None:
+        with self._lock:
+            if self._fh is None:
+                self._open()
+            self._fh.write(json.dumps(row) + "\n")
+            self._fh.flush()
+            self._rows += 1
+            if self._rows >= self.rotate_rows:
+                self._fh.close()
+                self._fh = None
+                self._rows = 0
+                self._seq += 1
+
+    def close(self) -> None:
+        with self._lock:
+            if self._fh is not None:
+                self._fh.close()
+                self._fh = None
+
+
+def make_handler(cfg: CollectorConfig, writer: LandingWriter):
+    dnt_re = (
+        re.compile(f"^(?:{cfg.do_not_track_cookie.value})$")
+        if cfg.do_not_track_cookie.enabled
+        else None
+    )
+
+    class Handler(BaseHTTPRequestHandler):
+        server_version = f"{cfg.app_name}/{cfg.app_version}"
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        # -- helpers -----------------------------------------------------
+        def _cookies(self) -> dict[str, str]:
+            c = SimpleCookie()
+            c.load(self.headers.get("Cookie", ""))
+            return {k: m.value for k, m in c.items()}
+
+        def _raw_row(self, method: str, body: str | None) -> dict:
+            split = urlsplit(self.path)
+            headers = [f"{k}: {v}" for k, v in self.headers.items()]
+            return {
+                "request_id": str(uuid.uuid4()),
+                "method": method,
+                "path": split.path,
+                "querystring": split.query or None,
+                "body": body,
+                "user_agent": self.headers.get("User-Agent"),
+                "referer_uri": self.headers.get("Referer"),
+                "hostname": (self.headers.get("Host") or "").split(":")[0],
+                "remote_ip": None
+                if self.headers.get("SP-Anonymous")
+                else self.client_address[0],
+                "headers": headers,
+                "origin": self.headers.get("Origin"),
+                "cookies": self._cookies(),
+                "content_type": self.headers.get("Content-Type"),
+                "sp_anonymous": self.headers.get("SP-Anonymous"),
+                "request_time": datetime.now(timezone.utc).isoformat(),
+            }
+
+        def _resolve_nuid(self, row: dict) -> str:
+            # T1 semantics (CollectorService.scala:133-141,539-547)
+            if row["sp_anonymous"] is not None:
+                return ZERO_UUID
+            qs = dict(parse_qsl(row["querystring"] or "", keep_blank_values=True))
+            return (
+                qs.get("nuid")
+                or row["cookies"].get(cfg.cookie.name)
+                or str(uuid.uuid4())
+            )
+
+        def _do_not_track(self, row: dict) -> bool:
+            if dnt_re is None:
+                return False
+            v = row["cookies"].get(cfg.do_not_track_cookie.name)
+            return v is not None and dnt_re.match(v) is not None
+
+        def _set_cookie_header(self, row: dict, nuid: str) -> str | None:
+            # T5 suppression under DNT / SP-Anonymous
+            if not cfg.cookie.enabled or row["sp_anonymous"] is not None:
+                return None
+            if self._do_not_track(row):
+                return None
+            parts = [f"{cfg.cookie.name}={nuid}", "Path=/",
+                     f"Max-Age={cfg.cookie.expiration_ms // 1000}"]
+            if cfg.cookie.fallback_domain:
+                parts.append(f"Domain={cfg.cookie.fallback_domain}")
+            if cfg.cookie.secure:
+                parts.append("Secure")
+            if cfg.cookie.http_only:
+                parts.append("HttpOnly")
+            if cfg.cookie.same_site:
+                parts.append(f"SameSite={cfg.cookie.same_site}")
+            return "; ".join(parts)
+
+        def _respond(self, status: int, body: bytes, ctype: str,
+                     extra: list[tuple[str, str]] = ()):  # type: ignore[assignment]
+            self.send_response(status)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in extra:
+                self.send_header(k, v)
+            self.end_headers()
+            if self.command != "HEAD":
+                self.wfile.write(body)
+
+        # -- request handling --------------------------------------------
+        def _handle(self, method: str):
+            split = urlsplit(self.path)
+            path = split.path
+            if path in _OPS_PATHS:
+                return self._ops(path)
+            if not _EVENT_PATH_RE.match(path):
+                return self._respond(404, b"not found", "text/plain")
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length).decode("utf-8") if length else None
+            row = self._raw_row(method, body)
+            nuid = self._resolve_nuid(row)
+            dnt = self._do_not_track(row)
+            if not dnt:  # F1: not stored, response still 200
+                writer.append(row)
+            extra = []
+            sc = self._set_cookie_header(row, nuid)
+            if sc:
+                extra.append(("Set-Cookie", sc))
+            extra.append(("Cache-Control", "no-cache, no-store, must-revalidate"))
+
+            if path.startswith("/r/"):
+                # F4/T6 redirect (allowlist + macro)
+                qs = dict(parse_qsl(split.query or "", keep_blank_values=True))
+                target = qs.get("u")
+                host = urlsplit(target or "").hostname
+                allowed = bool(target) and host is not None and (
+                    not cfg.redirect_domains
+                    or any(d in host for d in cfg.redirect_domains)
+                )
+                if not allowed:
+                    return self._respond(400, b"invalid redirect", "text/plain")
+                if cfg.redirect_macro.enabled:
+                    token = cfg.redirect_macro.placeholder or "${SP_NUID}"
+                    target = target.replace(token, nuid)
+                return self._respond(302, b"", "text/plain",
+                                     extra + [("Location", target)])
+            if path.startswith("/com.amplitude/"):
+                n = 0
+                try:
+                    n = len(json.loads(body or "{}").get("events", []))
+                except ValueError:
+                    pass
+                ack = json.dumps(
+                    {"code": 200, "events_ingested": n,
+                     "payload_size_bytes": len(body or "")}
+                ).encode()
+                return self._respond(200, ack, "application/json", extra)
+            if method in ("GET", "HEAD"):
+                return self._respond(200, PIXEL_GIF, "image/gif", extra)
+            return self._respond(200, b"ok", "text/plain", extra)
+
+        def _ops(self, path: str):
+            if path in ("/health", "/sink-health"):
+                return self._respond(200, b"OK", "text/plain")
+            if path == "/crossdomain.xml":
+                return self._respond(200, CROSSDOMAIN_XML.encode(), "text/xml")
+            if path == "/robots.txt":
+                return self._respond(200, b"User-agent: *\nDisallow: /", "text/plain")
+            return self._respond(302, b"", "text/plain", [("Location", "/health")])
+
+        def do_GET(self):
+            self._handle("GET")
+
+        def do_HEAD(self):
+            self._handle("HEAD")
+
+        def do_POST(self):
+            self._handle("POST")
+
+        def do_OPTIONS(self):  # CORS preflight (S6)
+            self._respond(
+                200, b"", "text/plain",
+                [("Access-Control-Allow-Origin", self.headers.get("Origin") or "*"),
+                 ("Access-Control-Allow-Methods", "GET, POST, OPTIONS"),
+                 ("Access-Control-Allow-Headers", "Content-Type, SP-Anonymous"),
+                 ("Access-Control-Allow-Credentials", "true")],
+            )
+
+    return Handler
+
+
+class CollectorServer:
+    """ThreadingHTTPServer wrapper with a background serve loop."""
+
+    def __init__(self, cfg: CollectorConfig, landing_dir: str,
+                 host: str = "127.0.0.1", port: int = 0):
+        self.writer = LandingWriter(landing_dir)
+        self.httpd = ThreadingHTTPServer((host, port), make_handler(cfg, self.writer))
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.writer.close()

@@ -1,0 +1,175 @@
+"""Thin HTTP receiver: endpoint matrix + landing-zone rows feeding the
+batch pipeline (the full ingest path a user actually runs)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from opensnowcat_collector_spark.config import (
+    CollectorConfig,
+    DoNotTrackCookieConfig,
+    RedirectMacroConfig,
+)
+from opensnowcat_collector_spark.server import PIXEL_GIF, CollectorServer
+
+
+@pytest.fixture()
+def server(tmp_path):
+    cfg = CollectorConfig(
+        deterministic_now_ms=1705320000000,
+        do_not_track_cookie=DoNotTrackCookieConfig(enabled=True, name="dnt", value="opt-out"),
+        redirect_macro=RedirectMacroConfig(enabled=True),
+        redirect_domains=("example.com",),
+    )
+    srv = CollectorServer(cfg, str(tmp_path / "landing"))
+    srv.start()
+    yield srv, str(tmp_path / "landing")
+    srv.stop()
+
+
+def _get(url, headers=None, redirect=False):
+    req = urllib.request.Request(url, headers=headers or {})
+    opener = urllib.request.build_opener(
+        urllib.request.HTTPRedirectHandler if redirect else _NoRedirect
+    )
+    return opener.open(req, timeout=10)
+
+
+class _NoRedirect(urllib.request.HTTPRedirectHandler):
+    def redirect_request(self, *a, **kw):
+        return None
+
+
+def _rows(landing):
+    import glob
+    import os
+
+    out = []
+    for f in glob.glob(os.path.join(landing, "*.json")):
+        with open(f) as fh:
+            out.extend(json.loads(line) for line in fh)
+    return out
+
+
+def test_pixel_and_cookie(server):
+    srv, landing = server
+    with _get(f"http://127.0.0.1:{srv.port}/i?e=pv&nuid=u-1") as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "image/gif"
+        assert resp.read() == PIXEL_GIF
+        assert "sp=u-1" in resp.headers["Set-Cookie"]
+    rows = _rows(landing)
+    assert len(rows) == 1 and rows[0]["path"] == "/i"
+
+
+def test_post_tp2_ok(server):
+    srv, landing = server
+    body = json.dumps({"schema": "iglu:x", "data": [{"e": "pv"}]}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/com.snowplowanalytics.snowplow/tp2",
+        data=body,
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        assert resp.status == 200 and resp.read() == b"ok"
+    assert _rows(landing)[0]["body"] is not None
+
+
+def test_dnt_not_stored_but_200(server):
+    srv, landing = server
+    with _get(
+        f"http://127.0.0.1:{srv.port}/i?e=pv", headers={"Cookie": "dnt=opt-out"}
+    ) as resp:
+        assert resp.status == 200
+        assert "Set-Cookie" not in resp.headers  # T5 suppression
+    assert _rows(landing) == []  # F1: not stored
+
+
+def test_sp_anonymous_no_cookie_no_ip(server):
+    srv, landing = server
+    with _get(
+        f"http://127.0.0.1:{srv.port}/i?e=pv", headers={"SP-Anonymous": "*"}
+    ) as resp:
+        assert resp.status == 200
+        assert "Set-Cookie" not in resp.headers
+    assert _rows(landing)[0]["remote_ip"] is None
+
+
+def test_redirect_allowlist_and_macro(server):
+    srv, landing = server
+    # allowed domain + macro substitution
+    try:
+        _get(
+            f"http://127.0.0.1:{srv.port}/r/tp2?u=https%3A%2F%2Fexample.com%2Fp%3Fn%3D%24%7BSP_NUID%7D&nuid=u-9"
+        )
+        raise AssertionError("expected non-redirect handler to raise")
+    except urllib.error.HTTPError as e:
+        assert e.code == 302
+        assert e.headers["Location"] == "https://example.com/p?n=u-9"
+    # disallowed domain -> 400
+    try:
+        _get(f"http://127.0.0.1:{srv.port}/r/tp2?u=https%3A%2F%2Fevil.org%2Fx")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_amplitude_ack_counts(server):
+    srv, _ = server
+    body = json.dumps(
+        {"api_key": "k", "events": [{"device_id": "d1"}, {"device_id": "d2"}]}
+    ).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/com.amplitude/2/httpapi",
+        data=body,
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        ack = json.loads(resp.read())
+    assert ack["events_ingested"] == 2
+    assert ack["payload_size_bytes"] == len(body)
+
+
+def test_ops_endpoints(server):
+    srv, landing = server
+    base = f"http://127.0.0.1:{srv.port}"
+    assert _get(f"{base}/health").read() == b"OK"
+    assert b"cross-domain-policy" in _get(f"{base}/crossdomain.xml").read()
+    assert b"Disallow" in _get(f"{base}/robots.txt").read()
+    with _get(f"{base}/some.vendor/v1"):
+        pass  # /{vendor}/{version}-shaped -> stored as event
+    try:
+        _get(f"{base}/a/b/c")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    # ops requests produce no landing rows beyond the vendor-shaped one
+    assert len(_rows(landing)) == 1
+
+
+def test_landing_rows_flow_through_pipeline(server, spark):
+    """The receiver's output is valid pipeline input: requests -> landing
+    dir -> batch pipeline -> good rows (the end-to-end ingest path)."""
+    srv, landing = server
+    for i in range(3):
+        _get(f"http://127.0.0.1:{srv.port}/i?e=pv&nuid=u-{i}").close()
+    from pyspark.sql import functions as F
+
+    from opensnowcat_collector_spark import pipeline
+    from opensnowcat_collector_spark.schema import RAW_REQUEST_SCHEMA
+
+    raw = (
+        spark.read.schema(RAW_REQUEST_SCHEMA)
+        .json(landing)
+        .withColumn("request_time", F.col("request_time").cast("timestamp"))
+    )
+    cfg = CollectorConfig(deterministic_now_ms=1705320000000)
+    res = pipeline.run(raw, cfg)
+    good = res.good.collect()
+    assert len(good) == 3
+    assert sorted(r["network_user_id"] for r in good) == ["u-0", "u-1", "u-2"]
+    assert all(r["path"] == "/i" for r in good)
