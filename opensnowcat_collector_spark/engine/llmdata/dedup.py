@@ -235,8 +235,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only.
     """
     sh = exploded_shingles(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sigs = sh.groupBy("doc_id").agg(*_minhash_aggs())
+    # one groupBy produces BOTH the shingle counts and the 12 min-hash
+    # signatures (fused aggregation — one shuffle, one scan of sh)
+    sigs = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"), *_minhash_aggs()
+    )
+    counts = sigs.select("doc_id", "n_sh")
     banded = sigs.select("doc_id", *_band_keys())
     bands_long = banded.select(
         "doc_id",
