@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Scale probe: replicate sf0.1 K-fold with key remapping and measure how
+the headline plans scale.
+
+Replication preserves semantics instead of inflating join fan-out:
+- fact/dim keys shift by replica (orderkey/custkey/event_id/user_id/
+  doc_id/vec_id), so per-replica join cardinalities are preserved and
+  totals scale linearly;
+- document text is `translate`d per replica (vowel rotation) so
+  cross-replica shingles don't collide (no artificial N^2 near-dup pairs);
+- embedding labels shift by replica*10, keeping cosine blocks intra-replica.
+
+Usage: python tools/scale_probe.py [K ...]   (default: 1 4 8)
+Writes one JSON line per K; paste the summary into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+WORK = "/tmp/scale_probe"
+
+PROBE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "events_sessionize",
+    "join_asof_last_click",
+    "collector_enrich_events",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "sim_bucket_histogram",
+    "text_quality_score",
+]
+
+KEY_SHIFTS = {
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "customer": {"c_custkey": 1_000_000},
+    "events": {"event_id": 10_000_000, "user_id": 100_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000, "label": 10},
+}
+COPY_TABLES = ["region", "nation", "supplier", "part"]
+
+_VOWS = "aeiou"
+
+
+def build(spark, k: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = f"{WORK}/x{k}"
+    if os.path.exists(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t in COPY_TABLES:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    for t, shifts in KEY_SHIFTS.items():
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for r in range(k):
+            df = base
+            for col, off in shifts.items():
+                df = df.withColumn(col, F.col(col) + F.lit(r * off))
+            if t == "documents" and r > 0:
+                rot = _VOWS[r % 5:] + _VOWS[: r % 5]
+                df = df.withColumn("text", F.translate("text", _VOWS, rot))
+            parts.append(df)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return out
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 8]
+    from opensnowcat_collector_spark.engine import registry
+    from opensnowcat_collector_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.all_queries()
+    qs["topk_orders"](spark, SRC).count()  # warm
+
+    for k in ks:
+        sf_dir = build(spark, k)
+        timings = {}
+        for name in PROBE_QUERIES:
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"k": k, "rows_lineitem": k * 600_000, "sec": timings}))
+
+
+if __name__ == "__main__":
+    main()
