@@ -86,3 +86,19 @@ class StreamingCollector:
             # BufferConfig.time_limit_ms is the flush cadence (A1)
             writer = writer.trigger(processingTime=f"{self.cfg.good_sink.buffer.time_limit_ms} milliseconds")
         return writer.start()
+
+    def stop(self, query: StreamingQuery, grace_seconds: float = 10.0) -> None:
+        """X4 graceful drain (Collector.scala:206-233 analogue): let the
+        in-flight micro-batch finish, stop the query, then shut both sinks
+        down.  Checkpointing makes redelivery-on-restart safe, so this is
+        strictly stronger than the reference's best-effort flush."""
+        import time as _time
+
+        deadline = _time.monotonic() + grace_seconds
+        while query.isActive and query.status["isDataAvailable"] and _time.monotonic() < deadline:
+            _time.sleep(0.2)
+        if query.isActive:
+            query.stop()
+        query.awaitTermination(int(grace_seconds))
+        self.good_sink.shutdown()
+        self.bad_sink.shutdown()

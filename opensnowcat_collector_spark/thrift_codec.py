@@ -135,3 +135,38 @@ def with_thrift_bytes(df, out_col: str = "thrift_bytes"):
         )
 
     return df.withColumn(out_col, enc(F.struct(*[F.col(c) for c in cols if c in df.columns])))
+
+
+def read_thrift_records(df, bytes_col: str = "thrift_bytes"):
+    """BinaryType column of Thrift records -> payload struct columns (the
+    ingest direction: consume records produced by the reference collector
+    or any Thrift writer).  Arrow-batched mapInPandas, one output row per
+    record."""
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    fields = []
+    for _, name, ftype in FIELDS:
+        if ftype == _T_I64:
+            t = LongType()
+        elif ftype == _T_LIST:
+            t = ArrayType(StringType())
+        else:
+            t = StringType()
+        fields.append(StructField(name, t))
+    schema = StructType(fields)
+    names = [f.name for f in schema.fields]
+
+    def decode_batches(batches):
+        for pdf in batches:
+            rows = [decode_collector_payload(bytes(b)) for b in pdf[bytes_col]]
+            yield pd.DataFrame(
+                [{n: r.get(n) for n in names} for r in rows], columns=names
+            )
+
+    return df.select(bytes_col).mapInPandas(decode_batches, schema)

@@ -1,0 +1,147 @@
+"""X1 telemetry payload, thrift ingest direction, X4 graceful drain, and
+config-default parity (reference.conf values — SURVEY §5.4 ConfigSpec
+analogue)."""
+
+from __future__ import annotations
+
+import json
+
+from opensnowcat_collector_spark.config import (
+    BufferConfig,
+    CollectorConfig,
+    CookieBounceConfig,
+    CookieConfig,
+    DoNotTrackCookieConfig,
+)
+from opensnowcat_collector_spark.streaming.telemetry import (
+    OSS_CONTEXT_SCHEMA,
+    build_telemetry_payload,
+    send_heartbeat,
+)
+
+
+# --- X1 telemetry -----------------------------------------------------------
+
+
+def test_telemetry_payload_shape():
+    cfg = CollectorConfig()
+    p = build_telemetry_payload(cfg, user_provided_id="org-1", region="us-east-1")
+    assert p["schema"].endswith("payload_data/jsonschema/1-0-4")
+    ev = p["data"][0]
+    assert ev["e"] == "ue" and ev["p"] == "srv"
+    inner = json.loads(ev["ue_pr"])
+    assert inner["data"]["schema"] == OSS_CONTEXT_SCHEMA
+    d = inner["data"]["data"]
+    assert d["applicationName"] == cfg.app_name
+    assert d["userProvidedId"] == "org-1" and d["region"] == "us-east-1"
+    assert d["appGeneratedId"]  # fresh uuid
+
+
+def test_telemetry_send_uses_injected_transport():
+    calls = []
+    cfg = CollectorConfig()
+    status = send_heartbeat(cfg, post=lambda url, body: (calls.append((url, body)), 200)[1])
+    assert status == 200
+    url, body = calls[0]
+    assert url.endswith("/com.snowplowanalytics.snowplow/tp2")
+    assert b"oss_context" in body
+
+
+# --- thrift ingest direction ------------------------------------------------
+
+
+def test_read_thrift_records_roundtrip(spark):
+    from opensnowcat_collector_spark.thrift_codec import (
+        encode_collector_payload,
+        read_thrift_records,
+    )
+
+    rows = [
+        {"ip_address": f"1.2.3.{i}", "timestamp": 1705320000000 + i,
+         "path": "/i", "headers": [f"H: {i}"], "schema": "sch",
+         "network_user_id": f"u-{i}"}
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        [(encode_collector_payload(r),) for r in rows], "thrift_bytes binary"
+    )
+    back = {r["ip_address"]: r for r in read_thrift_records(df).collect()}
+    assert len(back) == 5
+    assert back["1.2.3.3"]["timestamp"] == 1705320000003
+    assert back["1.2.3.3"]["headers"] == ["H: 3"]
+    assert back["1.2.3.3"]["body"] is None  # omitted optional
+
+
+# --- X4 graceful drain ------------------------------------------------------
+
+
+def test_streaming_stop_drains_and_shuts_down(spark, tmp_path):
+    import os
+
+    from opensnowcat_collector_spark.sinks.memory import MemorySink
+    from opensnowcat_collector_spark.streaming.job import StreamingCollector
+
+    from .fixtures import raw_requests
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "b.json"), "w") as f:
+        for r in raw_requests()[:3]:
+            r = dict(r)
+            r["request_time"] = r["request_time"].isoformat()
+            f.write(json.dumps(r) + "\n")
+
+    class TrackingSink(MemorySink):
+        def __init__(self):
+            super().__init__()
+            self.shutdown_called = False
+
+        def shutdown(self):
+            self.shutdown_called = True
+
+    good, bad = TrackingSink(), TrackingSink()
+    cfg = CollectorConfig(deterministic_now_ms=1705320000000)
+    job = StreamingCollector(spark, cfg, good, bad)
+    q = job.start(job.source_from_files(landing), str(tmp_path / "ckpt"))
+    try:
+        deadline = 60
+        import time
+
+        t0 = time.monotonic()
+        while not good.rows and time.monotonic() - t0 < deadline:
+            time.sleep(0.5)
+        assert good.rows  # batch processed
+    finally:
+        job.stop(q)
+    assert not q.isActive
+    assert good.shutdown_called and bad.shutdown_called
+
+
+# --- config parity (reference.conf defaults) --------------------------------
+
+
+def test_config_defaults_match_reference_conf():
+    cfg = CollectorConfig()
+    # cookie.expiration 365 days (reference.conf:25)
+    assert CookieConfig().expiration_ms == 365 * 24 * 3600 * 1000
+    assert cfg.cookie.name == "sp"
+    assert cfg.cookie.enabled is True
+    # DNT disabled by default (reference.conf)
+    assert cfg.do_not_track_cookie.enabled is False
+    # bounce defaults (model.scala:73-78)
+    b = CookieBounceConfig()
+    assert b.name == "n3pc"
+    assert b.fallback_network_user_id == "00000000-0000-0000-0000-000000000000"
+    # buffer defaults (config.kinesis.extended.hocon:253-255)
+    buf = BufferConfig()
+    assert buf.byte_limit == 3145728 and buf.record_limit == 500
+    # stdout maxBytes default 1 GB (config.stdout.extended.hocon:190)
+    assert cfg.good_sink.max_bytes == 1000000000
+    # collector tag format (CollectorService.scala:85-86)
+    assert cfg.collector_tag == f"{cfg.app_name}-{cfg.app_version}-stdout"
+
+
+def test_dnt_matches_regex_fullmatch():
+    d = DoNotTrackCookieConfig(enabled=True, name="dnt", value="opt-(out|away)")
+    assert d.matches("opt-out") and d.matches("opt-away")
+    assert not d.matches("opt-outX") and not d.matches(None)
