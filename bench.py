@@ -29,6 +29,7 @@ HEADLINE = [
     "window_running_spend",
     "events_sessionize",
     "events_hourly_rollup",
+    "events_tumbling_15min",
     "collector_enrich_events",
     "join_asof_last_click",
     "dedup_embedding_cosine",

@@ -1049,3 +1049,125 @@ def array_hof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_extreme"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window analytics: rank distributions, value-picking, RANGE frames,
+# tumbling time buckets (the F.window streaming twin in batch form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_analytics_distribution",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def window_analytics_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist/ntile — exact rationals of integer rank and
+    count, engine-identical doubles."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "window_value_picking",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       first_value(c_name) OVER w AS richest,
+       last_value(c_name) OVER w AS poorest,
+       nth_value(c_name, 2) OVER w AS runner_up
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def window_value_picking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over an explicit unbounded frame (the default
+    frame would make last_value degenerate)."""
+    c = table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.first("c_name").over(w).alias("richest"),
+        F.last("c_name").over(w).alias("poorest"),
+        F.nth_value("c_name", 2).over(w).alias("runner_up"),
+    )
+
+
+@register(
+    "window_range_frame_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS spend_30d_cents
+FROM orders
+""",
+)
+def window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (30-day trailing spend): Spark's rangeBetween needs a
+    numeric ordering column, so the frame runs over epoch-DAYS (orderdates
+    are day-granular) with a -30..0 bound — value-identical to DuckDB's
+    INTERVAL 30 DAYS RANGE (same-day rows are frame peers in both)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("timestamp")))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("spend_30d_cents"),
+    )
+
+
+@register(
+    "events_tumbling_15min",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL 15 MINUTES, ts) AS TIMESTAMP) AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window tumbling buckets in batch form — the exact expression a
+    streaming query uses (groupBy(window('ts','15 minutes')) + watermark);
+    only the window-struct start is projected for the oracle compare."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))).cast("double") / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
