@@ -189,3 +189,33 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.array_sort(F.array_distinct(ws)), " ")).alias("fingerprint"),
         F.md5(F.col("text")).alias("exact_hash"),
     )
+
+
+@register(
+    "text_token_bpeish",
+    oracle=r"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_word,
+       CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_num,
+       CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS INTEGER) AS n_punct,
+       CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER)
+         AS n_total
+FROM documents
+""",
+)
+def text_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts: alpha runs, digit runs, and
+    punctuation marks via regexp_extract_all (the GPT-2 pre-tokenizer's
+    coarse classes).  Pure projection, no shuffle; the patterns use only
+    character classes so the Java and RE2 regex dialects agree."""
+    d = table(spark, sf_dir, "documents")
+
+    def cnt(pat: str):
+        return F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias
+    return d.select(
+        "doc_id",
+        cnt("[A-Za-z]+")("n_word"),
+        cnt("[0-9]+")("n_num"),
+        cnt("[^A-Za-z0-9 ]")("n_punct"),
+        cnt("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")("n_total"),
+    )
