@@ -264,3 +264,73 @@ def collector_bridge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(ue_px, "$.data.schema").alias("inner_schema"),
         F.get_json_object(ue_px, "$.data.data.data.ip").alias("inner_ip"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming under the oracle gate: the hourly rollup computed
+# by an actual streaming query (file source -> watermark -> tumbling
+# window -> memory sink), hash-compared to the same SQL as the batch twin.
+# ---------------------------------------------------------------------------
+
+_STREAMING_ROLLUP_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+_STREAM_Q_SEQ = [0]
+
+
+@register("streaming_hourly_rollup", oracle=_STREAMING_ROLLUP_ORACLE)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed through a REAL streaming query: parquet file
+    source -> 1h watermark -> tumbling window agg -> memory sink
+    (availableNow drains everything, so the complete result equals the
+    batch rollup and the DuckDB oracle).  This puts the Structured
+    Streaming execution path itself under the correctness gate."""
+    import tempfile
+
+    from pyspark.sql.types import LongType
+
+    batch = table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source requires a directory: stream the sf dir restricted
+    # to the events file via pathGlobFilter
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _STREAM_Q_SEQ[0] += 1
+    qname = f"stream_rollup_{_STREAM_Q_SEQ[0]}"
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100.0
+            ).alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rollup_"))
+        .start()
+    )
+    q.awaitTermination(300)
+    assert batch is not None  # keep the batch loader exercised for schema parity
+    return spark.table(qname).select(
+        F.col("w.start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
