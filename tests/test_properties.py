@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for the trickiest pure functions —
+an upgrade over the reference's example-only specs (SURVEY §5.8 notes it
+has no property tests).
+
+No Spark session needed: these run in milliseconds."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opensnowcat_collector_spark.sinks.cloud import chunk_records
+from opensnowcat_collector_spark.sinks.queues import EventBuffer
+from opensnowcat_collector_spark.thrift_codec import (
+    decode_collector_payload,
+    encode_collector_payload,
+)
+from opensnowcat_collector_spark.transforms.split import (
+    _compact,
+    _utf8_size,
+    split_elements,
+)
+
+# --- split_elements invariants (SplitBatch.scala:48-74 semantics) -----------
+
+_elements = st.lists(
+    st.dictionaries(
+        st.text(min_size=1, max_size=5),
+        st.one_of(st.integers(-1000, 1000), st.text(max_size=20)),
+        max_size=4,
+    ),
+    max_size=20,
+)
+
+
+@given(_elements, st.integers(1, 500))
+@settings(max_examples=200, deadline=None)
+def test_split_preserves_every_element_in_order(els, maximum):
+    batches, failed = split_elements(els, maximum)
+    recovered = [e for b in batches for e in b]
+    # every input element lands in exactly one batch or in failed
+    assert len(recovered) + len(failed) == len(els)
+    # batch elements keep input order (failed are removed in place)
+    it = iter(els)
+    for e in recovered:
+        for cand in it:
+            if cand is e:
+                break
+        else:
+            raise AssertionError("batch element out of input order")
+
+
+@given(_elements, st.integers(1, 500))
+@settings(max_examples=200, deadline=None)
+def test_split_batches_respect_budget(els, maximum):
+    batches, failed = split_elements(els, maximum)
+    for b in batches:
+        assert sum(_utf8_size(_compact(e)) + 1 for e in b) <= maximum
+    for f in failed:
+        assert _utf8_size(_compact(f)) + 1 > maximum
+
+
+# --- thrift codec roundtrip -------------------------------------------------
+
+_payloads = st.fixed_dictionaries(
+    {},
+    optional={
+        "schema": st.text(max_size=30),
+        "ip_address": st.text(max_size=20),
+        "timestamp": st.integers(-(2**63), 2**63 - 1),
+        "encoding": st.text(max_size=10),
+        "collector": st.text(max_size=20),
+        "querystring": st.text(max_size=50),
+        "body": st.text(max_size=100),
+        "path": st.text(max_size=30),
+        "user_agent": st.text(max_size=30),
+        "referer_uri": st.text(max_size=30),
+        "hostname": st.text(max_size=20),
+        "network_user_id": st.text(max_size=36),
+        "headers": st.lists(st.text(max_size=30), max_size=5),
+        "content_type": st.text(max_size=20),
+    },
+)
+
+
+@given(_payloads)
+@settings(max_examples=300, deadline=None)
+def test_thrift_roundtrip_property(row):
+    assert decode_collector_payload(encode_collector_payload(row)) == row
+
+
+# --- A2 chunker invariants --------------------------------------------------
+
+
+@given(
+    st.lists(st.tuples(st.text(max_size=5), st.text(max_size=40)), max_size=40),
+    st.integers(1, 20),
+    st.integers(1, 200),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunk_records_invariants(rows, max_records, max_bytes):
+    batches = list(chunk_records(rows, max_records, max_bytes))
+    assert [r for b in batches for r in b] == rows  # order + completeness
+    for b in batches:
+        assert len(b) <= max_records
+        size = sum(len(r[1].encode()) for r in b)
+        # byte budget holds unless a single record alone exceeds it
+        assert size <= max_bytes or len(b) == 1
+
+
+# --- A3 buffer invariants ---------------------------------------------------
+
+
+@given(st.lists(st.integers(), max_size=50), st.integers(1, 10))
+@settings(max_examples=200, deadline=None)
+def test_event_buffer_keeps_newest(items, cap):
+    buf = EventBuffer(cap)
+    for x in items:
+        buf.add(x)
+    kept = buf.drain()
+    assert kept == items[-cap:] if items else kept == []
+    assert buf.dropped == max(0, len(items) - cap)
