@@ -1,0 +1,75 @@
+"""Physical-layout toolkit: salted join correctness, bucketed
+shuffle-free joins, partition pruning — asserted at the PLAN level, not
+just by row counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opensnowcat_collector_spark.engine.layout import (
+    explain_has,
+    salted_join,
+    write_bucketed,
+    write_partitioned_by_day,
+)
+from opensnowcat_collector_spark.engine.tables import table
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change join semantics: same result as the plain
+    join on a deliberately skewed fact side."""
+    o = table(spark, sf_dir, "orders")
+    # skew: map 80% of orders onto one hot customer key
+    facts = o.withColumn(
+        "k", F.when(F.col("o_orderkey") % 5 != 0, F.lit(1)).otherwise(F.col("o_custkey"))
+    )
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    plain = facts.join(dim, "k").groupBy("k").count()
+    salted = salted_join(facts, dim, "k", n_salts=8).groupBy("k").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key join without any
+    ShuffleExchange (the write-time shuffle is the only one ever paid)."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    write_bucketed(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "b_orders", "o_orderkey", n_buckets=8,
+    )
+    write_bucketed(
+        table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        ),
+        "b_lineitem", "o_orderkey", n_buckets=8,
+    )
+    j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+    # disable auto-broadcast so the bucketed SMJ path is what's planned
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        feats = explain_has(j, "ShuffleExchange", "Exchange hashpartitioning", "SortMergeJoin")
+        assert feats["SortMergeJoin"]
+        assert not feats["Exchange hashpartitioning"], "bucketed join must not reshuffle"
+        assert j.count() == table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_events_prune(spark, sf_dir, tmp_path):
+    """A date-bounded filter over the partitioned layout shows partition
+    pruning in the scan (PartitionFilters), and results match the
+    unpartitioned read."""
+    events = table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_day")
+    write_partitioned_by_day(events, path)
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("event_date") == "2024-01-03")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    expected = events.filter(F.to_date("ts") == "2024-01-03").count()
+    assert one_day.count() == expected
