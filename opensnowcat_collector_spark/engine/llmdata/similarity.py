@@ -233,3 +233,143 @@ def sim_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sketch")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer = per-label centroid; the
+# query probes its nearest centroid's cell only.  The batch twin of a
+# k-means IVF index (centroid assignment replaces the full scan with one
+# cell at scale; train-time k-means is out of scope — labels stand in as
+# the coarse partition, exactly like dedup_embedding_cosine's blocks).
+# ---------------------------------------------------------------------------
+
+_DUCK_IVF = f"""
+WITH flat AS (
+  SELECT label, g.i, CAST(embedding[g.i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, {DIM}) AS g(i)
+),
+cent AS (
+  SELECT label, i, AVG(x) AS c FROM flat GROUP BY label, i
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+qflat AS (
+  SELECT g.i, CAST(qvec[g.i] AS DOUBLE) AS qx
+  FROM q, generate_series(1, {DIM}) AS g(i)
+),
+cell AS (
+  SELECT c.label,
+         SUM(c.c * qf.qx) / (SQRT(SUM(c.c * c.c)) * SQRT(SUM(qf.qx * qf.qx))) AS ccos
+  FROM cent c JOIN qflat qf ON c.i = qf.i
+  GROUP BY c.label
+  ORDER BY ccos DESC LIMIT 1
+)
+SELECT e.vec_id, e.label,
+       {{cos}} AS cosine
+FROM embeddings e CROSS JOIN q
+WHERE e.label = (SELECT label FROM cell) AND e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT 5
+"""
+
+
+def _duck_ivf_oracle() -> str:
+    return _DUCK_IVF.format(cos=_duck_cos("e.embedding", "q.qvec"))
+
+
+@register("sim_ann_ivf", oracle=_duck_ivf_oracle())
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: per-label centroids via posexplode+avg (one shuffle over
+    N*DIM rows — at scale this is the train step, persisted once), query
+    assigned to the max-cosine centroid, exact re-rank inside that cell
+    only.  Centroid argmax margins are O(0.01) so cross-engine float
+    reduction order cannot flip the cell choice; the in-cell cosine uses
+    the deterministic 6-dp-rounded flat expression."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("i", "x")
+    ).select("label", (F.col("i") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    cent = flat.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    qflat = q.select(F.posexplode("qvec").alias("i0", "qx")).select(
+        (F.col("i0") + 1).alias("i"), F.col("qx").cast("double").alias("qx")
+    )
+    cell = (
+        cent.join(qflat, "i")
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("c") * F.col("qx"))
+                / (F.sqrt(F.sum(F.col("c") * F.col("c"))) * F.sqrt(F.sum(F.col("qx") * F.col("qx"))))
+            ).alias("ccos")
+        )
+        .orderBy(F.col("ccos").desc())
+        .limit(1)
+        .select("label")
+    )
+    return (
+        e.join(F.broadcast(cell), "label")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(_spark_cos("embedding", "qvec")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+@register(
+    "sim_ann_multiprobe",
+    oracle=f"""
+WITH sk AS (
+  SELECT vec_id, label, embedding, {_duck_sketch("embedding")} AS sketch
+  FROM embeddings
+), q AS (
+  SELECT embedding AS qvec, sketch AS qsketch FROM sk WHERE vec_id = 0
+)
+SELECT s.vec_id, s.label,
+       CAST(LEN(list_filter(generate_series(1, {N_PLANES}),
+            i -> substr(s.sketch, i, 1) <> substr(q.qsketch, i, 1))) AS INTEGER)
+         AS hamming,
+       {_duck_cos("s.embedding", "q.qvec")} AS cosine
+FROM sk s CROSS JOIN q
+WHERE s.vec_id <> 0
+  AND LEN(list_filter(generate_series(1, {N_PLANES}),
+          i -> substr(s.sketch, i, 1) <> substr(q.qsketch, i, 1))) <= 1
+ORDER BY cosine DESC, s.vec_id
+LIMIT 10
+""",
+)
+def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: candidates from the query's bucket AND all
+    Hamming-1 neighbor buckets (9 probes of the 8-bit sketch) — the
+    standard recall-raiser that avoids building more hash tables.  At
+    scale the 9 probe keys become 9 bucket lookups; here the Hamming
+    distance is computed directly for the oracle's benefit."""
+    e = table(spark, sf_dir, "embeddings")
+    sk = e.select(
+        "vec_id", "label", "embedding", sketch_udf()(F.col("embedding")).alias("sketch")
+    )
+    q = sk.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("sketch").alias("qsketch")
+    )
+    hamming = F.expr(
+        f"CAST(size(filter(sequence(1, {N_PLANES}),"
+        " i -> substring(sketch, i, 1) != substring(qsketch, i, 1))) AS INT)"
+    )
+    return (
+        sk.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 1)
+        .select(
+            "vec_id",
+            "label",
+            "hamming",
+            F.expr(_spark_cos("embedding", "qvec")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
