@@ -43,11 +43,15 @@ def attribute_purchases(
     purchases: DataFrame,
     horizon_minutes: int = 30,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: purchase attributed to any click by the
-    same user within the preceding `horizon_minutes`.  Both sides carry
+    """Stream-stream join: purchase attributed to any click by the same
+    user within the preceding `horizon_minutes`.  Both sides carry
     watermarks so the join state is bounded: a click can be dropped from
-    state once its attribution horizon has passed the watermark."""
+    state once its attribution horizon has passed the watermark.
+    ``how='left_outer'`` additionally emits unattributed clicks (null
+    purchase columns) once the watermark proves no purchase can arrive —
+    the conversion-funnel "no purchase followed" signal."""
     c = clicks.select(
         F.col("user_id").alias("c_user_id"),
         F.col("ts").alias("click_ts"),
@@ -67,6 +71,7 @@ def attribute_purchases(
             purchase_ts <= click_ts + INTERVAL {horizon_minutes} MINUTES
             """
         ),
+        how,
     ).select("c_user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
 
 

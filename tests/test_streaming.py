@@ -271,3 +271,72 @@ def test_stateful_sessionize_applyinpandaswithstate(spark, tmp_path):
     # only the gap-closed session is emitted (user 1's first session, 2 events);
     # open sessions stay in state awaiting timeout
     assert got == [(1, 2, "gap")]
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """Left-outer stream-stream join: the unattributed click emits with
+    null purchase columns once the watermark passes its horizon.  Outer
+    rows emit on state eviction, which runs in a LATER micro-batch than
+    the one that advanced the watermark — so the purchase side arrives as
+    three single-file batches (maxFilesPerTrigger=1)."""
+    from opensnowcat_collector_spark.streaming.operators import attribute_purchases
+
+    clicks = [
+        {"user_id": 1, "event_id": 10, "ts": "2024-01-01T00:00:00"},  # converts
+        {"user_id": 2, "event_id": 20, "ts": "2024-01-01T00:00:00"},  # never converts
+    ]
+    purchase_batches = [
+        [{"user_id": 1, "event_id": 11, "ts": "2024-01-01T00:10:00"}],
+        # sentinels advance the watermark past user 2's 30-min horizon...
+        [{"user_id": 9, "event_id": 99, "ts": "2024-01-01T06:00:00"}],
+        # ...and a further batch triggers eviction of the expired click state
+        [{"user_id": 9, "event_id": 98, "ts": "2024-01-01T07:00:00"}],
+    ]
+    csrc, psrc = str(tmp_path / "lo_clicks"), str(tmp_path / "lo_purch")
+    # the global watermark is min() across BOTH inputs, so the click side
+    # needs late sentinels too or it pins the watermark at 00:00 forever
+    click_batches = [
+        clicks,
+        [{"user_id": 8, "event_id": 80, "ts": "2024-01-01T06:00:00"}],
+        [{"user_id": 8, "event_id": 81, "ts": "2024-01-01T07:00:00"}],
+    ]
+    # FileStreamSource orders batches by file mtime — stagger mtimes
+    # explicitly, else the sentinel can be read FIRST and the real events
+    # get dropped as late data (observed: same-mtime ties are arbitrary)
+    def write_batches(d, prefix, batches):
+        os.makedirs(d)
+        for i, rows in enumerate(batches):
+            p = os.path.join(d, f"{prefix}{i}.json")
+            with open(p, "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+            t = 1_700_000_000 + i * 10
+            os.utime(p, (t, t))
+
+    write_batches(csrc, "c", click_batches)
+    write_batches(psrc, "p", purchase_batches)
+    schema = "user_id bigint, event_id bigint, ts string"
+
+    def rd(d):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(d)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    out = attribute_purchases(rd(csrc), rd(psrc), horizon_minutes=30, how="left_outer")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_lo_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["purchase_id"]) for r in spark.table("attr_lo_stream").collect()
+    }
+    assert (10, 11) in got          # attributed
+    assert (20, None) in got        # unattributed click emitted with nulls
