@@ -1171,3 +1171,202 @@ def events_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Additional TPC-H-pattern queries: multi-hop join graphs, HAVING
+# subqueries, conditional ratios, disjunctive join predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+   OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')
+GROUP BY 1, 2, 3
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: two-hop nation pairing with a disjunctive cross-nation
+    filter.  Both nation joins broadcast; the one shuffle is
+    lineitem x orders."""
+    s = table(spark, sf_dir, "supplier")
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10") | (
+        (F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).cast("double") / 10000.0
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q12_linestatus_priority",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag IN ('A', 'R')
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""",
+)
+def q12_linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 pattern on the synthetic schema (it has no
+    shipmode/receiptdate): conditional priority counts after a selective
+    pushed-down fact filter; join shuffles only survivors."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+SELECT CAST(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+              THEN CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT) ELSE 0 END) AS DOUBLE)
+       / SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' AND l.l_shipdate < TIMESTAMP '1997-10-01'
+""",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: global conditional ratio — integer-cents numerator and
+    denominator summed exactly, one final double division."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                (F.lit(100.0) * F.sum(promo)).cast("double") / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(SUM(CAST(ROUND(l.l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) > 20000
+)
+GROUP BY 1, 2, 3, 4
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING subquery as a semi-join against a pre-aggregated
+    key set (aggregate-then-semi-join — the subquery result is tiny and
+    broadcast)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("q"))
+        .filter(F.col("q") > 20000)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(F.broadcast(big), "l_orderkey")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg((F.sum(_cents(F.col("l_quantity"))).cast("double") / 100.0).alias("total_qty"))
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunction of conjunctive band predicates on top of the
+    equi-join (stays a hash join; the OR-filter evaluates post-join, with
+    the common p_partkey conjunct as the join key)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+
+    def band(brand, qlo, qhi, slo, shi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("l_quantity").between(qlo, qhi)
+            & F.col("p_size").between(slo, shi)
+        )
+
+    cond = band("Brand#12", 1, 11, 1, 5) | band("Brand#23", 10, 20, 1, 10) | band(
+        "Brand#34", 20, 30, 1, 15
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).cast("double") / 10000.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
