@@ -38,6 +38,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
     ensure_shipped(spark)
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS): an externally-created
+        # session (the grading driver's) throws PARQUET_TYPE_ILLEGAL
+        # without this runtime-settable legacy flag (our own session
+        # factory sets it too, session.py)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ts becomes a tz-AWARE timestamp via timestamp_micros below, so
+        # hour/day extraction follows the session timezone — pin UTC so
+        # results match the oracle's naive-timestamp semantics regardless
+        # of the driver session's timezone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in parquet, surfaced as nanos-since-epoch
