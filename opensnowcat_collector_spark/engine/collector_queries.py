@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import pipeline
-from ..config import CollectorConfig, DoNotTrackCookieConfig
+from ..config import CollectorConfig, CookieBounceConfig, DoNotTrackCookieConfig
 from .relational import register
 from .tables import table
 
@@ -333,4 +333,76 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         "total_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 cookie bounce under the oracle gate: bounce-enabled config, requests
+# with/without resolvable nuid.
+# ---------------------------------------------------------------------------
+
+_BOUNCE_CFG = CollectorConfig(
+    deterministic_now_ms=1705320000000,
+    cookie_bounce=CookieBounceConfig(enabled=True),
+)
+
+_BOUNCE_ORACLE = f"""
+SELECT 'ev-' || CAST(event_id AS VARCHAR) AS request_id,
+       -- bounce iff nuid unresolvable (no qs nuid, no cookie), not already
+       -- bouncing (n3pc), pixel GET, not a redirect
+       (user_id % 3 = 0 AND user_id % 4 <> 0 AND user_id % 5 <> 2) AS bounce,
+       CASE WHEN user_id % 3 = 0 AND user_id % 4 = 0
+                 THEN '00000000-0000-0000-0000-000000000000'  -- bouncing: fallback nuid
+            WHEN user_id % 3 = 0 THEN {_DUCK_UUID}                  -- deterministic md5-derived uuid
+            ELSE 'u-' || CAST(user_id AS VARCHAR) END AS resolved_nuid,
+       user_id % 4 = 0 AS already_bouncing
+FROM (SELECT 'ev-' || CAST(event_id AS VARCHAR) AS request_id, user_id, event_id FROM events) r
+"""
+
+
+@register("collector_bounce_events", oracle=_BOUNCE_ORACLE)
+def collector_bounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 cookie-bounce semantics (CollectorService.scala:134-141) through
+    the real enrich stage: bounce fires only for pixel GETs with an
+    unresolvable nuid that aren't already carrying the n3pc marker and
+    aren't redirects.  deterministic_now_ms freezes the fresh-uuid branch
+    so ALL nuid outcomes (fallback / md5-uuid / qs) are oracle-exact."""
+    e = table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    uid_s = uid.cast("string")
+
+    # uid%3==0: no nuid anywhere (bounce candidates); others carry qs nuid.
+    # uid%4==0: already bouncing (n3pc=true in qs).
+    # uid%5==2: redirect path (never bounces).
+    qs = (
+        F.when((uid % 3 == 0) & (uid % 4 == 0), F.lit("e=pv&n3pc=true"))
+        .when(uid % 3 == 0, F.lit("e=pv"))
+        .when(uid % 4 == 0, F.concat(F.lit("e=pv&n3pc=true&nuid=u-"), uid_s))
+        .otherwise(F.concat(F.lit("e=pv&nuid=u-"), uid_s))
+    )
+    raw = e.select(
+        F.concat(F.lit("ev-"), F.col("event_id").cast("string")).alias("request_id"),
+        F.lit("GET").alias("method"),
+        F.when(uid % 5 == 2, F.lit("/r/track")).otherwise(F.lit("/i")).alias("path"),
+        qs.alias("querystring"),
+        F.lit(None).cast("string").alias("body"),
+        F.lit("UA").alias("user_agent"),
+        F.lit(None).cast("string").alias("referer_uri"),
+        F.lit("collector.local").alias("hostname"),
+        F.lit("10.0.0.1").alias("remote_ip"),
+        F.array().cast("array<string>").alias("headers"),
+        F.lit(None).cast("string").alias("origin"),
+        F.create_map().cast("map<string,string>").alias("cookies"),
+        F.lit(None).cast("string").alias("content_type"),
+        F.lit(None).cast("string").alias("sp_anonymous"),
+        F.col("ts").alias("request_time"),
+    )
+    enriched = pipeline.enrich(raw, _BOUNCE_CFG)
+    # deterministic_now_ms freezes the fresh-uuid branch to an md5-derived
+    # v4-shaped uuid of request_id, which the oracle reproduces exactly
+    return enriched.select(
+        "request_id",
+        "bounce",
+        F.col("network_user_id").alias("resolved_nuid"),
+        F.col("qs_bouncing").alias("already_bouncing"),
     )

@@ -1370,3 +1370,46 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS v
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_bal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.v
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c.c_mktsegment
+""",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 pattern: scalar subquery (global average balance, exact
+    cents) gating an anti join.  The scalar aggregates to one row and
+    broadcasts; the anti join is the only shuffle."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_cents(F.col("c_acctbal"))).cast("double") / 100.0 / F.count(F.lit(1))).alias("v")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            (F.sum(_cents(F.col("c_acctbal"))).cast("double") / 100.0).alias("total_bal"),
+        )
+    )
