@@ -936,16 +936,37 @@ def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # no oracle: HLL sketches are engine-specific
+@register(
+    "agg_approx_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_custkeys,
+       COUNT(*) AS n_orders,
+       TRUE AS within_5pct
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — rows-only check; tests assert
-    the estimate is within 5% of the exact count.  At 100 TB this replaces
-    the expand-based exact distinct (one pass, mergeable sketches, no
-    per-key state explosion)."""
+    """approx_count_distinct (HyperLogLog++) vs exact, oracle-checkable.
+
+    The HLL estimate itself is engine-specific, so the deterministic
+    outputs are the exact distinct count plus a ``within_5pct`` boolean
+    asserting the sketch's documented rsd bound; the oracle pins the
+    exact columns and expects ``within_5pct`` to be TRUE.  At 100 TB the
+    sketch replaces the expand-based exact distinct (one pass, mergeable,
+    no per-key state explosion)."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
+        F.count_distinct("o_custkey").alias("exact_custkeys"),
         F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.02)
+                - F.count_distinct("o_custkey")
+            )
+            <= 0.05 * F.count_distinct("o_custkey")
+        ).alias("within_5pct"),
     )
 
 

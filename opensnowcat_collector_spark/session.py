@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # a querystring like ?e=pv&e=pp yields duplicate map keys in
+        # str_to_map; the default EXCEPTION policy would abort the whole
+        # micro-batch on one such request.  LAST_WIN matches pekko
+        # Uri.Query.toMap (later pair overwrites earlier).
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type —
         # read as long and convert to a micros TimestampType in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

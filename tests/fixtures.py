@@ -126,4 +126,7 @@ def raw_requests() -> list[dict]:
         _req(10, path="/ice.png", cookies={"dnt": "1", "sp": "abc"}),  # DNT cookie test
         _req(11, method="OPTIONS", path="/com.snowplowanalytics.snowplow/tp2"),  # CORS preflight
         _req(12, remote_ip=None, cookies={}),  # unknown ip
+        # duplicate querystring key (?e=pv&e=pp): pekko Uri.Query accepts
+        # duplicates; str_to_map must not abort the batch (LAST_WIN policy)
+        _req(13, querystring="e=pv&e=pp&aid=site"),
     ]

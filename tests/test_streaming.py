@@ -38,6 +38,9 @@ def test_streaming_collector_end_to_end(spark, tmp_path):
     assert not q.isActive
     ids = {r["request_id"] for r in good.rows}
     assert "req-0000" in ids and "req-0004" in ids
+    # duplicate querystring key (?e=pv&e=pp) flows through the streaming
+    # pipeline instead of aborting the micro-batch
+    assert "req-0013" in ids
     # amplitude batch fans out to 2 events
     assert sum(1 for r in good.rows if r["request_id"] == "req-0008") == 2
     assert any(b["kind"] == "generic_error" for b in bad.rows)
