@@ -146,16 +146,23 @@ def run(raw: DataFrame, cfg: CollectorConfig) -> PipelineResult:
 
     max_bytes = cfg.good_sink.max_bytes
 
-    # F7 size routing: serialized size via the same canonical JSON the
-    # splitter uses; the JVM computes it (to_json) for the routing decision
-    # so only oversized rows pay the Python stage.
-    # ignoreNullFields=false so the JVM byte accounting matches the Python
-    # splitter's canonical serialization exactly (null fields included)
+    # F7 size routing: the JVM computes the accounting size so only
+    # oversized rows pay the Python stage.  Under the default "thrift"
+    # accounting the size is the exact TBinaryProtocol record size
+    # (reference parity, SplitBatch.scala:84-99); under "json" it is the
+    # canonical compact-JSON UTF-8 size.  ignoreNullFields=false so the
+    # JVM serialization matches the Python splitter's canonical form
+    # (null fields included) byte-for-byte.
     serialized = F.to_json(
         F.struct(*[F.col(c) for c in split._PAYLOAD_FIELDS]), {"ignoreNullFields": "false"}
     )
+    size_expr = (
+        split.thrift_size_expr()
+        if cfg.good_sink.size_accounting == "thrift"
+        else F.octet_length(F.col("serialized")).cast("long")
+    )
     sized = events.withColumn("serialized", serialized).withColumn(
-        "serialized_size", F.octet_length("serialized").cast("long")
+        "serialized_size", size_expr
     )
     small = sized.filter(F.col("serialized_size") < max_bytes)
     oversized = sized.filter(F.col("serialized_size") >= max_bytes)
@@ -163,18 +170,11 @@ def run(raw: DataFrame, cfg: CollectorConfig) -> PipelineResult:
     split_out = oversized.mapInPandas(
         split.make_split_map_fn(cfg, max_bytes), split.SPLIT_OUT_SCHEMA
     )
-    split_good_bodies = split_out.filter(F.col("is_bad") == 0).select(
-        "request_id", "split_index", F.col("body").alias("split_body")
-    )
-    # Re-attach payload columns to split goods (join back on request_id —
-    # oversized rows are rare, this join is tiny and broadcast)
-    split_good = (
-        oversized.drop("serialized", "serialized_size")
-        .join(F.broadcast(split_good_bodies), "request_id")
-        .withColumn("body", F.col("split_body"))
-        .drop("split_body")
-        .withColumn("serialized", serialized)
-        .withColumn("serialized_size", F.octet_length("serialized").cast("long"))
+    # The split stage emits full payload rows, so split goods union straight
+    # back — no re-join on request_id (which is NOT unique after the
+    # Amplitude fan-out and could cross-match sibling payloads' bodies).
+    split_good = split_out.filter(F.col("is_bad") == 0).select(
+        *[F.col(c) for c in small.columns], F.col("split_index")
     )
     good = small.withColumn("split_index", F.lit(0)).unionByName(split_good)
 

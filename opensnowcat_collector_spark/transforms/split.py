@@ -15,13 +15,17 @@ reference: SplitBatch.scala:48-113.  Semantics reproduced:
   the sub-array as body; per-element overflow -> SizeViolation("this POST
   request split is still too large").
 
-Size accounting: the reference measures serialized-Thrift bytes; we measure
-UTF-8 bytes of the canonical compact-JSON serialization of the payload
-struct (divergence documented — the *splitting decisions* are identical
-relative to the chosen serialization, and SplitBatchSpec-ported tests pin
-the exact behavior).  Batch membership matches the reference's walk; batch
-emission order is input order (the reference emits reversed — order is not
-semantically meaningful for delivery).
+Size accounting (``SinkConfig.size_accounting``): the default "thrift"
+mode measures the whole event by its serialized-Thrift size — byte-exact
+reference parity (SplitBatch.scala:84-99,147-151; the JVM routing
+expression ``thrift_size_expr`` and the Python ``thrift_codec`` encoder
+agree bit-for-bit).  Element sizes and ``initialBodyDataBytes`` are
+compact-JSON UTF-8 bytes in BOTH modes, exactly like the reference
+(``getSize(Json)`` = noSpaces UTF-8).  The "json" mode sizes the whole
+event by its canonical compact-JSON serialization instead, for sinks that
+ship the JSON serialization as the record.  Batch membership matches the
+reference's walk; batch emission order is input order (the reference
+emits reversed — order is not semantically meaningful for delivery).
 
 Spark mapping: the whole operator runs inside ``mapInPandas`` on the
 oversized subset only (group = one input payload, embarrassingly parallel,
@@ -45,6 +49,8 @@ from pyspark.sql.types import (
 )
 
 from ..config import CollectorConfig
+from ..thrift_codec import FIELDS as _THRIFT_FIELDS
+from ..thrift_codec import encode_collector_payload
 
 # Canonical payload JSON field order for serialization/size accounting.
 _PAYLOAD_FIELDS = [
@@ -64,19 +70,37 @@ _PAYLOAD_FIELDS = [
     "content_type",
 ]
 
+# The split stage emits FULL payload rows (not just rewritten bodies) so
+# the pipeline never has to join split outputs back to their originals —
+# a request_id is not unique after the Amplitude fan-out, and a re-join
+# keyed on it could cross-match bodies between sibling payloads.  The
+# payload columns already cross the Arrow boundary on the way in, so
+# carrying them out adds no extra transfer beyond the (rare) split rows.
 SPLIT_OUT_SCHEMA = StructType(
     [
         StructField("request_id", StringType()),
+        StructField("schema", StringType()),
+        StructField("ip_address", StringType()),
+        StructField("timestamp", LongType()),
+        StructField("encoding", StringType()),
+        StructField("collector", StringType()),
+        StructField("querystring", StringType()),
+        StructField("body", StringType()),  # rewritten body for good splits
+        StructField("path", StringType()),
+        StructField("user_agent", StringType()),
+        StructField("referer_uri", StringType()),
+        StructField("hostname", StringType()),
+        StructField("network_user_id", StringType()),
+        StructField("headers", ArrayType(StringType())),
+        StructField("content_type", StringType()),
         StructField("partition_key", StringType()),
         StructField("split_index", IntegerType()),
         StructField("is_bad", IntegerType()),
-        StructField("body", StringType()),  # rewritten body for good splits
         StructField("serialized", StringType()),
         StructField("serialized_size", LongType()),
         StructField("bad_expectation", StringType()),
         StructField("bad_actual_size", IntegerType()),
         StructField("bad_payload", StringType()),
-        StructField("headers", ArrayType(StringType())),
     ]
 )
 
@@ -92,6 +116,43 @@ def _utf8_size(s: str) -> int:
 def serialize_payload(row: dict) -> str:
     """Canonical compact-JSON serialization of a payload dict."""
     return _compact({k: row.get(k) for k in _PAYLOAD_FIELDS})
+
+
+def payload_size(row: dict, accounting: str) -> int:
+    """Size of a payload under the configured accounting: serialized-Thrift
+    bytes (reference parity) or canonical compact-JSON UTF-8 bytes."""
+    if accounting == "thrift":
+        ts = row.get("timestamp")
+        if ts is not None:
+            row = dict(row)
+            row["timestamp"] = int(ts)
+        return len(encode_collector_payload(row))
+    return _utf8_size(serialize_payload(row))
+
+
+def thrift_size_expr():
+    """Column expression computing the exact TBinaryProtocol size of the
+    payload columns — bit-for-bit equal to
+    ``len(thrift_codec.encode_collector_payload(row))``, but evaluated
+    JVM-side so the common small-event routing decision never leaves
+    codegen.  Per-field cost: header 3 bytes; string +4 len prefix +
+    utf8 bytes; i64 +8; list<string> +5 (elem type + count) then +4+utf8
+    per element; +1 trailing STOP."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    total = F.lit(1)  # T_STOP
+    for _fid, name, ftype in _THRIFT_FIELDS:
+        c = F.col(name)
+        if ftype == 10:  # T_I64
+            fs = F.lit(3 + 8)
+        elif ftype == 15:  # T_LIST<string>
+            fs = F.aggregate(
+                c, F.lit(3 + 5), lambda acc, x: acc + F.octet_length(x) + F.lit(4)
+            )
+        else:  # T_STRING
+            fs = F.octet_length(c) + F.lit(3 + 4)
+        total = total + F.when(c.isNull(), F.lit(0)).otherwise(fs)
+    return total.cast("long")
 
 
 def split_elements(elements: list, maximum: int, join_size: int = 1) -> tuple[list[list], list]:
@@ -120,14 +181,23 @@ def split_elements(elements: list, maximum: int, join_size: int = 1) -> tuple[li
     return batches, failed
 
 
-def split_and_serialize(row: dict, max_bytes: int) -> tuple[list[dict], list[dict]]:
+# SchemaKey format the reference's SelfDescribingData.parse enforces
+# (iglu-core SchemaKey.fromUri): iglu:vendor/name/format/M-R-A
+_IGLU_URI_RE = __import__("re").compile(
+    r"^iglu:[a-zA-Z0-9\-_.]+/[a-zA-Z0-9\-_]+/[a-zA-Z0-9\-_]+/[0-9]+-[0-9]+-[0-9]+$"
+)
+
+
+def split_and_serialize(
+    row: dict, max_bytes: int, accounting: str = "thrift"
+) -> tuple[list[dict], list[dict]]:
     """One payload -> (good rows, bad rows); pure function for unit tests.
 
     Good rows: {'body': new_body or original, 'serialized': str, 'size': int}
     Bad rows: {'expectation': str, 'actual_size': int, 'payload': str}
     """
     whole = serialize_payload(row)
-    whole_bytes = _utf8_size(whole)
+    whole_bytes = payload_size(row, accounting)
     if whole_bytes < max_bytes:
         return [{"body": row.get("body"), "serialized": whole, "size": whole_bytes}], []
 
@@ -147,12 +217,20 @@ def split_and_serialize(row: dict, max_bytes: int) -> tuple[list[dict], list[dic
         parsed = json.loads(body)
     except (ValueError, TypeError) as e:
         return bad(f"cannot split POST requests which are not json {e}", whole_bytes)
-    if not isinstance(parsed, dict) or "schema" not in parsed or "data" not in parsed:
+    if (
+        not isinstance(parsed, dict)
+        or "schema" not in parsed
+        or "data" not in parsed
+        or not isinstance(parsed["schema"], str)
+        or not _IGLU_URI_RE.match(parsed["schema"])
+    ):
         return bad("cannot split POST requests which are not self-describing", whole_bytes)
     data = parsed["data"]
     if not isinstance(data, list):
         return bad("cannot split POST requests which do not contain a data array", whole_bytes)
 
+    # element + initial-data sizes are compact-JSON bytes in BOTH accounting
+    # modes, exactly like the reference (getSize(Json) = noSpaces UTF-8)
     initial_body_data_bytes = _utf8_size(_compact(data))
     if whole_bytes - initial_body_data_bytes >= max_bytes:
         return bad(
@@ -169,8 +247,13 @@ def split_and_serialize(row: dict, max_bytes: int) -> tuple[list[dict], list[dic
         new_body = _compact({"schema": schema, "data": batch})
         new_row = dict(row)
         new_row["body"] = new_body
-        s = serialize_payload(new_row)
-        goods.append({"body": new_body, "serialized": s, "size": _utf8_size(s)})
+        goods.append(
+            {
+                "body": new_body,
+                "serialized": serialize_payload(new_row),
+                "size": payload_size(new_row, accounting),
+            }
+        )
     bads = [
         {
             "expectation": "this POST request split is still too large",
@@ -186,6 +269,9 @@ def make_split_map_fn(cfg: CollectorConfig, max_bytes: int):
     """mapInPandas function over payload rows (only the oversized subset is
     routed here by the pipeline)."""
 
+    payload_field_names = set(_PAYLOAD_FIELDS) | {"request_id", "partition_key"}
+    accounting = cfg.good_sink.size_accounting
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
@@ -194,19 +280,15 @@ def make_split_map_fn(cfg: CollectorConfig, max_bytes: int):
                 if headers is not None and not isinstance(headers, list):
                     headers = list(headers)
                     rec["headers"] = headers
-                goods, bads = split_and_serialize(rec, max_bytes)
-                base = {
-                    "request_id": rec.get("request_id"),
-                    "partition_key": rec.get("partition_key"),
-                    "headers": headers,
-                }
+                goods, bads = split_and_serialize(rec, max_bytes, accounting)
+                base = {k: rec.get(k) for k in payload_field_names}
                 for i, g in enumerate(goods):
                     out_rows.append(
                         {
                             **base,
+                            "body": g["body"],
                             "split_index": i,
                             "is_bad": 0,
-                            "body": g["body"],
                             "serialized": g["serialized"],
                             "serialized_size": g["size"],
                             "bad_expectation": None,
@@ -218,9 +300,9 @@ def make_split_map_fn(cfg: CollectorConfig, max_bytes: int):
                     out_rows.append(
                         {
                             **base,
+                            "body": None,
                             "split_index": None,
                             "is_bad": 1,
-                            "body": None,
                             "serialized": None,
                             "serialized_size": None,
                             "bad_expectation": b["expectation"],

@@ -10,6 +10,7 @@ from opensnowcat_collector_spark.config import CollectorConfig
 from opensnowcat_collector_spark.transforms.split import (
     _compact,
     _utf8_size,
+    payload_size,
     serialize_payload,
     split_and_serialize,
     split_elements,
@@ -92,7 +93,7 @@ def test_oversized_get_cannot_be_split():
     goods, bads = split_and_serialize(p, 400)
     assert not goods and len(bads) == 1
     assert bads[0]["expectation"] == "GET requests cannot be split"
-    assert bads[0]["actual_size"] == _utf8_size(serialize_payload(p))
+    assert bads[0]["actual_size"] == payload_size(p, "thrift")
     # payload truncated to a tenth of the max
     assert len(bads[0]["payload"]) == 400 // 10
 
@@ -115,7 +116,7 @@ def test_oversized_not_self_describing():
 def test_oversized_envelope_still_too_big():
     # tiny data array but a huge querystring: removing data can't save it
     p = _payload(
-        body='{"schema":"iglu:x","data":[1]}', querystring="e=pv&" + "q" * 1000
+        body='{"schema":"iglu:com.acme/ev/jsonschema/1-0-0","data":[1]}', querystring="e=pv&" + "q" * 1000
     )
     goods, bads = split_and_serialize(p, 500)
     assert not goods and len(bads) == 1
@@ -126,10 +127,9 @@ def test_split_three_good_four_bad():
     """SplitBatchSpec.scala:139-157 analogue: mixed small/huge elements."""
     small = [{"e": "pv", "i": i} for i in range(3)]
     huge = [{"e": "pv", "blob": "z" * 2000} for _ in range(4)]
-    body = _compact({"schema": "iglu:x", "data": small + huge})
+    body = _compact({"schema": "iglu:com.acme/ev/jsonschema/1-0-0", "data": small + huge})
     p = _payload(body=body)
-    whole = _utf8_size(serialize_payload(p))
-    assert whole > 800
+    assert payload_size(p, "thrift") > 800
     goods, bads = split_and_serialize(p, 800)
     assert len(bads) == 4
     assert all(b["expectation"] == "this POST request split is still too large" for b in bads)
@@ -144,7 +144,7 @@ def test_split_three_good_four_bad():
 
 def test_split_batches_fit_max_bytes():
     els = [{"e": "pv", "n": i, "pad": "p" * 40} for i in range(20)]
-    body = _compact({"schema": "iglu:x", "data": els})
+    body = _compact({"schema": "iglu:com.acme/ev/jsonschema/1-0-0", "data": els})
     p = _payload(body=body)
     goods, bads = split_and_serialize(p, 700)
     assert not bads
@@ -197,13 +197,179 @@ def test_pipeline_split_oversized(spark):
     ordered = sorted(by_req["req-0001"], key=lambda r: r["split_index"])
     recovered = [e for r in ordered for e in json.loads(r["body"])["data"]]
     assert recovered == els
-    assert all(r["serialized_size"] < 900 for r in by_req["req-0001"])
+    # joinSize accounting counts n join-bytes where the real batch json
+    # has n-1 commas + 2 brackets: full batches can land at max_bytes+1,
+    # exactly as in the reference's split() walk (SplitBatch.scala:48-74)
+    assert all(r["serialized_size"] <= 900 + 1 for r in by_req["req-0001"])
     sv = [b for b in bad if b["kind"] == "size_violation"]
     assert len(sv) == 1
     assert "GET requests cannot be split" in sv[0]["expectation"]
     assert sv[0]["maximum_allowed_size_bytes"] == 900
-    # JVM to_json byte accounting must match the Python splitter's
-    # canonical serialization exactly
+    # JVM serialization must match the Python splitter's canonical form,
+    # and the JVM routing size must match the Thrift encoder exactly
     r0 = by_req["req-0000"][0].asDict()
     assert r0["serialized"] == serialize_payload(r0)
-    assert r0["serialized_size"] == _utf8_size(r0["serialized"])
+    assert r0["serialized_size"] == payload_size(r0, "thrift")
+
+
+def test_split_no_cross_match_on_shared_request_id(spark):
+    """Two oversized payloads sharing a request_id (possible after the
+    Amplitude fan-out, or from replayed logs) must each get back exactly
+    their own split bodies — the split stage emits full payload rows
+    instead of re-joining on the non-unique request_id."""
+    from opensnowcat_collector_spark import pipeline
+    from opensnowcat_collector_spark.config import SinkConfig
+    from opensnowcat_collector_spark.schema import RAW_REQUEST_SCHEMA
+
+    from .fixtures import _req
+
+    def tp2_body(pad_char: str):
+        # same element shape/size as test_pipeline_split_oversized; the pad
+        # character marks which payload an element came from
+        els = [{"e": "pv", "n": i, "pad": pad_char * 60} for i in range(12)]
+        return els, _compact(
+            {
+                "schema": "iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4",
+                "data": els,
+            }
+        )
+
+    els_a, body_a = tp2_body("a")
+    els_b, body_b = tp2_body("b")
+    shared = dict(
+        method="POST",
+        path="/com.snowplowanalytics.snowplow/tp2",
+        content_type="application/json",
+        querystring=None,
+    )
+    reqs = [
+        _req(0, body=body_a, **shared),
+        _req(0, body=body_b, **shared),  # same request_id "req-0000"
+    ]
+    cfg = CollectorConfig(
+        deterministic_now_ms=1705320000000,
+        good_sink=SinkConfig(kind="stdout", max_bytes=900),
+    )
+    raw = spark.createDataFrame(reqs, RAW_REQUEST_SCHEMA)
+    good = pipeline.run(raw, cfg).good.collect()
+    assert len(good) >= 4 and all(r["request_id"] == "req-0000" for r in good)
+    recovered: dict[str, list] = {"a": [], "b": []}
+    for r in sorted(good, key=lambda r: r["split_index"]):
+        els = json.loads(r["body"])["data"]
+        tags = {e["pad"][0] for e in els}
+        assert len(tags) == 1, f"split body mixes payloads: {tags}"
+        recovered[tags.pop()].extend(els)
+    assert recovered["a"] == els_a
+    assert recovered["b"] == els_b
+
+
+# --- Thrift-accounting spec ports (SplitBatchSpec.scala:76-158) -------------
+# The reference sizes the whole event by its serialized-Thrift bytes; these
+# cases pin the exact byte counts from the Scala spec.
+
+
+def test_thrift_spec_oversized_get_1019():
+    """SplitBatchSpec 'Reject an oversized GET': querystring of 1000 x's on
+    an otherwise-empty payload serializes to exactly 1019 Thrift bytes."""
+    p = {"querystring": "x" * 1000, "timestamp": 0}
+    goods, bads = split_and_serialize(p, 100, accounting="thrift")
+    assert not goods and len(bads) == 1
+    assert bads[0]["expectation"] == "GET requests cannot be split"
+    assert bads[0]["actual_size"] == 1019
+    assert len(bads[0]["payload"]) == 100 // 10
+
+
+def test_thrift_spec_unparseable_body_1019():
+    """SplitBatchSpec 'unparseable body': body of 1000 s's -> 1019 Thrift
+    bytes, not-json rejection."""
+    p = {"body": "s" * 1000, "timestamp": 0}
+    goods, bads = split_and_serialize(p, 100, accounting="thrift")
+    assert not goods and len(bads) == 1
+    assert bads[0]["expectation"].startswith(
+        "cannot split POST requests which are not json"
+    )
+    assert bads[0]["actual_size"] == 1019
+
+
+def test_thrift_spec_invalid_iglu_uri_1091():
+    """SplitBatchSpec 'oversized even without its body': schema "s" is not
+    a valid Iglu URI -> not-self-describing; whole event = 1091 Thrift
+    bytes (path 1000 + body 65 + timestamp + framing)."""
+    body = _compact(
+        {
+            "schema": "s",
+            "data": [{"e": "se", "tv": "js"}, {"e": "se", "tv": "js"}],
+        }
+    )
+    p = {"body": body, "path": "p" * 1000, "timestamp": 0}
+    goods, bads = split_and_serialize(p, 1000, accounting="thrift")
+    assert not goods and len(bads) == 1
+    assert bads[0]["expectation"].startswith(
+        "cannot split POST requests which are not self-describing"
+    )
+    assert bads[0]["actual_size"] == 1091
+
+
+def test_thrift_spec_two_good_four_bad():
+    """SplitBatchSpec 'three large events and four very large events':
+    maxBytes=1000 -> 2 good batches, 4 failed big events."""
+    uri = "iglu:com.snowplowanalytics.snowplow.badrows/size_violation/jsonschema/1-0-0"
+    data = [
+        {"e": "se", "tv": "x" * 600},
+        {"e": "se", "tv": "x" * 5},
+        {"e": "se", "tv": "x" * 600},
+        {"e": "se", "tv": "y" * 1000},
+        {"e": "se", "tv": "y" * 1000},
+        {"e": "se", "tv": "y" * 1000},
+        {"e": "se", "tv": "y" * 1000},
+    ]
+    p = {"body": _compact({"schema": uri, "data": data}), "timestamp": 0}
+    goods, bads = split_and_serialize(p, 1000, accounting="thrift")
+    assert len(goods) == 2
+    assert len(bads) == 4
+    assert all(
+        b["expectation"] == "this POST request split is still too large" for b in bads
+    )
+
+
+def test_thrift_size_expr_matches_codec(spark):
+    """The JVM routing expression and the Python Thrift encoder must agree
+    bit-for-bit on every null-pattern of the payload."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from opensnowcat_collector_spark.transforms.split import (
+        _PAYLOAD_FIELDS,
+        thrift_size_expr,
+    )
+
+    rows = [
+        _payload(body='{"schema":"s","data":[1]}'),
+        _payload(body=None, querystring=None, referer_uri=None, headers=None),
+        _payload(headers=["a: b", "c: d", "Content-Type: application/json"]),
+        _payload(content_type=None, user_agent="Mozilla/5.0 (X11; Linux) ünïcödé"),
+        {k: None for k in _PAYLOAD_FIELDS} | {"timestamp": 0},
+    ]
+    schema = StructType(
+        [
+            StructField(
+                n,
+                LongType()
+                if n == "timestamp"
+                else ArrayType(StringType())
+                if n == "headers"
+                else StringType(),
+            )
+            for n in _PAYLOAD_FIELDS
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = [r[0] for r in df.select(thrift_size_expr()).collect()]
+    want = [payload_size(r, "thrift") for r in rows]
+    assert got == want
