@@ -24,11 +24,12 @@ import json
 import os
 import re
 import threading
+import time
 import uuid
 from datetime import datetime, timezone
 from http.cookies import SimpleCookie
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qsl, urlsplit
+from urllib.parse import parse_qsl, urlencode, urlsplit
 
 from .config import ZERO_UUID, CollectorConfig
 from .schema import PIXEL_GIF_BASE64
@@ -47,21 +48,67 @@ CROSSDOMAIN_XML = (
 
 
 class LandingWriter:
-    """Append raw-request rows as JSON lines; one file per writer, rotated
-    by row count so the file stream source picks up closed files promptly."""
+    """Append raw-request rows as JSON lines with loss-free visibility to
+    Spark's file stream source.
 
-    def __init__(self, landing_dir: str, rotate_rows: int = 1000):
+    ``FileStreamSource`` records a file's *name* when it first lists it and
+    never re-reads it, so rows appended to a file after that first listing
+    are silently dropped.  The writer therefore NEVER exposes an open file:
+    the in-progress file lives in a staging directory *next to* the landing
+    dir and is atomically ``os.replace``d into the landing dir only when
+    complete (row-count rotation, time rotation, or close).  Spark sees
+    every file exactly once, fully written.
+
+    Time-based rotation (a daemon thread) bounds visibility latency under
+    low traffic — without it a trickle of requests would sit invisible in
+    the staging file until the row-count threshold."""
+
+    def __init__(self, landing_dir: str, rotate_rows: int = 1000,
+                 rotate_secs: float = 2.0):
         os.makedirs(landing_dir, exist_ok=True)
         self.landing_dir = landing_dir
+        # sibling dir => same filesystem => os.replace is atomic
+        self.staging_dir = landing_dir.rstrip("/\\") + ".inprogress"
+        os.makedirs(self.staging_dir, exist_ok=True)
         self.rotate_rows = rotate_rows
+        self.rotate_secs = rotate_secs
         self._lock = threading.Lock()
         self._rows = 0
         self._seq = 0
         self._fh = None
+        self._staging_path: str | None = None
+        self._opened_at = 0.0
+        self._stop = threading.Event()
+        self._timer = threading.Thread(target=self._rotate_loop, daemon=True)
+        self._timer.start()
 
     def _open(self):
         name = f"requests-{os.getpid()}-{self._seq:06d}.json"
-        self._fh = open(os.path.join(self.landing_dir, name), "a", encoding="utf-8")
+        self._staging_path = os.path.join(self.staging_dir, name)
+        self._fh = open(self._staging_path, "a", encoding="utf-8")
+        self._opened_at = time.monotonic()
+
+    def _rotate_locked(self) -> None:
+        """Close the staging file and atomically publish it. Lock held."""
+        if self._fh is None:
+            return
+        self._fh.close()
+        final = os.path.join(self.landing_dir, os.path.basename(self._staging_path))
+        os.replace(self._staging_path, final)
+        self._fh = None
+        self._staging_path = None
+        self._rows = 0
+        self._seq += 1
+
+    def _rotate_loop(self) -> None:
+        while not self._stop.wait(min(self.rotate_secs, 0.5)):
+            with self._lock:
+                if (
+                    self._fh is not None
+                    and self._rows > 0
+                    and time.monotonic() - self._opened_at >= self.rotate_secs
+                ):
+                    self._rotate_locked()
 
     def append(self, row: dict) -> None:
         with self._lock:
@@ -71,19 +118,21 @@ class LandingWriter:
             self._fh.flush()
             self._rows += 1
             if self._rows >= self.rotate_rows:
-                self._fh.close()
-                self._fh = None
-                self._rows = 0
-                self._seq += 1
+                self._rotate_locked()
+
+    def flush(self) -> None:
+        """Publish any buffered rows to the landing dir immediately."""
+        with self._lock:
+            if self._rows > 0:
+                self._rotate_locked()
 
     def close(self) -> None:
+        self._stop.set()
         with self._lock:
-            if self._fh is not None:
-                self._fh.close()
-                self._fh = None
+            self._rotate_locked()
 
 
-def make_handler(cfg: CollectorConfig, writer: LandingWriter):
+def make_handler(cfg: CollectorConfig, writer: LandingWriter, sinks: tuple = ()):
     dnt_re = (
         re.compile(f"^(?:{cfg.do_not_track_cookie.value})$")
         if cfg.do_not_track_cookie.enabled
@@ -125,16 +174,29 @@ def make_handler(cfg: CollectorConfig, writer: LandingWriter):
                 "request_time": datetime.now(timezone.utc).isoformat(),
             }
 
-        def _resolve_nuid(self, row: dict) -> str:
-            # T1 semantics (CollectorService.scala:133-141,539-547)
+        def _nuid_opt(self, row: dict) -> str | None:
+            # T1 semantics (CollectorService.scala:133-141,539-547): the
+            # *optional* nuid — None means no anonymous header, no qs
+            # param, no cookie (the cookie-bounce trigger).
             if row["sp_anonymous"] is not None:
                 return ZERO_UUID
             qs = dict(parse_qsl(row["querystring"] or "", keep_blank_values=True))
-            return (
-                qs.get("nuid")
-                or row["cookies"].get(cfg.cookie.name)
-                or str(uuid.uuid4())
-            )
+            return qs.get("nuid") or row["cookies"].get(cfg.cookie.name)
+
+        def _bounce_location(self, split, qs_params: dict) -> str:
+            # CollectorService.scala:437-464: redirect to self with the
+            # bounce marker added; scheme override from the configured
+            # forwarded-protocol header when present and valid.
+            q = dict(qs_params)
+            q[cfg.cookie_bounce.name] = "true"
+            loc = f"{split.path}?{urlencode(q)}"
+            fph = cfg.cookie_bounce.forwarded_protocol_header
+            if fph:
+                scheme = (self.headers.get(fph) or "").lower()
+                if scheme in ("http", "https"):
+                    host = self.headers.get("Host") or ""
+                    loc = f"{scheme}://{host}{loc}"
+            return loc
 
         def _do_not_track(self, row: dict) -> bool:
             if dnt_re is None:
@@ -182,9 +244,27 @@ def make_handler(cfg: CollectorConfig, writer: LandingWriter):
             length = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(length).decode("utf-8") if length else None
             row = self._raw_row(method, body)
-            nuid = self._resolve_nuid(row)
+            qs_params = dict(parse_qsl(split.query or "", keep_blank_values=True))
+            # F2 receiver half (CollectorService.scala:127-161): bounce a
+            # cookie-less pixel request back to itself with the n3pc
+            # marker; the bounced request resolves the fallback nuid.
+            bouncing = cfg.cookie_bounce.name in qs_params
+            nuid_opt = self._nuid_opt(row)
+            bounce = (
+                cfg.cookie_bounce.enabled
+                and nuid_opt is None
+                and not bouncing
+                and method in ("GET", "HEAD")
+                and not path.startswith("/r/")
+            )
+            if nuid_opt is not None:
+                nuid = nuid_opt
+            elif bouncing:
+                nuid = cfg.cookie_bounce.fallback_network_user_id
+            else:
+                nuid = str(uuid.uuid4())
             dnt = self._do_not_track(row)
-            if not dnt:  # F1: not stored, response still 200
+            if not dnt and not bounce:  # F1/F2: not stored, response still sent
                 writer.append(row)
             extra = []
             sc = self._set_cookie_header(row, nuid)
@@ -192,6 +272,11 @@ def make_handler(cfg: CollectorConfig, writer: LandingWriter):
                 extra.append(("Set-Cookie", sc))
             extra.append(("Cache-Control", "no-cache, no-store, must-revalidate"))
 
+            if bounce:
+                return self._respond(
+                    302, b"", "text/plain",
+                    extra + [("Location", self._bounce_location(split, qs_params))],
+                )
             if path.startswith("/r/"):
                 # F4/T6 redirect (allowlist + macro)
                 qs = dict(parse_qsl(split.query or "", keep_blank_values=True))
@@ -224,7 +309,17 @@ def make_handler(cfg: CollectorConfig, writer: LandingWriter):
             return self._respond(200, b"ok", "text/plain", extra)
 
         def _ops(self, path: str):
-            if path in ("/health", "/sink-health"):
+            if path == "/health":
+                return self._respond(200, b"OK", "text/plain")
+            if path == "/sink-health":
+                # 503 while any attached sink's (actively-probed) health is
+                # down — reference: health endpoint follows sink.isHealthy
+                bad = [s for s in sinks if not s.is_healthy()]
+                if bad:
+                    detail = "; ".join(
+                        s.health.last_error or "unhealthy" for s in bad
+                    ).encode()
+                    return self._respond(503, detail or b"sink unhealthy", "text/plain")
                 return self._respond(200, b"OK", "text/plain")
             if path == "/crossdomain.xml":
                 return self._respond(200, CROSSDOMAIN_XML.encode(), "text/xml")
@@ -257,9 +352,13 @@ class CollectorServer:
     """ThreadingHTTPServer wrapper with a background serve loop."""
 
     def __init__(self, cfg: CollectorConfig, landing_dir: str,
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 sinks: tuple = ()):
         self.writer = LandingWriter(landing_dir)
-        self.httpd = ThreadingHTTPServer((host, port), make_handler(cfg, self.writer))
+        self.sinks = tuple(sinks)
+        self.httpd = ThreadingHTTPServer(
+            (host, port), make_handler(cfg, self.writer, self.sinks)
+        )
         self.port = self.httpd.server_address[1]
         self._thread: threading.Thread | None = None
 

@@ -11,6 +11,7 @@ import pytest
 
 from opensnowcat_collector_spark.config import (
     CollectorConfig,
+    CookieBounceConfig,
     DoNotTrackCookieConfig,
     RedirectMacroConfig,
 )
@@ -44,12 +45,16 @@ class _NoRedirect(urllib.request.HTTPRedirectHandler):
         return None
 
 
-def _rows(landing):
+def _rows(srv):
+    """Flush the writer's staging file, then read published landing rows.
+    Files only appear in the landing dir via atomic rename (loss-free for
+    the file stream source), so tests flush explicitly."""
     import glob
     import os
 
+    srv.writer.flush()
     out = []
-    for f in glob.glob(os.path.join(landing, "*.json")):
+    for f in glob.glob(os.path.join(srv.writer.landing_dir, "*.json")):
         with open(f) as fh:
             out.extend(json.loads(line) for line in fh)
     return out
@@ -62,7 +67,7 @@ def test_pixel_and_cookie(server):
         assert resp.headers["Content-Type"] == "image/gif"
         assert resp.read() == PIXEL_GIF
         assert "sp=u-1" in resp.headers["Set-Cookie"]
-    rows = _rows(landing)
+    rows = _rows(srv)
     assert len(rows) == 1 and rows[0]["path"] == "/i"
 
 
@@ -76,7 +81,7 @@ def test_post_tp2_ok(server):
     )
     with urllib.request.urlopen(req, timeout=10) as resp:
         assert resp.status == 200 and resp.read() == b"ok"
-    assert _rows(landing)[0]["body"] is not None
+    assert _rows(srv)[0]["body"] is not None
 
 
 def test_dnt_not_stored_but_200(server):
@@ -86,7 +91,7 @@ def test_dnt_not_stored_but_200(server):
     ) as resp:
         assert resp.status == 200
         assert "Set-Cookie" not in resp.headers  # T5 suppression
-    assert _rows(landing) == []  # F1: not stored
+    assert _rows(srv) == []  # F1: not stored
 
 
 def test_sp_anonymous_no_cookie_no_ip(server):
@@ -96,7 +101,7 @@ def test_sp_anonymous_no_cookie_no_ip(server):
     ) as resp:
         assert resp.status == 200
         assert "Set-Cookie" not in resp.headers
-    assert _rows(landing)[0]["remote_ip"] is None
+    assert _rows(srv)[0]["remote_ip"] is None
 
 
 def test_redirect_allowlist_and_macro(server):
@@ -148,7 +153,7 @@ def test_ops_endpoints(server):
     except urllib.error.HTTPError as e:
         assert e.code == 404
     # ops requests produce no landing rows beyond the vendor-shaped one
-    assert len(_rows(landing)) == 1
+    assert len(_rows(srv)) == 1
 
 
 def test_landing_rows_flow_through_pipeline(server, spark):
@@ -157,6 +162,7 @@ def test_landing_rows_flow_through_pipeline(server, spark):
     srv, landing = server
     for i in range(3):
         _get(f"http://127.0.0.1:{srv.port}/i?e=pv&nuid=u-{i}").close()
+    srv.writer.flush()
     from pyspark.sql import functions as F
 
     from opensnowcat_collector_spark import pipeline
@@ -173,3 +179,122 @@ def test_landing_rows_flow_through_pipeline(server, spark):
     assert len(good) == 3
     assert sorted(r["network_user_id"] for r in good) == ["u-0", "u-1", "u-2"]
     assert all(r["path"] == "/i" for r in good)
+
+
+@pytest.fixture()
+def bounce_server(tmp_path):
+    cfg = CollectorConfig(
+        cookie_bounce=CookieBounceConfig(
+            enabled=True,
+            fallback_network_user_id="00000000-0000-4000-8000-00000000bbbb",
+            forwarded_protocol_header="X-Forwarded-Proto",
+        ),
+    )
+    srv = CollectorServer(cfg, str(tmp_path / "landing"))
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_cookie_bounce_roundtrip(bounce_server):
+    """F2 receiver half (CollectorService.scala:437-464): a cookie-less
+    pixel request is 302-bounced to itself with n3pc=true and NOT stored;
+    the bounced request is stored with the fallback nuid."""
+    srv = bounce_server
+    base = f"http://127.0.0.1:{srv.port}"
+    # first visit: no cookie anywhere -> bounce
+    try:
+        _get(f"{base}/i?e=pv")
+        raise AssertionError("expected 302 bounce")
+    except urllib.error.HTTPError as e:
+        assert e.code == 302
+        loc = e.headers["Location"]
+        assert "n3pc=true" in loc and loc.startswith("/i?")
+        # the set-cookie still rides along so a cookie-capable client
+        # resolves normally on the bounced request
+        assert "sp=" in (e.headers.get("Set-Cookie") or "")
+    assert _rows(srv) == []  # bouncing requests are never stored
+    # bounced request arrives still cookie-less -> stored, fallback nuid
+    with _get(f"{base}/i?e=pv&n3pc=true") as resp:
+        assert resp.status == 200
+        assert resp.read() == PIXEL_GIF
+    rows = _rows(srv)
+    assert len(rows) == 1
+    assert "n3pc=true" in rows[0]["querystring"]
+    # a cookie-carrying request is never bounced
+    with _get(f"{base}/i?e=pv", headers={"Cookie": "sp=known-nuid"}) as resp:
+        assert resp.status == 200
+    assert len(_rows(srv)) == 2
+
+
+def test_cookie_bounce_forwarded_protocol(bounce_server):
+    """The forwarded-protocol header upgrades the bounce Location to an
+    absolute https URI (reference bounceLocationHeader)."""
+    srv = bounce_server
+    try:
+        _get(
+            f"http://127.0.0.1:{srv.port}/i?e=pv",
+            headers={"X-Forwarded-Proto": "https"},
+        )
+        raise AssertionError("expected 302 bounce")
+    except urllib.error.HTTPError as e:
+        assert e.code == 302
+        assert e.headers["Location"].startswith("https://")
+        assert "n3pc=true" in e.headers["Location"]
+
+
+def test_cookie_bounce_redirect_and_post_not_bounced(bounce_server):
+    """Redirect (/r/*) and POST paths never bounce even without a nuid."""
+    srv = bounce_server
+    base = f"http://127.0.0.1:{srv.port}"
+    body = json.dumps({"schema": "iglu:x", "data": []}).encode()
+    req = urllib.request.Request(
+        f"{base}/com.snowplowanalytics.snowplow/tp2",
+        data=body,
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        assert resp.status == 200
+    assert len(_rows(srv)) == 1  # stored, not bounced
+
+
+def test_sink_health_endpoint_follows_probe(tmp_path):
+    """/sink-health returns 503 while an attached sink's active probe
+    reports the endpoint down, 200 after recovery (reference: health
+    endpoint follows sink.isHealthy; probe loops flip it)."""
+    from opensnowcat_collector_spark.sinks.base import HealthProbe, Sink
+
+    class Probeable(Sink):
+        def __init__(self):
+            super().__init__()
+            self.fail_probe = False
+
+        def write(self, df, epoch_id=0):
+            pass
+
+        def probe(self):
+            if self.fail_probe:
+                raise RuntimeError("kinesis stream DELETING")
+
+    sink = Probeable()
+    srv = CollectorServer(
+        CollectorConfig(), str(tmp_path / "landing"), sinks=(sink,)
+    )
+    srv.start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        assert _get(f"{base}/sink-health").status == 200
+        sink.fail_probe = True
+        hp = HealthProbe(sink, interval_s=0.01)
+        assert not hp.probe_once()
+        try:
+            _get(f"{base}/sink-health")
+            raise AssertionError("expected 503")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert b"DELETING" in e.read()
+        sink.fail_probe = False
+        assert hp.probe_once()
+        assert _get(f"{base}/sink-health").status == 200
+    finally:
+        srv.stop()

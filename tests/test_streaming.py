@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -343,3 +344,58 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
     }
     assert (10, 11) in got          # attributed
     assert (20, None) in got        # unattributed click emitted with nulls
+
+
+def test_rows_appended_after_stream_start_all_processed(spark, tmp_path):
+    """Regression for the FileStreamSource append-loss bug: rows written
+    AFTER the stream first lists the landing dir must still be processed.
+    LandingWriter stages in-progress files in a sibling dir and publishes
+    complete files by atomic rename, so the source only ever sees
+    finished, immutable files."""
+    from opensnowcat_collector_spark.config import BufferConfig
+    from opensnowcat_collector_spark.server import LandingWriter
+
+    from .fixtures import _req
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    writer = LandingWriter(landing, rotate_rows=2, rotate_secs=0.3)
+
+    def append(i):
+        r = _req(i, querystring=f"e=pv&nuid=u-{i}")
+        r["request_time"] = r["request_time"].isoformat()
+        writer.append(r)
+
+    for i in range(2):  # wave 1: published before the stream starts
+        append(i)
+    writer.flush()
+
+    cfg = CollectorConfig(
+        deterministic_now_ms=1705320000000,
+        good_sink=SinkConfig(buffer=BufferConfig(time_limit_ms=250)),
+    )
+    good, bad = MemorySink(), MemorySink()
+    job = StreamingCollector(spark, cfg, good, bad)
+    q = job.start(job.source_from_files(landing), ckpt, available_now=False)
+    try:
+        deadline = time.monotonic() + 60
+        while len(good.rows) < 2 and time.monotonic() < deadline:
+            time.sleep(0.2)
+        assert len(good.rows) >= 2, "wave-1 rows never arrived"
+        # wave 2: appended AFTER the source has listed the landing dir.
+        # rotate_rows=2 publishes two files; the last odd row needs the
+        # time-based rotation (no flush call) to become visible.
+        for i in range(10, 15):
+            append(i)
+        want = {f"u-{i}" for i in range(2)} | {f"u-{i}" for i in range(10, 15)}
+        while time.monotonic() < deadline:
+            got = {r["network_user_id"] for r in good.rows}
+            if got >= want:
+                break
+            time.sleep(0.2)
+        got = {r["network_user_id"] for r in good.rows}
+        assert got >= want, f"lost rows: {sorted(want - got)}"
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+        writer.close()
