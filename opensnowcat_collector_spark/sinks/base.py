@@ -43,6 +43,12 @@ class Sink(ABC):
     def is_healthy(self) -> bool:
         return self.health.healthy
 
+    def probe(self) -> None:
+        """Cheap active reachability check; raise on failure.  Subclasses
+        with a remote endpoint override (describe-stream / get-queue-attrs
+        / admin metadata); the default is a no-op so write-outcome health
+        remains the signal for local sinks."""
+
     def shutdown(self) -> None:  # graceful drain hook (Collector.scala:206-233)
         pass
 
@@ -95,6 +101,47 @@ class CircuitBreaker:
             self._opened_at = self._clock()
 
 
+class HealthProbe:
+    """Active background health monitor — reference parity with the sink
+    probe loops (KinesisSink.scala:372-395 describeStream,
+    KafkaSink.scala:402-442 metadata fetch, GooglePubSubSink.scala:128-157
+    topic check): calls ``sink.probe()`` every ``interval_s`` and flips
+    ``sink.health`` so ``/sink-health`` reflects endpoint reachability
+    BETWEEN batches, not just the last write outcome."""
+
+    def __init__(self, sink: Sink, interval_s: float = 10.0):
+        import threading
+
+        self.sink = sink
+        self.interval_s = interval_s
+        self._stop = threading.Event()
+        self._thread: object | None = None
+        self._threading = threading
+
+    def probe_once(self) -> bool:
+        try:
+            self.sink.probe()
+        except Exception as e:
+            self.sink.health = SinkHealth(False, f"probe: {e}")
+            return False
+        if not self.sink.health.healthy and (self.sink.health.last_error or "").startswith("probe:"):
+            # recover only probe-detected unhealthiness; a write failure
+            # stays visible until the next successful write
+            self.sink.health = SinkHealth(True, None)
+        return True
+
+    def start(self) -> None:
+        def loop():
+            while not self._stop.wait(self.interval_s):
+                self.probe_once()
+
+        self._thread = self._threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
 class RetryingSink(Sink):
     """Wraps a primary sink with jittered-backoff retries and optional
     failover to a backup sink behind a circuit breaker (K1/K2/K8
@@ -118,6 +165,21 @@ class RetryingSink(Sink):
         self.sleep = sleep
 
     def write(self, df: DataFrame, epoch_id: int = 0) -> None:
+        # health-gated fast failover (KinesisSink.scala:144-155): when the
+        # active probe has already marked the primary unreachable, skip its
+        # retry ladder entirely and deliver via the backup
+        if (
+            not self.primary.is_healthy()
+            and self.backup is not None
+            and self.breaker.allow()
+        ):
+            try:
+                self.backup.write(df, epoch_id)
+                self.breaker.record_success()
+                return
+            except Exception:
+                self.breaker.record_failure()
+                # fall through: give the primary its normal retry ladder
         backoff: int | None = None
         for attempt in range(self.policy.max_retries + 1):
             try:

@@ -101,6 +101,14 @@ class KinesisSink(Sink):
         self.sleep = sleep
         self.max_batch_bytes = max_batch_bytes
 
+    def probe(self) -> None:
+        """Active reachability check (KinesisSink.scala:372-395): the
+        stream must describe as ACTIVE/UPDATING."""
+        resp = self.client_factory().describe_stream(StreamName=self.stream_name)
+        status = resp["StreamDescription"]["StreamStatus"]
+        if status not in ("ACTIVE", "UPDATING"):
+            raise RuntimeError(f"stream {self.stream_name} is {status}")
+
     def _deliver_partition(self, rows: Iterable) -> None:
         client = self.client_factory()
         policy, rng, sleep = self.policy, self.rng, self.sleep
@@ -227,6 +235,12 @@ class SqsSink(Sink):
         self.distributed = distributed
         self.rng = rng or random.Random()
         self.sleep = sleep
+
+    def probe(self) -> None:
+        """Active reachability check: queue attributes must resolve."""
+        self.client_factory().get_queue_attributes(
+            QueueUrl=self.queue_url, AttributeNames=["QueueArn"]
+        )
 
     def _deliver_partition(self, rows: Iterable) -> None:
         client = self.client_factory()

@@ -18,9 +18,12 @@ class StdoutSink(Sink):
 
     def write(self, df: DataFrame, epoch_id: int = 0) -> None:
         out = sys.stdout if self.stream == "out" else sys.stderr
-        # serialized column if present (good path), else whole-row JSON
+        # serialized column if present (good path), else whole-row JSON.
+        # toLocalIterator streams one partition at a time to the driver —
+        # stdout is inherently driver-side, but the whole batch never
+        # materializes at once (collect() would OOM at scale).
         col = "serialized" if "serialized" in df.columns else None
-        rows = df.select(col).collect() if col else df.toJSON().collect()
+        rows = (df.select(col) if col else df.toJSON()).toLocalIterator()
         for r in rows:
             payload = r[0] if col else r
             print(base64.b64encode(payload.encode("utf-8")).decode("ascii"), file=out)

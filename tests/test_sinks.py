@@ -83,3 +83,80 @@ def test_retrying_sink_raises_without_backup(spark):
     )
     with pytest.raises(RuntimeError, match="sink delivery failed"):
         sink.write(df)
+
+
+def test_health_probe_flips_and_recovers():
+    """Active probe (KinesisSink.scala:372-395 analogue): a failing probe
+    marks the sink unhealthy; a succeeding probe recovers probe-detected
+    unhealthiness (but never masks a write failure)."""
+    from opensnowcat_collector_spark.sinks.base import HealthProbe, Sink, SinkHealth
+
+    class Probeable(Sink):
+        def __init__(self):
+            super().__init__()
+            self.fail_probe = False
+
+        def write(self, df, epoch_id=0):
+            pass
+
+        def probe(self):
+            if self.fail_probe:
+                raise RuntimeError("endpoint down")
+
+    s = Probeable()
+    hp = HealthProbe(s, interval_s=0.01)
+    assert hp.probe_once() and s.is_healthy()
+    s.fail_probe = True
+    assert not hp.probe_once()
+    assert not s.is_healthy() and "endpoint down" in s.health.last_error
+    s.fail_probe = False
+    assert hp.probe_once() and s.is_healthy()
+    # write-failure health is NOT cleared by a passing probe
+    s.health = SinkHealth(False, "delivery failed")
+    assert hp.probe_once()
+    assert not s.is_healthy()
+
+
+def test_probe_unhealthy_primary_fast_fails_over(spark):
+    """When the active probe has marked the primary down, RetryingSink
+    skips the primary retry ladder and delivers via the backup."""
+    from opensnowcat_collector_spark.sinks.base import SinkHealth
+
+    df = spark.range(3)
+    primary = MemorySink(fail_first=100)
+    primary.health = SinkHealth(False, "probe: endpoint down")
+    backup = MemorySink()
+    calls = {"n": 0}
+    orig = primary.write
+
+    def counting_write(d, e=0):
+        calls["n"] += 1
+        return orig(d, e)
+
+    primary.write = counting_write
+    sink = RetryingSink(
+        primary,
+        backup=backup,
+        policy=BackoffPolicy(min_backoff_ms=1, max_backoff_ms=2, max_retries=5),
+        sleep=lambda s: None,
+    )
+    sink.write(df)
+    assert len(backup.batches) == 1
+    assert calls["n"] == 0  # primary never attempted
+
+
+def test_kinesis_probe_checks_stream_status():
+    from opensnowcat_collector_spark.sinks.cloud import KinesisSink
+
+    class DescribeClient:
+        def __init__(self, status):
+            self.status = status
+
+        def describe_stream(self, StreamName):
+            return {"StreamDescription": {"StreamStatus": self.status}}
+
+    ok = KinesisSink("s", client_factory=lambda: DescribeClient("ACTIVE"))
+    ok.probe()  # no raise
+    bad = KinesisSink("s", client_factory=lambda: DescribeClient("DELETING"))
+    with pytest.raises(RuntimeError, match="DELETING"):
+        bad.probe()
