@@ -13,10 +13,12 @@ slice / arrays_zip / groupBy min-count), which stays fully codegen'd.
 
 Scale design (100 TB):
 - exact dedup: one hash-shuffle on md5(text) — optimal.
-- n-gram Jaccard all-pairs: COUNT-based intersection over the exploded
-  shingle equi-join (|A∩B| = number of matching shingle rows per pair;
-  shingles are distinct per doc) — no per-pair array scans.  Quadratic in
-  shingle document-frequency; it is the exactness baseline.
+- n-gram Jaccard: COUNT-based intersection over the exploded shingle
+  equi-join (|A∩B| = number of matching shingle rows per pair; shingles
+  are distinct per doc) — no per-pair array scans.  Shingle document
+  frequency is capped at MAX_SHINGLE_DF before the self-join (boilerplate
+  shingles carry no near-dup signal), bounding join fan-out per shingle
+  and keeping total work linear in shingle volume.
 - MinHash+LSH banding is the sub-quadratic scale path: signatures are a
   single explode + groupBy (k min-aggregations), candidates come from
   equality joins on band keys (k=12 hashes, 4 bands x r=3:
@@ -37,6 +39,13 @@ N_MINHASH = 12
 BAND_ROWS = 3  # 4 bands of 3 rows
 N_BANDS = N_MINHASH // BAND_ROWS
 JACCARD_THRESHOLD = 0.8
+# Shingles appearing in more than this many documents are dropped from the
+# n-gram Jaccard representation (both intersection AND union sides, and
+# identically in the oracle).  Boilerplate shingles carry no near-dup
+# signal but make the shingle self-join quadratic in their document
+# frequency; the cap bounds each shingle's join fan-out at DF^2 <= 64^2,
+# making total join work linear in shingle volume.
+MAX_SHINGLE_DF = 64
 
 
 def raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,26 +133,47 @@ def _jaccard_from_counts(inter: DataFrame, counts: DataFrame) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH {_DUCK_SHINGLE_CTE},
+capped AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM exploded
+  ) WHERE df <= {MAX_SHINGLE_DF}
+),
+capped_counts AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id
+),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
        CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
 FROM inter i
-JOIN counts ca ON ca.doc_id = i.doc_a
-JOIN counts cb ON cb.doc_id = i.doc_b
+JOIN capped_counts ca ON ca.doc_id = i.doc_a
+JOIN capped_counts cb ON cb.doc_id = i.doc_b
 WHERE CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs n-gram Jaccard >= 0.8: exploded shingle equi-join, COUNT
-    as intersection, count-join for union."""
+    """N-gram Jaccard >= 0.8 over the DF-capped shingle representation.
+
+    Shingles with document frequency > MAX_SHINGLE_DF (boilerplate) are
+    dropped from BOTH the intersection and the union denominator — they
+    carry no near-dup signal, and without the cap the shingle self-join is
+    quadratic in per-shingle DF (a corpus-scale killer on boilerplate).
+    The DF window shuffles on `shingle`, the same key the self-join needs,
+    so the capped plan adds no extra exchange over the uncapped one."""
     sh = exploded_shingles(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    df_w = Window.partitionBy("shingle")
+    capped = (
+        sh.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+    )
+    counts = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = capped.alias("a")
+    b = capped.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

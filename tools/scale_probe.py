@@ -36,6 +36,7 @@ PROBE_QUERIES = [
     "join_asof_last_click",
     "collector_enrich_events",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "sim_bucket_histogram",
     "text_quality_score",
