@@ -19,6 +19,7 @@ ulp-level reduction differences cannot flip results.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -175,6 +176,71 @@ def sketch_udf():
     return enc
 
 
+# ---------------------------------------------------------------------------
+# Materialized ANN index: the physical layout behind sim_ann_lsh /
+# sim_ann_multiprobe.  One pass computes every vector's sketch and writes
+# the table hive-partitioned by bucket; each probe afterwards filters on
+# the partition column, so the scan reads ONLY the probed bucket
+# directories (``PartitionFilters`` in the plan — asserted by
+# tools/plan_audit.py and tests/test_layout.py) instead of the full table.
+# This is the 100 TB path: probe cost is O(bucket), not O(N).
+# ---------------------------------------------------------------------------
+
+
+def ann_index_path(sf_dir: str) -> str:
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join("/tmp/spark_graft_ann_index", key)
+
+
+def build_ann_index(
+    spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
+) -> str:
+    """Materialize embeddings + LSH sketch, partitioned by bucket.
+
+    The partition value is the sketch prefixed with 'b' (hive partition
+    type inference would otherwise read '01100000' back as an integer);
+    the unprefixed ``sketch`` column stays in the data files.  Rebuilds
+    only when the index is missing or ``force`` — the write is the
+    pay-once analogue of layout.write_bucketed for this access path."""
+    path = path or ann_index_path(sf_dir)
+    if force or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e = table(spark, sf_dir, "embeddings")
+        sk = e.select(
+            "vec_id",
+            "label",
+            "embedding",
+            sketch_udf()(F.col("embedding")).alias("sketch"),
+        ).withColumn("bucket", F.concat(F.lit("b"), F.col("sketch")))
+        sk.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return path
+
+
+def query_sketch(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> tuple[str, list]:
+    """Sketch + vector of the query row, computed driver-side (O(1) — one
+    row, same float64 matmul as sketch_udf)."""
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    v = np.array(row[0], dtype=np.float64)
+    planes = np.array(PLANES, dtype=np.float64)  # N_PLANES x DIM
+    bits = (planes @ v) > 0
+    return "".join("1" if b else "0" for b in bits), list(row[0])
+
+
+def _with_query_vec(df: DataFrame, qvec: list) -> DataFrame:
+    """Attach the query vector as a constant-folded array<double> literal."""
+    lit = "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in qvec) + ")"
+    return df.withColumn("qvec", F.expr(lit))
+
+
+def _hamming1_buckets(sketch: str) -> list[str]:
+    flips = [sketch[:i] + ("0" if sketch[i] == "1" else "1") + sketch[i + 1 :] for i in range(len(sketch))]
+    return ["b" + sketch] + ["b" + f for f in flips]
+
+
 @register(
     "sim_ann_lsh",
     oracle=f"""
@@ -193,19 +259,17 @@ LIMIT 5
 """,
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via 8-bit random-hyperplane sketch: candidates = same bucket as
-    the query vector, exact cosine re-rank within the bucket.  The sketch
-    is computed in one projection; the bucket restriction replaces the full
-    scan with a hash lookup at scale (and multiple probe tables / Hamming-1
-    probing raise recall)."""
-    e = table(spark, sf_dir, "embeddings")
-    sk = e.select("vec_id", "label", "embedding", sketch_udf()(F.col("embedding")).alias("sketch"))
-    q = sk.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qvec"), F.col("sketch").alias("qsketch")
-    )
+    """ANN via 8-bit random-hyperplane sketch over the MATERIALIZED bucket
+    index: the probe filters on the hive partition column, so the scan
+    reads only the query's bucket directory (``PartitionFilters``), never
+    the full table — exact cosine re-rank happens inside that bucket.
+    Recall knobs at scale: more hash tables or Hamming-1 multi-probe
+    (``sim_ann_multiprobe``)."""
+    idx = spark.read.parquet(build_ann_index(spark, sf_dir))
+    qsketch, qvec = query_sketch(spark, sf_dir)
+    probe = idx.filter((F.col("bucket") == "b" + qsketch) & (F.col("vec_id") != 0))
     return (
-        sk.crossJoin(F.broadcast(q))
-        .filter((F.col("sketch") == F.col("qsketch")) & (F.col("vec_id") != 0))
+        _with_query_vec(probe, qvec)
         .select(
             "vec_id",
             "label",
@@ -343,27 +407,22 @@ LIMIT 10
 """,
 )
 def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH: candidates from the query's bucket AND all
-    Hamming-1 neighbor buckets (9 probes of the 8-bit sketch) — the
-    standard recall-raiser that avoids building more hash tables.  At
-    scale the 9 probe keys become 9 bucket lookups; here the Hamming
-    distance is computed directly for the oracle's benefit."""
-    e = table(spark, sf_dir, "embeddings")
-    sk = e.select(
-        "vec_id", "label", "embedding", sketch_udf()(F.col("embedding")).alias("sketch")
-    )
-    q = sk.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qvec"), F.col("sketch").alias("qsketch")
+    """Multi-probe LSH over the materialized index: candidates from the
+    query's bucket AND all Hamming-1 neighbor buckets — 9 probe keys, so
+    the partition filter prunes to 9 of the 2^8 bucket directories (the
+    standard recall-raiser that avoids building more hash tables)."""
+    idx = spark.read.parquet(build_ann_index(spark, sf_dir))
+    qsketch, qvec = query_sketch(spark, sf_dir)
+    probe = idx.filter(
+        F.col("bucket").isin(_hamming1_buckets(qsketch)) & (F.col("vec_id") != 0)
     )
     hamming = F.expr(
         f"CAST(size(filter(sequence(1, {N_PLANES}),"
-        " i -> substring(sketch, i, 1) != substring(qsketch, i, 1))) AS INT)"
+        f" i -> substring(sketch, i, 1) != substring('{qsketch}', i, 1))) AS INT)"
     )
     return (
-        sk.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != 0)
+        _with_query_vec(probe, qvec)
         .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 1)
         .select(
             "vec_id",
             "label",

@@ -73,3 +73,32 @@ def test_partitioned_events_prune(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(event_date" in plan
     expected = events.filter(F.to_date("ts") == "2024-01-03").count()
     assert one_day.count() == expected
+
+
+def test_ann_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The materialized ANN index must serve probes via partition pruning:
+    the probe plan carries a bucket PartitionFilter and the scan reads
+    only the probed bucket(s), not the whole table."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from opensnowcat_collector_spark.engine.llmdata import similarity as S
+
+    path = str(tmp_path / "ann_index")
+    S.build_ann_index(spark, sf_dir, path=path, force=True)
+    qsketch, qvec = S.query_sketch(spark, sf_dir)
+    idx = spark.read.parquet(path)
+    probe = idx.filter(F.col("bucket") == "b" + qsketch)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "bucket" in pf[0], plan
+    # the probe reads one bucket (>=1 row: the query itself lives there),
+    # a small fraction of the table
+    n_total = idx.count()
+    n_bucket = probe.count()
+    assert 1 <= n_bucket < n_total / 4
+    # the registered query runs off the same pruned layout and returns
+    # only same-bucket neighbors
+    got = S.sim_ann_lsh(spark, sf_dir).collect()
+    assert all(r["sketch"] == qsketch for r in got)
