@@ -1,0 +1,197 @@
+"""ConfigReaderSpec port (reference: core/src/test/.../config/
+ConfigReaderSpec.scala + resources/configs/*.hocon): HOCON loading with
+reference.conf defaults underneath, and fallbackDomain validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from opensnowcat_collector_spark.config_loader import (
+    load_collector_config,
+    parse_duration_ms,
+    parse_hocon,
+)
+
+VALID_CONFIG = """
+interface = "0.0.0.0"
+port = 8080
+
+streams {
+  useIpAddressAsPartitionKey = false
+  good = "good"
+  bad = "bad"
+
+  sink {
+    enabled = stdout
+    maxBytes = 1000000000
+  }
+
+  buffer {
+    byteLimit = 3145728
+    recordLimit = 500
+    timeLimit = 5000
+  }
+}
+"""
+
+
+def test_valid_config_parses():
+    cfg = load_collector_config(text=VALID_CONFIG)
+    assert cfg.good_sink.kind == "stdout"
+    assert cfg.good_sink.max_bytes == 1000000000
+    assert cfg.good_sink.buffer.byte_limit == 3145728
+    assert cfg.good_sink.buffer.record_limit == 500
+    assert cfg.good_sink.buffer.time_limit_ms == 5000
+    # defaults from reference.conf show through
+    assert cfg.cookie.name == "sp"
+    assert cfg.cookie.expiration_ms == 365 * 24 * 3600 * 1000
+    assert cfg.cookie_bounce.name == "n3pc"
+    assert cfg.use_ip_address_as_partition_key is False
+
+
+def test_invalid_fallback_domain_rejected():
+    """invalid-fallback-domain.hocon: a comma is not a domain character."""
+    text = VALID_CONFIG + '\ncookie {\n  fallbackDomain: "example.com,example2.com"\n}\n'
+    with pytest.raises(ValueError) as exc:
+        load_collector_config(text=text)
+    assert str(exc.value).startswith("fallbackDomain contains invalid character")
+    assert "[,]" in str(exc.value)
+
+
+def test_valid_fallback_domain_accepted():
+    text = VALID_CONFIG + '\ncookie { fallbackDomain = "fallback.example.com" }\n'
+    cfg = load_collector_config(text=text)
+    assert cfg.cookie.fallback_domain == "fallback.example.com"
+
+
+def test_defaults_only():
+    cfg = load_collector_config(text="")
+    assert cfg.cookie.enabled is True
+    assert cfg.cookie.secure is True and cfg.cookie.http_only is True
+    assert cfg.do_not_track_cookie.enabled is False
+    assert cfg.cookie_bounce.fallback_network_user_id.endswith("-000000000000")
+    assert cfg.redirect_domains == ()
+
+
+def test_durations():
+    assert parse_duration_ms("365 days") == 365 * 24 * 3600 * 1000
+    assert parse_duration_ms("10.seconds") == 10000
+    assert parse_duration_ms("10 seconds") == 10000
+    assert parse_duration_ms("60 minutes") == 3600000
+    assert parse_duration_ms(5000) == 5000
+    assert parse_duration_ms('"10 seconds"') == 10000
+
+
+def test_hocon_subset_features():
+    tree = parse_hocon(
+        """
+# full-line comment
+paths {
+  "/com.acme/track" = "/com.snowplowanalytics.snowplow/tp2"
+}
+monitoring.metrics.statsd {
+  enabled = false   # trailing comment
+  hostname = localhost
+}
+redirectDomains = [ "a.example", "b.example" ]
+empty = []
+cookie {
+  sameSite = "None"
+}
+cookie {
+  name = sp2        // object merge: later block merges, not replaces
+}
+"""
+    )
+    assert tree["paths"]["/com.acme/track"] == "/com.snowplowanalytics.snowplow/tp2"
+    assert tree["monitoring"]["metrics"]["statsd"]["enabled"] is False
+    assert tree["monitoring"]["metrics"]["statsd"]["hostname"] == "localhost"
+    assert tree["redirectDomains"] == ["a.example", "b.example"]
+    assert tree["empty"] == []
+    assert tree["cookie"] == {"sameSite": "None", "name": "sp2"}
+
+
+def test_reference_conf_shape_parses():
+    """The full reference.conf structure (reference.conf:1-98 re-typed)
+    round-trips through the loader."""
+    text = """
+enableDefaultRedirect = false
+redirectDomains     = []
+terminationDeadline = 10.seconds
+
+paths {
+}
+
+cookieBounce {
+    enabled = false
+    name = "n3pc"
+    fallbackNetworkUserId = "00000000-0000-4000-A000-000000000000"
+}
+
+cookie {
+    enabled = true
+    expiration = 365 days
+    name = sp
+    secure = true
+    httpOnly = true
+    sameSite = "None"
+}
+
+doNotTrackCookie {
+    enabled = false
+    name = ""
+    value = ""
+}
+
+rootResponse {
+    enabled = false
+    statusCode = 302
+    headers = {}
+    body = ""
+}
+
+redirectMacro {
+    enabled = false
+}
+
+monitoring.metrics.statsd {
+  enabled = false
+  hostname = localhost
+  port = 8125
+  period = "10 seconds"
+}
+
+streams {
+    useIpAddressAsPartitionKey = false
+}
+"""
+    cfg = load_collector_config(text=text)
+    assert cfg.cookie.name == "sp"
+    assert cfg.cookie.same_site == "None"
+    assert cfg.cookie_bounce.name == "n3pc"
+    assert cfg.redirect_macro.enabled is False
+
+
+def test_substitution_and_include_raise():
+    with pytest.raises(ValueError):
+        parse_hocon('foo = ${bar}\n')
+    with pytest.raises(ValueError):
+        parse_hocon('include "other.conf"\n')
+
+
+def test_sink_options_passthrough_and_unknown_keys_ignored():
+    text = """
+streams {
+  sink {
+    enabled = kinesis
+    maxBytes = 1000000
+    region = eu-central-1
+    streamName = raw
+  }
+}
+unknownTopLevel { whatever = 1 }
+"""
+    cfg = load_collector_config(text=text)
+    assert cfg.good_sink.kind == "kinesis"
+    assert cfg.good_sink.max_bytes == 1000000
+    assert cfg.good_sink.options == {"region": "eu-central-1", "streamName": "raw"}
