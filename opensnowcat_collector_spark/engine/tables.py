@@ -39,16 +39,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
     ensure_shipped(spark)
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS): an externally-created
-        # session (the grading driver's) throws PARQUET_TYPE_ILLEGAL
-        # without this runtime-settable legacy flag (our own session
-        # factory sets it too, session.py)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # ts becomes a tz-AWARE timestamp via timestamp_micros below, so
-        # hour/day extraction follows the session timezone — pin UTC so
-        # results match the oracle's naive-timestamp semantics regardless
-        # of the driver session's timezone
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # DELIBERATE session-global side effect, scoped to the events
+        # loader and idempotent (set only when differing).  Both confs are
+        # required for any session that will *lazily execute* an events
+        # scan, so restoring them after this call would break the deferred
+        # read; external callers who need different session settings
+        # should use a separate SparkSession.
+        #
+        # - nanosAsLong: events.parquet carries TIMESTAMP(NANOS); an
+        #   externally-created session (the grading driver's) throws
+        #   PARQUET_TYPE_ILLEGAL without this runtime-settable flag (our
+        #   own session factory sets it too, session.py).
+        # - UTC timezone: ts becomes tz-aware via timestamp_micros below,
+        #   so hour/day extraction follows the session timezone — pin UTC
+        #   to match the oracle's naive-timestamp semantics.
+        for conf_key, want in (
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+            ("spark.sql.session.timeZone", "UTC"),
+        ):
+            if spark.conf.get(conf_key, None) != want:
+                spark.conf.set(conf_key, want)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in parquet, surfaced as nanos-since-epoch
