@@ -407,8 +407,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup removal: keep vectors with no earlier same-block
     neighbor at cosine >= 0.3 (rounded to 6 dp on both engines).
 
-    Scale design: the label column stands in for a coarse quantizer/LSH
-    bucket; blocks shuffle once (groupBy label) and each block computes
+    Scale design: the label column is the blocking key here (the learned
+    alternative — a trained k-means quantizer cell — is demonstrated by
+    ``similarity.sim_ann_ivf_kmeans`` and drops in as the key unchanged);
+    blocks shuffle once (groupBy label) and each block computes
     its pairwise-cosine gram matrix VECTORIZED in numpy via applyInPandas.
     Measured: the pure-SQL pair-join formulation evaluates the 64-term
     dot interpreted (the expression knocks the stage out of whole-stage

@@ -384,6 +384,98 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF with a REAL k-means coarse quantizer: K centroids, ITERS unrolled
+# Lloyd iterations, deterministic seeding — the train step of a true IVF
+# index, expressed declaratively so Catalyst plans it (and so the DuckDB
+# oracle can run the very same SQL shape).  Replaces sim_ann_ivf's
+# label-as-cell stand-in with learned cells.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+KMEANS_SEEDS = tuple(range(1, KMEANS_K + 1))  # vec_ids 1..K seed the centroids
+
+
+def _kmeans_sql(flat_cte: str, cos: str) -> str:
+    """Dialect-shared k-means IVF SQL: `flat_cte` supplies (vec_id, i, x)
+    rows 1-indexed, `cos` the dialect's cosine expression over
+    (e.embedding, q.qvec).  Distances are rounded to 6 dp before the
+    argmin (ROW_NUMBER ordered by distance then cid) so ulp-level
+    reduction-order differences between engines cannot flip assignments."""
+    seeds = ", ".join(str(s) for s in KMEANS_SEEDS)
+    ctes = [
+        f"flat AS ({flat_cte})",
+        f"cent0 AS (SELECT vec_id - 1 AS cid, i, x AS c FROM flat WHERE vec_id IN ({seeds}))",
+    ]
+    prev = "cent0"
+    for t in range(1, KMEANS_ITERS + 1):
+        ctes.append(
+            f"""d{t} AS (
+  SELECT f.vec_id, c.cid, ROUND(SUM((f.x - c.c) * (f.x - c.c)), 6) AS d2
+  FROM flat f JOIN {prev} c ON c.i = f.i
+  GROUP BY f.vec_id, c.cid
+)"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{t}
+  ) ranked WHERE rn = 1
+)"""
+        )
+        if t < KMEANS_ITERS:
+            ctes.append(
+                f"""cent{t} AS (
+  SELECT a.cid, f.i, AVG(f.x) AS c
+  FROM flat f JOIN a{t} a ON a.vec_id = f.vec_id
+  GROUP BY a.cid, f.i
+)"""
+            )
+            prev = f"cent{t}"
+    final = f"a{KMEANS_ITERS}"
+    ctes.append("q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.vec_id, e.label, a.cid AS cell,
+       {cos} AS cosine
+FROM embeddings e
+JOIN {final} a ON a.vec_id = e.vec_id
+CROSS JOIN q
+WHERE a.cid = (SELECT cid FROM {final} WHERE vec_id = 0) AND e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT 5"""
+    )
+
+
+_SPARK_KMEANS_FLAT = (
+    "SELECT vec_id, pos + 1 AS i, CAST(col AS DOUBLE) AS x "
+    "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, col"
+)
+_DUCK_KMEANS_FLAT = (
+    f"SELECT vec_id, g.i, CAST(embedding[g.i] AS DOUBLE) AS x "
+    f"FROM embeddings, generate_series(1, {DIM}) AS g(i)"
+)
+
+
+@register(
+    "sim_ann_ivf_kmeans",
+    oracle=_kmeans_sql(_DUCK_KMEANS_FLAT, _duck_cos("e.embedding", "q.qvec")),
+)
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a learned k-means quantizer: K deterministic seed
+    vectors, two unrolled Lloyd iterations (assign -> recompute -> assign)
+    over the flat (vec_id, i, x) representation, then exact cosine re-rank
+    inside the query's final cell only.  Declarative SQL (Catalyst plans
+    the joins/aggs; each iteration is one shuffle per step); at scale the
+    trained centroids/assignments persist once and probes touch one cell."""
+    table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_kmeans_sql(_SPARK_KMEANS_FLAT, _spark_cos("e.embedding", "q.qvec")))
+
+
 @register(
     "sim_ann_multiprobe",
     oracle=f"""

@@ -39,6 +39,7 @@ _PRIORITY: list[str] = [
     "sim_ann_lsh",
     "sim_ann_multiprobe",
     "sim_ann_ivf",
+    "sim_ann_ivf_kmeans",
     "sim_bucket_histogram",
     # --- LLM-data pipeline: text analysis ---
     "text_token_stats",
@@ -86,8 +87,8 @@ _PRIORITY: list[str] = [
     "json_props_extract",
     "scalar_url_map_funcs",
     "scalar_hash_encode_funcs",
-    "array_hof_embeddings",
     # ---- slot 51+ below: driver-confirmed in r1/r2, pytest-covered ----
+    "array_hof_embeddings",
     "join_left_order_counts",
     "join_semi_open_orders",
     "join_anti_customers_without_orders",
