@@ -443,3 +443,70 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return e.groupBy("label").applyInPandas(block_survivors, out_schema)
+
+
+def _emb_dedup_kmeans_oracle() -> str:
+    from .similarity import (
+        _DUCK_KMEANS_FLAT,
+        KMEANS_ASSIGN,
+        _duck_cos,
+        _kmeans_ctes,
+    )
+
+    cos = _duck_cos("b.embedding", "a.embedding")
+    ctes = ",\n".join(_kmeans_ctes(_DUCK_KMEANS_FLAT))
+    return f"""
+WITH {ctes}
+SELECT e.vec_id, e.label FROM embeddings e
+ANTI JOIN (
+  SELECT DISTINCT b.vec_id
+  FROM embeddings a
+  JOIN {KMEANS_ASSIGN} aa ON aa.vec_id = a.vec_id
+  JOIN {KMEANS_ASSIGN} ab ON ab.cid = aa.cid
+  JOIN embeddings b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id
+  WHERE {cos} >= {_COSINE_DUP_THRESHOLD}
+) d ON e.vec_id = d.vec_id
+"""
+
+
+@register("dedup_embedding_kmeans", oracle=_emb_dedup_kmeans_oracle())
+def dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup removal blocked on LEARNED k-means cells: the
+    coarse quantizer from ``similarity.sim_ann_ivf_kmeans`` (deterministic
+    seeds, unrolled Lloyd iterations, shared SQL with the oracle) assigns
+    every vector a cell, and the blocked gram-matrix survivor pass runs
+    per cell — the trained-quantizer version of
+    ``dedup_embedding_cosine``'s label blocking.  At scale the assignment
+    is the pay-once train step; the O(block^2) work is bounded by cell
+    size exactly as with any IVF layout."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from .similarity import _SPARK_KMEANS_FLAT, KMEANS_ASSIGN, _kmeans_ctes
+
+    e = table(spark, sf_dir, "embeddings")
+    e.createOrReplaceTempView("embeddings")
+    assign = spark.sql(
+        "WITH " + ",\n".join(_kmeans_ctes(_SPARK_KMEANS_FLAT))
+        + f"\nSELECT vec_id, cid FROM {KMEANS_ASSIGN}"
+    )
+    blocked = e.join(assign, "vec_id")
+    out_schema = StructType(
+        [StructField("vec_id", LongType()), StructField("label", IntegerType())]
+    )
+    th = _COSINE_DUP_THRESHOLD
+
+    def cell_survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].values)
+        ids = pdf["vec_id"].values[order]
+        v = np.stack(pdf["embedding"].values[order]).astype(np.float64)
+        norms = np.sqrt((v * v).sum(axis=1))
+        g = np.round((v @ v.T) / np.outer(norms, norms), 6)
+        dup = np.triu(g >= th, k=1).any(axis=0)
+        return pd.DataFrame(
+            {"vec_id": ids[~dup], "label": pdf["label"].values[order][~dup]}
+        )
+
+    return blocked.groupBy("cid").applyInPandas(cell_survivors, out_schema)

@@ -397,12 +397,17 @@ KMEANS_ITERS = 2
 KMEANS_SEEDS = tuple(range(1, KMEANS_K + 1))  # vec_ids 1..K seed the centroids
 
 
-def _kmeans_sql(flat_cte: str, cos: str) -> str:
-    """Dialect-shared k-means IVF SQL: `flat_cte` supplies (vec_id, i, x)
-    rows 1-indexed, `cos` the dialect's cosine expression over
-    (e.embedding, q.qvec).  Distances are rounded to 6 dp before the
-    argmin (ROW_NUMBER ordered by distance then cid) so ulp-level
-    reduction-order differences between engines cannot flip assignments."""
+#: name of the final-assignment CTE produced by _kmeans_ctes
+KMEANS_ASSIGN = f"a{KMEANS_ITERS}"
+
+
+def _kmeans_ctes(flat_cte: str) -> list[str]:
+    """Dialect-shared k-means training CTEs: `flat_cte` supplies
+    (vec_id, i, x) rows 1-indexed; the last CTE (``KMEANS_ASSIGN``) holds
+    the final (vec_id, cid) assignment.  Distances are rounded to 6 dp
+    before the argmin (ROW_NUMBER ordered by distance then cid) so
+    ulp-level reduction-order differences between engines cannot flip
+    assignments."""
     seeds = ", ".join(str(s) for s in KMEANS_SEEDS)
     ctes = [
         f"flat AS ({flat_cte})",
@@ -434,7 +439,13 @@ def _kmeans_sql(flat_cte: str, cos: str) -> str:
 )"""
             )
             prev = f"cent{t}"
-    final = f"a{KMEANS_ITERS}"
+    return ctes
+
+
+def _kmeans_sql(flat_cte: str, cos: str) -> str:
+    """Full k-means IVF probe SQL: train + probe the query's cell."""
+    final = KMEANS_ASSIGN
+    ctes = _kmeans_ctes(flat_cte)
     ctes.append("q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)")
     return (
         "WITH "

@@ -33,6 +33,7 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_embedding_kmeans",
     # --- LLM-data pipeline: similarity / ANN family ---
     "embed_norms",
     "sim_topk_bruteforce",
@@ -84,10 +85,10 @@ _PRIORITY: list[str] = [
     "events_tumbling_15min",
     # --- misc window/scalar representatives ---
     "topk_orders",
-    "json_props_extract",
     "scalar_url_map_funcs",
     "scalar_hash_encode_funcs",
     # ---- slot 51+ below: driver-confirmed in r1/r2, pytest-covered ----
+    "json_props_extract",
     "array_hof_embeddings",
     "join_left_order_counts",
     "join_semi_open_orders",
