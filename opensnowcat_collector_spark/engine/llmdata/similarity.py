@@ -384,6 +384,68 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BATCH_QUERIES = 10
+BATCH_TOP_K = 3
+
+
+@register(
+    "sim_ann_batch",
+    oracle=f"""
+WITH sk AS (
+  SELECT vec_id, label, embedding, {_duck_sketch("embedding")} AS sketch
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, sketch AS qsketch
+      FROM sk WHERE vec_id < {N_BATCH_QUERIES}),
+c AS (SELECT vec_id, label, embedding, sketch FROM sk
+      WHERE vec_id >= {N_BATCH_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.label,
+         {_duck_cos("c.embedding", "q.qvec")} AS cosine
+  FROM c JOIN q ON c.sketch = q.qsketch
+)
+SELECT query_id, vec_id, label, cosine FROM (
+  SELECT query_id, vec_id, label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) ranked WHERE rn <= {BATCH_TOP_K}
+""",
+)
+def sim_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN — many queries answered by ONE bucket equi-join, the
+    production shape of similarity search at scale: the query set is a
+    table, both sides carry their LSH sketch, the join shuffles on the
+    bucket key (no per-query loop, no driver round-trips), and a
+    per-query window keeps top-k.  With the bucketed/materialized layout
+    the corpus side's shuffle disappears entirely (pre-partitioned on
+    sketch) — this is the join-based twin of ``sim_ann_lsh``'s
+    single-probe partition pruning."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+    sk = e.select(
+        "vec_id", "label", "embedding", sketch_udf()(F.col("embedding")).alias("sketch")
+    )
+    q = sk.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("sketch").alias("qsketch"),
+    )
+    c = sk.filter(F.col("vec_id") >= N_BATCH_QUERIES)
+    scored = c.join(q, c["sketch"] == q["qsketch"]).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.expr(_spark_cos("embedding", "qvec")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BATCH_TOP_K)
+        .drop("rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF with a REAL k-means coarse quantizer: K centroids, ITERS unrolled
 # Lloyd iterations, deterministic seeding — the train step of a true IVF

@@ -41,6 +41,7 @@ _PRIORITY: list[str] = [
     "sim_ann_multiprobe",
     "sim_ann_ivf",
     "sim_ann_ivf_kmeans",
+    "sim_ann_batch",
     "sim_bucket_histogram",
     # --- LLM-data pipeline: text analysis ---
     "text_token_stats",
@@ -84,10 +85,10 @@ _PRIORITY: list[str] = [
     "events_type_matrix",
     "events_tumbling_15min",
     # --- misc window/scalar representatives ---
-    "topk_orders",
     "scalar_url_map_funcs",
     "scalar_hash_encode_funcs",
     # ---- slot 51+ below: driver-confirmed in r1/r2, pytest-covered ----
+    "topk_orders",
     "json_props_extract",
     "array_hof_embeddings",
     "join_left_order_counts",
