@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -98,3 +99,187 @@ def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     binarized = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return binarized.mapInPandas(_decode_batches, DECODE_SCHEMA)
+
+
+# --- feature extraction (stubbed net, real batching) ------------------------
+
+_N_FEATURES = 8
+
+FEATURE_SCHEMA = StructType(
+    [StructField("doc_id", LongType())]
+    + [StructField(f"f{j}", DoubleType()) for j in range(_N_FEATURES)]
+)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # a real deployment runs the vision/audio encoder here on the Arrow
+    # batch (exact same shape); the stub derives features from the digest
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            digest = hashlib.md5(payload).hexdigest()
+            feats = {
+                f"f{j}": round(int(digest[2 * j : 2 * j + 2], 16) / 255.0, 6)
+                for j in range(_N_FEATURES)
+            }
+            rows.append({"doc_id": doc_id, **feats})
+        yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+
+def _duck_hexpair(pos: int) -> str:
+    h1 = f"(strpos('0123456789abcdef', substr(md5(text), {pos}, 1)) - 1)"
+    h2 = f"(strpos('0123456789abcdef', substr(md5(text), {pos + 1}, 1)) - 1)"
+    return f"({h1} * 16 + {h2})"
+
+
+@register(
+    "mm_feature_extract",
+    oracle="SELECT doc_id, "
+    + ", ".join(
+        f"ROUND({_duck_hexpair(2 * j + 1)} / 255.0, 6) AS f{j}"
+        for j in range(_N_FEATURES)
+    )
+    + " FROM documents",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> fixed-width feature vector via Arrow-batched
+    mapInPandas — the embedding/feature-extraction plumbing (batch shape,
+    schema, partitioning) with the model call stubbed to a digest-derived
+    pure function the oracle replicates in SQL."""
+    d = table(spark, sf_dir, "documents")
+    binarized = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return binarized.mapInPandas(_feature_batches, FEATURE_SCHEMA)
+
+
+# --- resize (chained second Python stage) -----------------------------------
+
+_FIT_BOX = 64
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fake_width", IntegerType()),
+        StructField("fake_height", IntegerType()),
+        StructField("target_width", IntegerType()),
+        StructField("target_height", IntegerType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for rec in pdf.to_dict("records"):
+            w, h = int(rec["fake_width"]), int(rec["fake_height"])
+            longest = max(w, h, 1)
+            tw = max(1, (w * _FIT_BOX) // longest)
+            th = max(1, (h * _FIT_BOX) // longest)
+            rows.append(
+                {
+                    "doc_id": rec["doc_id"],
+                    "fake_width": w,
+                    "fake_height": h,
+                    "target_width": tw,
+                    "target_height": th,
+                    "resized_md5": hashlib.md5(
+                        f"{rec['content_md5']}:{tw}x{th}".encode()
+                    ).hexdigest(),
+                }
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+
+@register(
+    "mm_resize_plan",
+    oracle=f"""
+WITH decoded AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         {_duck_hexpair(1)} AS w, {_duck_hexpair(3)} AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS fake_width,
+       CAST(h AS INTEGER) AS fake_height,
+       CAST(GREATEST(1, (w * {_FIT_BOX}) // GREATEST(w, h, 1)) AS INTEGER) AS target_width,
+       CAST(GREATEST(1, (h * {_FIT_BOX}) // GREATEST(w, h, 1)) AS INTEGER) AS target_height,
+       md5(content_md5 || ':' ||
+           CAST(GREATEST(1, (w * {_FIT_BOX}) // GREATEST(w, h, 1)) AS VARCHAR) || 'x' ||
+           CAST(GREATEST(1, (h * {_FIT_BOX}) // GREATEST(w, h, 1)) AS VARCHAR)) AS resized_md5
+FROM decoded
+""",
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two CHAINED Python stages — decode then aspect-preserving
+    fit-to-box resize — exercising the multi-stage media-pipeline shape
+    (each stage an Arrow-batched mapInPandas with its own schema; integer
+    geometry so the oracle is exact).  A real pipeline swaps the stub
+    bodies for codec + resampler, keeping the plumbing."""
+    d = table(spark, sf_dir, "documents")
+    binarized = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    decoded = binarized.mapInPandas(_decode_batches, DECODE_SCHEMA)
+    return decoded.mapInPandas(_resize_batches, RESIZE_SCHEMA)
+
+
+# --- frame sampling (row-expanding stage) -----------------------------------
+
+_FRAME_BYTES = 100
+_MAX_FRAMES_SAMPLED = 8
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            digest = hashlib.md5(payload).hexdigest()
+            n_frames = len(payload) // _FRAME_BYTES + 1
+            stride = max(1, n_frames // _MAX_FRAMES_SAMPLED)
+            for idx in range(0, n_frames, stride):
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_idx": idx,
+                        "n_frames": n_frames,
+                        "frame_md5": hashlib.md5(f"{digest}:{idx}".encode()).hexdigest(),
+                    }
+                )
+        yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+WITH v AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         CAST(octet_length(encode(text)) // {_FRAME_BYTES} + 1 AS INTEGER) AS n_frames
+  FROM documents
+)
+SELECT v.doc_id,
+       CAST(g.i AS INTEGER) AS frame_idx,
+       v.n_frames,
+       md5(v.content_md5 || ':' || CAST(g.i AS VARCHAR)) AS frame_md5
+FROM v CROSS JOIN (
+  SELECT UNNEST(generate_series(0, (SELECT MAX(n_frames) - 1 FROM v))) AS i
+) g
+WHERE g.i < v.n_frames
+  AND g.i % GREATEST(1, v.n_frames // {_MAX_FRAMES_SAMPLED}) = 0
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: a ROW-EXPANDING mapInPandas stage (one
+    input payload -> many frame rows, the fan-out shape of frame
+    extraction), sampling every n_frames//{_MAX_FRAMES_SAMPLED}-th frame.
+    Frame count/ids derive from the payload deterministically so the
+    oracle reproduces the expansion with generate_series."""
+    d = table(spark, sf_dir, "documents")
+    binarized = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return binarized.mapInPandas(_frame_batches, FRAME_SCHEMA)

@@ -51,6 +51,9 @@ _PRIORITY: list[str] = [
     "text_token_bpeish",
     # --- LLM-data pipeline: multimodal plumbing ---
     "mm_decode_metadata",
+    "mm_feature_extract",
+    "mm_resize_plan",
+    "mm_frame_sample",
     # --- TPC-H-derived flagships ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -68,7 +71,6 @@ _PRIORITY: list[str] = [
     "collector_bounce_events",
     "streaming_hourly_rollup",
     # --- aggregation operators ---
-    "agg_distinct_counts",
     "agg_rollup_region_nation",
     "agg_cube_status_priority",
     "agg_grouping_sets",
@@ -85,9 +87,10 @@ _PRIORITY: list[str] = [
     "events_type_matrix",
     "events_tumbling_15min",
     # --- misc window/scalar representatives ---
+    # ---- slot 51+ below: driver-confirmed in r1/r2, pytest-covered ----
+    "agg_distinct_counts",
     "scalar_url_map_funcs",
     "scalar_hash_encode_funcs",
-    # ---- slot 51+ below: driver-confirmed in r1/r2, pytest-covered ----
     "topk_orders",
     "json_props_extract",
     "array_hof_embeddings",
