@@ -219,3 +219,110 @@ def text_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("[^A-Za-z0-9 ]")("n_punct"),
         cnt("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")("n_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed curation pipeline: what a training-data user actually runs —
+# exact-dedup -> quality gate -> language filter, in ONE combined plan
+# (single token explode, single doc_id shuffle for every per-doc statistic,
+# one window for canonicalization) rather than three chained jobs.
+# ---------------------------------------------------------------------------
+
+
+def _lang_pred_case_sql() -> str:
+    langs = list(LANG_MARKERS)
+    case = "CASE "
+    for lang in langs:
+        conds = " AND ".join(f"score_{lang} >= score_{o}" for o in langs if o != lang)
+        case += f"WHEN {conds} THEN '{lang}' "
+    return case + "ELSE 'und' END"
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN w IN ({_sql_in_list(STOPWORDS)}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN w IN ({_sql_in_list(m)}) THEN 1 ELSE 0 END) AS BIGINT) AS score_{lang}"
+             for lang, m in LANG_MARKERS.items()
+         )}
+  FROM toks GROUP BY doc_id
+),
+canon AS (
+  SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+  FROM documents
+)
+SELECT a.doc_id, a.n_tokens,
+       CAST(a.n_stop AS DOUBLE) / a.n_tokens AS stopword_ratio,
+       {_lang_pred_case_sql()} AS lang_pred
+FROM agg a JOIN canon c ON c.doc_id = a.doc_id
+WHERE c.is_canonical
+  AND a.n_tokens BETWEEN 10 AND 100000
+  AND CAST(a.n_stop AS DOUBLE) / a.n_tokens > 0.01
+  AND {_lang_pred_case_sql()} = 'en'
+""",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in one plan: exact-dedup canonical docs
+    that pass the quality gate AND classify as English.
+
+    Composing the registered operators as separate jobs would explode the
+    token stream twice and shuffle three times; this plan computes every
+    per-doc statistic (token count, stopword hits, language scores) in ONE
+    aggregation over ONE explode, joins the md5-window canonical flag, and
+    filters — the shape that matters when the corpus is 100 TB and the
+    token stream is 50x that."""
+    from pyspark.sql import Window
+
+    words = _words_flat(spark, sf_dir)
+    stop = F.col("w").isin(*STOPWORDS)
+    agg = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(stop, 1).otherwise(0)).cast("long").alias("n_stop"),
+        *[
+            F.sum(F.when(F.col("w").isin(*m), 1).otherwise(0)).cast("long").alias(f"score_{lang}")
+            for lang, m in LANG_MARKERS.items()
+        ],
+    )
+    langs = list(LANG_MARKERS)
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+
+    d = table(spark, sf_dir, "documents")
+    canon = d.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy(F.md5("text")))).alias(
+            "is_canonical"
+        ),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return (
+        agg.join(canon, "doc_id")
+        .filter(
+            F.col("is_canonical")
+            & (F.col("n_tokens") >= 10)
+            & (F.col("n_tokens") <= 100000)
+            & (stop_ratio > 0.01)
+            & (pred == "en")
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            stop_ratio.alias("stopword_ratio"),
+            pred.alias("lang_pred"),
+        )
+    )

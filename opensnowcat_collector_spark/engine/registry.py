@@ -49,6 +49,7 @@ _PRIORITY: list[str] = [
     "text_langid",
     "text_fingerprint",
     "text_token_bpeish",
+    "corpus_curation_pipeline",
     # --- LLM-data pipeline: multimodal plumbing ---
     "mm_decode_metadata",
     "mm_feature_extract",
@@ -84,10 +85,10 @@ _PRIORITY: list[str] = [
     "events_hourly_rollup",
     "events_sessionize",
     "events_dedup_latest",
-    "events_type_matrix",
     "events_tumbling_15min",
     # --- misc window/scalar representatives ---
     # ---- slot 51+ below: driver-confirmed in r1/r2, pytest-covered ----
+    "events_type_matrix",
     "agg_distinct_counts",
     "scalar_url_map_funcs",
     "scalar_hash_encode_funcs",
