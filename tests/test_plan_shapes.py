@@ -1,0 +1,70 @@
+"""Physical-plan shape assertions: the scale properties the operators
+advertise must be visible in the executed plan, not just the docstring.
+(Plans only — nothing here executes a job beyond tiny scans.)"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from opensnowcat_collector_spark.engine import registry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    qs = registry.all_queries()
+    return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_curation_pipeline_single_explode(spark, sf_dir):
+    """The fused curation pipeline must explode the token stream exactly
+    once — the whole point of composing dedup+quality+langid in one plan."""
+    plan = _plan(spark, sf_dir, "corpus_curation_pipeline")
+    assert plan.count("Generate explode") == 1, plan
+
+
+def test_ngram_jaccard_no_cartesian(spark, sf_dir):
+    """DF-capped shingle self-join must stay an equi-join on shingle —
+    never a cartesian/broadcast-nested-loop explosion."""
+    plan = _plan(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_no_wide_aggregate(spark, sf_dir):
+    """Minhash signatures must not carry per-doc shingle arrays through
+    the shuffle (collect_set/collect_list were the row-width hazard)."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "collect_set" not in plan and "collect_list" not in plan
+
+
+def test_q3_broadcasts_dim_and_pushes_filters(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*(GreaterThan|LessThan|EqualTo)", plan), plan
+
+
+def test_split_pipeline_single_python_stage(spark):
+    """Only the oversized subset pays a Python stage, and exactly one."""
+    from opensnowcat_collector_spark import pipeline
+    from opensnowcat_collector_spark.config import CollectorConfig
+    from opensnowcat_collector_spark.schema import RAW_REQUEST_SCHEMA
+
+    from .fixtures import raw_requests
+
+    raw = spark.createDataFrame(raw_requests(), RAW_REQUEST_SCHEMA)
+    res = pipeline.run(raw, CollectorConfig(deterministic_now_ms=1705320000000))
+    plan = res.good._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", ["sim_ann_lsh", "sim_ann_multiprobe"])
+def test_ann_probe_partition_filters(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in p for p in pf), plan
