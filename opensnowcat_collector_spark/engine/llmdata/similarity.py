@@ -412,27 +412,24 @@ SELECT query_id, vec_id, label, cosine FROM (
 """,
 )
 def sim_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch ANN — many queries answered by ONE bucket equi-join, the
-    production shape of similarity search at scale: the query set is a
-    table, both sides carry their LSH sketch, the join shuffles on the
-    bucket key (no per-query loop, no driver round-trips), and a
-    per-query window keeps top-k.  With the bucketed/materialized layout
-    the corpus side's shuffle disappears entirely (pre-partitioned on
-    sketch) — this is the join-based twin of ``sim_ann_lsh``'s
-    single-probe partition pruning."""
+    """Batch ANN — many queries answered by ONE bucket equi-join against
+    the MATERIALIZED index, the production shape of similarity search at
+    scale: the query set is a table (no per-query loop, no driver
+    round-trips), the small query side broadcasts, and because the join
+    key is the index's partition column, Spark's dynamic partition
+    pruning restricts the corpus scan to the queries' buckets at runtime
+    (``dynamicpruningexpression`` in the plan — asserted by
+    tests/test_plan_shapes.py).  A per-query window keeps top-k."""
     from pyspark.sql import Window as W
 
-    e = table(spark, sf_dir, "embeddings")
-    sk = e.select(
-        "vec_id", "label", "embedding", sketch_udf()(F.col("embedding")).alias("sketch")
-    )
-    q = sk.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+    idx = spark.read.parquet(build_ann_index(spark, sf_dir))
+    q = idx.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
-        F.col("sketch").alias("qsketch"),
+        F.col("bucket").alias("qbucket"),
     )
-    c = sk.filter(F.col("vec_id") >= N_BATCH_QUERIES)
-    scored = c.join(q, c["sketch"] == q["qsketch"]).select(
+    c = idx.filter(F.col("vec_id") >= N_BATCH_QUERIES)
+    scored = c.join(F.broadcast(q), c["bucket"] == q["qbucket"]).select(
         "query_id",
         "vec_id",
         "label",

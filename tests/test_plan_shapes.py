@@ -68,3 +68,11 @@ def test_ann_probe_partition_filters(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("bucket" in p for p in pf), plan
+
+
+def test_ann_batch_dynamic_partition_pruning(spark, sf_dir):
+    """The batch-ANN bucket join must prune corpus partitions at runtime
+    via DPP (join key = the index's partition column, query side
+    broadcast)."""
+    plan = _plan(spark, sf_dir, "sim_ann_batch")
+    assert "dynamicpruning" in plan.lower(), plan
