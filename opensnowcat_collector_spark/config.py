@@ -64,6 +64,40 @@ class RedirectMacroConfig:
 
 
 @dataclass(frozen=True)
+class P3PConfig:
+    """P3P compact-policy header on event responses — model.scala:41-44,
+    reference.conf:45-48."""
+
+    policy_ref: str = "/w3c/p3p.xml"
+    cp: str = "NOI DSP COR NID PSA OUR IND COM NAV STA"
+
+    @property
+    def header_value(self) -> str:
+        return f'policyref="{self.policy_ref}", CP="{self.cp}"'
+
+
+@dataclass(frozen=True)
+class RootResponseConfig:
+    """Configurable response for '/' — model.scala:90-96,
+    reference.conf:50-55 (default disabled -> 404)."""
+
+    enabled: bool = False
+    status_code: int = 302
+    headers: tuple[tuple[str, str], ...] = ()
+    body: str = ""
+
+
+@dataclass(frozen=True)
+class CrossDomainConfig:
+    """crossdomain.xml policy — model.scala:46-50, reference.conf:11-15
+    (default disabled -> 404, matching the reference's route guard)."""
+
+    enabled: bool = False
+    domains: tuple[str, ...] = ("*",)
+    secure: bool = True
+
+
+@dataclass(frozen=True)
 class BufferConfig:
     """Flush thresholds — reference: model.scala:174; example defaults
     examples/config.kinesis.extended.hocon:253-255.  In Structured
@@ -97,6 +131,9 @@ class CollectorConfig:
     do_not_track_cookie: DoNotTrackCookieConfig = field(default_factory=DoNotTrackCookieConfig)
     cookie_bounce: CookieBounceConfig = field(default_factory=CookieBounceConfig)
     redirect_macro: RedirectMacroConfig = field(default_factory=RedirectMacroConfig)
+    p3p: P3PConfig = field(default_factory=P3PConfig)
+    root_response: RootResponseConfig = field(default_factory=RootResponseConfig)
+    cross_domain: CrossDomainConfig = field(default_factory=CrossDomainConfig)
     redirect_domains: tuple[str, ...] = ()
     paths: dict[str, str] = field(default_factory=dict)  # path mappings, model.scala:234
     use_ip_address_as_partition_key: bool = False  # model.scala:178

@@ -29,8 +29,11 @@ from .config import (
     CollectorConfig,
     CookieBounceConfig,
     CookieConfig,
+    CrossDomainConfig,
     DoNotTrackCookieConfig,
+    P3PConfig,
     RedirectMacroConfig,
+    RootResponseConfig,
     SinkConfig,
 )
 
@@ -251,6 +254,12 @@ REFERENCE_DEFAULTS: dict = {
     "redirectMacro": {"enabled": False},
     "redirectDomains": [],
     "enableDefaultRedirect": False,
+    "crossDomain": {"enabled": False, "domains": ["*"], "secure": True},
+    "p3p": {
+        "policyRef": "/w3c/p3p.xml",
+        "CP": "NOI DSP COR NID PSA OUR IND COM NAV STA",
+    },
+    "rootResponse": {"enabled": False, "statusCode": 302, "headers": {}, "body": ""},
     "streams": {"useIpAddressAsPartitionKey": False},
 }
 
@@ -306,6 +315,9 @@ def collector_config_from_tree(tree: dict, base: CollectorConfig | None = None) 
     dnt = tree.get("doNotTrackCookie", {})
     bounce = tree.get("cookieBounce", {})
     macro = tree.get("redirectMacro", {})
+    p3p = tree.get("p3p", {})
+    rr = tree.get("rootResponse", {})
+    xd = tree.get("crossDomain", {})
     streams = tree.get("streams", {})
     return CollectorConfig(
         app_name=base.app_name,
@@ -327,6 +339,21 @@ def collector_config_from_tree(tree: dict, base: CollectorConfig | None = None) 
         redirect_macro=RedirectMacroConfig(
             enabled=bool(macro.get("enabled", False)),
             placeholder=macro.get("placeholder"),
+        ),
+        p3p=P3PConfig(
+            policy_ref=str(p3p.get("policyRef", "/w3c/p3p.xml")),
+            cp=str(p3p.get("CP", "NOI DSP COR NID PSA OUR IND COM NAV STA")),
+        ),
+        root_response=RootResponseConfig(
+            enabled=bool(rr.get("enabled", False)),
+            status_code=int(rr.get("statusCode", 302)),
+            headers=tuple(sorted((str(k), str(v)) for k, v in (rr.get("headers") or {}).items())),
+            body=str(rr.get("body", "")),
+        ),
+        cross_domain=CrossDomainConfig(
+            enabled=bool(xd.get("enabled", False)),
+            domains=tuple(xd.get("domains", ("*",))),
+            secure=bool(xd.get("secure", True)),
         ),
         redirect_domains=tuple(tree.get("redirectDomains", ())),
         paths=dict(tree.get("paths", {})),

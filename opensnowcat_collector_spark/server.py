@@ -41,10 +41,14 @@ _EVENT_PATH_RE = re.compile(
 )
 _OPS_PATHS = {"/health", "/sink-health", "/crossdomain.xml", "/robots.txt", "/"}
 
-CROSSDOMAIN_XML = (
-    '<?xml version="1.0"?>\n<cross-domain-policy>\n'
-    '  <allow-access-from domain="*" secure="false" />\n</cross-domain-policy>'
-)
+def render_crossdomain_xml(cfg: CollectorConfig) -> str:
+    """CollectorService.scala:222-237: one allow-access-from line per
+    configured domain."""
+    lines = "\n".join(
+        f'  <allow-access-from domain="{d}" secure="{str(cfg.cross_domain.secure).lower()}" />'
+        for d in cfg.cross_domain.domains
+    )
+    return f'<?xml version="1.0"?>\n<cross-domain-policy>\n{lines}\n</cross-domain-policy>'
 
 
 class LandingWriter:
@@ -271,6 +275,9 @@ def make_handler(cfg: CollectorConfig, writer: LandingWriter, sinks: tuple = ())
             if sc:
                 extra.append(("Set-Cookie", sc))
             extra.append(("Cache-Control", "no-cache, no-store, must-revalidate"))
+            # P3P compact policy rides on every event response
+            # (CollectorService.scala:167)
+            extra.append(("P3P", cfg.p3p.header_value))
 
             if bounce:
                 return self._respond(
@@ -322,10 +329,22 @@ def make_handler(cfg: CollectorConfig, writer: LandingWriter, sinks: tuple = ())
                     return self._respond(503, detail or b"sink unhealthy", "text/plain")
                 return self._respond(200, b"OK", "text/plain")
             if path == "/crossdomain.xml":
-                return self._respond(200, CROSSDOMAIN_XML.encode(), "text/xml")
+                # route guard: 404 unless enabled (CollectorService.scala:222-237)
+                if not cfg.cross_domain.enabled:
+                    return self._respond(404, b"404 not found", "text/plain")
+                return self._respond(
+                    200, render_crossdomain_xml(cfg).encode(), "text/xml"
+                )
             if path == "/robots.txt":
                 return self._respond(200, b"User-agent: *\nDisallow: /", "text/plain")
-            return self._respond(302, b"", "text/plain", [("Location", "/health")])
+            # rootResponse (CollectorService.scala:239-248): configurable
+            # status/headers/body for '/', 404 when disabled
+            rr = cfg.root_response
+            if not rr.enabled:
+                return self._respond(404, b"404 not found", "text/plain")
+            return self._respond(
+                rr.status_code, rr.body.encode(), "text/plain", list(rr.headers)
+            )
 
         def do_GET(self):
             self._handle("GET")

@@ -195,3 +195,27 @@ unknownTopLevel { whatever = 1 }
     assert cfg.good_sink.kind == "kinesis"
     assert cfg.good_sink.max_bytes == 1000000
     assert cfg.good_sink.options == {"region": "eu-central-1", "streamName": "raw"}
+
+
+def test_response_config_blocks_mapped():
+    text = """
+p3p { policyRef = "/w3c/p3p.xml", CP = "NOI DSP" }
+rootResponse {
+  enabled = true
+  statusCode = 302
+  body = "moved"
+}
+crossDomain {
+  enabled = true
+  domains = [ "*.acme.com" ]
+  secure = false
+}
+"""
+    cfg = load_collector_config(text=text)
+    assert cfg.p3p.cp == "NOI DSP"
+    assert cfg.p3p.header_value == 'policyref="/w3c/p3p.xml", CP="NOI DSP"'
+    assert cfg.root_response.enabled and cfg.root_response.status_code == 302
+    assert cfg.root_response.body == "moved"
+    assert cfg.cross_domain.enabled
+    assert cfg.cross_domain.domains == ("*.acme.com",)
+    assert cfg.cross_domain.secure is False

@@ -12,8 +12,10 @@ import pytest
 from opensnowcat_collector_spark.config import (
     CollectorConfig,
     CookieBounceConfig,
+    CrossDomainConfig,
     DoNotTrackCookieConfig,
     RedirectMacroConfig,
+    RootResponseConfig,
 )
 from opensnowcat_collector_spark.server import PIXEL_GIF, CollectorServer
 
@@ -25,6 +27,11 @@ def server(tmp_path):
         do_not_track_cookie=DoNotTrackCookieConfig(enabled=True, name="dnt", value="opt-out"),
         redirect_macro=RedirectMacroConfig(enabled=True),
         redirect_domains=("example.com",),
+        cross_domain=CrossDomainConfig(enabled=True, domains=("*.example.com", "acme.org")),
+        root_response=RootResponseConfig(
+            enabled=True, status_code=302,
+            headers=(("Location", "https://www.example.com"),), body="moved",
+        ),
     )
     srv = CollectorServer(cfg, str(tmp_path / "landing"))
     srv.start()
@@ -298,3 +305,34 @@ def test_sink_health_endpoint_follows_probe(tmp_path):
         assert _get(f"{base}/sink-health").status == 200
     finally:
         srv.stop()
+
+
+def test_p3p_root_and_crossdomain_config(server, tmp_path):
+    """Response-config parity (CollectorService.scala:167,222-248): P3P
+    header on event responses, config-rendered crossdomain.xml, and the
+    configurable rootResponse; disabled crossDomain/root -> 404."""
+    srv, _ = server
+    base = f"http://127.0.0.1:{srv.port}"
+    with _get(f"{base}/i?e=pv") as resp:
+        assert resp.headers["P3P"] == 'policyref="/w3c/p3p.xml", CP="NOI DSP COR NID PSA OUR IND COM NAV STA"'
+    xml = _get(f"{base}/crossdomain.xml").read().decode()
+    assert '<allow-access-from domain="*.example.com" secure="true" />' in xml
+    assert '<allow-access-from domain="acme.org" secure="true" />' in xml
+    try:
+        _get(f"{base}/")
+        raise AssertionError("expected 302 rootResponse")
+    except urllib.error.HTTPError as e:
+        assert e.code == 302
+        assert e.headers["Location"] == "https://www.example.com"
+    # disabled variants -> 404 (reference route guard)
+    srv2 = CollectorServer(CollectorConfig(), str(tmp_path / "landing2"))
+    srv2.start()
+    try:
+        for p in ("/", "/crossdomain.xml"):
+            try:
+                _get(f"http://127.0.0.1:{srv2.port}{p}")
+                raise AssertionError("expected 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+    finally:
+        srv2.stop()
