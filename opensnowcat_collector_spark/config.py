@@ -134,6 +134,9 @@ class CollectorConfig:
     p3p: P3PConfig = field(default_factory=P3PConfig)
     root_response: RootResponseConfig = field(default_factory=RootResponseConfig)
     cross_domain: CrossDomainConfig = field(default_factory=CrossDomainConfig)
+    #: reference.conf:1 default false: /r/* answers 404 "redirects
+    #: disabled" unless explicitly enabled (CollectorRoute.scala:43-49)
+    enable_default_redirect: bool = False
     redirect_domains: tuple[str, ...] = ()
     paths: dict[str, str] = field(default_factory=dict)  # path mappings, model.scala:234
     use_ip_address_as_partition_key: bool = False  # model.scala:178

@@ -355,6 +355,7 @@ def collector_config_from_tree(tree: dict, base: CollectorConfig | None = None) 
             domains=tuple(xd.get("domains", ("*",))),
             secure=bool(xd.get("secure", True)),
         ),
+        enable_default_redirect=bool(tree.get("enableDefaultRedirect", False)),
         redirect_domains=tuple(tree.get("redirectDomains", ())),
         paths=dict(tree.get("paths", {})),
         use_ip_address_as_partition_key=bool(

@@ -245,6 +245,10 @@ def make_handler(cfg: CollectorConfig, writer: LandingWriter, sinks: tuple = ())
                 return self._ops(path)
             if not _EVENT_PATH_RE.match(path):
                 return self._respond(404, b"not found", "text/plain")
+            # CollectorRoute.scala:43-49: reject /r/* before any event
+            # handling unless default redirects are enabled
+            if path.startswith("/r/") and not cfg.enable_default_redirect:
+                return self._respond(404, b"redirects disabled", "text/plain")
             length = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(length).decode("utf-8") if length else None
             row = self._raw_row(method, body)

@@ -26,6 +26,7 @@ def server(tmp_path):
         deterministic_now_ms=1705320000000,
         do_not_track_cookie=DoNotTrackCookieConfig(enabled=True, name="dnt", value="opt-out"),
         redirect_macro=RedirectMacroConfig(enabled=True),
+        enable_default_redirect=True,
         redirect_domains=("example.com",),
         cross_domain=CrossDomainConfig(enabled=True, domains=("*.example.com", "acme.org")),
         root_response=RootResponseConfig(
@@ -336,3 +337,21 @@ def test_p3p_root_and_crossdomain_config(server, tmp_path):
                 assert e.code == 404
     finally:
         srv2.stop()
+
+
+def test_redirects_disabled_by_default(tmp_path):
+    """CollectorRoute.scala:43-49: with the default
+    enableDefaultRedirect=false, /r/* answers 404 'redirects disabled'
+    and stores nothing."""
+    srv = CollectorServer(CollectorConfig(), str(tmp_path / "landing"))
+    srv.start()
+    try:
+        try:
+            _get(f"http://127.0.0.1:{srv.port}/r/tp2?u=https%3A%2F%2Fexample.com%2Fx")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+            assert e.read() == b"redirects disabled"
+        assert _rows(srv) == []
+    finally:
+        srv.stop()
