@@ -98,6 +98,25 @@ class CrossDomainConfig:
 
 
 @dataclass(frozen=True)
+class TelemetryConfig:
+    """Heartbeat endpoint/schedule — reference.conf:64-72, model.scala
+    TelemetryConfig.  ``disable`` (not ``enabled``) matches the
+    reference's knob name."""
+
+    disable: bool = False
+    interval_ms: int = 60 * 60 * 1000  # "60 minutes"
+    method: str = "POST"
+    url: str = "sp.snowcatcloud.com"
+    port: int = 443
+    secure: bool = True
+
+    @property
+    def endpoint(self) -> str:
+        scheme = "https" if self.secure else "http"
+        return f"{scheme}://{self.url}:{self.port}/com.snowplowanalytics.snowplow/tp2"
+
+
+@dataclass(frozen=True)
 class BufferConfig:
     """Flush thresholds — reference: model.scala:174; example defaults
     examples/config.kinesis.extended.hocon:253-255.  In Structured
@@ -142,6 +161,9 @@ class CollectorConfig:
     use_ip_address_as_partition_key: bool = False  # model.scala:178
     good_sink: SinkConfig = field(default_factory=SinkConfig)
     bad_sink: SinkConfig = field(default_factory=SinkConfig)
+    telemetry: TelemetryConfig = field(default_factory=TelemetryConfig)
+    #: graceful-drain budget (X4) — reference.conf terminationDeadline
+    termination_deadline_ms: int = 10000
     # engine-only knob: freeze nondeterministic exprs (uuid/now) for tests —
     # when set, uuids derive from request_id and "now" is this epoch-millis.
     deterministic_now_ms: int | None = None

@@ -35,6 +35,7 @@ from .config import (
     RedirectMacroConfig,
     RootResponseConfig,
     SinkConfig,
+    TelemetryConfig,
 )
 
 _DURATION_UNITS_MS = {
@@ -260,6 +261,15 @@ REFERENCE_DEFAULTS: dict = {
         "CP": "NOI DSP COR NID PSA OUR IND COM NAV STA",
     },
     "rootResponse": {"enabled": False, "statusCode": 302, "headers": {}, "body": ""},
+    "telemetry": {
+        "disable": False,
+        "interval": "60 minutes",
+        "method": "POST",
+        "url": "sp.snowcatcloud.com",
+        "port": 443,
+        "secure": True,
+    },
+    "terminationDeadline": "10.seconds",
     "streams": {"useIpAddressAsPartitionKey": False},
 }
 
@@ -318,6 +328,7 @@ def collector_config_from_tree(tree: dict, base: CollectorConfig | None = None) 
     p3p = tree.get("p3p", {})
     rr = tree.get("rootResponse", {})
     xd = tree.get("crossDomain", {})
+    tel = tree.get("telemetry", {})
     streams = tree.get("streams", {})
     return CollectorConfig(
         app_name=base.app_name,
@@ -363,6 +374,17 @@ def collector_config_from_tree(tree: dict, base: CollectorConfig | None = None) 
         ),
         good_sink=_sink_config(streams, base.good_sink),
         bad_sink=_sink_config(streams, base.bad_sink),
+        telemetry=TelemetryConfig(
+            disable=bool(tel.get("disable", False)),
+            interval_ms=parse_duration_ms(tel.get("interval", "60 minutes")),
+            method=str(tel.get("method", "POST")),
+            url=str(tel.get("url", "sp.snowcatcloud.com")),
+            port=int(tel.get("port", 443)),
+            secure=bool(tel.get("secure", True)),
+        ),
+        termination_deadline_ms=parse_duration_ms(
+            tree.get("terminationDeadline", "10.seconds")
+        ),
         deterministic_now_ms=base.deterministic_now_ms,
     )
 

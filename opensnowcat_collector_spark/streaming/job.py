@@ -87,12 +87,17 @@ class StreamingCollector:
             writer = writer.trigger(processingTime=f"{self.cfg.good_sink.buffer.time_limit_ms} milliseconds")
         return writer.start()
 
-    def stop(self, query: StreamingQuery, grace_seconds: float = 10.0) -> None:
+    def stop(self, query: StreamingQuery, grace_seconds: float | None = None) -> None:
         """X4 graceful drain (Collector.scala:206-233 analogue): let the
         in-flight micro-batch finish, stop the query, then shut both sinks
-        down.  Checkpointing makes redelivery-on-restart safe, so this is
-        strictly stronger than the reference's best-effort flush."""
+        down.  The drain budget defaults to the configured
+        terminationDeadline.  Checkpointing makes redelivery-on-restart
+        safe, so this is strictly stronger than the reference's
+        best-effort flush."""
         import time as _time
+
+        if grace_seconds is None:
+            grace_seconds = self.cfg.termination_deadline_ms / 1000.0
 
         deadline = _time.monotonic() + grace_seconds
         while query.isActive and query.status["isDataAvailable"] and _time.monotonic() < deadline:

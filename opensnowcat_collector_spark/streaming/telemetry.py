@@ -65,12 +65,18 @@ def build_telemetry_payload(
 
 def send_heartbeat(
     cfg: CollectorConfig,
-    url: str = "https://telemetry-g.snowplowanalytics.com/com.snowplowanalytics.snowplow/tp2",
+    url: str | None = None,
     post: Callable[[str, bytes], int] | None = None,
     **payload_kw,
 ) -> int:
     """One heartbeat POST; transport injectable (tests never hit the
-    network).  Returns the HTTP status."""
+    network).  Returns the HTTP status, or -1 when telemetry is disabled
+    by config (reference: TelemetryAkkaService gates on !disable).  The
+    endpoint defaults to the configured telemetry url/port/secure."""
+    if cfg.telemetry.disable:
+        return -1
+    if url is None:
+        url = cfg.telemetry.endpoint
     body = json.dumps(build_telemetry_payload(cfg, **payload_kw)).encode("utf-8")
     if post is None:
         from urllib.request import Request, urlopen  # noqa: PLC0415

@@ -219,3 +219,27 @@ crossDomain {
     assert cfg.cross_domain.enabled
     assert cfg.cross_domain.domains == ("*.acme.com",)
     assert cfg.cross_domain.secure is False
+
+
+def test_telemetry_and_termination_mapped():
+    text = """
+telemetry {
+  disable = true
+  interval = 5 minutes
+  url = "collector.internal.example"
+  port = 8443
+  secure = true
+}
+terminationDeadline = 30.seconds
+"""
+    cfg = load_collector_config(text=text)
+    assert cfg.telemetry.disable is True
+    assert cfg.telemetry.interval_ms == 5 * 60 * 1000
+    assert cfg.telemetry.endpoint == (
+        "https://collector.internal.example:8443/com.snowplowanalytics.snowplow/tp2"
+    )
+    assert cfg.termination_deadline_ms == 30000
+    # disabled telemetry short-circuits the heartbeat
+    from opensnowcat_collector_spark.streaming.telemetry import send_heartbeat
+
+    assert send_heartbeat(cfg, post=lambda u, b: 200) == -1
