@@ -37,3 +37,35 @@ class MetricsListener(StreamingQueryListener):
 
     def onQueryIdle(self, event) -> None:
         pass
+
+
+class StatsdEmitter:
+    """StatsD line emitter over UDP (reference:
+    monitoring.metrics.statsd block, reference.conf:74-83; the Scala side
+    reports through a Datadog/StatsD registry).  Wire format:
+    ``<prefix>.<name>:<value>|<type>`` one metric per datagram; the
+    socket is injectable so tests assert the exact lines without a
+    network."""
+
+    def __init__(self, hostname: str = "localhost", port: int = 8125,
+                 prefix: str = "snowplow.collector", send=None):
+        self.addr = (hostname, port)
+        self.prefix = prefix
+        if send is None:
+            import socket
+
+            sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+            def send(data: bytes) -> None:
+                sock.sendto(data, self.addr)
+
+        self._send = send
+
+    def gauge(self, name: str, value) -> None:
+        self._send(f"{self.prefix}.{name}:{value}|g".encode())
+
+    def count(self, name: str, value: int = 1) -> None:
+        self._send(f"{self.prefix}.{name}:{value}|c".encode())
+
+    def __call__(self, name: str, value) -> None:  # MetricsListener emit hook
+        self.gauge(name, value)

@@ -145,3 +145,33 @@ def test_dnt_matches_regex_fullmatch():
     d = DoNotTrackCookieConfig(enabled=True, name="dnt", value="opt-(out|away)")
     assert d.matches("opt-out") and d.matches("opt-away")
     assert not d.matches("opt-outX") and not d.matches(None)
+
+
+def test_statsd_emitter_lines_and_listener_hookup():
+    """StatsD wire format + the MetricsListener emit hook (reference:
+    monitoring.metrics.statsd, reference.conf:74-83)."""
+    from types import SimpleNamespace
+
+    from opensnowcat_collector_spark.streaming.listeners import (
+        MetricsListener,
+        StatsdEmitter,
+    )
+
+    sent: list[bytes] = []
+    emitter = StatsdEmitter(prefix="snowplow.collector", send=sent.append)
+    emitter.count("good", 3)
+    emitter.gauge("latency_ms", 12.5)
+    assert sent == [
+        b"snowplow.collector.good:3|c",
+        b"snowplow.collector.latency_ms:12.5|g",
+    ]
+
+    sent.clear()
+    listener = MetricsListener(emit=emitter)
+    progress = SimpleNamespace(
+        batchId=7, numInputRows=42, processedRowsPerSecond=1234.5,
+        durationMs={"triggerExecution": 10},
+    )
+    listener.onQueryProgress(SimpleNamespace(progress=progress))
+    assert listener.progress_events[0]["num_input_rows"] == 42
+    assert b"snowplow.collector.collector.batch.input_rows:42|g" in sent[0]
