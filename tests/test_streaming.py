@@ -399,3 +399,44 @@ def test_rows_appended_after_stream_start_all_processed(spark, tmp_path):
         q.stop()
         q.awaitTermination(30)
         writer.close()
+
+
+def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
+    """Exactly-once across restarts: a query stopped and restarted from
+    its checkpoint must neither re-deliver the already-committed batch
+    nor lose rows that arrived while it was down (the guarantee that
+    replaces the reference's best-effort shutdown flush)."""
+    from opensnowcat_collector_spark.server import LandingWriter
+
+    from .fixtures import _req
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    writer = LandingWriter(landing, rotate_rows=1000, rotate_secs=60)
+
+    def append(i):
+        r = _req(i, querystring=f"e=pv&nuid=u-{i}")
+        r["request_time"] = r["request_time"].isoformat()
+        writer.append(r)
+
+    cfg = CollectorConfig(deterministic_now_ms=1705320000000)
+    good, bad = MemorySink(), MemorySink()
+    job = StreamingCollector(spark, cfg, good, bad)
+
+    for i in range(3):
+        append(i)
+    writer.flush()
+    q = job.start(job.source_from_files(landing), ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert len(good.rows) == 3
+
+    # rows arriving while the query is down
+    for i in range(10, 13):
+        append(i)
+    writer.flush()
+    q2 = job.start(job.source_from_files(landing), ckpt, available_now=True)
+    q2.awaitTermination(120)
+    writer.close()
+
+    ids = sorted(r["network_user_id"] for r in good.rows)
+    assert ids == ["u-0", "u-1", "u-10", "u-11", "u-12", "u-2"], ids
