@@ -164,6 +164,13 @@ class CollectorConfig:
     telemetry: TelemetryConfig = field(default_factory=TelemetryConfig)
     #: graceful-drain budget (X4) — reference.conf terminationDeadline
     termination_deadline_ms: int = 10000
+    #: pre-termination drain window — reference.conf preTerminationPeriod:
+    #: keep serving for this long after shutdown begins so load balancers
+    #: can drain connections
+    pre_termination_period_ms: int = 10000
+    #: reference.conf preTerminationUnhealthy: report /health 503 while
+    #: draining so LBs stop routing new requests
+    pre_termination_unhealthy: bool = False
     # engine-only knob: freeze nondeterministic exprs (uuid/now) for tests —
     # when set, uuids derive from request_id and "now" is this epoch-millis.
     deterministic_now_ms: int | None = None

@@ -385,6 +385,10 @@ def collector_config_from_tree(tree: dict, base: CollectorConfig | None = None) 
         termination_deadline_ms=parse_duration_ms(
             tree.get("terminationDeadline", "10.seconds")
         ),
+        pre_termination_period_ms=parse_duration_ms(
+            tree.get("preTerminationPeriod", "10.seconds")
+        ),
+        pre_termination_unhealthy=bool(tree.get("preTerminationUnhealthy", False)),
         deterministic_now_ms=base.deterministic_now_ms,
     )
 

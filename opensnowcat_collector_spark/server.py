@@ -321,6 +321,13 @@ def make_handler(cfg: CollectorConfig, writer: LandingWriter, sinks: tuple = ())
 
         def _ops(self, path: str):
             if path == "/health":
+                # preTerminationUnhealthy (Collector.scala pre-termination
+                # hook): flip liveness to 503 while draining so load
+                # balancers stop routing before the listener closes
+                if cfg.pre_termination_unhealthy and getattr(
+                    self.server, "draining", False
+                ):
+                    return self._respond(503, b"shutting down", "text/plain")
                 return self._respond(200, b"OK", "text/plain")
             if path == "/sink-health":
                 # 503 while any attached sink's (actively-probed) health is
@@ -386,10 +393,20 @@ class CollectorServer:
         self._thread: threading.Thread | None = None
 
     def start(self) -> None:
+        self.httpd.draining = False
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         self._thread.start()
 
-    def stop(self) -> None:
+    def stop(self, drain_wait_s: float | None = None) -> None:
+        """Graceful shutdown: optionally mark /health unhealthy and keep
+        serving for the pre-termination period (reference
+        preTerminationPeriod/preTerminationUnhealthy) before closing the
+        listener and publishing the last landing file."""
+        self.httpd.draining = True
+        if drain_wait_s:
+            import time as _time
+
+            _time.sleep(drain_wait_s)
         self.httpd.shutdown()
         self.httpd.server_close()
         self.writer.close()

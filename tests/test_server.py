@@ -355,3 +355,25 @@ def test_redirects_disabled_by_default(tmp_path):
         assert _rows(srv) == []
     finally:
         srv.stop()
+
+
+def test_pre_termination_unhealthy(tmp_path):
+    """preTerminationUnhealthy: once shutdown begins, /health flips to 503
+    while the listener keeps serving (LB drain window); event requests
+    still succeed during the drain."""
+    cfg = CollectorConfig(pre_termination_unhealthy=True)
+    srv = CollectorServer(cfg, str(tmp_path / "landing"))
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        assert _get(f"{base}/health").status == 200
+        srv.httpd.draining = True  # what stop() sets before the drain wait
+        try:
+            _get(f"{base}/health")
+            raise AssertionError("expected 503 while draining")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+        # events still served during the drain window
+        assert _get(f"{base}/i?e=pv").status == 200
+    finally:
+        srv.stop()
