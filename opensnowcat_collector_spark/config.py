@@ -98,6 +98,13 @@ class CrossDomainConfig:
 
 
 @dataclass(frozen=True)
+class CORSConfig:
+    """reference.conf:60-62 cors block — preflight cache lifetime."""
+
+    access_control_max_age_ms: int = 60 * 60 * 1000  # "60 minutes"
+
+
+@dataclass(frozen=True)
 class TelemetryConfig:
     """Heartbeat endpoint/schedule — reference.conf:64-72, model.scala
     TelemetryConfig.  ``disable`` (not ``enabled``) matches the
@@ -153,6 +160,7 @@ class CollectorConfig:
     p3p: P3PConfig = field(default_factory=P3PConfig)
     root_response: RootResponseConfig = field(default_factory=RootResponseConfig)
     cross_domain: CrossDomainConfig = field(default_factory=CrossDomainConfig)
+    cors: CORSConfig = field(default_factory=CORSConfig)
     #: reference.conf:1 default false: /r/* answers 404 "redirects
     #: disabled" unless explicitly enabled (CollectorRoute.scala:43-49)
     enable_default_redirect: bool = False

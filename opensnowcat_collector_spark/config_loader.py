@@ -29,6 +29,7 @@ from .config import (
     CollectorConfig,
     CookieBounceConfig,
     CookieConfig,
+    CORSConfig,
     CrossDomainConfig,
     DoNotTrackCookieConfig,
     P3PConfig,
@@ -269,6 +270,7 @@ REFERENCE_DEFAULTS: dict = {
         "port": 443,
         "secure": True,
     },
+    "cors": {"accessControlMaxAge": "60 minutes"},
     "terminationDeadline": "10.seconds",
     "streams": {"useIpAddressAsPartitionKey": False},
 }
@@ -365,6 +367,11 @@ def collector_config_from_tree(tree: dict, base: CollectorConfig | None = None) 
             enabled=bool(xd.get("enabled", False)),
             domains=tuple(xd.get("domains", ("*",))),
             secure=bool(xd.get("secure", True)),
+        ),
+        cors=CORSConfig(
+            access_control_max_age_ms=parse_duration_ms(
+                (tree.get("cors") or {}).get("accessControlMaxAge", "60 minutes")
+            ),
         ),
         enable_default_redirect=bool(tree.get("enableDefaultRedirect", False)),
         redirect_domains=tuple(tree.get("redirectDomains", ())),

@@ -372,7 +372,10 @@ def make_handler(cfg: CollectorConfig, writer: LandingWriter, sinks: tuple = ())
                 [("Access-Control-Allow-Origin", self.headers.get("Origin") or "*"),
                  ("Access-Control-Allow-Methods", "GET, POST, OPTIONS"),
                  ("Access-Control-Allow-Headers", "Content-Type, SP-Anonymous"),
-                 ("Access-Control-Allow-Credentials", "true")],
+                 ("Access-Control-Allow-Credentials", "true"),
+                 # reference cors.accessControlMaxAge (reference.conf:60-62)
+                 ("Access-Control-Max-Age",
+                  str(cfg.cors.access_control_max_age_ms // 1000))],
             )
 
     return Handler

@@ -243,3 +243,8 @@ terminationDeadline = 30.seconds
     from opensnowcat_collector_spark.streaming.telemetry import send_heartbeat
 
     assert send_heartbeat(cfg, post=lambda u, b: 200) == -1
+
+
+def test_cors_max_age_mapped():
+    cfg = load_collector_config(text='cors { accessControlMaxAge = 5 minutes }')
+    assert cfg.cors.access_control_max_age_ms == 300000

@@ -377,3 +377,16 @@ def test_pre_termination_unhealthy(tmp_path):
         assert _get(f"{base}/i?e=pv").status == 200
     finally:
         srv.stop()
+
+
+def test_cors_preflight_max_age(server):
+    srv, _ = server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/com.snowplowanalytics.snowplow/tp2",
+        method="OPTIONS",
+        headers={"Origin": "https://shop.example.com"},
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        assert resp.headers["Access-Control-Allow-Origin"] == "https://shop.example.com"
+        assert resp.headers["Access-Control-Max-Age"] == "3600"
+        assert resp.headers["Access-Control-Allow-Credentials"] == "true"
