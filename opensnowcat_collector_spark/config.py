@@ -179,6 +179,14 @@ class CollectorConfig:
     #: reference.conf preTerminationUnhealthy: report /health 503 while
     #: draining so LBs stop routing new requests
     pre_termination_unhealthy: bool = False
+    #: experimental bridge toggles (reference.conf experimental block,
+    #: both default false): when off, the vendor paths fall through as
+    #: plain /{vendor}/{version} events with no rewrite/fan-out, exactly
+    #: like the reference's conditional route dispatch
+    enable_analyticsjs_bridge: bool = False
+    enable_amplitude_bridge: bool = False
+    #: F5 Amplitude origin allowlist (AmplitudeBridge.scala:56-112)
+    amplitude_allowed_domains: tuple[str, ...] = ()
     # engine-only knob: freeze nondeterministic exprs (uuid/now) for tests —
     # when set, uuids derive from request_id and "now" is this epoch-millis.
     deterministic_now_ms: int | None = None

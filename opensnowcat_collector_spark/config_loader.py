@@ -396,6 +396,12 @@ def collector_config_from_tree(tree: dict, base: CollectorConfig | None = None) 
             tree.get("preTerminationPeriod", "10.seconds")
         ),
         pre_termination_unhealthy=bool(tree.get("preTerminationUnhealthy", False)),
+        enable_analyticsjs_bridge=bool(
+            (tree.get("experimental") or {}).get("enableAnalyticsJsBridge", False)
+        ),
+        enable_amplitude_bridge=bool(
+            (tree.get("experimental") or {}).get("enableAmplitudeBridge", False)
+        ),
         deterministic_now_ms=base.deterministic_now_ms,
     )
 

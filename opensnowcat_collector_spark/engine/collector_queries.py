@@ -36,6 +36,10 @@ _CFG = CollectorConfig(
     do_not_track_cookie=DoNotTrackCookieConfig(enabled=True, name="dnt", value="opt-out"),
     paths={"/ice.png": "/i"},
     use_ip_address_as_partition_key=True,
+    # the roundtrip query exercises both bridges (reference default is
+    # off; enabled here exactly like the reference's bridge test configs)
+    enable_analyticsjs_bridge=True,
+    enable_amplitude_bridge=True,
 )
 
 # DuckDB replica of identity._uuid_expr's deterministic v4-shaped UUID.

@@ -60,8 +60,18 @@ def enrich(raw: DataFrame, cfg: CollectorConfig) -> DataFrame:
     df = privacy.set_cookie_struct(df, cfg)
     df = privacy.redirect_allowed(df, cfg)
     df = privacy.redirect_location(df, cfg)
-    df = analyticsjs.rewrite(df)
-    df = amplitude.fan_out(df)
+    # bridge dispatch mirrors the reference's conditional route table
+    # (CollectorRoute.scala bridges map, experimental.enable*Bridge):
+    # disabled bridges contribute null columns and the vendor paths fall
+    # through as plain events
+    if cfg.enable_analyticsjs_bridge:
+        df = analyticsjs.rewrite(df)
+    else:
+        df = analyticsjs.disabled(df)
+    if cfg.enable_amplitude_bridge:
+        df = amplitude.fan_out(df, cfg.amplitude_allowed_domains)
+    else:
+        df = amplitude.disabled(df)
     return df
 
 

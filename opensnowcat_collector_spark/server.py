@@ -304,7 +304,7 @@ def make_handler(cfg: CollectorConfig, writer: LandingWriter, sinks: tuple = ())
                     target = target.replace(token, nuid)
                 return self._respond(302, b"", "text/plain",
                                      extra + [("Location", target)])
-            if path.startswith("/com.amplitude/"):
+            if path.startswith("/com.amplitude/") and cfg.enable_amplitude_bridge:
                 n = 0
                 try:
                     n = len(json.loads(body or "{}").get("events", []))

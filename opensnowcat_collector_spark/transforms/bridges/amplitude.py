@@ -43,6 +43,17 @@ def origin_allowed(origin: Column, allowed_domains: tuple[str, ...]) -> Column:
     return F.coalesce(conds, F.lit(False))
 
 
+def disabled(df: DataFrame) -> DataFrame:
+    """Bridge switched off (experimental.enableAmplitudeBridge=false, the
+    reference default): Amplitude-path requests fall through as plain
+    vendor events — same columns, null/false, no explode."""
+    return (
+        df.withColumn("is_amplitude", F.lit(False))
+        .withColumn("amp_valid", F.lit(None).cast("boolean"))
+        .withColumn("amp_events", F.lit(None).cast("array<string>"))
+    )
+
+
 def fan_out(df: DataFrame, allowed_domains: tuple[str, ...] = ()) -> DataFrame:
     """Explode Amplitude batches into one row per event with the rewritten
     Snowplow body.  Non-Amplitude rows pass through untouched with

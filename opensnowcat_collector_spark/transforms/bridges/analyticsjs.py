@@ -45,6 +45,20 @@ def _event_schema_expr(seg: Column) -> Column:
     return mapping[seg]
 
 
+def disabled(df: DataFrame) -> DataFrame:
+    """Bridge switched off (experimental.enableAnalyticsJsBridge=false,
+    the reference default): Segment-path requests fall through as plain
+    /{vendor}/{version} events — same columns, all null/false, so the
+    pipeline's coalesces keep the original body/path untouched."""
+    return (
+        df.withColumn("is_analyticsjs", F.lit(False))
+        .withColumn("ajs_valid", F.lit(None).cast("boolean"))
+        .withColumn("ajs_body", F.lit(None).cast("string"))
+        .withColumn("ajs_path", F.lit(None).cast("string"))
+        .withColumn("ajs_content_type", F.lit(None).cast("string"))
+    )
+
+
 def rewrite(df: DataFrame) -> DataFrame:
     """Adds ``ajs_body`` (the rewritten payload_data envelope),
     ``ajs_path`` (canonical tp2 path), and ``ajs_content_type``

@@ -248,3 +248,14 @@ terminationDeadline = 30.seconds
 def test_cors_max_age_mapped():
     cfg = load_collector_config(text='cors { accessControlMaxAge = 5 minutes }')
     assert cfg.cors.access_control_max_age_ms == 300000
+
+
+def test_experimental_bridge_flags_mapped():
+    cfg = load_collector_config(text="")
+    assert cfg.enable_analyticsjs_bridge is False  # reference default
+    assert cfg.enable_amplitude_bridge is False
+    cfg = load_collector_config(
+        text="experimental {\n  enableAnalyticsJsBridge = true\n  enableAmplitudeBridge = true\n}\n"
+    )
+    assert cfg.enable_analyticsjs_bridge is True
+    assert cfg.enable_amplitude_bridge is True

@@ -25,6 +25,8 @@ CFG = CollectorConfig(
     deterministic_now_ms=1705320000000,
     do_not_track_cookie=DoNotTrackCookieConfig(enabled=True, name="dnt", value="1|yes"),
     cookie=CookieConfig(domains=("example.com",), fallback_domain="fallback.example"),
+    enable_analyticsjs_bridge=True,
+    enable_amplitude_bridge=True,
 )
 
 
@@ -201,3 +203,42 @@ def test_duplicate_key_survives_exception_policy_session(spark):
         assert [r["request_id"] for r in rows] == ["req-0099"]
     finally:
         spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
+
+def test_bridges_disabled_fall_through(spark):
+    """With the reference-default experimental flags (both bridges off),
+    Segment and Amplitude POSTs store as PLAIN vendor events: original
+    body and path, no rewrite, no fan-out (CollectorRoute's conditional
+    bridge dispatch)."""
+    from opensnowcat_collector_spark.schema import RAW_REQUEST_SCHEMA
+
+    from .fixtures import AMPLITUDE_BATCH_BODY, SEGMENT_PAGE_BODY, _req
+
+    reqs = [
+        _req(
+            0,
+            method="POST",
+            path="/com.segment/v1/p",
+            body=SEGMENT_PAGE_BODY,
+            content_type="text/plain",
+            querystring=None,
+        ),
+        _req(
+            1,
+            method="POST",
+            path="/com.amplitude/2/httpapi",
+            body=AMPLITUDE_BATCH_BODY,
+            content_type="application/json",
+            querystring=None,
+        ),
+    ]
+    cfg = CollectorConfig(deterministic_now_ms=1705320000000)  # bridges off
+    raw = spark.createDataFrame(reqs, RAW_REQUEST_SCHEMA)
+    good = pipeline.run(raw, cfg).good.collect()
+    by_req = {r["request_id"]: r for r in good}
+    assert len(good) == 2  # no amplitude fan-out
+    assert by_req["req-0000"]["body"] == SEGMENT_PAGE_BODY
+    assert by_req["req-0000"]["path"] == "/com.segment/v1/p"
+    assert by_req["req-0000"]["content_type"] == "text/plain"
+    assert by_req["req-0001"]["body"] == AMPLITUDE_BATCH_BODY
+    assert by_req["req-0001"]["path"] == "/com.amplitude/2/httpapi"

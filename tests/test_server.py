@@ -27,6 +27,7 @@ def server(tmp_path):
         do_not_track_cookie=DoNotTrackCookieConfig(enabled=True, name="dnt", value="opt-out"),
         redirect_macro=RedirectMacroConfig(enabled=True),
         enable_default_redirect=True,
+        enable_amplitude_bridge=True,
         redirect_domains=("example.com",),
         cross_domain=CrossDomainConfig(enabled=True, domains=("*.example.com", "acme.org")),
         root_response=RootResponseConfig(

@@ -31,7 +31,11 @@ def test_streaming_collector_end_to_end(spark, tmp_path):
     landing = str(tmp_path / "landing")
     ckpt = str(tmp_path / "ckpt")
     _write_landing(landing, raw_requests())
-    cfg = CollectorConfig(deterministic_now_ms=1705320000000)
+    cfg = CollectorConfig(
+        deterministic_now_ms=1705320000000,
+        enable_analyticsjs_bridge=True,
+        enable_amplitude_bridge=True,
+    )
     good, bad = MemorySink(), MemorySink()
     job = StreamingCollector(spark, cfg, good, bad)
     q = job.start(job.source_from_files(landing), ckpt, available_now=True)
