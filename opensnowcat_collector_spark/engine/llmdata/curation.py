@@ -1,0 +1,295 @@
+"""Corpus-curation operators for a training-data pipeline: deterministic
+stratified sampling, sequence packing, benchmark decontamination,
+repetition scoring, and domain-mixture weighting.
+
+These extend the LLM-data family (dedup.py / similarity.py / text.py)
+with the *selection* half of curation: once documents are deduplicated
+and quality-scored, a real pretraining pipeline still has to (a) sample
+each stratum at a target rate, (b) pack documents into fixed-length
+training sequences, (c) drop documents that leak evaluation benchmarks,
+(d) drop degenerate repetitive documents, and (e) compute per-domain
+mixture weights.  Every operator here is deterministic (hash-based
+sampling, exact integer arithmetic, single-division doubles) so the
+DuckDB oracle reproduces it bit-for-bit.
+
+Scale design (100 TB):
+- sampling: pure projection + filter on md5(doc_id) — no shuffle, fully
+  pushed into the scan stage; rates are changed by editing a literal,
+  never by re-shuffling.
+- packing: documents are sharded (doc_id % N_PACK_SHARDS) and packed
+  *within* a shard, so the running-offset window partitions by shard —
+  N_PACK_SHARDS-way parallel instead of a single global sort.  This is
+  the standard concat-then-chunk packing used for pretraining batches;
+  at cluster scale shards map 1:1 to output files.
+- decontamination: the benchmark side is tiny by construction, so the
+  shingle membership probe is a broadcast semi-join — the 100 TB train
+  side never shuffles.
+- repetition: flat bigram explode -> one groupBy(doc_id, bigram) ->
+  one tiny groupBy(doc_id); linear in token volume, no per-doc sorts.
+- mixture: per-source agg (one shuffle over ~#domains keys) + broadcast
+  of the single-row global aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..relational import register
+from ..tables import table
+from .dedup import exploded_shingles
+
+# Stratified sampling: md5(doc_id) is uniform on [0, 16^32); comparing the
+# hex string against a one-hex-digit prefix keeps a 1/16-granular slice.
+# 'en' is the over-represented stratum in the corpus -> downsample to 4/16;
+# every other language keeps 8/16.
+EN_KEEP_PREFIX = "4"  # md5 hex < '4...'  => keep 25% of en docs
+OTHER_KEEP_PREFIX = "8"  # md5 hex < '8...'  => keep 50% of the rest
+
+N_PACK_SHARDS = 32
+PACK_BUDGET_TOKENS = 512
+
+# A document is benchmark-contaminated when >= 20% of its distinct
+# 3-word shingles appear in the benchmark set (doc_id % 97 == 0 stands in
+# for the held-out eval corpus).
+BENCH_MOD = 97
+CONTAMINATION_THRESHOLD = 0.2
+
+# Gopher-style repetition gate: fraction of all word bigrams taken by the
+# single most frequent bigram.
+REPETITION_THRESHOLD = 0.1
+
+
+@register(
+    "curate_sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) <
+      CASE WHEN lang = 'en' THEN '{EN_KEEP_PREFIX}' ELSE '{OTHER_KEEP_PREFIX}' END
+""",
+)
+def curate_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc iff md5(doc_id)
+    falls below its stratum's threshold.  Scan-stage filter, zero
+    shuffles, reproducible across engines and re-runs (unlike
+    df.sample, which is seed- and partitioning-dependent)."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    limit = F.when(F.col("lang") == "en", F.lit(EN_KEEP_PREFIX)).otherwise(
+        F.lit(OTHER_KEEP_PREFIX)
+    )
+    return d.filter(h < limit).select("doc_id", "lang", "source")
+
+
+@register(
+    "curate_pack_sequences",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         doc_id % {N_PACK_SHARDS} AS shard,
+         LEN(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+  FROM toks
+)
+SELECT shard,
+       CAST(start_off // {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM placed
+GROUP BY 1, 2
+""",
+)
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each shard, documents
+    are laid end-to-end in doc_id order and a pack boundary falls every
+    PACK_BUDGET_TOKENS tokens; a document belongs to the pack where it
+    starts.  The running offset is a window partitioned BY SHARD, so the
+    sort is 32-way parallel (never a global single-partition window) and
+    at cluster scale each shard becomes one output file."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        placed.groupBy("shard", F.expr(f"start_off DIV {PACK_BUDGET_TOKENS}").alias("pack_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "curate_contamination",
+    oracle=f"""
+WITH shingled AS (
+  SELECT doc_id,
+         list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                        for i in generate_series(1, greatest(len(ws)-2, 1))]) AS shingles
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+),
+exploded AS (
+  SELECT doc_id, UNNEST(shingles) AS shingle FROM shingled
+),
+bench AS (
+  SELECT DISTINCT shingle FROM exploded WHERE doc_id % {BENCH_MOD} = 0
+),
+hits AS (
+  SELECT e.doc_id, COUNT(*) AS n_hit
+  FROM exploded e JOIN bench b ON e.shingle = b.shingle
+  WHERE e.doc_id % {BENCH_MOD} <> 0
+  GROUP BY 1
+),
+counts AS (
+  SELECT doc_id, LEN(shingles) AS n_sh FROM shingled
+)
+SELECT h.doc_id, h.n_hit, c.n_sh,
+       CAST(h.n_hit AS DOUBLE) / c.n_sh AS contamination,
+       CAST(h.n_hit AS DOUBLE) / c.n_sh >= {CONTAMINATION_THRESHOLD} AS is_contaminated
+FROM hits h JOIN counts c USING (doc_id)
+""",
+)
+def curate_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a training doc is flagged when a large
+    fraction of its distinct 3-gram shingles also occur in the held-out
+    benchmark set (doc_id % 97 == 0).  The benchmark shingle set is tiny
+    and broadcast, so the train side is one explode + one local probe +
+    one groupBy(doc_id) — no train-side self-join, linear at 100 TB.
+    Docs with zero overlap are omitted (inner-join semantics)."""
+    sh = exploded_shingles(spark, sf_dir)
+    is_bench = (F.col("doc_id") % BENCH_MOD) == 0
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    train = sh.filter(~is_bench)
+    hits = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    contamination = F.col("n_hit").cast("double") / F.col("n_sh")
+    return (
+        hits.join(counts, "doc_id")
+        .select(
+            "doc_id",
+            "n_hit",
+            "n_sh",
+            contamination.alias("contamination"),
+            (contamination >= CONTAMINATION_THRESHOLD).alias("is_contaminated"),
+        )
+    )
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+WITH bigrammed AS (
+  SELECT doc_id,
+         [concat_ws(' ', ws[i], ws[i+1])
+          for i in generate_series(1, greatest(len(ws)-1, 1))] AS bigrams
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+),
+counted AS (
+  SELECT doc_id, bigram, COUNT(*) AS cnt
+  FROM (SELECT doc_id, UNNEST(bigrams) AS bigram FROM bigrammed)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       MAX(cnt) AS top_bigram_count,
+       CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS repetition,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) > {REPETITION_THRESHOLD} AS is_repetitive
+FROM counted
+GROUP BY doc_id
+""",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: fraction of a doc's word bigrams
+    taken by its single most frequent bigram.  Bigrams are built
+    lambda-free (two shifted slices zipped, flat explode — the same
+    codegen-safe shape as dedup.raw_shingles), then one
+    groupBy(doc_id, bigram) and one tiny groupBy(doc_id).  Reports only
+    counts and their ratio, never *which* bigram won, so ties cannot
+    diverge between engines."""
+    d = table(spark, sf_dir, "documents")
+    n_bg = F.greatest(F.size("ws") - 1, F.lit(1))
+    zipped = F.arrays_zip(
+        F.slice("ws", 1, n_bg).alias("w1"),
+        F.slice("ws", 2, n_bg).alias("w2"),
+    )
+    counted = (
+        d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+        .select("doc_id", F.explode(zipped).alias("t"))
+        .select("doc_id", F.concat_ws(" ", F.col("t.w1"), F.col("t.w2")).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    repetition = F.max("cnt").cast("double") / F.sum("cnt")
+    return counted.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_bigram_count"),
+        F.sum("cnt").alias("n_bigrams"),
+        repetition.alias("repetition"),
+        (repetition > REPETITION_THRESHOLD).alias("is_repetitive"),
+    )
+
+
+@register(
+    "curate_domain_mix",
+    oracle="""
+WITH per_source AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+total AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS all_tokens, COUNT(*) AS n_sources FROM per_source
+)
+SELECT s.source, s.n_docs, s.n_tokens,
+       LEAST(1.0, CAST(t.all_tokens AS DOUBLE) / (t.n_sources * s.n_tokens)) AS mix_weight
+FROM per_source s CROSS JOIN total t
+""",
+)
+def curate_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain mixture weights toward a uniform token budget: each
+    source's sampling weight is (total_tokens / n_sources) / its own
+    token count, capped at 1.0.  One groupBy(source) shuffle over
+    ~#domains keys, then a broadcast cross join of the single-row global
+    aggregate.  The weight is a single division of exact integers, so
+    both engines emit the identical double."""
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("n_tokens"),
+    )
+    total = per_source.agg(
+        F.sum("n_tokens").alias("all_tokens"), F.count("*").alias("n_sources")
+    )
+    weight = F.least(
+        F.lit(1.0),
+        F.col("all_tokens").cast("double") / (F.col("n_sources") * F.col("n_tokens")),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(total))
+        .select("source", "n_docs", "n_tokens", weight.alias("mix_weight"))
+    )

@@ -4,7 +4,7 @@ Importing this module imports every query-bearing module so their
 ``@register`` decorators populate ``relational.QUERIES`` / ``ORACLE``.
 
 The driver's CORRECTNESS gate grades the first 50 entries of
-``queries()`` in iteration order, while the repo registers 65.
+``queries()`` in iteration order, while the repo registers more.
 ``_PRIORITY`` pins the window deliberately: every LLM-data-pipeline
 query (dedup / similarity / text / multimodal), the TPC-H-derived
 flagships, the collector-parity queries, and the aggregate/window
@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import collector_queries, relational  # noqa: F401  (registration side effects)
-from .llmdata import dedup, multimodal, similarity, text  # noqa: F401  (registration side effects)
+from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401  (registration side effects)
 
 # First 50 = the driver-graded window. Order within the window groups by
 # subsystem; order past the window is alphabetical-ish legacy order.
@@ -49,7 +49,13 @@ _PRIORITY: list[str] = [
     "text_langid",
     "text_fingerprint",
     "text_token_bpeish",
+    "text_repetition_score",
     "corpus_curation_pipeline",
+    # --- LLM-data pipeline: corpus curation / selection family ---
+    "curate_sample_stratified",
+    "curate_pack_sequences",
+    "curate_contamination",
+    "curate_domain_mix",
     # --- LLM-data pipeline: multimodal plumbing ---
     "mm_decode_metadata",
     "mm_feature_extract",
@@ -73,9 +79,6 @@ _PRIORITY: list[str] = [
     "streaming_hourly_rollup",
     # --- aggregation operators ---
     "agg_rollup_region_nation",
-    "agg_cube_status_priority",
-    "agg_grouping_sets",
-    "agg_pivot_status",
     "agg_stats_percentiles",
     "agg_approx_distinct",
     # --- specialized joins ---
@@ -84,10 +87,12 @@ _PRIORITY: list[str] = [
     # --- event-table operators ---
     "events_hourly_rollup",
     "events_sessionize",
+    # ---- slot 51+ below: driver-confirmed in r1/r2, pytest-covered ----
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "agg_pivot_status",
     "events_dedup_latest",
     "events_tumbling_15min",
-    # --- misc window/scalar representatives ---
-    # ---- slot 51+ below: driver-confirmed in r1/r2, pytest-covered ----
     "events_type_matrix",
     "agg_distinct_counts",
     "scalar_url_map_funcs",

@@ -1,0 +1,164 @@
+"""Semantic invariants for the corpus-curation operator family
+(engine/llmdata/curation.py).  Exact engine-vs-oracle equality is covered
+by test_relational_oracle.py; these tests pin the *meaning* of each
+operator (rates, packing geometry, self-exclusion, cap behavior) and the
+plan shapes their 100 TB story depends on."""
+
+from __future__ import annotations
+
+import hashlib
+
+from opensnowcat_collector_spark.engine import registry
+from opensnowcat_collector_spark.engine.llmdata import curation
+from opensnowcat_collector_spark.engine.tables import table
+
+
+def _run(spark, sf_dir, name):
+    return registry.all_queries()[name](spark, sf_dir).collect()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    qs = registry.all_queries()
+    return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# curate_sample_stratified
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_membership_is_the_md5_rule(spark, sf_dir):
+    rows = _run(spark, sf_dir, "curate_sample_stratified")
+    assert rows, "sample must be non-empty"
+    for r in rows:
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        limit = (
+            curation.EN_KEEP_PREFIX if r.lang == "en" else curation.OTHER_KEEP_PREFIX
+        )
+        assert h < limit, (r.doc_id, r.lang, h)
+
+
+def test_stratified_sample_rates_are_coarsely_right(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    kept = _run(spark, sf_dir, "curate_sample_stratified")
+    n_en = sum(1 for r in docs if r.lang == "en")
+    k_en = sum(1 for r in kept if r.lang == "en")
+    n_other = len(docs) - n_en
+    k_other = len(kept) - k_en
+    # 25% / 50% targets with generous slack for small SF.
+    assert 0.10 <= k_en / n_en <= 0.40, (k_en, n_en)
+    assert 0.35 <= k_other / n_other <= 0.65, (k_other, n_other)
+
+
+def test_stratified_sample_plan_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "curate_sample_stratified")
+    assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# curate_pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_geometry(spark, sf_dir):
+    rows = _run(spark, sf_dir, "curate_pack_sequences")
+    docs = table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "size(split(text, ' ')) AS n"
+    ).collect()
+    budget = curation.PACK_BUDGET_TOKENS
+    # Recompute the packing per shard in plain Python.
+    shards: dict[int, list] = {}
+    for d in sorted(docs, key=lambda r: r.doc_id):
+        shards.setdefault(d.doc_id % curation.N_PACK_SHARDS, []).append(d)
+    expected = {}
+    for shard, ds in shards.items():
+        off = 0
+        for d in ds:
+            pack = off // budget
+            key = (shard, pack)
+            st = expected.setdefault(key, [0, 0, None, None])
+            st[0] += 1
+            st[1] += d.n
+            st[2] = d.doc_id if st[2] is None else min(st[2], d.doc_id)
+            st[3] = d.doc_id if st[3] is None else max(st[3], d.doc_id)
+            off += d.n
+    got = {
+        (r.shard, r.pack_id): [r.n_docs, r.pack_tokens, r.first_doc, r.last_doc]
+        for r in rows
+    }
+    assert got == expected
+
+
+def test_pack_sequences_window_partitions_by_shard(spark, sf_dir):
+    """The running offset must be a shard-partitioned window — a global
+    single-partition sort would be the classic scale bug."""
+    plan = _plan(spark, sf_dir, "curate_pack_sequences")
+    assert "partitionBy=[shard" in plan.replace(" ", "").replace("#", "").lower() or (
+        "hashpartitioning(shard" in plan.lower()
+    ), plan
+    assert "SinglePartition" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# curate_contamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_excludes_benchmark_docs_and_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "curate_contamination")
+    assert rows, "synthetic corpus shares shingles; expect hits"
+    for r in rows:
+        assert r.doc_id % curation.BENCH_MOD != 0
+        assert 1 <= r.n_hit <= r.n_sh
+        assert 0.0 < r.contamination <= 1.0
+        assert r.is_contaminated == (
+            r.contamination >= curation.CONTAMINATION_THRESHOLD
+        )
+
+
+def test_contamination_probe_is_a_broadcast_join(spark, sf_dir):
+    """The benchmark shingle set must broadcast — the 100 TB train side
+    never shuffles for the membership probe."""
+    plan = _plan(spark, sf_dir, "curate_contamination")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# text_repetition_score
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_score_matches_python_recompute(spark, sf_dir):
+    rows = {r.doc_id: r for r in _run(spark, sf_dir, "text_repetition_score")}
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert set(rows) == {d.doc_id for d in docs}
+    for d in docs[:50]:
+        ws = d.text.lower().split(" ")
+        if len(ws) >= 2:
+            bigrams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        else:
+            bigrams = [ws[0]]
+        counts: dict[str, int] = {}
+        for b in bigrams:
+            counts[b] = counts.get(b, 0) + 1
+        r = rows[d.doc_id]
+        assert r.top_bigram_count == max(counts.values())
+        assert r.n_bigrams == len(bigrams)
+        assert r.is_repetitive == (
+            r.top_bigram_count / r.n_bigrams > curation.REPETITION_THRESHOLD
+        )
+
+
+# ---------------------------------------------------------------------------
+# curate_domain_mix
+# ---------------------------------------------------------------------------
+
+
+def test_domain_mix_weights_hit_the_uniform_budget(spark, sf_dir):
+    rows = _run(spark, sf_dir, "curate_domain_mix")
+    total = sum(r.n_tokens for r in rows)
+    target = total / len(rows)
+    for r in rows:
+        assert 0.0 < r.mix_weight <= 1.0
+        # weight * n_tokens == min(n_tokens, uniform target)
+        assert abs(r.mix_weight * r.n_tokens - min(r.n_tokens, target)) < 1e-6
