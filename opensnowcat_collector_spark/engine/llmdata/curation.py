@@ -293,3 +293,47 @@ def curate_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_source.crossJoin(F.broadcast(total))
         .select("source", "n_docs", "n_tokens", weight.alias("mix_weight"))
     )
+
+
+QUALITY_QUANTILE = 0.5
+
+
+@register(
+    "curate_quality_quantile_filter",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(LEN(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+           / LEN(string_split(lower(text), ' ')) AS ttr
+  FROM documents
+)
+SELECT doc_id, lang, ttr, pr
+FROM (
+  SELECT doc_id, lang, ttr,
+         percent_rank() OVER (PARTITION BY lang ORDER BY ttr, doc_id) AS pr
+  FROM scored
+)
+WHERE pr >= {QUALITY_QUANTILE}
+""",
+)
+def curate_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based quality gate: keep each language's top half by
+    type-token ratio.  Absolute-threshold filters misfire across
+    languages (morphology shifts the score distribution), so the cut is
+    a PER-STRATUM percent_rank — one window shuffle keyed by lang.  The
+    tie-break orders by (ttr, doc_id) so ranks — and the kept set — are
+    fully deterministic; ttr is a single division of exact integers.  At
+    100 TB the exact window becomes approx_percentile per stratum + a
+    scan-stage threshold filter; the exact form here doubles as that
+    pipeline's calibration query."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    ttr = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+    scored = d.select("doc_id", "lang", ttr.alias("ttr"))
+    w = Window.partitionBy("lang").orderBy("ttr", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= QUALITY_QUANTILE)
+    )

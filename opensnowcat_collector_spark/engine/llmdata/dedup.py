@@ -510,3 +510,149 @@ def dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return blocked.groupBy("cid").applyInPandas(cell_survivors, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster connected components + incremental (new-batch) dedup
+# ---------------------------------------------------------------------------
+
+# Oracle composition: the near-dup EDGE SET is exactly the registered
+# dedup_ngram_jaccard result, so its oracle SQL is embedded verbatim as a
+# subquery — both engines cluster the identical pair list.
+_CC_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ngram_sql}) p
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+mins AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT m.doc_id, m.cluster_id, s.cluster_size
+FROM mins m
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM mins GROUP BY 1) s
+USING (cluster_id)
+"""
+
+
+def _register_cluster_components():
+    from ..relational import ORACLE
+
+    @register(
+        "dedup_cluster_components",
+        oracle=_CC_ORACLE.format(ngram_sql=ORACLE["dedup_ngram_jaccard"]),
+    )
+    def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Connected components over the near-dup pair graph: every doc
+        gets cluster_id = MIN doc_id reachable through jaccard>=0.8 edges
+        (singletons cluster with themselves).  This is the step that turns
+        pairwise dedup verdicts into keep/drop groups.
+
+        Iterative min-label propagation: each round every node takes the
+        minimum label among itself and its neighbors; converges in
+        O(cluster diameter) rounds — near-dup clusters are dense, so 2-3
+        rounds in practice.  Each round is fully distributed (one edge
+        equi-join + one groupBy(dst) min); the driver only checks the
+        scalar changed-count.  ``localCheckpoint`` truncates the plan
+        lineage each round, the standard guard against iterative-plan
+        blowup.  At 100 TB the same loop runs with the edge list
+        hash-partitioned by src; the large-star/small-star variant halves
+        round count if diameters grow."""
+        from ..relational import QUERIES
+
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+        pairs = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
+        edges = (
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+            .localCheckpoint()
+        )
+        labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
+        labels = labels.localCheckpoint()
+        while True:
+            nbr_min = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("lbl").alias("nbr_lbl"))
+            )
+            stepped = (
+                labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+                .select(
+                    "node",
+                    F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("new_lbl"),
+                    "lbl",
+                )
+                .localCheckpoint()
+            )
+            changed = stepped.filter(F.col("new_lbl") != F.col("lbl")).count()
+            labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
+            if changed == 0:
+                break
+        sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+        return (
+            labels.join(sizes, "lbl")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.col("lbl").alias("cluster_id"),
+                "cluster_size",
+            )
+        )
+
+
+_register_cluster_components()
+
+# New-batch partition: docs with doc_id % 10 == 9 play the role of the
+# incoming snapshot; the rest are the already-curated corpus.
+INCREMENTAL_NEW_MOD = 10
+INCREMENTAL_NEW_REM = 9
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+WITH corpus AS (
+  SELECT md5(text) AS exact_hash, MIN(doc_id) AS dup_of
+  FROM documents WHERE doc_id % {INCREMENTAL_NEW_MOD} <> {INCREMENTAL_NEW_REM}
+  GROUP BY 1
+),
+newb AS (
+  SELECT doc_id, md5(text) AS exact_hash
+  FROM documents WHERE doc_id % {INCREMENTAL_NEW_MOD} = {INCREMENTAL_NEW_REM}
+)
+SELECT n.doc_id, n.exact_hash,
+       COALESCE(c.dup_of, -1) AS dup_of,
+       c.dup_of IS NOT NULL AS is_dup
+FROM newb n LEFT JOIN corpus c USING (exact_hash)
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: an incoming batch (doc_id % 10 == 9) is checked
+    against the existing corpus by content hash — the shape of a daily
+    crawl append, where re-deduplicating the whole corpus would be a
+    100 TB-scale waste.  One groupBy over the corpus hashes + one
+    equi-join on the 128-bit hash.  At scale the corpus side is a
+    bucketed-by-hash table (engine/layout.write_bucketed), so only the
+    small new batch shuffles; dup_of is the corpus's canonical
+    (minimum) doc_id, -1 when unseen."""
+    d = table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % INCREMENTAL_NEW_MOD) == INCREMENTAL_NEW_REM
+    corpus = (
+        d.filter(~is_new)
+        .groupBy(F.md5("text").alias("exact_hash"))
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    newb = d.filter(is_new).select("doc_id", F.md5("text").alias("exact_hash"))
+    return newb.join(corpus, "exact_hash", "left").select(
+        "doc_id",
+        "exact_hash",
+        F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+        F.col("dup_of").isNotNull().alias("is_dup"),
+    )

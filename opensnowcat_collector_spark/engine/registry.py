@@ -34,6 +34,8 @@ _PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_kmeans",
+    "dedup_cluster_components",
+    "dedup_incremental",
     # --- LLM-data pipeline: similarity / ANN family ---
     "embed_norms",
     "sim_topk_bruteforce",
@@ -56,6 +58,7 @@ _PRIORITY: list[str] = [
     "curate_pack_sequences",
     "curate_contamination",
     "curate_domain_mix",
+    "curate_quality_quantile_filter",
     # --- LLM-data pipeline: multimodal plumbing ---
     "mm_decode_metadata",
     "mm_feature_extract",
@@ -67,8 +70,6 @@ _PRIORITY: list[str] = [
     "q5_local_supplier_volume",
     "q7_volume_shipping",
     "q10_returned_items",
-    "q12_linestatus_priority",
-    "q14_promo_effect",
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
@@ -85,9 +86,11 @@ _PRIORITY: list[str] = [
     "join_asof_last_click",
     "join_range_price_bins",
     # --- event-table operators ---
-    "events_hourly_rollup",
     "events_sessionize",
     # ---- slot 51+ below: driver-confirmed in r1/r2, pytest-covered ----
+    "q12_linestatus_priority",
+    "q14_promo_effect",
+    "events_hourly_rollup",
     "agg_cube_status_priority",
     "agg_grouping_sets",
     "agg_pivot_status",

@@ -162,3 +162,76 @@ def test_domain_mix_weights_hit_the_uniform_budget(spark, sf_dir):
         assert 0.0 < r.mix_weight <= 1.0
         # weight * n_tokens == min(n_tokens, uniform target)
         assert abs(r.mix_weight * r.n_tokens - min(r.n_tokens, target)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_components / dedup_incremental / curate_quality_quantile_filter
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_components_match_union_find(spark, sf_dir):
+    pairs = registry.all_queries()["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    docs = [r.doc_id for r in table(spark, sf_dir, "documents").select("doc_id").collect()]
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p.doc_a), find(p.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected_cluster = {d: find(d) for d in docs}
+    # canonical label = min doc_id in component
+    comp_min: dict[int, int] = {}
+    for d, r in expected_cluster.items():
+        comp_min[r] = min(comp_min.get(r, d), d)
+    expected = {d: comp_min[r] for d, r in expected_cluster.items()}
+
+    rows = _run(spark, sf_dir, "dedup_cluster_components")
+    got = {r.doc_id: r.cluster_id for r in rows}
+    assert got == expected
+    sizes: dict[int, int] = {}
+    for c in expected.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    for r in rows:
+        assert r.cluster_size == sizes[r.cluster_id]
+
+
+def test_incremental_dedup_membership(spark, sf_dir):
+    from opensnowcat_collector_spark.engine.llmdata import dedup as dd
+
+    rows = _run(spark, sf_dir, "dedup_incremental")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    corpus: dict[str, int] = {}
+    for d in docs:
+        if d.doc_id % dd.INCREMENTAL_NEW_MOD != dd.INCREMENTAL_NEW_REM:
+            h = hashlib.md5(d.text.encode()).hexdigest()
+            corpus[h] = min(corpus.get(h, d.doc_id), d.doc_id)
+    new_ids = {
+        d.doc_id for d in docs if d.doc_id % dd.INCREMENTAL_NEW_MOD == dd.INCREMENTAL_NEW_REM
+    }
+    assert {r.doc_id for r in rows} == new_ids
+    for r in rows:
+        if r.exact_hash in corpus:
+            assert r.is_dup and r.dup_of == corpus[r.exact_hash]
+        else:
+            assert not r.is_dup and r.dup_of == -1
+
+
+def test_quality_quantile_filter_keeps_top_half_per_lang(spark, sf_dir):
+    rows = _run(spark, sf_dir, "curate_quality_quantile_filter")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    n_by_lang: dict[str, int] = {}
+    for d in docs:
+        n_by_lang[d.lang] = n_by_lang.get(d.lang, 0) + 1
+    k_by_lang: dict[str, int] = {}
+    for r in rows:
+        assert r.pr >= curation.QUALITY_QUANTILE
+        k_by_lang[r.lang] = k_by_lang.get(r.lang, 0) + 1
+    for lang, n in n_by_lang.items():
+        # percent_rank >= 0.5 keeps ceil(n/2)-ish rows (ties broken by doc_id)
+        assert abs(k_by_lang[lang] - n / 2) <= 1 + n * 0.02, (lang, k_by_lang[lang], n)
