@@ -337,3 +337,91 @@ def curate_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFram
         scored.withColumn("pr", F.percent_rank().over(w))
         .filter(F.col("pr") >= QUALITY_QUANTILE)
     )
+
+
+SOURCE_QUOTA = 10
+SOURCE_TOKEN_BUDGET = 500
+
+
+@register(
+    "curate_source_quota",
+    oracle=f"""
+SELECT doc_id, source, rn
+FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+  FROM documents
+)
+WHERE rn <= {SOURCE_QUOTA}
+""",
+)
+def curate_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-quota sampling: exactly min(quota, |source|) docs per
+    source, chosen by md5(doc_id) rank — a deterministic stand-in for
+    uniform random quota sampling that every engine and every re-run
+    reproduces.  One window shuffle keyed by source; at 100 TB the
+    row_number cut is what reservoir sampling converges to, without
+    reservoir state."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= SOURCE_QUOTA)
+    )
+
+
+@register(
+    "curate_token_budget_select",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(LEN(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+           / LEN(string_split(lower(text), ' ')) AS ttr
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens, ttr,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY ttr DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, ttr, cum_tokens
+FROM ranked
+WHERE cum_tokens <= {SOURCE_TOKEN_BUDGET}
+""",
+)
+def curate_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first selection under a per-domain token budget: within each
+    source, take documents in descending quality (type-token ratio,
+    doc_id tie-break) until the running token total exceeds the budget —
+    how a mixture target ("500 tokens of src7") is actually filled.  One
+    window shuffle keyed by source; the cumulative sum and the cut are
+    both codegen'd, no driver round-trips."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    lws = F.split(F.lower("text"), " ")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(ws).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(lws)).cast("double") / F.size(lws)).alias("ttr"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("ttr").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= SOURCE_TOKEN_BUDGET)
+    )

@@ -59,6 +59,8 @@ _PRIORITY: list[str] = [
     "curate_contamination",
     "curate_domain_mix",
     "curate_quality_quantile_filter",
+    "curate_source_quota",
+    "curate_token_budget_select",
     # --- LLM-data pipeline: multimodal plumbing ---
     "mm_decode_metadata",
     "mm_feature_extract",
@@ -68,7 +70,6 @@ _PRIORITY: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q7_volume_shipping",
     "q10_returned_items",
     "q18_large_orders",
     "q19_disjunctive_revenue",
@@ -80,7 +81,6 @@ _PRIORITY: list[str] = [
     "streaming_hourly_rollup",
     # --- aggregation operators ---
     "agg_rollup_region_nation",
-    "agg_stats_percentiles",
     "agg_approx_distinct",
     # --- specialized joins ---
     "join_asof_last_click",
@@ -88,6 +88,8 @@ _PRIORITY: list[str] = [
     # --- event-table operators ---
     "events_sessionize",
     # ---- slot 51+ below: driver-confirmed in r1/r2, pytest-covered ----
+    "q7_volume_shipping",
+    "agg_stats_percentiles",
     "q12_linestatus_priority",
     "q14_promo_effect",
     "events_hourly_rollup",

@@ -235,3 +235,44 @@ def test_quality_quantile_filter_keeps_top_half_per_lang(spark, sf_dir):
     for lang, n in n_by_lang.items():
         # percent_rank >= 0.5 keeps ceil(n/2)-ish rows (ties broken by doc_id)
         assert abs(k_by_lang[lang] - n / 2) <= 1 + n * 0.02, (lang, k_by_lang[lang], n)
+
+
+def test_source_quota_exact_counts_and_rule(spark, sf_dir):
+    rows = _run(spark, sf_dir, "curate_source_quota")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    by_src: dict[str, list] = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(d.doc_id)
+    expected = {}
+    for src, ids in by_src.items():
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        expected[src] = set(ranked[: curation.SOURCE_QUOTA])
+    got: dict[str, set] = {}
+    for r in rows:
+        assert 1 <= r.rn <= curation.SOURCE_QUOTA
+        got.setdefault(r.source, set()).add(r.doc_id)
+    assert got == expected
+
+
+def test_token_budget_select_is_greedy_prefix(spark, sf_dir):
+    rows = _run(spark, sf_dir, "curate_token_budget_select")
+    assert rows, "budget must keep something"
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text").collect()
+    by_src: dict[str, list] = {}
+    for d in docs:
+        ws = d.text.split(" ")
+        lws = [w.lower() for w in ws]
+        ttr = len(set(lws)) / len(lws)
+        by_src.setdefault(d.source, []).append((d.doc_id, len(ws), ttr))
+    expected = set()
+    for src, ds in by_src.items():
+        cum = 0
+        for doc_id, n, _ttr in sorted(ds, key=lambda t: (-t[2], t[0])):
+            cum += n
+            if cum > curation.SOURCE_TOKEN_BUDGET:
+                break
+            expected.add(doc_id)
+    got = {r.doc_id for r in rows}
+    assert got == expected
+    # the budget actually binds: strictly fewer docs than the corpus
+    assert len(got) < len(docs)

@@ -40,6 +40,10 @@ PROBE_QUERIES = [
     "dedup_embedding_cosine",
     "sim_bucket_histogram",
     "text_quality_score",
+    "curate_pack_sequences",
+    "curate_contamination",
+    "text_repetition_score",
+    "dedup_cluster_components",
 ]
 
 KEY_SHIFTS = {
