@@ -82,6 +82,32 @@ def curate_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(h < limit).select("doc_id", "lang", "source")
 
 
+def pack_sequences(toks: DataFrame, budget: int = PACK_BUDGET_TOKENS) -> DataFrame:
+    """Core packing dataflow over (doc_id, shard, n_tokens) rows: lay the
+    docs of each shard end-to-end in doc_id order, cut a pack boundary
+    every ``budget`` tokens, assign each doc to the pack where it starts.
+    A doc longer than the budget still belongs to its start pack (packs
+    can exceed the budget, exactly like an over-long training example
+    spanning context windows)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        placed.groupBy("shard", F.expr(f"start_off DIV {budget}").alias("pack_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 @register(
     "curate_pack_sequences",
     oracle=f"""
@@ -114,29 +140,13 @@ def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts.  The running offset is a window partitioned BY SHARD, so the
     sort is 32-way parallel (never a global single-partition window) and
     at cluster scale each shard becomes one output file."""
-    from pyspark.sql import Window
-
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    placed = toks.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
-    return (
-        placed.groupBy("shard", F.expr(f"start_off DIV {PACK_BUDGET_TOKENS}").alias("pack_id"))
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("pack_tokens"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
-    )
+    return pack_sequences(toks)
 
 
 @register(
@@ -424,4 +434,63 @@ def curate_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= SOURCE_TOKEN_BUDGET)
+    )
+
+
+SESSION_GAP_MS = 1800000
+
+
+@register(
+    "events_session_sequences",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def events_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence construction from event logs: sessionize
+    (30-min gap, gaps-and-islands) and emit each session's event types
+    as one ordered '>'-joined string — the behavioral-sequence corpus a
+    recommender/user-model would pretrain on.  Ordering inside
+    collect_list is made deterministic by sorting (ts, event_id,
+    event_type) structs; the array lambda runs on per-session arrays
+    (tens of elements), not the corpus.  One shuffle on user_id serves
+    both window passes and the aggregation."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w) > SESSION_GAP_MS,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("new_session").over(wf))
+    ordered_types = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda x: x.event_type,
+    )
+    return sessions.groupBy(
+        "user_id", F.col("session_seq").cast("long").alias("session_seq")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(ordered_types, ">").alias("seq"),
     )

@@ -64,8 +64,17 @@ def _iter_payloads(df: DataFrame, distributed: bool, deliver) -> None:
         deliver(r.asDict() for r in recs.toLocalIterator())
 
 
+def create_gcp_user_agent(product_name: str = "Snowplow OSS") -> str:
+    """GCP partner user-agent string, byte-identical with the reference
+    (GooglePubSubSink.scala:218-219, GcpUserAgentSpec.scala): the GPN
+    token is what GCP's partner attribution regex extracts."""
+    return f"{product_name}/collector (GPN:Snowplow;)"
+
+
 class PubSubSink(Sink):
-    """K4: publisher injectable; batching knobs mirror BufferConfig."""
+    """K4: publisher injectable; batching knobs mirror BufferConfig;
+    requests carry the GPN partner user-agent
+    (GooglePubSubSink.scala:205-219, `gcpUserAgent.productName`)."""
 
     def __init__(
         self,
@@ -74,11 +83,13 @@ class PubSubSink(Sink):
         buffer: BufferConfig | None = None,
         max_bytes: int = 10 * 1024 * 1024,
         distributed: bool = True,
+        gcp_user_agent_product: str = "Snowplow OSS",
     ):
         super().__init__(max_bytes=max_bytes)
         self.topic = topic
+        self.user_agent = create_gcp_user_agent(gcp_user_agent_product)
         self.publisher_factory = publisher_factory or _default_pubsub_factory(
-            buffer or BufferConfig()
+            buffer or BufferConfig(), self.user_agent
         )
         self.distributed = distributed
 
@@ -95,7 +106,7 @@ class PubSubSink(Sink):
         _iter_payloads(df, self.distributed, self._deliver)
 
 
-def _default_pubsub_factory(buffer: BufferConfig):
+def _default_pubsub_factory(buffer: BufferConfig, user_agent: str | None = None):
     def factory():
         try:
             from google.cloud import pubsub_v1  # noqa: PLC0415
@@ -110,7 +121,15 @@ def _default_pubsub_factory(buffer: BufferConfig):
             max_bytes=buffer.byte_limit,
             max_latency=buffer.time_limit_ms / 1000.0,
         )
-        return pubsub_v1.PublisherClient(batch_settings=settings)
+        kwargs = {"batch_settings": settings}
+        if user_agent:  # GPN partner header (GooglePubSubSink.scala:211)
+            try:  # pragma: no cover - exercised only with the real client
+                from google.api_core.client_info import ClientInfo  # noqa: PLC0415
+
+                kwargs["client_info"] = ClientInfo(user_agent=user_agent)
+            except ImportError:
+                pass
+        return pubsub_v1.PublisherClient(**kwargs)
 
     return factory
 

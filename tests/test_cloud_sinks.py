@@ -277,3 +277,23 @@ def test_thrift_bytes_column(spark):
     assert decoded["ip_address"] == "1.2.3.4"
     assert decoded["timestamp"] == 1705320000000
     assert decoded["headers"] == ["H: v"]
+
+
+def test_gcp_user_agent_matches_reference_spec():
+    """Port of GcpUserAgentSpec.scala: exact string + the GCP partner
+    attribution regex must extract 'Snowplow;'."""
+    import re
+
+    from opensnowcat_collector_spark.sinks.queues import create_gcp_user_agent
+
+    ua = create_gcp_user_agent("Snowplow OSS")
+    assert ua == "Snowplow OSS/collector (GPN:Snowplow;)"
+    m = re.search(
+        r"(?iu)(?:[^\(\)\/]+\/[^\/]+\s+)*(?:[^\s][^\(\)\/]+\/[^\/]+\s?\([^\(\)]*)gpn:(.*)[;\)]",
+        ua,
+    )
+    assert m and m.group(1) == "Snowplow;"
+    sink_ua = PubSubSink(
+        "projects/p/topics/t", publisher_factory=lambda: None, gcp_user_agent_product="Acme"
+    ).user_agent
+    assert sink_ua == "Acme/collector (GPN:Snowplow;)"

@@ -276,3 +276,37 @@ def test_token_budget_select_is_greedy_prefix(spark, sf_dir):
     assert got == expected
     # the budget actually binds: strictly fewer docs than the corpus
     assert len(got) < len(docs)
+
+
+def test_pack_sequences_core_edge_cases(spark):
+    """Docs longer than the budget, single-doc shards, exact-boundary
+    fits — the geometry the window formulation must get right."""
+    from opensnowcat_collector_spark.engine.llmdata.curation import pack_sequences
+
+    toks = spark.createDataFrame(
+        [
+            # shard 0: doc 0 is 600 tokens (> budget 512): owns pack 0,
+            # doc 2 starts at offset 600 -> pack 1; doc 4 at 700 -> pack 1
+            (0, 0, 600),
+            (2, 0, 100),
+            (4, 0, 300),
+            # shard 1: exact boundary — doc 1 is 512, doc 3 starts at
+            # offset 512 -> pack 1
+            (1, 1, 512),
+            (3, 1, 1),
+            # shard 2: single tiny doc
+            (5, 2, 7),
+        ],
+        "doc_id long, shard long, n_tokens long",
+    )
+    got = {
+        (r.shard, r.pack_id): (r.n_docs, r.pack_tokens, r.first_doc, r.last_doc)
+        for r in pack_sequences(toks, budget=512).collect()
+    }
+    assert got == {
+        (0, 0): (1, 600, 0, 0),
+        (0, 1): (2, 400, 2, 4),
+        (1, 0): (1, 512, 1, 1),
+        (1, 1): (1, 1, 3, 3),
+        (2, 0): (1, 7, 5, 5),
+    }
