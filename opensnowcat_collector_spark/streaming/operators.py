@@ -176,3 +176,46 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def curate_document_stream(
+    stream: DataFrame,
+    corpus_hashes: DataFrame,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Continuous-crawl curation: incoming documents (streaming DF with
+    doc_id/text/lang/source) are deduplicated against the static corpus
+    and annotated with the quality features the batch gates use.
+
+    - exact dedup = stream-static LEFT ANTI join on md5(text) against the
+      corpus hash index (``corpus_hashes``: one ``exact_hash`` column,
+      e.g. built by ``engine.llmdata.dedup.dedup_incremental``'s corpus
+      side, refreshed per micro-batch by the file source);
+    - in-stream dedup = ``dropDuplicates("exact_hash")`` bounds repeat
+      payloads inside the micro-batch;
+    - quality columns (n_tokens, type-token ratio, stopword fraction)
+      are the streaming twins of text_quality_score — pure projections,
+      no state.
+
+    State design at 100 TB: the anti-join side is a static table the
+    micro-batch planner broadcasts or hash-joins per batch; nothing
+    accumulates in the state store, so the stream's memory is bounded by
+    the micro-batch, not the corpus.
+    """
+    sw = stopwords if stopwords is not None else ["the", "a", "of", "and", "to"]
+    ws = F.split(F.lower("text"), " ")
+    hashed = stream.withColumn("exact_hash", F.md5("text"))
+    fresh = hashed.join(corpus_hashes, "exact_hash", "left_anti").dropDuplicates(
+        ["exact_hash"]
+    )
+    n_tokens = F.size(ws)
+    n_stop = F.size(F.array_intersect(ws, F.array(*[F.lit(w) for w in sw])))
+    return fresh.select(
+        "doc_id",
+        "lang",
+        "source",
+        "exact_hash",
+        n_tokens.cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(ws)).cast("double") / n_tokens).alias("ttr"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_kind_frac"),
+    )

@@ -444,3 +444,54 @@ def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
 
     ids = sorted(r["network_user_id"] for r in good.rows)
     assert ids == ["u-0", "u-1", "u-10", "u-11", "u-12", "u-2"], ids
+
+
+def test_streaming_document_curation(spark, tmp_path):
+    """Continuous-crawl curation: a document stream is anti-joined against
+    the static corpus hash index, deduplicated in-stream, and annotated
+    with quality features — the streaming twin of dedup_incremental +
+    text_quality_score."""
+    import hashlib
+
+    from opensnowcat_collector_spark.streaming.operators import curate_document_stream
+
+    corpus_texts = ["seen doc one", "seen doc two"]
+    incoming = [
+        {"doc_id": 100, "text": "seen doc one", "lang": "en", "source": "s1"},  # dup of corpus
+        {"doc_id": 101, "text": "fresh a doc the doc", "lang": "en", "source": "s1"},
+        {"doc_id": 102, "text": "fresh a doc the doc", "lang": "en", "source": "s2"},  # in-stream dup
+        {"doc_id": 103, "text": "another new one", "lang": "de", "source": "s2"},
+    ]
+    src = str(tmp_path / "docsrc")
+    os.makedirs(src)
+    with open(os.path.join(src, "d.json"), "w") as f:
+        for r in incoming:
+            f.write(json.dumps(r) + "\n")
+    corpus_hashes = spark.createDataFrame(
+        [(hashlib.md5(t.encode()).hexdigest(),) for t in corpus_texts],
+        "exact_hash string",
+    )
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string"
+    ).json(src)
+    out = curate_document_stream(stream, corpus_hashes)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curated_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cur"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.table("curated_docs").collect()}
+    # corpus dup dropped; exactly one of the two identical fresh docs kept
+    assert 100 not in rows
+    assert 103 in rows
+    kept_fresh = [d for d in (101, 102) if d in rows]
+    assert len(kept_fresh) == 1
+    r = rows[kept_fresh[0]]
+    assert r["n_tokens"] == 5
+    assert abs(r["ttr"] - 4 / 5) < 1e-12  # 'doc' repeats
+    assert abs(r["stopword_kind_frac"] - 2 / 5) < 1e-12  # 'a' and 'the' present
+    assert rows[103]["stopword_kind_frac"] == 0.0
