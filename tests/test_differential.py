@@ -1,0 +1,146 @@
+"""Randomized differential testing (sqllogictest-style): generate seeded
+random queries in the SQL dialect subset Spark and DuckDB share, run the
+SAME text on both engines over the same parquet tables, and require
+identical results.
+
+This complements the hand-written oracle pairs: those pin the operators
+we ship; this sweeps the composition space (filter x group x agg x join
+x order/limit) for dialect or planner divergences we didn't think to
+write down.  Constraints that keep the subset engine-identical:
+
+- arithmetic and aggregation stay on exact integers (keys, line numbers,
+  and cents via CAST(ROUND(x*100) AS BIGINT));
+- string predicates use only =, <>, IN, LIKE with literal patterns;
+- every ORDER BY ends with a unique key so LIMIT is deterministic;
+- aggregates are COUNT/SUM/MIN/MAX over those integers.
+
+The generator is seeded: failures reproduce by case index.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+
+N_CASES = 120
+SEED = 20260813
+
+NUM_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+CENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+
+STR_DOMAIN = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["O", "F"],
+}
+
+
+def _predicate(rng: random.Random) -> str:
+    kind = rng.choice(["num_cmp", "str_eq", "str_in", "str_like", "and", "or"])
+    if kind == "num_cmp":
+        col = rng.choice(NUM_COLS)
+        op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+        val = rng.choice([1, 2, 7, 100, 5000, 77777])
+        return f"{col} {op} {val}"
+    if kind == "str_eq":
+        col = rng.choice(STR_COLS)
+        return f"{col} = '{rng.choice(STR_DOMAIN[col])}'"
+    if kind == "str_in":
+        col = rng.choice(STR_COLS)
+        vals = rng.sample(STR_DOMAIN[col], k=min(2, len(STR_DOMAIN[col])))
+        inlist = ", ".join(f"'{v}'" for v in vals)
+        return f"{col} IN ({inlist})"
+    if kind == "str_like":
+        col = rng.choice(STR_COLS)
+        return f"{col} LIKE '{rng.choice(STR_DOMAIN[col])[0]}%'"
+    sub = f"({_predicate(rng)}) {'AND' if kind == 'and' else 'OR'} ({_predicate(rng)})"
+    return sub
+
+
+def _agg_query(rng: random.Random) -> str:
+    keys = rng.sample(STR_COLS, k=rng.choice([1, 2]))
+    aggs = rng.sample(
+        [
+            "COUNT(*) AS n",
+            "SUM(l_orderkey) AS sum_ok",
+            f"SUM({CENTS}) AS sum_cents",
+            "MIN(l_orderkey) AS min_ok",
+            "MAX(l_linenumber) AS max_ln",
+            "COUNT(DISTINCT l_suppkey) AS n_supp",
+        ],
+        k=rng.choice([1, 2, 3]),
+    )
+    where = _predicate(rng)
+    return (
+        f"SELECT {', '.join(keys)}, {', '.join(aggs)} FROM lineitem "
+        f"WHERE {where} GROUP BY {', '.join(keys)}"
+    )
+
+
+def _scan_query(rng: random.Random) -> str:
+    cols = rng.sample(NUM_COLS + STR_COLS, k=rng.choice([2, 3]))
+    where = _predicate(rng)
+    order = ", ".join(cols) + ", l_orderkey, l_linenumber"
+    limit = rng.choice([7, 50, 200])
+    return (
+        f"SELECT {', '.join(cols)} FROM lineitem WHERE {where} "
+        f"ORDER BY {order} LIMIT {limit}"
+    )
+
+
+def _join_query(rng: random.Random) -> str:
+    where = _predicate(rng)
+    agg = rng.choice(["COUNT(*) AS n", "SUM(l.l_linenumber) AS sum_ln"])
+    return (
+        "SELECT o.o_orderstatus, "
+        f"{agg} FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        f"WHERE {where} GROUP BY o.o_orderstatus"
+    )
+
+
+def _cases() -> list[str]:
+    rng = random.Random(SEED)
+    out = []
+    for _ in range(N_CASES):
+        gen = rng.choice([_agg_query, _scan_query, _join_query])
+        out.append(gen(rng))
+    return out
+
+
+CASES = _cases()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["lineitem", "orders"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(SF_DIR, t + '.parquet')}')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def spark_views(spark):
+    for t in ["lineitem", "orders"]:
+        spark.read.parquet(os.path.join(SF_DIR, t + ".parquet")).createOrReplaceTempView(t)
+    return spark
+
+
+@pytest.mark.parametrize("idx", range(N_CASES))
+def test_differential_case(spark_views, duck, idx):
+    sql = CASES[idx]
+    sdf = spark_views.sql(sql)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    ocols = [d[0] for d in duck.execute(sql).description]
+    orows = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert [c.lower() for c in scols] == [c.lower() for c in ocols], sql
+    if "ORDER BY" not in sql:
+        srows, orows = sorted(srows), sorted(orows)
+    assert srows == orows, f"case {idx}: {sql}\nspark={srows[:5]}\nduck={orows[:5]}"
