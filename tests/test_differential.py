@@ -103,11 +103,35 @@ def _join_query(rng: random.Random) -> str:
     )
 
 
+def _window_query(rng: random.Random) -> str:
+    part = rng.choice(STR_COLS)
+    func = rng.choice(
+        [
+            "ROW_NUMBER()",
+            "RANK()",
+            "DENSE_RANK()",
+            "SUM(l_linenumber)",
+            "MIN(l_orderkey)",
+        ]
+    )
+    # deterministic frame: full ordering by unique key inside the partition
+    win = f"OVER (PARTITION BY {part} ORDER BY l_orderkey, l_linenumber)"
+    where = _predicate(rng)
+    limit = rng.choice([50, 200])
+    return (
+        f"SELECT l_orderkey, l_linenumber, {part}, {func} {win} AS wv "
+        f"FROM lineitem WHERE {where} "
+        # wv tail: duplicate (orderkey, linenumber) rows are fully tied on
+        # the data columns, so only wv makes the ordering (and LIMIT) unique
+        f"ORDER BY {part}, l_orderkey, l_linenumber, wv LIMIT {limit}"
+    )
+
+
 def _cases() -> list[str]:
     rng = random.Random(SEED)
     out = []
     for _ in range(N_CASES):
-        gen = rng.choice([_agg_query, _scan_query, _join_query])
+        gen = rng.choice([_agg_query, _scan_query, _join_query, _window_query])
         out.append(gen(rng))
     return out
 
