@@ -175,3 +175,49 @@ def test_statsd_emitter_lines_and_listener_hookup():
     listener.onQueryProgress(SimpleNamespace(progress=progress))
     assert listener.progress_events[0]["num_input_rows"] == 42
     assert b"snowplow.collector.collector.batch.input_rows:42|g" in sent[0]
+
+
+def test_main_once_processes_landing_and_exits(tmp_path, capsys, monkeypatch):
+    """python -m opensnowcat_collector_spark --once: pre-existing landing
+    rows flow through the pipeline to the configured (stdout) sink and
+    the process exits cleanly after the availableNow drain."""
+    from opensnowcat_collector_spark.__main__ import main
+    from tests.fixtures import raw_requests
+    from tests.test_streaming import _write_landing
+
+    landing = str(tmp_path / "landing")
+    _write_landing(landing, raw_requests())
+    rc = main(
+        [
+            "--once",
+            "--landing",
+            landing,
+            "--checkpoint",
+            str(tmp_path / "ckpt"),
+            "--port",
+            "0",
+            "--master",
+            "local[4]",
+        ]
+    )
+    captured = capsys.readouterr()
+    assert rc == 0
+    out_lines = [ln for ln in captured.out.splitlines() if ln.strip()]
+    assert out_lines, "stdout sink must emit base64 records"
+    import base64
+    import json as _json
+
+    decoded = _json.loads(base64.b64decode(out_lines[0]))
+    assert decoded["collector"].startswith("opensnowcat-collector-spark")
+    assert "encoding" in decoded
+
+
+def test_main_stream_names_from_hocon(tmp_path):
+    from opensnowcat_collector_spark.__main__ import _stream_names
+
+    p = tmp_path / "c.hocon"
+    p.write_text(
+        'streams {\n  good = "raw-good"\n  bad = "raw-bad"\n  sink {\n    enabled = stdout\n  }\n}\n'
+    )
+    assert _stream_names(str(p)) == ("raw-good", "raw-bad")
+    assert _stream_names(None) == ("good", "bad")
