@@ -656,3 +656,118 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
         F.col("dup_of").isNotNull().alias("is_dup"),
     )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+WITH {_DUCK_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id,
+         {_minhash_duck()}
+  FROM exploded
+  GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+         {_bands_duck()}
+  FROM sigs
+),
+bands_long AS (
+  SELECT doc_id, band_idx, band_key FROM banded
+  UNPIVOT (band_key FOR band_idx IN ({", ".join(f"band_{b}" for b in range(N_BANDS))}))
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM bands_long n JOIN bands_long c
+    ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+  WHERE n.doc_id % {INCREMENTAL_NEW_MOD} = {INCREMENTAL_NEW_REM}
+    AND c.doc_id % {INCREMENTAL_NEW_MOD} <> {INCREMENTAL_NEW_REM}
+),
+inter AS (
+  SELECT cd.new_id, cd.corpus_id, COUNT(*) AS n_inter
+  FROM cand cd
+  JOIN exploded en ON en.doc_id = cd.new_id
+  JOIN exploded ec ON ec.doc_id = cd.corpus_id AND ec.shingle = en.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.new_id, i.corpus_id,
+         CAST(i.n_inter AS DOUBLE) / (cn.n_sh + cc.n_sh - i.n_inter) AS jaccard
+  FROM inter i
+  JOIN counts cn ON cn.doc_id = i.new_id
+  JOIN counts cc ON cc.doc_id = i.corpus_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (cn.n_sh + cc.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+)
+SELECT new_id AS doc_id, corpus_id AS dup_of, jaccard
+FROM (
+  SELECT new_id, corpus_id, jaccard,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY jaccard DESC, corpus_id) AS rk
+  FROM scored
+)
+WHERE rk = 1
+""",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection: the incoming batch (doc_id % 10
+    == 9) probes the corpus's LSH band index instead of re-running
+    all-pairs LSH over corpus+batch.  Candidates are (new, corpus) band
+    collisions only — corpus-corpus pairs are never generated — then the
+    count-based exact Jaccard verify keeps pairs >= 0.8 and each new doc
+    reports its best corpus match (ties to the lowest corpus doc_id).
+
+    100 TB design: the corpus band table is write-once infrastructure
+    (hive-partitioned by band key, exactly like build_ann_index); a daily
+    batch joins only its own band keys against it, so probe work scales
+    with the batch, not the corpus.  Here both sides derive from one
+    shared signature subtree so the oracle stays a single SQL statement.
+    """
+    ex = exploded_shingles(spark, sf_dir)
+    sigs = ex.groupBy("doc_id").agg(*_minhash_aggs())
+    banded = sigs.select("doc_id", *_band_keys())
+    bands_long = banded.select(
+        "doc_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(f"band_{b}") for b in range(N_BANDS)]),
+                F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)]),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    is_new = (F.col("doc_id") % INCREMENTAL_NEW_MOD) == INCREMENTAL_NEW_REM
+    nb = bands_long.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_key"
+    )
+    cb = bands_long.filter(~is_new).select(
+        F.col("doc_id").alias("corpus_id"), "band_idx", "band_key"
+    )
+    cand = nb.join(cb, ["band_idx", "band_key"]).select("new_id", "corpus_id").distinct()
+    counts = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    en = ex.select(F.col("doc_id").alias("new_id"), "shingle")
+    ec = ex.select(F.col("doc_id").alias("corpus_id"), "shingle")
+    inter = (
+        cand.join(en, "new_id")
+        .join(ec, ["corpus_id", "shingle"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    cn = counts.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("n_new"))
+    cc = counts.select(F.col("doc_id").alias("corpus_id"), F.col("n_sh").alias("n_cor"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_new") + F.col("n_cor") - F.col("n_inter"))
+    scored = (
+        inter.join(cn, "new_id")
+        .join(cc, "corpus_id")
+        .select("new_id", "corpus_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.col("jaccard").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("corpus_id").alias("dup_of"),
+            "jaccard",
+        )
+    )

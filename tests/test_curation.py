@@ -310,3 +310,27 @@ def test_pack_sequences_core_edge_cases(spark):
         (1, 1): (1, 1, 3, 3),
         (2, 0): (1, 7, 5, 5),
     }
+
+
+def test_incremental_minhash_agrees_with_full_lsh(spark, sf_dir):
+    """The batch-probe formulation must find exactly the full LSH run's
+    verified pairs that cross the batch/corpus boundary, reporting each
+    new doc's best corpus match."""
+    from opensnowcat_collector_spark.engine.llmdata import dedup as dd
+
+    full = registry.all_queries()["dedup_minhash_lsh"](spark, sf_dir).collect()
+    best: dict[int, tuple[float, int]] = {}
+    for p in full:
+        for new, cor in ((p.doc_a, p.doc_b), (p.doc_b, p.doc_a)):
+            if (
+                new % dd.INCREMENTAL_NEW_MOD == dd.INCREMENTAL_NEW_REM
+                and cor % dd.INCREMENTAL_NEW_MOD != dd.INCREMENTAL_NEW_REM
+            ):
+                cand = (-p.jaccard, cor)
+                if new not in best or cand < best[new]:
+                    best[new] = cand
+    got = {
+        r.doc_id: (-r.jaccard, r.dup_of)
+        for r in _run(spark, sf_dir, "dedup_incremental_minhash")
+    }
+    assert got == best
