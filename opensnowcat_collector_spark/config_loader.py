@@ -419,5 +419,10 @@ def load_collector_config(
         with open(path, encoding="utf-8") as f:
             text = f.read()
     user = parse_hocon(text)
+    # Reference config files wrap everything in `collector { ... }` (with
+    # akka/pekko sibling blocks we have no use for) — descend like the
+    # reference's `namespace = "collector"` pureconfig source.
+    if isinstance(user.get("collector"), dict):
+        user = user["collector"]
     tree = _deep_merge(json.loads(json.dumps(REFERENCE_DEFAULTS)), user)
     return collector_config_from_tree(tree, base=base)

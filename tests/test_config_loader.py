@@ -259,3 +259,41 @@ def test_experimental_bridge_flags_mapped():
     )
     assert cfg.enable_analyticsjs_bridge is True
     assert cfg.enable_amplitude_bridge is True
+
+
+def test_collector_wrapper_block_unwrapped(tmp_path):
+    """Reference config files wrap everything in `collector { ... }`;
+    the loader must descend into it instead of silently returning
+    defaults."""
+    from opensnowcat_collector_spark.config_loader import load_collector_config
+
+    cfg = load_collector_config(
+        text=(
+            "collector {\n"
+            "  streams {\n"
+            "    sink {\n"
+            "      enabled = kinesis\n"
+            "    }\n"
+            "  }\n"
+            "}\n"
+        )
+    )
+    assert cfg.good_sink.kind == "kinesis"
+
+
+def test_example_configs_load(tmp_path):
+    import os
+
+    from opensnowcat_collector_spark.config_loader import load_collector_config
+    from opensnowcat_collector_spark.sinks import build_sink
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stdout_cfg = load_collector_config(os.path.join(repo, "examples/collector-stdout.hocon"))
+    assert stdout_cfg.good_sink.kind == "stdout"
+    assert type(build_sink(stdout_cfg.good_sink, "g")).__name__ == "StdoutSink"
+    kin = load_collector_config(os.path.join(repo, "examples/collector-kinesis.hocon"))
+    assert kin.good_sink.kind == "kinesis"
+    assert kin.cookie_bounce.enabled
+    sink = build_sink(kin.good_sink, "collector-payloads")
+    assert sink.stream_name == "collector-payloads"
+    assert sink.sqs_failover_queue_url and sink.sqs_failover_queue_url.startswith("https://sqs")
