@@ -27,7 +27,7 @@ import pytest
 
 from tests.conftest import SF_DIR
 
-N_CASES = 120
+N_CASES = 160
 SEED = 20260813
 
 NUM_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
@@ -127,11 +127,34 @@ def _window_query(rng: random.Random) -> str:
     )
 
 
+def _having_query(rng: random.Random) -> str:
+    key = rng.choice(STR_COLS)
+    where = _predicate(rng)
+    hcut = rng.choice([10, 100, 1000])
+    return (
+        f"SELECT {key}, COUNT(*) AS n, MIN(l_orderkey) AS min_ok FROM lineitem "
+        f"WHERE {where} GROUP BY {key} HAVING COUNT(*) > {hcut}"
+    )
+
+
+def _setop_query(rng: random.Random) -> str:
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    cols = ", ".join(rng.sample(NUM_COLS + STR_COLS, k=2))
+    p1, p2 = _predicate(rng), _predicate(rng)
+    return (
+        f"SELECT {cols} FROM lineitem WHERE {p1} "
+        f"{op} "
+        f"SELECT {cols} FROM lineitem WHERE {p2}"
+    )
+
+
 def _cases() -> list[str]:
     rng = random.Random(SEED)
     out = []
     for _ in range(N_CASES):
-        gen = rng.choice([_agg_query, _scan_query, _join_query, _window_query])
+        gen = rng.choice(
+            [_agg_query, _scan_query, _join_query, _window_query, _having_query, _setop_query]
+        )
         out.append(gen(rng))
     return out
 
