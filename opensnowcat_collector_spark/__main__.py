@@ -100,6 +100,22 @@ def main(argv: list[str] | None = None) -> int:
     stop_evt = threading.Event()
     for sig in (signal.SIGINT, signal.SIGTERM):
         signal.signal(sig, lambda *_: stop_evt.set())
+
+    if not cfg.telemetry.disable:
+        # reference: TelemetryAkkaService heartbeats on an interval until
+        # shutdown; failures are swallowed (telemetry must never take the
+        # collector down)
+        def _heartbeat_loop() -> None:
+            from .streaming.telemetry import send_heartbeat
+
+            while not stop_evt.wait(cfg.telemetry.interval_ms / 1000.0):
+                try:
+                    send_heartbeat(cfg)
+                except Exception:
+                    pass
+
+        threading.Thread(target=_heartbeat_loop, daemon=True).start()
+
     stop_evt.wait()
     # graceful drain: unhealthy /health during pre-termination, then stop
     drain = cfg.pre_termination_period_ms / 1000.0 if cfg.pre_termination_unhealthy else None

@@ -44,6 +44,7 @@ PROBE_QUERIES = [
     "curate_contamination",
     "text_repetition_score",
     "dedup_cluster_components",
+    "dedup_incremental_minhash",
 ]
 
 KEY_SHIFTS = {
