@@ -326,3 +326,104 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             pred.alias("lang_pred"),
         )
     )
+
+
+@register(
+    "text_vocab_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY w
+)
+SELECT w, n, df,
+       CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS rank
+FROM vocab
+""",
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary construction (the tokenizer-training prep step):
+    per-word occurrence count, document frequency, and frequency rank.
+    One explode + one groupBy(word); the rank window is over the VOCAB
+    (post-aggregation, |V| rows), never the token stream, so the global
+    window is cheap at any corpus size.  Deterministic rank tie-break by
+    word."""
+    from pyspark.sql import Window
+
+    w = _words_flat(spark, sf_dir)
+    vocab = w.groupBy(F.col("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    rank_w = Window.orderBy(F.col("n").desc(), F.col("w"))
+    return vocab.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+
+
+PMI_MIN_PAIR_COUNT = 5
+
+
+@register(
+    "text_cooccurrence_ratio",
+    oracle=f"""
+WITH bigrammed AS (
+  SELECT [struct_pack(w1 := ws[i], w2 := ws[i+1])
+          for i in generate_series(1, greatest(len(ws)-1, 1))] AS bgs
+  FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents)
+),
+pairs AS (
+  SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS n_xy
+  FROM (SELECT UNNEST(bgs) AS bg FROM bigrammed)
+  WHERE bg.w2 IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_pairs FROM pairs),
+uni_l AS (SELECT w1, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM pairs GROUP BY w1),
+uni_r AS (SELECT w2, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM pairs GROUP BY w2)
+SELECT p.w1, p.w2, p.n_xy,
+       CAST(p.n_xy * t.n_pairs AS DOUBLE) / (l.n_x * r.n_y) AS pmi_ratio
+FROM pairs p
+JOIN uni_l l USING (w1)
+JOIN uni_r r USING (w2)
+CROSS JOIN tot t
+WHERE p.n_xy >= {PMI_MIN_PAIR_COUNT}
+""",
+)
+def text_cooccurrence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-word co-occurrence association, PMI in exact-ratio form:
+    pmi_ratio = P(x,y) / (P(x)P(y)) = n_xy * N / (n_x * n_y), computed as
+    a single division of exact integers (no log — both engines emit the
+    identical double; take log downstream if you want classic PMI).
+    Flat bigram explode -> groupBy(pair) -> two vocab-sized marginal
+    aggregations + broadcast single-row total; work is linear in token
+    volume, outputs bounded by observed-pair vocabulary.  Pairs below
+    PMI_MIN_PAIR_COUNT are dropped (sparse-count PMI is noise — standard
+    practice).  The int64 product n_xy * N bounds the corpus at ~3e9
+    pair tokens per 3e9 max pair count — past that, promote both factors
+    to double before multiplying (and the same in the oracle)."""
+    d = table(spark, sf_dir, "documents")
+    n_bg = F.greatest(F.size("ws") - 1, F.lit(1))
+    zipped = F.arrays_zip(
+        F.slice("ws", 1, n_bg).alias("w1"),
+        F.slice("ws", 2, n_bg).alias("w2"),
+    )
+    pairs = (
+        d.select(F.split(F.lower("text"), " ").alias("ws"))
+        .select(F.explode(zipped).alias("t"))
+        .filter(F.col("t.w2").isNotNull())
+        .groupBy(F.col("t.w1").alias("w1"), F.col("t.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    tot = pairs.agg(F.sum("n_xy").alias("n_pairs"))
+    uni_l = pairs.groupBy("w1").agg(F.sum("n_xy").alias("n_x"))
+    uni_r = pairs.groupBy("w2").agg(F.sum("n_xy").alias("n_y"))
+    ratio = (F.col("n_xy") * F.col("n_pairs")).cast("double") / (
+        F.col("n_x") * F.col("n_y")
+    )
+    return (
+        pairs.filter(F.col("n_xy") >= PMI_MIN_PAIR_COUNT)
+        .join(uni_l, "w1")
+        .join(uni_r, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_xy", ratio.alias("pmi_ratio"))
+    )
