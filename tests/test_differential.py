@@ -27,7 +27,7 @@ import pytest
 
 from tests.conftest import SF_DIR
 
-N_CASES = 160
+N_CASES = 200
 SEED = 20260813
 
 NUM_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
@@ -148,12 +148,39 @@ def _setop_query(rng: random.Random) -> str:
     )
 
 
+def _case_query(rng: random.Random) -> str:
+    col = rng.choice(NUM_COLS)
+    cut1, cut2 = sorted(rng.sample([10, 100, 1000, 10000], k=2))
+    where = _predicate(rng)
+    return (
+        f"SELECT CASE WHEN {col} < {cut1} THEN 'lo' "
+        f"WHEN {col} < {cut2} THEN 'mid' ELSE 'hi' END AS band, "
+        f"COUNT(*) AS n, SUM(l_linenumber) AS sum_ln "
+        f"FROM lineitem WHERE {where} GROUP BY 1"
+    )
+
+
+def _distinct_query(rng: random.Random) -> str:
+    cols = ", ".join(rng.sample(STR_COLS + ["l_linenumber"], k=2))
+    where = _predicate(rng)
+    return f"SELECT DISTINCT {cols} FROM lineitem WHERE {where}"
+
+
 def _cases() -> list[str]:
     rng = random.Random(SEED)
     out = []
     for _ in range(N_CASES):
         gen = rng.choice(
-            [_agg_query, _scan_query, _join_query, _window_query, _having_query, _setop_query]
+            [
+                _agg_query,
+                _scan_query,
+                _join_query,
+                _window_query,
+                _having_query,
+                _setop_query,
+                _case_query,
+                _distinct_query,
+            ]
         )
         out.append(gen(rng))
     return out
