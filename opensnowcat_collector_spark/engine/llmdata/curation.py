@@ -494,3 +494,73 @@ def events_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.array_join(ordered_types, ">").alias("seq"),
     )
+
+
+@register(
+    "curate_dataset_card",
+    oracle="""
+WITH per_doc AS (
+  SELECT doc_id, lang, source,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(text) AS h
+  FROM documents
+),
+dups AS (
+  SELECT CAST(SUM(cnt - 1) AS BIGINT) AS dup_docs
+  FROM (SELECT h, COUNT(*) AS cnt FROM per_doc GROUP BY h)
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_doc_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens,
+       d.dup_docs,
+       CAST(d.dup_docs AS DOUBLE) / COUNT(*) AS dup_rate
+FROM per_doc CROSS JOIN dups d
+GROUP BY d.dup_docs
+""",
+)
+def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary: one row of corpus-level statistics (doc and
+    token counts, language/source cardinalities, token-length extremes,
+    exact-duplicate count and rate) — the numbers a dataset release
+    documents.  One pass over the corpus for the per-doc projection, one
+    hash-groupBy for the duplicate count, a broadcast of the single-row
+    dup aggregate; every emitted double is a single division of exact
+    integers."""
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    dups = (
+        per_doc.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") - 1).alias("dup_docs"))
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(dups))
+        .groupBy("dup_docs")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("n_tokens").alias("min_doc_tokens"),
+            F.max("n_tokens").alias("max_doc_tokens"),
+        )
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "n_sources",
+            "min_doc_tokens",
+            "max_doc_tokens",
+            "dup_docs",
+            (F.col("dup_docs").cast("double") / F.col("n_docs")).alias("dup_rate"),
+        )
+    )
