@@ -166,6 +166,27 @@ def _distinct_query(rng: random.Random) -> str:
     return f"SELECT DISTINCT {cols} FROM lineitem WHERE {where}"
 
 
+def _string_query(rng: random.Random) -> str:
+    """String-function composition over documents — 1-based SUBSTR,
+    LENGTH, UPPER/LOWER, || concat are all shared dialect."""
+    exprs = rng.sample(
+        [
+            "LENGTH(text) AS len_t",
+            "UPPER(lang) AS lang_u",
+            "SUBSTR(text, 1, 12) AS head12",
+            "LOWER(source) || ':' || lang AS tag",
+            "LENGTH(REPLACE(text, ' ', '')) AS len_nospace",
+        ],
+        k=rng.choice([2, 3]),
+    )
+    cut = rng.choice([100, 250, 400])
+    limit = rng.choice([25, 100])
+    return (
+        f"SELECT doc_id, {', '.join(exprs)} FROM documents "
+        f"WHERE n_chars < {cut} ORDER BY doc_id LIMIT {limit}"
+    )
+
+
 def _cases() -> list[str]:
     rng = random.Random(SEED)
     out = []
@@ -180,6 +201,7 @@ def _cases() -> list[str]:
                 _setop_query,
                 _case_query,
                 _distinct_query,
+                _string_query,
             ]
         )
         out.append(gen(rng))
@@ -192,7 +214,7 @@ CASES = _cases()
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ["lineitem", "orders"]:
+    for t in ["lineitem", "orders", "documents"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(SF_DIR, t + '.parquet')}')"
         )
@@ -201,7 +223,7 @@ def duck():
 
 @pytest.fixture(scope="module")
 def spark_views(spark):
-    for t in ["lineitem", "orders"]:
+    for t in ["lineitem", "orders", "documents"]:
         spark.read.parquet(os.path.join(SF_DIR, t + ".parquet")).createOrReplaceTempView(t)
     return spark
 
