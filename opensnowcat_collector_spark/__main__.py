@@ -117,9 +117,11 @@ def main(argv: list[str] | None = None) -> int:
         threading.Thread(target=_heartbeat_loop, daemon=True).start()
 
     stop_evt.wait()
-    # graceful drain: unhealthy /health during pre-termination, then stop
-    drain = cfg.pre_termination_period_ms / 1000.0 if cfg.pre_termination_unhealthy else None
-    server.stop(drain_wait_s=drain)
+    # graceful drain: keep serving for preTerminationPeriod regardless
+    # (reference Collector.scala pre-termination hook); the
+    # preTerminationUnhealthy flag only controls whether /health answers
+    # 503 while draining (gated in the server handler, not here)
+    server.stop(drain_wait_s=cfg.pre_termination_period_ms / 1000.0)
     job.stop(query)
     return 0
 

@@ -402,6 +402,15 @@ def collector_config_from_tree(tree: dict, base: CollectorConfig | None = None) 
         enable_amplitude_bridge=bool(
             (tree.get("experimental") or {}).get("enableAmplitudeBridge", False)
         ),
+        # AmplitudeBridge.scala:76-103: origin whitelisting follows the
+        # crossDomain block — enabled with specific domains means
+        # whitelist; disabled or ["*"] means allow-all (empty tuple here,
+        # which origin_allowed treats as allow-all).
+        amplitude_allowed_domains=(
+            tuple(str(d) for d in (xd.get("domains") or ()))
+            if bool(xd.get("enabled", False)) and "*" not in (xd.get("domains") or ["*"])
+            else ()
+        ),
         deterministic_now_ms=base.deterministic_now_ms,
     )
 

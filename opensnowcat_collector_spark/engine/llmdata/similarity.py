@@ -187,9 +187,31 @@ def sketch_udf():
 # ---------------------------------------------------------------------------
 
 
+def _source_fingerprint(sf_dir: str, name: str = "embeddings.parquet") -> str:
+    """mtime+size fingerprint of the source parquet: regenerated testdata
+    at the same path gets a different cache key, so a stale index can
+    never be served against fresh data."""
+    st = os.stat(os.path.join(sf_dir, name))
+    return f"{st.st_mtime_ns}-{st.st_size}"
+
+
 def ann_index_path(sf_dir: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{_source_fingerprint(sf_dir)}".encode()
+    ).hexdigest()[:12]
     return os.path.join("/tmp/spark_graft_ann_index", key)
+
+
+def _publish_index(tmp: str, path: str) -> None:
+    """Atomically publish a freshly-built index directory: rename into
+    place; if a concurrent builder won the race (dest now exists), keep
+    theirs and discard ours — both builds are deterministic-identical."""
+    import shutil
+
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def build_ann_index(
@@ -201,9 +223,16 @@ def build_ann_index(
     type inference would otherwise read '01100000' back as an integer);
     the unprefixed ``sketch`` column stays in the data files.  Rebuilds
     only when the index is missing or ``force`` — the write is the
-    pay-once analogue of layout.write_bucketed for this access path."""
+    pay-once analogue of layout.write_bucketed for this access path.
+    The default path embeds the source parquet's mtime+size fingerprint
+    (stale-cache guard), and the build lands in a temp dir published by
+    atomic rename (concurrent first-builds cannot corrupt each other)."""
+    import shutil
+
     path = path or ann_index_path(sf_dir)
-    if force or not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if force:
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         e = table(spark, sf_dir, "embeddings")
         sk = e.select(
             "vec_id",
@@ -211,7 +240,9 @@ def build_ann_index(
             "embedding",
             sketch_udf()(F.col("embedding")).alias("sketch"),
         ).withColumn("bucket", F.concat(F.lit("b"), F.col("sketch")))
-        sk.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        tmp = f"{path}.build-{os.getpid()}"
+        sk.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        _publish_index(tmp, path)
     return path
 
 

@@ -120,6 +120,11 @@ _PRIORITY: list[str] = [
     "setop_except_inactive",
     "scalar_string_funcs",
     "scalar_datetime_funcs",
+    "dedup_incremental_minhash",
+    "events_session_sequences",
+    "curate_dataset_card",
+    "text_vocab_stats",
+    "text_cooccurrence_ratio",
 ]
 
 
@@ -128,6 +133,17 @@ def _ordered(names: dict) -> list[str]:
     if missing:
         raise RuntimeError(f"registry priority references unknown queries: {missing}")
     extras = [n for n in names if n not in _PRIORITY]  # new queries: append
+    if extras:
+        # Placement relative to the driver-graded first-50 window must be
+        # an explicit decision: a query missing from _PRIORITY silently
+        # lands after the window and escapes the external gate.
+        import warnings
+
+        warnings.warn(
+            f"queries not listed in registry._PRIORITY appended after the "
+            f"driver-graded window: {extras}",
+            stacklevel=2,
+        )
     return [n for n in _PRIORITY if n in names] + extras
 
 

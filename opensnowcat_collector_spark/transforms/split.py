@@ -146,8 +146,13 @@ def thrift_size_expr():
         if ftype == 10:  # T_I64
             fs = F.lit(3 + 8)
         elif ftype == 15:  # T_LIST<string>
+            # coalesce keeps the fold total under null elements (a null
+            # header would otherwise null the whole size and the event
+            # would satisfy neither routing predicate — silently dropped)
             fs = F.aggregate(
-                c, F.lit(3 + 5), lambda acc, x: acc + F.octet_length(x) + F.lit(4)
+                c,
+                F.lit(3 + 5),
+                lambda acc, x: acc + F.coalesce(F.octet_length(x), F.lit(0)) + F.lit(4),
             )
         else:  # T_STRING
             fs = F.octet_length(c) + F.lit(3 + 4)
