@@ -21,7 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import collector_queries, relational  # noqa: F401  (registration side effects)
+from . import collector_queries, relational, streaming_queries  # noqa: F401  (registration side effects)
 from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401  (registration side effects)
 
 # First 50 = the driver-graded window. Order within the window groups by
@@ -37,14 +37,12 @@ _PRIORITY: list[str] = [
     "dedup_cluster_components",
     "dedup_incremental",
     # --- LLM-data pipeline: similarity / ANN family ---
-    "embed_norms",
     "sim_topk_bruteforce",
     "sim_ann_lsh",
     "sim_ann_multiprobe",
     "sim_ann_ivf",
     "sim_ann_ivf_kmeans",
     "sim_ann_batch",
-    "sim_bucket_histogram",
     # --- LLM-data pipeline: text analysis ---
     "text_token_stats",
     "text_quality_score",
@@ -78,16 +76,23 @@ _PRIORITY: list[str] = [
     "collector_enrich_events",
     "collector_bridge_roundtrip",
     "collector_bounce_events",
+    # --- streaming-stateful surface (real Structured Streaming runs) ---
     "streaming_hourly_rollup",
+    "streaming_dedup_watermark",
+    "streaming_session_window",
+    "streaming_enrich_join",
     # --- aggregation operators ---
-    "agg_rollup_region_nation",
     "agg_approx_distinct",
     # --- specialized joins ---
     "join_asof_last_click",
     "join_range_price_bins",
     # --- event-table operators ---
     "events_sessionize",
-    # ---- slot 51+ below: driver-confirmed in r1/r2, pytest-covered ----
+    # ---- slot 51+ below: driver-confirmed in earlier rounds (see
+    # COVERAGE.md gate map), pytest-covered by the full-registry sweep ----
+    "embed_norms",
+    "sim_bucket_histogram",
+    "agg_rollup_region_nation",
     "q7_volume_shipping",
     "agg_stats_percentiles",
     "q12_linestatus_priority",

@@ -1,0 +1,200 @@
+"""Streaming-stateful operators under the oracle gate.
+
+Each query here replays the ``events`` table through a REAL Structured
+Streaming query (file source -> stateful operator -> memory sink,
+drained with ``availableNow``) and returns the sink table, so the
+streaming execution path itself — state store, watermarking, session
+merge, micro-batch join planning — is what the DuckDB oracle grades,
+exactly like ``collector_queries.streaming_hourly_rollup``.
+
+Coverage targets (SURVEY §2.8 streaming):
+- ``streaming_dedup_watermark``: ``dropDuplicatesWithinWatermark`` over a
+  synthesized ``insert_id`` — the Amplitude-style idempotency key dedup
+  the reference's fixture implies (core/src/test/.../fixtures/
+  AmplitudeFixture.scala:7 carries ``insert_id`` per event); state is
+  bounded by the watermark horizon, not the stream history.
+- ``streaming_session_window``: native ``session_window`` gap
+  sessionization with watermark — the first streaming question a real
+  user asks of an event collector.
+- ``streaming_enrich_join``: stream-static dimension enrichment via
+  ``streaming.operators.enrich_stream_static`` (broadcast per
+  micro-batch), the streaming twin of the pipeline's T3 enrichment.
+
+Determinism notes: duplicates constructed for the watermark dedup agree
+on every projected column, so "keep first arrival" emits identical rows
+regardless of arrival order; session boundaries compare ``ts`` deltas
+against the gap with >= (Spark windows are end-exclusive), mirrored
+exactly in the oracle's gaps-and-islands SQL.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..streaming.operators import enrich_stream_static
+from .relational import register
+from .tables import table
+
+_SEQ = [0]
+
+# Consecutive event_ids share one insert_id -> deterministic duplicate
+# groups of up to this size inside the replayed stream.
+DEDUP_GROUP = 3
+
+SESSION_GAP_HOURS = 6
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded stream (same nanos->micros handling as
+    the batch loader; ``table`` is called first for its session-conf side
+    effects so an externally-created driver session reads the
+    TIMESTAMP(NANOS) file identically)."""
+    table(spark, sf_dir, "events")  # conf side effects (nanosAsLong, UTC)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
+
+
+def _drain_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Run the streaming frame to a memory sink with availableNow and
+    return the drained sink table."""
+    _SEQ[0] += 1
+    qname = f"stream_gate_{_SEQ[0]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_gate_"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.table(qname)
+
+
+@register(
+    "streaming_dedup_watermark",
+    oracle=f"""
+SELECT DISTINCT
+       event_id // {DEDUP_GROUP} AS insert_id,
+       'ins-' || CAST(event_id // {DEDUP_GROUP} AS VARCHAR) AS insert_key
+FROM events
+""",
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup on an idempotency key:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per
+    ``insert_id`` and evicts key state once the 1h watermark passes it —
+    the Amplitude ``insert_id`` dedup (reference AmplitudeFixture.scala:7)
+    with state bounded by the lateness horizon instead of growing with the
+    stream.  Duplicate groups are synthesized as consecutive event_ids
+    (``event_id div {DEDUP_GROUP}``) and every projected column is a
+    function of the key, so the surviving row is arrival-order
+    independent and the complete drained output equals DISTINCT keys."""
+    src = _events_stream(spark, sf_dir)
+    key = F.expr(f"event_id div {DEDUP_GROUP}")
+    ded = (
+        src.withColumn("insert_id", key)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["insert_id"])
+        .select(
+            "insert_id",
+            F.concat(F.lit("ins-"), F.col("insert_id").cast("string")).alias(
+                "insert_key"
+            ),
+        )
+    )
+    return _drain_to_memory(ded, "append")
+
+
+@register(
+    "streaming_session_window",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+g AS (
+  SELECT user_id, ts, value,
+         SUM(CASE WHEN prev IS NULL
+                    OR ts - prev >= INTERVAL {SESSION_GAP_HOURS} HOUR
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_HOURS} HOUR AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+FROM g
+GROUP BY user_id, sid
+""",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization: ``session_window(ts, gap)`` under
+    a watermark merges events into per-user sessions inside the state
+    store (session end = last event + gap, end-exclusive — an event at
+    exactly the gap boundary starts a new session, hence the oracle's
+    ``>=`` island condition).  The batch twin is
+    ``relational.events_sessionize``; this puts the streaming session
+    merge itself under the gate.  State per key is one open session row,
+    evicted when the watermark passes its close."""
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("ts", f"{SESSION_GAP_HOURS} hours").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain_to_memory(agg, "complete")
+
+
+@register(
+    "streaming_enrich_join",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+""",
+)
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the customer
+    dimension (re-read and broadcast per micro-batch by
+    ``enrich_stream_static``) — the streaming twin of the pipeline's
+    enrichment joins and the standard dimension-lookup shape at 100 TB
+    (static side broadcast, stream side never shuffles)."""
+    src = _events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
+    )
+    joined = enrich_stream_static(src, dim, on="user_id", how="left").select(
+        "event_id", "user_id", "c_name", "c_nationkey"
+    )
+    return _drain_to_memory(joined, "append")
