@@ -471,28 +471,27 @@ ANTI JOIN (
 
 @register("dedup_embedding_kmeans", oracle=_emb_dedup_kmeans_oracle())
 def dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup removal blocked on LEARNED k-means cells: the
-    coarse quantizer from ``similarity.sim_ann_ivf_kmeans`` (deterministic
-    seeds, unrolled Lloyd iterations, shared SQL with the oracle) assigns
-    every vector a cell, and the blocked gram-matrix survivor pass runs
-    per cell — the trained-quantizer version of
-    ``dedup_embedding_cosine``'s label blocking.  At scale the assignment
-    is the pay-once train step; the O(block^2) work is bounded by cell
-    size exactly as with any IVF layout."""
+    """Embedding near-dup removal blocked on LEARNED k-means cells, read
+    from the PERSISTED IVF index (``similarity.build_ivf_index`` — the
+    quantizer trains once and both this query and ``sim_ann_ivf_kmeans``
+    consume the artifact): the cell-partitioned vector layout feeds the
+    blocked gram-matrix survivor pass directly, so the only remaining
+    shuffle is the groupBy(cell) — and because the files are already laid
+    out by cell, each block is a partition-local read.  The
+    trained-quantizer version of ``dedup_embedding_cosine``'s label
+    blocking; O(block^2) work bounded by cell size, as with any IVF
+    layout."""
+    import os
+
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-    from .similarity import _SPARK_KMEANS_FLAT, KMEANS_ASSIGN, _kmeans_ctes
+    from .similarity import build_ivf_index
 
-    e = table(spark, sf_dir, "embeddings")
-    e.createOrReplaceTempView("embeddings")
-    assign = spark.sql(
-        "WITH " + ",\n".join(_kmeans_ctes(_SPARK_KMEANS_FLAT))
-        + f"\nSELECT vec_id, cid FROM {KMEANS_ASSIGN}"
-    )
-    blocked = e.join(assign, "vec_id")
+    idx = build_ivf_index(spark, sf_dir)
+    blocked = spark.read.parquet(os.path.join(idx, "vectors"))
     out_schema = StructType(
         [StructField("vec_id", LongType()), StructField("label", IntegerType())]
     )
@@ -509,7 +508,7 @@ def dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"vec_id": ids[~dup], "label": pdf["label"].values[order][~dup]}
         )
 
-    return blocked.groupBy("cid").applyInPandas(cell_survivors, out_schema)
+    return blocked.groupBy("cell").applyInPandas(cell_survivors, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -76,3 +76,24 @@ def test_ann_batch_dynamic_partition_pruning(spark, sf_dir):
     broadcast)."""
     plan = _plan(spark, sf_dir, "sim_ann_batch")
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_ivf_kmeans_probe_trains_nothing(spark, sf_dir):
+    """The k-means IVF probe must read the PERSISTED quantizer: no
+    training joins/aggregations in the probe plan (was 18 exchanges when
+    Lloyd iterations ran inline per query), and the vector scan pruned to
+    the query's cell partition."""
+    plan = _plan(spark, sf_dir, "sim_ann_ivf_kmeans")
+    assert plan.count("Exchange") == 0, plan
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in p for p in pf), plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_kmeans_reads_ivf_artifact(spark, sf_dir):
+    """dedup_embedding_kmeans shares the persisted IVF artifact: exactly
+    one shuffle (the groupBy(cell) feeding applyInPandas) and no
+    training subtree."""
+    plan = _plan(spark, sf_dir, "dedup_embedding_kmeans")
+    assert plan.count("Exchange") <= 1, plan
+    assert "FlatMapGroupsInPandas" in plan
