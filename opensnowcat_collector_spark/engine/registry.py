@@ -47,7 +47,6 @@ _PRIORITY: list[str] = [
     "text_token_stats",
     "text_quality_score",
     "text_langid",
-    "text_fingerprint",
     "text_token_bpeish",
     "text_repetition_score",
     "corpus_curation_pipeline",
@@ -86,6 +85,7 @@ _PRIORITY: list[str] = [
     # --- specialized joins ---
     "join_asof_last_click",
     "join_range_price_bins",
+    "join_skew_salted",
     # --- event-table operators ---
     "events_sessionize",
     # ---- slot 51+ below: driver-confirmed in earlier rounds (see
@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "embed_norms",
     "sim_bucket_histogram",
     "agg_rollup_region_nation",
+    "text_fingerprint",
     "q7_volume_shipping",
     "agg_stats_percentiles",
     "q12_linestatus_priority",

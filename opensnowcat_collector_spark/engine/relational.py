@@ -875,6 +875,50 @@ def join_range_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_skew_salted",
+    oracle="""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+FROM events e
+JOIN nation n
+  ON n.n_nationkey = (CASE WHEN e.event_type = 'click' THEN 0
+                           ELSE e.user_id % 25 END)
+GROUP BY n.n_name
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planned-skew equi-join via ``layout.salted_join``: the fact key is
+    deliberately hot (ALL click events collapse onto nation 0 — ~20% of
+    the table on one key, the shape AQE's runtime skew split only fixes
+    for sort-merge joins it happens to see), so the fact side takes a
+    random salt and the dimension replicates n_salts-fold, spreading the
+    hot key over n_salts tasks at plan time.  The result is
+    salt-invariant (each fact row matches its dimension row exactly once
+    regardless of salt value), so the query stays oracle-exact.  At
+    sf0.01 Catalyst broadcasts the tiny replicated dim; with broadcast
+    disabled the plan shuffles BOTH sides on (key, _salt) — asserted by
+    tests/test_plan_shapes.py — which is the 100 TB shape when the dim
+    exceeds the broadcast threshold."""
+    from .layout import salted_join
+
+    e = table(spark, sf_dir, "events")
+    facts = e.select(
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .otherwise(F.col("user_id") % 25)
+        .cast("int")
+        .alias("n_nationkey"),
+        "value",
+    )
+    dim = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(facts, dim, "n_nationkey", n_salts=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(_cents(F.col("value"))).cast("double") / 100.0).alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pivot / statistics aggregations
 # ---------------------------------------------------------------------------

@@ -90,6 +90,20 @@ def test_ivf_kmeans_probe_trains_nothing(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """With broadcast disabled (the 100 TB shape — dim too big to
+    broadcast), the salted join must shuffle BOTH sides on (key, _salt):
+    the hot key spreads over n_salts tasks instead of one."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "join_skew_salted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert re.search(r"hashpartitioning\([^)]*_salt", plan), plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dedup_kmeans_reads_ivf_artifact(spark, sf_dir):
     """dedup_embedding_kmeans shares the persisted IVF artifact: exactly
     one shuffle (the groupBy(cell) feeding applyInPandas) and no

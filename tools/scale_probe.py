@@ -45,6 +45,7 @@ PROBE_QUERIES = [
     "text_repetition_score",
     "dedup_cluster_components",
     "dedup_incremental_minhash",
+    "join_skew_salted",
 ]
 
 KEY_SHIFTS = {
