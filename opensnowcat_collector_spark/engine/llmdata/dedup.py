@@ -542,33 +542,88 @@ USING (cluster_id)
 """
 
 
-def _register_cluster_components():
-    from ..relational import ORACLE
+def _star_round(edges: DataFrame, kind: str) -> DataFrame:
+    """One large-star or small-star step (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", the alternating algorithm).
 
-    @register(
-        "dedup_cluster_components",
-        oracle=_CC_ORACLE.format(ngram_sql=ORACLE["dedup_ngram_jaccard"]),
+    ``edges``: distinct directed pairs (src, dst), no self-loops,
+    interpreted as an undirected graph (symmetrized here).  Per node u
+    with m = min(Γ(u) ∪ {u}):
+    - large-star connects every strictly LARGER neighbor to m,
+    - small-star connects every strictly SMALLER neighbor AND u itself
+      to m.
+    Both preserve connectivity; alternating them converges to a star
+    forest (every edge = (node, component-min)) in O(log n) rounds even
+    on chain graphs, where plain min-label propagation needs O(diameter)
+    rounds."""
+    sym = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
     )
-    def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Connected components over the near-dup pair graph: every doc
-        gets cluster_id = MIN doc_id reachable through jaccard>=0.8 edges
-        (singletons cluster with themselves).  This is the step that turns
-        pairwise dedup verdicts into keep/drop groups.
+    m = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    if kind == "large":
+        sel = sym.filter(F.col("dst") > F.col("src"))
+        out = sel.join(m, "src").select(F.col("dst").alias("a"), F.col("m").alias("b"))
+    else:
+        sel = sym.filter(F.col("dst") < F.col("src"))
+        out = sel.join(m, "src").select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        out = out.union(m.select(F.col("src").alias("a"), F.col("m").alias("b")))
+    return (
+        out.filter(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .distinct()
+    )
 
-        Iterative min-label propagation: each round every node takes the
-        minimum label among itself and its neighbors; converges in
-        O(cluster diameter) rounds — near-dup clusters are dense, so 2-3
-        rounds in practice.  Each round is fully distributed (one edge
-        equi-join + one groupBy(dst) min); the driver only checks the
-        scalar changed-count.  ``localCheckpoint`` truncates the plan
-        lineage each round, the standard guard against iterative-plan
-        blowup.  At 100 TB the same loop runs with the edge list
-        hash-partitioned by src; the large-star/small-star variant halves
-        round count if diameters grow."""
-        from ..relational import QUERIES
 
-        docs = table(spark, sf_dir, "documents").select("doc_id")
-        pairs = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
+def connected_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    method: str = "star",
+    max_rounds: int = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Distributed connected components: (node) x (doc_a, doc_b) edge
+    pairs -> (node, lbl) with lbl = MIN node reachable (singletons label
+    themselves).
+
+    ``method='star'`` (default): alternating large-star/small-star
+    rounds — O(log n) rounds on any graph shape, the 100 TB path (round
+    count on a length-n chain is ~log2(n), asserted by
+    tests/test_curation.py).  ``method='propagate'``: the plain
+    min-label-propagation fixpoint, O(diameter) rounds — kept as the
+    simpler fallback and as a cross-check in tests.  Each round is fully
+    distributed; the driver only compares scalar counts.
+    ``localCheckpoint`` truncates lineage per round (iterative-plan
+    guard).  ``stats['rounds']`` records the executed round count."""
+    rounds = 0
+    if method == "star":
+        edges = (
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_edges = edges.count()
+        while n_edges and rounds < max_rounds:
+            rounds += 1
+            stepped = _star_round(_star_round(edges, "large"), "small").localCheckpoint()
+            n_new = stepped.count()
+            # distinct sets are equal iff same size and empty difference
+            if n_new == n_edges and stepped.exceptAll(edges).count() == 0:
+                edges = stepped
+                break
+            edges, n_edges = stepped, n_new
+        # converged star forest: edges = (child, root); roots/singletons
+        # label themselves
+        lbls = edges.select(F.col("src").alias("node"), F.col("dst").alias("lbl"))
+        labels = (
+            docs.select(F.col("doc_id").alias("node"))
+            .join(lbls, "node", "left")
+            .select("node", F.coalesce("lbl", "node").alias("lbl"))
+        )
+    elif method == "propagate":
         edges = (
             pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
             .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -576,7 +631,8 @@ def _register_cluster_components():
         )
         labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
         labels = labels.localCheckpoint()
-        while True:
+        while rounds < max_rounds:
+            rounds += 1
             nbr_min = (
                 edges.join(labels, edges.src == labels.node)
                 .groupBy("dst")
@@ -595,6 +651,38 @@ def _register_cluster_components():
             labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
             if changed == 0:
                 break
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    if stats is not None:
+        stats["rounds"] = rounds
+    return labels
+
+
+def _register_cluster_components():
+    from ..relational import ORACLE
+
+    @register(
+        "dedup_cluster_components",
+        oracle=_CC_ORACLE.format(ngram_sql=ORACLE["dedup_ngram_jaccard"]),
+    )
+    def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Connected components over the near-dup pair graph: every doc
+        gets cluster_id = MIN doc_id reachable through jaccard>=0.8 edges
+        (singletons cluster with themselves).  This is the step that turns
+        pairwise dedup verdicts into keep/drop groups.
+
+        Clustering runs the alternating large-star/small-star algorithm
+        (``connected_components``): round count is O(log n) regardless of
+        cluster diameter — the bound that holds at 100 TB where a
+        long-chain near-dup graph would make plain label propagation's
+        O(diameter) loop unbounded.  The min-label-propagation fixpoint
+        remains available as ``method='propagate'`` and is cross-checked
+        against the star method in tests."""
+        from ..relational import QUERIES
+
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+        pairs = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
+        labels = connected_components(docs, pairs, method="star")
         sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
         return (
             labels.join(sizes, "lbl")

@@ -201,6 +201,45 @@ def test_cluster_components_match_union_find(spark, sf_dir):
         assert r.cluster_size == sizes[r.cluster_id]
 
 
+def test_cc_star_log_rounds_on_chain(spark):
+    """The large-star/small-star method must cluster a length-n CHAIN —
+    the worst case for min-label propagation (O(n) rounds) — in
+    O(log n) rounds, the bound that keeps the loop finite at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from opensnowcat_collector_spark.engine.llmdata.dedup import connected_components
+
+    n = 256
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    stats: dict = {}
+    labels = connected_components(docs, pairs, method="star", stats=stats).collect()
+    assert len(labels) == n
+    assert all(r.lbl == 0 for r in labels)  # one component, min label
+    assert stats["rounds"] <= 10, stats  # log2(256)=8, +2 slack
+
+
+def test_cc_star_matches_propagate(spark, sf_dir):
+    """Both CC methods must produce identical labelings on the real
+    near-dup graph (star is the scale path, propagate the fallback)."""
+    from opensnowcat_collector_spark.engine.llmdata.dedup import connected_components
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = registry.all_queries()["dedup_ngram_jaccard"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    star = {
+        r.node: r.lbl for r in connected_components(docs, pairs, method="star").collect()
+    }
+    prop = {
+        r.node: r.lbl
+        for r in connected_components(docs, pairs, method="propagate").collect()
+    }
+    assert star == prop
+
+
 def test_incremental_dedup_membership(spark, sf_dir):
     from opensnowcat_collector_spark.engine.llmdata import dedup as dd
 
