@@ -124,6 +124,20 @@ class TelemetryConfig:
 
 
 @dataclass(frozen=True)
+class SslConfig:
+    """reference.conf:38-42 ssl block (model.scala SSLConfig) —
+    parsed-and-carried for config round-trip fidelity.  TLS itself
+    terminates IN FRONT of the receiver in this deployment shape (LB /
+    ingress / sidecar — SURVEY §7: HTTP-serving knobs belong to the
+    receiver tier, not the engine); ``redirect``/``port`` are surfaced so
+    an operator's reference config maps losslessly."""
+
+    enable: bool = False
+    redirect: bool = False
+    port: int = 443
+
+
+@dataclass(frozen=True)
 class BufferConfig:
     """Flush thresholds — reference: model.scala:174; example defaults
     examples/config.kinesis.extended.hocon:253-255.  In Structured
@@ -161,6 +175,7 @@ class CollectorConfig:
     root_response: RootResponseConfig = field(default_factory=RootResponseConfig)
     cross_domain: CrossDomainConfig = field(default_factory=CrossDomainConfig)
     cors: CORSConfig = field(default_factory=CORSConfig)
+    ssl: SslConfig = field(default_factory=SslConfig)
     #: reference.conf:1 default false: /r/* answers 404 "redirects
     #: disabled" unless explicitly enabled (CollectorRoute.scala:43-49)
     enable_default_redirect: bool = False

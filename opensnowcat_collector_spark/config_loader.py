@@ -13,9 +13,11 @@ in a domain name is rejected with
 config files actually use — comments, nested/dotted object keys, ``=`` /
 ``:`` separators, inline and multiline lists, quoted/unquoted scalars,
 duration values ("365 days", "10.seconds"), object merge on repeated
-keys.  Substitutions (``${...}``) and ``include`` are intentionally out
-of scope and raise, so a config relying on them fails loudly rather than
-silently misparsing.
+keys, and optional environment substitutions (``key = ${?ENV}`` — the
+one substitution form the reference's shipped example configs use;
+unset variable = key not set).  Other substitutions (``${...}``) and
+``include`` are intentionally out of scope and raise, so a config
+relying on them fails loudly rather than silently misparsing.
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ from .config import (
     RedirectMacroConfig,
     RootResponseConfig,
     SinkConfig,
+    SslConfig,
     TelemetryConfig,
 )
 
@@ -219,6 +222,18 @@ def parse_hocon(text: str) -> dict:
         if not m:
             raise ValueError(f"cannot parse config line: {line!r}")
         key, raw = m.group(1), m.group(2).strip()
+        # optional env substitution `key = ${?ENV}` (the one substitution
+        # form the reference's shipped examples use): resolves from the
+        # environment; an unset variable means the key is simply not set
+        # (HOCON semantics), falling back to whatever defaults underlie.
+        env_opt = re.fullmatch(r"\$\{\?([A-Za-z_][A-Za-z0-9_]*)\}", raw)
+        if env_opt:
+            import os
+
+            val = os.environ.get(env_opt.group(1))
+            if val is not None:
+                _set_path(stack[-1], key, _scalar(val))
+            continue
         if raw == "{}":
             _set_path(stack[-1], key, {})
         elif raw.startswith("["):
@@ -271,6 +286,7 @@ REFERENCE_DEFAULTS: dict = {
         "secure": True,
     },
     "cors": {"accessControlMaxAge": "60 minutes"},
+    "ssl": {"enable": False, "redirect": False, "port": 443},
     "terminationDeadline": "10.seconds",
     "streams": {"useIpAddressAsPartitionKey": False},
 }
@@ -372,6 +388,14 @@ def collector_config_from_tree(tree: dict, base: CollectorConfig | None = None) 
             access_control_max_age_ms=parse_duration_ms(
                 (tree.get("cors") or {}).get("accessControlMaxAge", "60 minutes")
             ),
+        ),
+        # reference.conf:38-42: parsed-and-carried so reference configs
+        # with an ssl{} block round-trip; TLS terminates in front of the
+        # receiver (SslConfig docstring)
+        ssl=SslConfig(
+            enable=bool((tree.get("ssl") or {}).get("enable", False)),
+            redirect=bool((tree.get("ssl") or {}).get("redirect", False)),
+            port=int((tree.get("ssl") or {}).get("port", 443)),
         ),
         enable_default_redirect=bool(tree.get("enableDefaultRedirect", False)),
         redirect_domains=tuple(tree.get("redirectDomains", ())),
