@@ -297,7 +297,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming execution path itself under the correctness gate."""
     import tempfile
 
-    from pyspark.sql.types import LongType
+    from .tables import normalize_event_ts
 
     batch = table(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -308,8 +308,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = normalize_event_ts(src)
     _STREAM_Q_SEQ[0] += 1
     qname = f"stream_rollup_{_STREAM_Q_SEQ[0]}"
     agg = (

@@ -33,11 +33,10 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 from ..streaming.operators import enrich_stream_static
 from .relational import register
-from .tables import table
+from .tables import normalize_event_ts, table
 
 _SEQ = [0]
 
@@ -49,10 +48,10 @@ SESSION_GAP_HOURS = 6
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a bounded stream (same nanos->micros handling as
-    the batch loader; ``table`` is called first for its session-conf side
-    effects so an externally-created driver session reads the
-    TIMESTAMP(NANOS) file identically)."""
+    """events.parquet as a bounded stream (same ts normalization as the
+    batch loader; ``table`` is called first for its session-conf side
+    effects so an externally-created driver session reads the events
+    file identically)."""
     table(spark, sf_dir, "events")  # conf side effects (nanosAsLong, UTC)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (
@@ -60,9 +59,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return src
+    return normalize_event_ts(src)
 
 
 def _drain_to_memory(df: DataFrame, mode: str) -> DataFrame:

@@ -34,6 +34,32 @@ TABLE_NAMES = [
 BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-timezone TIMESTAMP (LTZ).
+
+    The driver-generated events.parquet has shipped with two physical
+    types across rounds; both must land on the same column type so
+    downstream hour extraction, watermarks, and window/session_window
+    (which require TIMESTAMP, not TIMESTAMP_NTZ) behave identically:
+
+    - TIMESTAMP(NANOS): surfaced as nanos-since-epoch long under
+      ``spark.sql.legacy.parquet.nanosAsLong`` — truncate to micros (the
+      same truncation DuckDB applies casting TIMESTAMP_NS->TIMESTAMP).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaced as
+      TIMESTAMP_NTZ — cast to TIMESTAMP under the pinned-UTC session
+      timezone, which preserves the wall-clock values the oracle sees.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
@@ -61,14 +87,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.set(conf_key, want)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet, surfaced as nanos-since-epoch
-        # long (spark.sql.legacy.parquet.nanosAsLong); truncate to micros —
-        # the same truncation DuckDB applies casting TIMESTAMP_NS->TIMESTAMP.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

@@ -30,3 +30,40 @@ def test_engine_run_registered_query(spark, sf_dir):
     assert df.count() > 0
     with pytest.raises(KeyError, match="unknown query"):
         eng.run("nope")
+
+
+def test_normalize_event_ts_all_physical_types(spark, sf_dir):
+    """The driver-generated events.parquet has shipped as TIMESTAMP(NANOS)
+    (read as long under nanosAsLong) in some rounds and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (read as TIMESTAMP_NTZ) in others; the loader
+    must land both — and an already-LTZ column — on TIMESTAMP so hour
+    extraction, watermarks, and session windows behave identically."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from opensnowcat_collector_spark.engine.tables import normalize_event_ts, table
+
+    # whatever physical type the current testdata carries -> TIMESTAMP
+    ev = table(spark, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+
+    base = ev.select("event_id", "ts").limit(5)
+    wall = [r["ts"] for r in base.orderBy("event_id").collect()]
+
+    # long nanos-since-epoch -> same wall-clock micros
+    as_nanos = base.withColumn(
+        "ts", (F.unix_micros("ts") * F.lit(1000)).cast("long")
+    )
+    got = normalize_event_ts(as_nanos)
+    assert isinstance(got.schema["ts"].dataType, TimestampType)
+    assert [r["ts"] for r in got.orderBy("event_id").collect()] == wall
+
+    # TIMESTAMP_NTZ -> same wall-clock under the pinned-UTC session tz
+    as_ntz = base.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = normalize_event_ts(as_ntz)
+    assert isinstance(got.schema["ts"].dataType, TimestampType)
+    assert [r["ts"] for r in got.orderBy("event_id").collect()] == wall
+
+    # already-LTZ passes through unchanged
+    got = normalize_event_ts(base)
+    assert [r["ts"] for r in got.orderBy("event_id").collect()] == wall
