@@ -195,3 +195,105 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "c_name", "c_nationkey"
     )
     return _drain_to_memory(joined, "append")
+
+ATTRIBUTION_HORIZON_MIN = 30
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle=f"""
+SELECT c.user_id AS c_user_id,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_HORIZON_MIN} MINUTE
+""",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the gate: purchases attributed to
+    any same-user click in the preceding {horizon} minutes, both sides
+    watermarked so join state is evicted once the horizon passes the
+    watermark (``streaming.operators.attribute_purchases``).  events.parquet
+    is a single file, so availableNow drains it as one micro-batch and the
+    inner join emits every qualifying pair — the complete output equals the
+    batch interval join the oracle runs.  At 100 TB the state bound is the
+    point: click state lives [horizon + lateness], not the stream history.
+    """
+    from ..streaming.operators import attribute_purchases
+
+    src = _events_stream(spark, sf_dir)
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = src.filter(F.col("event_type") == "purchase")
+    joined = attribute_purchases(
+        clicks,
+        purchases,
+        horizon_minutes=ATTRIBUTION_HORIZON_MIN,
+        watermark="1 hour",
+        how="inner",
+    )
+    return _drain_to_memory(joined, "append")
+
+
+STATEFUL_GAP_HOURS = 6
+
+
+@register(
+    "streaming_stateful_sessionize",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev IS NULL
+                    OR ts - prev > INTERVAL {STATEFUL_GAP_HOURS} HOUR
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+s AS (
+  SELECT user_id, sid,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(ts) AS session_start,
+         MAX(ts) AS session_end,
+         MAX(sid) OVER (PARTITION BY user_id) AS last_sid
+  FROM g GROUP BY user_id, sid
+)
+SELECT user_id, n_events, session_start, session_end,
+       'gap' AS closed_by
+FROM s WHERE sid < last_sid
+""",
+)
+def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``) under the
+    gate: per-user sessionization where state is three longs per key
+    (count, start, last) — constant-size regardless of session length,
+    the shape the native ``session_window`` state store can't express
+    when the per-session payload must stay bounded by hand.
+
+    Determinism contract: events.parquet is one file -> one availableNow
+    micro-batch, so every user's full history reaches the state function
+    sorted in a single call; it emits exactly the sessions CLOSED by an
+    observed gap (strict ``> gap``), while each user's final session
+    stays open in state (``timeout_flush=False`` — no timeout registered,
+    which also lets availableNow terminate; with ProcessingTimeTimeout
+    the engine would keep scheduling empty batches to serve pending
+    timeouts) — so the output equals the oracle's gaps-and-islands
+    sessions minus each user's last session.  closed_by
+    is the constant 'gap' on every emitted row by the same argument.
+    """
+    from ..streaming.operators import sessionize_stateful
+
+    src = _events_stream(spark, sf_dir)
+    out = sessionize_stateful(
+        src, gap_minutes=STATEFUL_GAP_HOURS * 60, timeout_flush=False
+    ).select("user_id", "n_events", "session_start", "session_end", "closed_by")
+    return _drain_to_memory(out, "append")

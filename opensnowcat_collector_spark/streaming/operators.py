@@ -78,8 +78,8 @@ def attribute_purchases(
 SESSION_STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
-        StructField("start_ms", LongType()),
-        StructField("last_ms", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
     ]
 )
 
@@ -94,11 +94,18 @@ SESSION_OUT_SCHEMA = StructType(
 )
 
 
-def make_session_fn(gap_ms: int):
+def make_session_fn(gap_ms: int, timeout_flush: bool = True):
     """applyInPandasWithState function: accumulates per-user session state,
     emits a session row whenever a gap > gap_ms is observed inside a batch,
-    and flushes the open session on processing-time timeout.  State per key
-    is three longs — constant-size, watermark-independent."""
+    and (when ``timeout_flush``) flushes the open session on
+    processing-time timeout.  State per key is three longs —
+    constant-size, watermark-independent.
+
+    ``timeout_flush=False`` registers no timeout: open sessions stay in
+    state forever.  That is the mode for bounded availableNow replays —
+    with ProcessingTimeTimeout the streaming engine must keep scheduling
+    empty batches so pending timeouts can fire, and an availableNow drain
+    therefore never terminates."""
 
     def fn(
         key: tuple[Any, ...],
@@ -106,54 +113,58 @@ def make_session_fn(gap_ms: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        gap_us = gap_ms * 1000
         out: list[dict] = []
         if state.hasTimedOut:
             if state.exists:
-                n, start_ms, last_ms = state.get
+                n, start_us, last_us = state.get
                 out.append(
                     {
                         "user_id": user_id,
                         "n_events": n,
-                        "start_ms": start_ms,
-                        "last_ms": last_ms,
+                        "start_us": start_us,
+                        "last_us": last_us,
                         "closed_by": "timeout",
                     }
                 )
             state.remove()
         else:
-            ts_ms: list[int] = []
+            # micros-since-epoch: events carry microsecond precision and
+            # the emitted session bounds must round-trip it exactly
+            ts_us: list[int] = []
             for pdf in pdfs:
-                ts_ms.extend(int(t.value // 1_000_000) for t in pdf["ts"])
-            ts_ms.sort()
+                ts_us.extend(int(t.value // 1_000) for t in pdf["ts"])
+            ts_us.sort()
             if state.exists:
-                n, start_ms, last_ms = state.get
+                n, start_us, last_us = state.get
             else:
-                n, start_ms, last_ms = 0, None, None
-            for t in ts_ms:
-                if last_ms is not None and t - last_ms > gap_ms:
+                n, start_us, last_us = 0, None, None
+            for t in ts_us:
+                if last_us is not None and t - last_us > gap_us:
                     out.append(
                         {
                             "user_id": user_id,
                             "n_events": n,
-                            "start_ms": start_ms,
-                            "last_ms": last_ms,
+                            "start_us": start_us,
+                            "last_us": last_us,
                             "closed_by": "gap",
                         }
                     )
-                    n, start_ms = 0, None
+                    n, start_us = 0, None
                 n += 1
-                start_ms = t if start_ms is None else start_ms
-                last_ms = t
-            state.update((n, start_ms, last_ms))
-            state.setTimeoutDuration(gap_ms)
+                start_us = t if start_us is None else start_us
+                last_us = t
+            state.update((n, start_us, last_us))
+            if timeout_flush:
+                state.setTimeoutDuration(gap_ms)
         if out:
             df = pd.DataFrame(out)
             yield pd.DataFrame(
                 {
                     "user_id": df["user_id"].astype("int64"),
                     "n_events": df["n_events"].astype("int64"),
-                    "session_start": pd.to_datetime(df["start_ms"], unit="ms"),
-                    "session_end": pd.to_datetime(df["last_ms"], unit="ms"),
+                    "session_start": pd.to_datetime(df["start_us"], unit="us"),
+                    "session_end": pd.to_datetime(df["last_us"], unit="us"),
                     "closed_by": df["closed_by"],
                 }
             )
@@ -161,19 +172,27 @@ def make_session_fn(gap_ms: int):
     return fn
 
 
-def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize_stateful(
+    events: DataFrame, gap_minutes: int = 30, timeout_flush: bool = True
+) -> DataFrame:
     """Custom stateful sessionization (applyInPandasWithState) — closed
-    sessions emit on gap within the stream, open sessions on
-    processing-time timeout."""
+    sessions emit on gap within the stream; open sessions flush on
+    processing-time timeout when ``timeout_flush`` (continuous serving
+    mode), or stay held in state when not (bounded availableNow replays,
+    which cannot terminate while timeouts are pending)."""
     return (
         events.select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            make_session_fn(gap_minutes * 60 * 1000),
+            make_session_fn(gap_minutes * 60 * 1000, timeout_flush),
             outputStructType=SESSION_OUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_flush
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
