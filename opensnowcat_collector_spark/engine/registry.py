@@ -69,7 +69,6 @@ _PRIORITY: list[str] = [
     "q5_local_supplier_volume",
     "q10_returned_items",
     "q18_large_orders",
-    "q19_disjunctive_revenue",
     # --- collector parity (reference semantics end-to-end) ---
     "collector_enrich_events",
     "collector_bridge_roundtrip",
@@ -86,13 +85,16 @@ _PRIORITY: list[str] = [
     # --- specialized joins ---
     "join_asof_last_click",
     "join_skew_salted",
+    "join_bucketed_colocated",
     # --- event-table operators ---
     "events_sessionize",
     # ---- slot 51+ below: driver-confirmed in earlier rounds (see
     # COVERAGE.md gate map), pytest-covered by the full-registry sweep.
-    # q22 / join_range_price_bins were displaced from the window in r4
-    # (3x driver-confirmed) to make room for the streaming-stateful pair.
+    # q22 / q19 / join_range_price_bins were displaced from the window in
+    # r4 (3x driver-confirmed) to make room for the streaming-stateful
+    # pair and the bucketed-layout join.
     "q22_global_sales_opportunity",
+    "q19_disjunctive_revenue",
     "join_range_price_bins",
     "embed_norms",
     "sim_bucket_histogram",

@@ -919,6 +919,54 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT o.o_orderkey,
+       o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_orderpriority
+""",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join over the materialized bucketed layout
+    (``layout.build_bucketed_layout``): orders and lineitem are both
+    bucketed (and per-bucket sorted) on the order key with the same
+    bucket count, so the join AND the per-order aggregation plan with
+    ZERO exchanges — ``Bucketed: true`` scans straight into
+    SortMergeJoin, asserted by tests/test_plan_shapes.py.  This is the
+    pay-once ingest shape at 100 TB: the shuffle happened at write time,
+    and every subsequent equi-join/rollup on the bucket key is
+    partition-local (bucketing is the static complement to AQE —
+    co-location the runtime cannot retrofit).  The layout artifact is
+    fingerprinted to the source parquet and published atomically
+    (similarity.build_ann_index discipline)."""
+    from .layout import build_bucketed_layout, ensure_bucketed_tables
+
+    build_bucketed_layout(spark, sf_dir)
+    names = ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(names["orders"]).select("o_orderkey", "o_orderpriority")
+    l = spark.table(names["lineitem"]).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.sum(
+                    _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+                ).cast("double")
+                / 10000.0
+            ).alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pivot / statistics aggregations
 # ---------------------------------------------------------------------------

@@ -102,3 +102,41 @@ def test_ann_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     # only same-bucket neighbors
     got = S.sim_ann_lsh(spark, sf_dir).collect()
     assert all(r["sketch"] == qsketch for r in got)
+
+
+def test_bucketed_layout_artifact_fresh_and_reregisterable(spark, sf_dir):
+    """The materialized layout is fingerprinted to its sources, builds
+    once, and re-registers idempotently in a 'new' session (simulated by
+    dropping the catalog entries — the files persist)."""
+    import os
+
+    from opensnowcat_collector_spark.engine.layout import (
+        build_bucketed_layout,
+        bucketed_layout_path,
+        ensure_bucketed_tables,
+    )
+
+    path = build_bucketed_layout(spark, sf_dir)
+    assert path == bucketed_layout_path(sf_dir)
+    assert os.path.exists(os.path.join(path, "_LAYOUT_SUCCESS"))
+    names = ensure_bucketed_tables(spark, sf_dir)
+    n_orders = spark.table(names["orders"]).count()
+    assert n_orders == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+    # second build is a no-op on disk (same mtime fingerprint -> same path)
+    assert build_bucketed_layout(spark, sf_dir) == path
+
+    # a fresh session has no catalog entries but the same files: dropping
+    # and re-running ensure must restore identical bucketed tables
+    for t in names.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    names2 = ensure_bucketed_tables(spark, sf_dir)
+    assert names2 == names
+    assert spark.table(names2["orders"]).count() == n_orders
+    # the re-registered entry carries the bucket spec (a bare scan shows
+    # Bucketed: false because nothing exploits it; the join-plan assertion
+    # lives in test_plan_shapes.test_bucketed_join_zero_exchanges)
+    desc = spark.sql(f"DESCRIBE FORMATTED {names2['orders']}").collect()
+    kv = {r["col_name"].strip(): (r["data_type"] or "").strip() for r in desc}
+    assert kv.get("Num Buckets") == "16", kv
+    assert "o_orderkey" in kv.get("Bucket Columns", ""), kv

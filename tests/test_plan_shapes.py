@@ -111,3 +111,22 @@ def test_dedup_kmeans_reads_ivf_artifact(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_embedding_kmeans")
     assert plan.count("Exchange") <= 1, plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_bucketed_join_zero_exchanges(spark, sf_dir):
+    """Both sides of join_bucketed_colocated read the materialized
+    bucketed layout, so the join and the per-order aggregation must plan
+    with ZERO exchanges even with broadcast disabled — the shuffle was
+    paid once at layout-write time."""
+    from opensnowcat_collector_spark.engine import registry
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.all_queries()["join_bucketed_colocated"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "SortMergeJoin" in plan, plan
