@@ -474,6 +474,99 @@ def sim_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ann_recall",
+    oracle=f"""
+WITH sk AS (
+  SELECT vec_id, embedding, {_duck_sketch("embedding")} AS sketch
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, sketch AS qsketch
+      FROM sk WHERE vec_id < {N_BATCH_QUERIES}),
+c AS (SELECT vec_id, embedding, sketch FROM sk
+      WHERE vec_id >= {N_BATCH_QUERIES}),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_duck_cos("c.embedding", "q.qvec")} DESC,
+                                       c.vec_id) AS rn
+    FROM c CROSS JOIN q
+  ) r WHERE rn <= {BATCH_TOP_K}
+),
+ann AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_duck_cos("c.embedding", "q.qvec")} DESC,
+                                       c.vec_id) AS rn
+    FROM c JOIN q ON c.sketch = q.qsketch
+  ) r WHERE rn <= {BATCH_TOP_K}
+),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n
+  FROM exact e JOIN ann a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n, 0) AS DOUBLE) / {BATCH_TOP_K} AS recall_at_k
+FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+""",
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH bucket index vs exact brute force, per query —
+    the quality dial every approximate index must report before anyone
+    trusts it.  Both arms share one corpus scan of the materialized
+    index: the exact arm cross-joins the broadcast query batch (the
+    ground-truth cost is paid only for the sampled queries — at 100 TB
+    you estimate recall on a query SAMPLE, never the full workload, and
+    this plan is exactly that shape), the ANN arm reuses the bucket
+    equi-join of ``sim_ann_batch``; a semi-ish inner join on
+    (query_id, vec_id) counts overlap.  Ties break on vec_id in both
+    engines, so the metric is deterministic."""
+    from pyspark.sql import Window as W
+
+    idx = spark.read.parquet(build_ann_index(spark, sf_dir))
+    q = idx.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    c = idx.filter(F.col("vec_id") >= N_BATCH_QUERIES)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+
+    def topk(scored):
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= BATCH_TOP_K)
+            .select("query_id", "vec_id")
+        )
+
+    exact = topk(
+        c.crossJoin(F.broadcast(q)).select(
+            "query_id", "vec_id", F.expr(_spark_cos("embedding", "qvec")).alias("cosine")
+        )
+    )
+    ann = topk(
+        c.join(F.broadcast(q), c["bucket"] == q["qbucket"]).select(
+            "query_id", "vec_id", F.expr(_spark_cos("embedding", "qvec")).alias("cosine")
+        )
+    )
+    hits = (
+        exact.join(ann, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return q.select("query_id").join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / BATCH_TOP_K).alias(
+            "recall_at_k"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF with a REAL k-means coarse quantizer: K centroids, ITERS unrolled
 # Lloyd iterations, deterministic seeding — the train step of a true IVF

@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "join_range_price_bins",
     "embed_norms",
     "sim_bucket_histogram",
+    "sim_ann_recall",
     "agg_rollup_region_nation",
     "text_fingerprint",
     "q7_volume_shipping",
