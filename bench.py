@@ -37,6 +37,7 @@ HEADLINE = [
     "topk_orders",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "join_bucketed_colocated",
     "text_quality_score",
     "text_fingerprint",
     "sim_topk_bruteforce",
@@ -61,6 +62,11 @@ def main() -> None:
     from opensnowcat_collector_spark.engine.llmdata.similarity import build_ann_index
 
     build_ann_index(spark, sf_dir)
+    # same pay-once status for the bucketed layout: the benchmark measures
+    # the recurring shuffle-free join, not the one-time layout write
+    from opensnowcat_collector_spark.engine.layout import build_bucketed_layout
+
+    build_bucketed_layout(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

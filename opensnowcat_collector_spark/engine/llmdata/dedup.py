@@ -115,6 +115,90 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PARA_CHUNK_WORDS = 20
+
+
+@register(
+    "dedup_paragraph_exact",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         [{{'idx': i,
+            'chunk': array_to_string(w[(i*{PARA_CHUNK_WORDS}+1):((i+1)*{PARA_CHUNK_WORDS})], ' ')}}
+          for i in generate_series(0, CAST(CEIL(LEN(w)/{PARA_CHUNK_WORDS}.0) AS INT) - 1)] AS ps
+  FROM ws
+),
+chunks AS (
+  SELECT doc_id, u.idx AS idx, u.chunk AS chunk
+  FROM (SELECT doc_id, UNNEST(ps) AS u FROM pairs)
+),
+ranked AS (
+  SELECT doc_id, idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1)) AS cleaned_hash
+FROM ranked
+GROUP BY doc_id
+""",
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (the C4/RefinedWeb pass): documents are
+    chunked into fixed {PARA_CHUNK_WORDS}-word paragraphs (the synthetic
+    corpus has no newline structure; on real data the splitter would be
+    ``split(text, '\n\n')`` with the identical downstream plan), each
+    paragraph survives only at its FIRST corpus occurrence
+    (min (doc_id, idx) — a single paragraph-key shuffle decides winners
+    globally), and documents are re-assembled from their surviving
+    paragraphs in order.  Output per doc: chunk counts and the md5 of the
+    cleaned text, so the gate checks the reassembled content without
+    shipping full documents through the compare.
+
+    Scale: one explode (paragraph rows ~ corpus words / {PARA_CHUNK_WORDS}),
+    one paragraph-hash shuffle for the winner window, one doc_id shuffle to
+    reassemble — no self-join, no all-pairs anything; the reassembly
+    collect_list is bounded by the document's own length."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    n_chunks = F.ceil(F.size(w) / F.lit(float(PARA_CHUNK_WORDS))).cast("int")
+    chunks = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(w, i * PARA_CHUNK_WORDS + 1, PARA_CHUNK_WORDS)
+                    ),
+                )
+            ).alias("idx", "chunk"),
+        )
+    )
+    win = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(win))
+    kept_struct = F.array_sort(
+        F.collect_list(
+            F.when(F.col("rn") == 1, F.struct(F.col("idx"), F.col("chunk")))
+        )
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        # NULL (not md5('')) when nothing survives, matching SQL's NULL
+        # string_agg over an empty filtered set
+        F.when(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)) > 0,
+            F.md5(F.array_join(F.transform(kept_struct, lambda x: x["chunk"]), " ")),
+        ).alias("cleaned_hash"),
+    )
+
+
 def _jaccard_from_counts(inter: DataFrame, counts: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_inter) + per-doc shingle counts -> thresholded
     jaccard pairs.  Exact integer inputs -> engine-identical doubles."""

@@ -29,6 +29,7 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 _PRIORITY: list[str] = [
     # --- LLM-data pipeline: dedup family ---
     "dedup_exact",
+    "dedup_paragraph_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -96,10 +97,10 @@ _PRIORITY: list[str] = [
     "q22_global_sales_opportunity",
     "q19_disjunctive_revenue",
     "join_range_price_bins",
+    "agg_rollup_region_nation",
     "embed_norms",
     "sim_bucket_histogram",
     "sim_ann_recall",
-    "agg_rollup_region_nation",
     "text_fingerprint",
     "q7_volume_shipping",
     "agg_stats_percentiles",

@@ -46,6 +46,8 @@ PROBE_QUERIES = [
     "dedup_cluster_components",
     "dedup_incremental_minhash",
     "join_skew_salted",
+    "join_bucketed_colocated",
+    "sim_ann_recall",
 ]
 
 KEY_SHIFTS = {
@@ -100,6 +102,15 @@ def main() -> None:
 
     for k in ks:
         sf_dir = build(spark, k)
+        # pay-once artifacts are infrastructure, not recurring query cost
+        # (mirrors bench.py): build them outside the timed region
+        from opensnowcat_collector_spark.engine.layout import build_bucketed_layout
+        from opensnowcat_collector_spark.engine.llmdata.similarity import (
+            build_ann_index,
+        )
+
+        build_ann_index(spark, sf_dir)
+        build_bucketed_layout(spark, sf_dir)
         timings = {}
         for name in PROBE_QUERIES:
             t0 = time.perf_counter()
