@@ -312,6 +312,93 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_BATCH_SIZE = 50
+INCR_VEC_OFFSET = 1_000_000
+
+
+def update_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Append-only index maintenance — the daily-ingest path: a new batch
+    of embeddings is sketched and APPENDED as new files under its bucket
+    partitions; existing index files are never rewritten, and probes see
+    the union immediately (hive partition discovery picks up the new
+    files).  At scale this is an append into the live index directory;
+    here the demo batch lands in an isolated fingerprinted copy
+    (``<index>-incr``) so the shared base artifact stays pristine for the
+    other ANN queries.  The batch is a deterministic re-registration of
+    vec_id < INCR_BATCH_SIZE shifted by INCR_VEC_OFFSET (the oracle
+    reconstructs the same union in SQL)."""
+    import shutil
+
+    base = build_ann_index(spark, sf_dir)
+    path = f"{ann_index_path(sf_dir)}-incr"
+    if not os.path.exists(os.path.join(path, "_INCR_SUCCESS")):
+        tmp = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base, tmp)
+        batch = (
+            table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < INCR_BATCH_SIZE)
+            .select(
+                (F.col("vec_id") + INCR_VEC_OFFSET).alias("vec_id"),
+                "label",
+                "embedding",
+                sketch_udf()(F.col("embedding")).alias("sketch"),
+            )
+            .withColumn("bucket", F.concat(F.lit("b"), F.col("sketch")))
+        )
+        batch.write.mode("append").partitionBy("bucket").parquet(tmp)
+        with open(os.path.join(tmp, "_INCR_SUCCESS"), "w") as f:
+            f.write("ok\n")
+        _publish_index(tmp, path)
+    return path
+
+
+@register(
+    "sim_ann_incremental",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {INCR_VEC_OFFSET} AS vec_id, label, embedding
+  FROM embeddings WHERE vec_id < {INCR_BATCH_SIZE}
+),
+sk AS (
+  SELECT vec_id, label, embedding, {_duck_sketch("embedding")} AS sketch
+  FROM corpus
+), q AS (
+  SELECT embedding AS qvec, sketch AS qsketch FROM sk WHERE vec_id = 0
+)
+SELECT s.vec_id, s.label, s.sketch,
+       {_duck_cos("s.embedding", "q.qvec")} AS cosine
+FROM sk s CROSS JOIN q
+WHERE s.sketch = q.qsketch AND s.vec_id <> 0
+ORDER BY cosine DESC, s.vec_id
+LIMIT 5
+""",
+)
+def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe AFTER an incremental index append (``update_ann_index``):
+    same partition-pruned bucket scan as ``sim_ann_lsh``, now over the
+    base index plus the appended batch — the top-5 must surface the
+    newly-ingested exact twin of the query vector (cosine 1.0), proving
+    appended files are immediately visible to the pruned probe without
+    any rebuild."""
+    idx = spark.read.parquet(update_ann_index(spark, sf_dir))
+    qsketch, qvec = query_sketch(spark, sf_dir)
+    probe = idx.filter((F.col("bucket") == "b" + qsketch) & (F.col("vec_id") != 0))
+    return (
+        _with_query_vec(probe, qvec)
+        .select(
+            "vec_id",
+            "label",
+            "sketch",
+            F.expr(_spark_cos("embedding", "qvec")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
 @register(
     "sim_bucket_histogram",
     oracle=f"""

@@ -101,6 +101,7 @@ _PRIORITY: list[str] = [
     "embed_norms",
     "sim_bucket_histogram",
     "sim_ann_recall",
+    "sim_ann_incremental",
     "text_fingerprint",
     "q7_volume_shipping",
     "agg_stats_percentiles",
