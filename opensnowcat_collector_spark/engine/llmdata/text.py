@@ -427,3 +427,50 @@ def text_cooccurrence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "n_xy", ratio.alias("pmi_ratio"))
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents
+),
+freq AS (
+  SELECT w, COUNT(*) AS n FROM toks GROUP BY w
+),
+total AS (SELECT SUM(n) AS t FROM freq)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(LN((SELECT t FROM total)) - AVG(LN(f.n)), 6) AS neg_logprob
+FROM toks JOIN freq f USING (w)
+GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative unigram LM scoring — the CCNet-style quality /
+    perplexity proxy: each document's mean negative log-probability under
+    the corpus's own unigram distribution (-avg ln(count(w)/total) =
+    ln(total) - avg ln(count(w))).  Low scores = documents made of
+    globally common tokens; high scores = rare-token documents (both
+    tails are curation targets).
+
+    Dataflow: one explode, one vocab groupBy, token->vocab equi-join
+    (vocab is Zipf-small relative to the token stream; AQE broadcasts it
+    when it fits), one doc_id aggregation.  Train and score in the SAME
+    declarative plan — at 100 TB the vocab agg would persist as an
+    artifact and only the join+agg recur.  6-dp rounding absorbs
+    summation-order float jitter (embed_norms discipline)."""
+    toks = _words_flat(spark, sf_dir).select("doc_id", "w")
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("t"))
+    return (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.first(F.log("t")) - F.avg(F.log("n")), 6
+            ).alias("neg_logprob"),
+        )
+    )

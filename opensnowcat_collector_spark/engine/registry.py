@@ -139,6 +139,7 @@ _PRIORITY: list[str] = [
     "events_session_sequences",
     "curate_dataset_card",
     "text_vocab_stats",
+    "text_unigram_logprob",
     "text_cooccurrence_ratio",
 ]
 
