@@ -68,6 +68,20 @@ def main() -> None:
 
     build_bucketed_layout(spark, sf_dir)
 
+    # Pass 1 (recorded as cold_*): first execution per query in a fresh
+    # JVM — includes JIT/codegen compilation and page-cache misses.
+    # Pass 2 (the headline number): identical queries, steady state.
+    # Both are printed; VM noise at sub-second scales is documented at
+    # +/-50% in BASELINE.md, and the warm pass is the number that tracks
+    # engine changes rather than JVM state.
+    cold: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        print(f"# cold {name}: {cold[name]:.3f}s ({n} rows)", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -86,6 +100,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf else None,
             }
         )

@@ -69,7 +69,6 @@ _PRIORITY: list[str] = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
-    "q18_large_orders",
     # --- collector parity (reference semantics end-to-end) ---
     "collector_enrich_events",
     "collector_bridge_roundtrip",
@@ -81,6 +80,7 @@ _PRIORITY: list[str] = [
     "streaming_enrich_join",
     "streaming_stream_stream_join",
     "streaming_stateful_sessionize",
+    "streaming_document_curation",
     # --- aggregation operators ---
     "agg_approx_distinct",
     # --- specialized joins ---
@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     # pair and the bucketed-layout join.
     "q22_global_sales_opportunity",
     "q19_disjunctive_revenue",
+    "q18_large_orders",
     "join_range_price_bins",
     "agg_rollup_region_nation",
     "embed_norms",

@@ -297,3 +297,66 @@ def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
         src, gap_minutes=STATEFUL_GAP_HOURS * 60, timeout_flush=False
     ).select("user_id", "n_events", "session_start", "session_end", "closed_by")
     return _drain_to_memory(out, "append")
+
+
+CURATION_CORPUS_SPLIT = 100  # doc_id < split = existing corpus; rest stream in
+
+
+@register(
+    "streaming_document_curation",
+    oracle=f"""
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS exact_hash FROM documents
+  WHERE doc_id < {CURATION_CORPUS_SPLIT}
+),
+incoming AS (
+  SELECT md5(text) AS exact_hash, string_split(lower(text), ' ') AS ws
+  FROM documents WHERE doc_id >= {CURATION_CORPUS_SPLIT}
+),
+fresh AS (
+  SELECT DISTINCT ON (exact_hash) exact_hash, ws
+  FROM incoming
+  WHERE exact_hash NOT IN (SELECT exact_hash FROM corpus)
+)
+SELECT exact_hash,
+       CAST(LEN(ws) AS BIGINT) AS n_tokens,
+       CAST(LEN(list_distinct(ws)) AS DOUBLE) / LEN(ws) AS ttr,
+       CAST(LEN(list_intersect(list_distinct(ws),
+                 ['the', 'a', 'of', 'and', 'to'])) AS DOUBLE) / LEN(ws)
+         AS stopword_kind_frac
+FROM fresh
+""",
+)
+def streaming_document_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl curation under the gate: the documents table
+    streams in (doc_id >= {split} plays the incoming crawl), is
+    anti-joined per micro-batch against the static corpus hash index
+    (doc_id < {split}), de-duplicated in-stream on content hash, and
+    annotated with the quality features of text_quality_score — the
+    ``streaming.operators.curate_document_stream`` operator end-to-end.
+
+    Determinism contract: which doc_id survives an in-stream duplicate
+    group is engine-arbitrary (dropDuplicates keeps the first arrival),
+    so the gate projects ONLY text-derived columns — every candidate
+    winner of a hash group carries identical (hash, n_tokens, ttr,
+    stopword fraction) values, making the drained output equal to the
+    oracle's one-row-per-fresh-hash regardless of arrival order."""
+    from ..streaming.operators import curate_document_stream
+
+    corpus_hashes = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < CURATION_CORPUS_SPLIT)
+        .select(F.md5("text").alias("exact_hash"))
+        .distinct()
+    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") >= CURATION_CORPUS_SPLIT)
+    )
+    curated = curate_document_stream(stream, corpus_hashes).select(
+        "exact_hash", "n_tokens", "ttr", "stopword_kind_frac"
+    )
+    return _drain_to_memory(curated, "append")
