@@ -363,7 +363,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_set(shingle), whose per-doc array grows with document size
     # and would blow up shuffle row width on book-length documents.
     ex = exploded_shingles(spark, sf_dir).localCheckpoint()
-    sigs = ex.groupBy("doc_id").agg(*_minhash_aggs())
+    # the per-doc shingle COUNT rides the same doc_id shuffle as the 12
+    # min-hash aggregations — one aggregation serves both the signatures
+    # and the jaccard denominators (was a separate groupBy scan)
+    sigs = ex.groupBy("doc_id").agg(
+        *_minhash_aggs(), F.count(F.lit(1)).alias("n_sh")
+    )
     banded = sigs.select("doc_id", *_band_keys())
     bands_long = banded.select(
         "doc_id",
@@ -392,7 +397,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded — measured equal-speed with the
     # array_intersect-over-collect_set alternative at sf0.1 and strictly
     # safer on long documents.
-    counts = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    counts = sigs.select("doc_id", "n_sh")
     ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
     eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
