@@ -474,3 +474,70 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neg_logprob"),
         )
     )
+
+
+@register(
+    "curate_tokenize_ids",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w, CAST(row_number() OVER (ORDER BY COUNT(*) DESC, w) AS BIGINT) AS tok_id
+  FROM toks GROUP BY w
+),
+pos AS (
+  SELECT doc_id, u.pos AS pos, u.w AS w
+  FROM (
+    SELECT doc_id,
+           UNNEST([{'pos': i, 'w': ws[i]} for i in generate_series(1, len(ws))]) AS u
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+  )
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(CAST(v.tok_id AS VARCHAR), ',' ORDER BY p.pos)) AS ids_hash
+FROM pos p JOIN vocab v USING (w)
+GROUP BY p.doc_id
+""",
+)
+def curate_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus to integer ids using its OWN frequency-ranked
+    vocabulary (rank 1 = most frequent token — the `text_vocab_stats`
+    ranking): the step between vocabulary construction and
+    `curate_pack_sequences` in a pretraining pipeline.  Token stream
+    joins the vocab (Zipf-small; AQE broadcasts it when it fits), and
+    each document reassembles its id sequence in token order.  The gate
+    compares md5 of the comma-joined id sequence, so full arrays never
+    ride through the compare.
+
+    One explode, one vocab agg + rank window over |V| rows, one
+    token->vocab equi-join, one doc_id reassembly shuffle — linear in
+    corpus token count at any scale."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w"),
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    rank_w = Window.orderBy(F.col("n").desc(), F.col("w"))
+    vocab = vocab.withColumn("tok_id", F.row_number().over(rank_w).cast("long")).drop(
+        "n"
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("tok_id")))
+    )
+    return (
+        toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(ordered, lambda x: x["tok_id"].cast("string")), ","
+                )
+            ).alias("ids_hash"),
+        )
+    )

@@ -141,6 +141,7 @@ _PRIORITY: list[str] = [
     "curate_dataset_card",
     "text_vocab_stats",
     "text_unigram_logprob",
+    "curate_tokenize_ids",
     "text_cooccurrence_ratio",
 ]
 

@@ -130,3 +130,17 @@ def test_bucketed_join_zero_exchanges(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert plan.count("Bucketed: true") == 2, plan
     assert "SortMergeJoin" in plan, plan
+
+
+def test_incremental_ann_probe_prunes_partitions(spark, sf_dir):
+    """The probe over the incrementally-appended index must still read
+    only the query's bucket partition — appended files widen a bucket,
+    never the scan."""
+    from opensnowcat_collector_spark.engine import registry
+
+    df = registry.all_queries()["sim_ann_incremental"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = [p for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if "bucket" in p]
+    assert pf, plan
