@@ -297,18 +297,11 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming execution path itself under the correctness gate."""
     import tempfile
 
+    from .streaming_queries import _stream_table
     from .tables import normalize_event_ts
 
     batch = table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file source requires a directory: stream the sf dir restricted
-    # to the events file via pathGlobFilter
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    src = normalize_event_ts(src)
+    src = normalize_event_ts(_stream_table(spark, sf_dir, "events"))
     _STREAM_Q_SEQ[0] += 1
     qname = f"stream_rollup_{_STREAM_Q_SEQ[0]}"
     agg = (

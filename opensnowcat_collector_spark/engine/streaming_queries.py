@@ -29,6 +29,7 @@ exactly in the oracle's gaps-and-islands SQL.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,19 +48,30 @@ DEDUP_GROUP = 3
 SESSION_GAP_HOURS = 6
 
 
+def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``<sf_dir>/<name>.parquet`` as a bounded stream.  The table may be
+    a single parquet FILE (driver testdata) or a DIRECTORY of part files
+    (anything Spark wrote, e.g. the scale-probe replicas): a file streams
+    via pathGlobFilter on its parent dir — the file source API only takes
+    directories — while a directory streams directly.  The glob must not
+    be used in the directory case: it matches LEAF file names, so
+    part-*.parquet files inside <name>.parquet/ would match nothing and
+    the stream would silently drain zero rows."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(p).schema
+    rs = spark.readStream.schema(schema)
+    if os.path.isdir(p):
+        return rs.parquet(p)
+    return rs.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded stream (same ts normalization as the
     batch loader; ``table`` is called first for its session-conf side
     effects so an externally-created driver session reads the events
     file identically)."""
     table(spark, sf_dir, "events")  # conf side effects (nanosAsLong, UTC)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return normalize_event_ts(src)
+    return normalize_event_ts(_stream_table(spark, sf_dir, "events"))
 
 
 def _drain_to_memory(df: DataFrame, mode: str) -> DataFrame:
@@ -349,12 +361,8 @@ def streaming_document_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5("text").alias("exact_hash"))
         .distinct()
     )
-    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-        .filter(F.col("doc_id") >= CURATION_CORPUS_SPLIT)
+    stream = _stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= CURATION_CORPUS_SPLIT
     )
     curated = curate_document_stream(stream, corpus_hashes).select(
         "exact_hash", "n_tokens", "ttr", "stopword_kind_frac"

@@ -48,6 +48,10 @@ PROBE_QUERIES = [
     "join_skew_salted",
     "join_bucketed_colocated",
     "sim_ann_recall",
+    # streaming-stateful: availableNow replay; measures state-store
+    # throughput (keys scale with events) plus fixed ~5s streaming setup
+    "streaming_dedup_watermark",
+    "streaming_stateful_sessionize",
 ]
 
 KEY_SHIFTS = {
