@@ -122,12 +122,12 @@ def _bucketed_table_names(sf_dir: str) -> dict[str, str]:
     }
 
 
-def build_bucketed_layout(spark: SparkSession, sf_dir: str) -> str:
+def build_bucketed_layout(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """Write orders + lineitem bucketed on the order key (one time), then
     register them in the session catalog.  Each table is pre-repartitioned
     into BUCKET_COUNT partitions on the bucket key so every bucket is a
     single file (bucketBy otherwise emits one file per task per bucket).
-    Returns the artifact path."""
+    Returns the registered table names (ensure_bucketed_tables result)."""
     import shutil
 
     path = bucketed_layout_path(sf_dir)
@@ -155,9 +155,15 @@ def build_bucketed_layout(spark: SparkSession, sf_dir: str) -> str:
         try:
             _os.rename(tmp, path)
         except OSError:
+            # only a concurrent builder's completed artifact excuses the
+            # failure — anything else (EACCES, EXDEV, reaped dest) must
+            # raise, or the DDL below would register an empty location
+            # and the join would silently return zero rows
+            if not _os.path.exists(_os.path.join(path, "_LAYOUT_SUCCESS")):
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
             shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
-    ensure_bucketed_tables(spark, sf_dir)
-    return path
+    return ensure_bucketed_tables(spark, sf_dir)
 
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:

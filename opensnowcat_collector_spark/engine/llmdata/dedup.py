@@ -358,7 +358,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (signatures, per-doc counts, candidate verify), so it is materialized
     # ONCE via localCheckpoint (MEMORY_AND_DISK blocks, spill-safe) instead
     # of being recomputed per consumer — measured 1.9s -> 1.6s at sf0.1; at
-    # corpus scale the saving is two full explode+distinct shuffles.  The
+    # corpus scale the saving is two full explode+distinct shuffles.  No
+    # explicit unpersist: the returned plan reads these blocks (dropping
+    # them would fail the lineage-truncated scan); Spark's ContextCleaner
+    # frees them once the DataFrame is driver-GC'd.  The
     # signature row is 12 fixed-width hashes — deliberately NOT
     # collect_set(shingle), whose per-doc array grows with document size
     # and would blow up shuffle row width on book-length documents.

@@ -88,12 +88,13 @@ _PRIORITY: list[str] = [
     "join_skew_salted",
     "join_bucketed_colocated",
     # --- event-table operators ---
-    "events_sessionize",
     # ---- slot 51+ below: driver-confirmed in earlier rounds (see
     # COVERAGE.md gate map), pytest-covered by the full-registry sweep.
-    # q22 / q19 / join_range_price_bins were displaced from the window in
-    # r4 (3x driver-confirmed) to make room for the streaming-stateful
-    # pair and the bucketed-layout join.
+    # r4 displaced six 3x-driver-confirmed entries (q18/q19/q22,
+    # join_range_price_bins, agg_rollup_region_nation, events_sessionize)
+    # to make room for dedup_paragraph_exact, the streaming-stateful
+    # trio, and the bucketed-layout join.
+    "events_sessionize",
     "q22_global_sales_opportunity",
     "q19_disjunctive_revenue",
     "q18_large_orders",
@@ -146,7 +147,20 @@ _PRIORITY: list[str] = [
 ]
 
 
+#: size of the driver-graded CORRECTNESS window; _PRIORITY placement above
+#: or below this line is an explicit per-round decision (judge ADVICE r3)
+GRADED_WINDOW = 50
+
+_WINDOW_SENTINEL = "events_sessionize"  # first entry past the window, r4
+
+
 def _ordered(names: dict) -> list[str]:
+    if _PRIORITY.index(_WINDOW_SENTINEL) != GRADED_WINDOW:
+        raise RuntimeError(
+            f"graded window drifted: {_WINDOW_SENTINEL} at slot "
+            f"{_PRIORITY.index(_WINDOW_SENTINEL) + 1}, expected "
+            f"{GRADED_WINDOW + 1} — re-decide window placement explicitly"
+        )
     missing = [n for n in _PRIORITY if n not in names]
     if missing:
         raise RuntimeError(f"registry priority references unknown queries: {missing}")

@@ -944,10 +944,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-location the runtime cannot retrofit).  The layout artifact is
     fingerprinted to the source parquet and published atomically
     (similarity.build_ann_index discipline)."""
-    from .layout import build_bucketed_layout, ensure_bucketed_tables
+    from .layout import build_bucketed_layout
 
-    build_bucketed_layout(spark, sf_dir)
-    names = ensure_bucketed_tables(spark, sf_dir)
+    names = build_bucketed_layout(spark, sf_dir)
     o = spark.table(names["orders"]).select("o_orderkey", "o_orderpriority")
     l = spark.table(names["lineitem"]).select(
         "l_orderkey", "l_extendedprice", "l_discount"

@@ -76,18 +76,33 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _drain_to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Run the streaming frame to a memory sink with availableNow and
-    return the drained sink table."""
+    return the drained sink table.  Fails loudly on drain timeout (a
+    partially-drained table must never reach the oracle compare), and
+    removes the checkpoint dir once the query has terminated (the memory
+    sink lives in driver memory; repeated gate/bench/sweep runs would
+    otherwise accumulate state-store files in /tmp forever)."""
+    import shutil
+
     _SEQ[0] += 1
     qname = f"stream_gate_{_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_")
     q = (
         df.writeStream.format("memory")
         .queryName(qname)
         .outputMode(mode)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_gate_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"streaming gate query {qname} did not drain within 300s"
+            )
+    finally:
+        if not q.isActive:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return df.sparkSession.table(qname)
 
 

@@ -116,15 +116,15 @@ def test_bucketed_layout_artifact_fresh_and_reregisterable(spark, sf_dir):
         ensure_bucketed_tables,
     )
 
-    path = build_bucketed_layout(spark, sf_dir)
-    assert path == bucketed_layout_path(sf_dir)
+    names = build_bucketed_layout(spark, sf_dir)
+    path = bucketed_layout_path(sf_dir)
     assert os.path.exists(os.path.join(path, "_LAYOUT_SUCCESS"))
-    names = ensure_bucketed_tables(spark, sf_dir)
+    assert names == ensure_bucketed_tables(spark, sf_dir)
     n_orders = spark.table(names["orders"]).count()
     assert n_orders == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
 
     # second build is a no-op on disk (same mtime fingerprint -> same path)
-    assert build_bucketed_layout(spark, sf_dir) == path
+    assert build_bucketed_layout(spark, sf_dir) == names
 
     # a fresh session has no catalog entries but the same files: dropping
     # and re-running ensure must restore identical bucketed tables
