@@ -139,6 +139,7 @@ _PRIORITY: list[str] = [
     "scalar_datetime_funcs",
     "dedup_incremental_minhash",
     "events_session_sequences",
+    "events_funnel_steps",
     "curate_dataset_card",
     "text_vocab_stats",
     "text_unigram_logprob",

@@ -795,6 +795,80 @@ def events_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("error"),
     )
 
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS view_ts,
+         event_type
+  FROM events
+),
+c AS (
+  SELECT user_id, view_ts, ts, event_type,
+         MIN(CASE WHEN event_type = 'click' AND ts >= view_ts THEN ts END)
+           OVER (PARTITION BY user_id) AS click_ts
+  FROM v
+),
+p AS (
+  SELECT user_id, view_ts, click_ts,
+         MIN(CASE WHEN event_type = 'purchase' AND ts >= click_ts THEN ts END)
+           OVER (PARTITION BY user_id) AS purchase_ts
+  FROM c
+)
+SELECT DISTINCT user_id, view_ts, click_ts, purchase_ts,
+       view_ts IS NOT NULL AND click_ts IS NOT NULL
+         AND purchase_ts IS NOT NULL AS completed
+FROM p
+""",
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): per user,
+    the first view, the first click at-or-after that view, and the first
+    purchase at-or-after that click — the canonical event-analytics
+    question over collected events.  Three chained conditional-min
+    windows over the SAME user_id partitioning, so the whole funnel costs
+    exactly ONE shuffle (the per-user partition is reused across all
+    three passes and the final dedup); no self-joins, no per-step scans.
+    """
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    et = F.col("event_type")
+    step = e.withColumn(
+        "view_ts", F.min(F.when(et == "view", F.col("ts"))).over(w)
+    )
+    step = step.withColumn(
+        "click_ts",
+        F.min(
+            F.when((et == "click") & (F.col("ts") >= F.col("view_ts")), F.col("ts"))
+        ).over(w),
+    )
+    step = step.withColumn(
+        "purchase_ts",
+        F.min(
+            F.when(
+                (et == "purchase") & (F.col("ts") >= F.col("click_ts")), F.col("ts")
+            )
+        ).over(w),
+    )
+    return (
+        step.select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.col("view_ts").isNotNull()
+                & F.col("click_ts").isNotNull()
+                & F.col("purchase_ts").isNotNull()
+            ).alias("completed"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of / range joins (operators Spark lacks natively — composed from
 # window/broadcast primitives, SURVEY §2.8 "custom operators" case (a))
