@@ -140,6 +140,7 @@ _PRIORITY: list[str] = [
     "dedup_incremental_minhash",
     "events_session_sequences",
     "events_funnel_steps",
+    "events_retention_cohorts",
     "curate_dataset_card",
     "text_vocab_stats",
     "text_unigram_logprob",

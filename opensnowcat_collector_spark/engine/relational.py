@@ -869,6 +869,52 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_retention_cohorts",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS DATE) AS cohort_week,
+         CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+FROM uw
+GROUP BY 1, 2
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted as
+    active at each week offset — the standard retention triangle over
+    collected events.  The cohort week comes from a min-window over the
+    SAME user_id partitioning the dedup needs (one shuffle), then a
+    small (cohort, offset) aggregation; no self-join of events against
+    first-activity."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    uw = (
+        e.withColumn(
+            "cohort_week", F.date_trunc("week", F.min("ts").over(w)).cast("date")
+        )
+        .withColumn("active_week", F.date_trunc("week", F.col("ts")).cast("date"))
+        .select("user_id", "cohort_week", "active_week")
+        .distinct()
+    )
+    return (
+        uw.select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of / range joins (operators Spark lacks natively — composed from
 # window/broadcast primitives, SURVEY §2.8 "custom operators" case (a))
