@@ -26,17 +26,23 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 
 # First 50 = the driver-graded window. Order within the window groups by
 # subsystem; order past the window is alphabetical-ish legacy order.
+#
+# r5 rotation (VERDICT r4 top item): the 11 queries that had NEVER
+# appeared in any CORRECTNESS_r*.json (added r3/r4 past the window) move
+# INTO the window, plus the new streaming_leftouter_join — displacing the
+# 12 most-confirmed entries (11 with 4 driver-green rounds r1-r4, plus
+# agg_approx_distinct with 2).  After r5 every registered query has at
+# least one external driver-green CORRECTNESS row.
 _PRIORITY: list[str] = [
     # --- LLM-data pipeline: dedup family ---
-    "dedup_exact",
     "dedup_paragraph_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_kmeans",
     "dedup_cluster_components",
     "dedup_incremental",
+    "dedup_incremental_minhash",
     # --- LLM-data pipeline: similarity / ANN family ---
     "sim_topk_bruteforce",
     "sim_ann_lsh",
@@ -44,12 +50,17 @@ _PRIORITY: list[str] = [
     "sim_ann_ivf",
     "sim_ann_ivf_kmeans",
     "sim_ann_batch",
+    "sim_ann_recall",
+    "sim_ann_incremental",
     # --- LLM-data pipeline: text analysis ---
     "text_token_stats",
     "text_quality_score",
     "text_langid",
     "text_token_bpeish",
     "text_repetition_score",
+    "text_vocab_stats",
+    "text_unigram_logprob",
+    "text_cooccurrence_ratio",
     "corpus_curation_pipeline",
     # --- LLM-data pipeline: corpus curation / selection family ---
     "curate_sample_stratified",
@@ -59,41 +70,47 @@ _PRIORITY: list[str] = [
     "curate_quality_quantile_filter",
     "curate_source_quota",
     "curate_token_budget_select",
+    "curate_dataset_card",
+    "curate_tokenize_ids",
     # --- LLM-data pipeline: multimodal plumbing ---
     "mm_decode_metadata",
     "mm_feature_extract",
     "mm_resize_plan",
     "mm_frame_sample",
-    # --- TPC-H-derived flagships ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    # --- collector parity (reference semantics end-to-end) ---
-    "collector_enrich_events",
-    "collector_bridge_roundtrip",
-    "collector_bounce_events",
+    # --- event-table analytics (sequences / funnel / retention) ---
+    "events_session_sequences",
+    "events_funnel_steps",
+    "events_retention_cohorts",
     # --- streaming-stateful surface (real Structured Streaming runs) ---
-    "streaming_hourly_rollup",
     "streaming_dedup_watermark",
     "streaming_session_window",
     "streaming_enrich_join",
     "streaming_stream_stream_join",
     "streaming_stateful_sessionize",
     "streaming_document_curation",
-    # --- aggregation operators ---
-    "agg_approx_distinct",
+    "streaming_leftouter_join",
     # --- specialized joins ---
-    "join_asof_last_click",
     "join_skew_salted",
     "join_bucketed_colocated",
-    # --- event-table operators ---
     # ---- slot 51+ below: driver-confirmed in earlier rounds (see
     # COVERAGE.md gate map), pytest-covered by the full-registry sweep.
-    # r4 displaced six 3x-driver-confirmed entries (q18/q19/q22,
-    # join_range_price_bins, agg_rollup_region_nation, events_sessionize)
-    # to make room for dedup_paragraph_exact, the streaming-stateful
-    # trio, and the bucketed-layout join.
+    # r5 displaced the twelve most-confirmed entries (dedup_exact,
+    # dedup_ngram_jaccard, q1/q3/q5/q10, the three collector queries,
+    # streaming_hourly_rollup, join_asof_last_click: 4x driver-green;
+    # agg_approx_distinct: 2x) to give the 11 never-driver-confirmed
+    # queries plus streaming_leftouter_join external evidence.
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "collector_enrich_events",
+    "collector_bridge_roundtrip",
+    "collector_bounce_events",
+    "streaming_hourly_rollup",
+    "agg_approx_distinct",
+    "join_asof_last_click",
     "events_sessionize",
     "q22_global_sales_opportunity",
     "q19_disjunctive_revenue",
@@ -102,8 +119,6 @@ _PRIORITY: list[str] = [
     "agg_rollup_region_nation",
     "embed_norms",
     "sim_bucket_histogram",
-    "sim_ann_recall",
-    "sim_ann_incremental",
     "text_fingerprint",
     "q7_volume_shipping",
     "agg_stats_percentiles",
@@ -137,15 +152,6 @@ _PRIORITY: list[str] = [
     "setop_except_inactive",
     "scalar_string_funcs",
     "scalar_datetime_funcs",
-    "dedup_incremental_minhash",
-    "events_session_sequences",
-    "events_funnel_steps",
-    "events_retention_cohorts",
-    "curate_dataset_card",
-    "text_vocab_stats",
-    "text_unigram_logprob",
-    "curate_tokenize_ids",
-    "text_cooccurrence_ratio",
 ]
 
 
@@ -153,7 +159,15 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "events_sessionize"  # first entry past the window, r4
+_WINDOW_SENTINEL = "dedup_exact"  # first entry past the window, r5
+
+#: escape hatch for `_ordered`'s unlisted-extras check: set True only to
+#: deliberately run with queries that are not yet placed in _PRIORITY
+#: (e.g. while prototyping a new operator in a notebook).  The default
+#: RAISES because a warning is invisible in the driver's headless gate
+#: run and an unplaced query silently escapes external grading (r3/r4
+#: judge ADVICE).
+ALLOW_UNLISTED_EXTRAS = False
 
 
 def _ordered(names: dict) -> list[str]:
@@ -163,14 +177,23 @@ def _ordered(names: dict) -> list[str]:
             f"{_PRIORITY.index(_WINDOW_SENTINEL) + 1}, expected "
             f"{GRADED_WINDOW + 1} — re-decide window placement explicitly"
         )
+    if len(_PRIORITY) != len(set(_PRIORITY)):
+        dupes = sorted({n for n in _PRIORITY if _PRIORITY.count(n) > 1})
+        raise RuntimeError(f"registry priority has duplicate entries: {dupes}")
     missing = [n for n in _PRIORITY if n not in names]
     if missing:
         raise RuntimeError(f"registry priority references unknown queries: {missing}")
-    extras = [n for n in names if n not in _PRIORITY]  # new queries: append
+    extras = [n for n in names if n not in _PRIORITY]
     if extras:
         # Placement relative to the driver-graded first-50 window must be
         # an explicit decision: a query missing from _PRIORITY silently
         # lands after the window and escapes the external gate.
+        if not ALLOW_UNLISTED_EXTRAS:
+            raise RuntimeError(
+                f"queries not listed in registry._PRIORITY: {extras} — add "
+                f"them to _PRIORITY (placing them relative to the graded "
+                f"window deliberately) or set registry.ALLOW_UNLISTED_EXTRAS"
+            )
         import warnings
 
         warnings.warn(

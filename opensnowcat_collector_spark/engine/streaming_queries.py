@@ -47,6 +47,15 @@ DEDUP_GROUP = 3
 
 SESSION_GAP_HOURS = 6
 
+#: the 100-TB state-store backend.  session.get_spark sets this globally,
+#: but the driver's gate runs these queries on a BARE SparkSession it
+#: created itself — set it per-drain so the graded streaming path always
+#: exercises the production (RocksDB) provider, not the default HDFS-backed
+#: in-memory one.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
 
 def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``<sf_dir>/<name>.parquet`` as a bounded stream.  The table may be
@@ -74,15 +83,30 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(_stream_table(spark, sf_dir, "events"))
 
 
-def _drain_to_memory(df: DataFrame, mode: str) -> DataFrame:
+def _drain_to_memory(
+    df: DataFrame, mode: str, *, require_single_batch: bool = False
+) -> DataFrame:
     """Run the streaming frame to a memory sink with availableNow and
     return the drained sink table.  Fails loudly on drain timeout (a
     partially-drained table must never reach the oracle compare), and
     removes the checkpoint dir once the query has terminated (the memory
     sink lives in driver memory; repeated gate/bench/sweep runs would
-    otherwise accumulate state-store files in /tmp forever)."""
+    otherwise accumulate state-store files in /tmp forever).
+
+    ``require_single_batch`` enforces the determinism contract of
+    ``streaming_stateful_sessionize`` / ``streaming_stream_stream_join``:
+    their documented correctness argument assumes availableNow drains the
+    whole source as ONE data micro-batch (per-user sort happens inside a
+    single state call; a watermark advancing between batches could evict
+    click state early).  If the source ever splits into multiple non-empty
+    batches (e.g. a directory table with maxFilesPerTrigger set), fail
+    loudly instead of silently grading a weaker result."""
     import shutil
 
+    spark = df.sparkSession
+    # The gate may run on a driver-created bare session: pin the
+    # production state-store backend per-drain (matches session.py).
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     _SEQ[0] += 1
     qname = f"stream_gate_{_SEQ[0]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_gate_")
@@ -100,10 +124,20 @@ def _drain_to_memory(df: DataFrame, mode: str) -> DataFrame:
             raise TimeoutError(
                 f"streaming gate query {qname} did not drain within 300s"
             )
+        if require_single_batch:
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if data_batches != 1:
+                raise RuntimeError(
+                    f"streaming gate query {qname} drained in {data_batches} "
+                    f"data micro-batches; its determinism contract requires "
+                    f"exactly one (see docstring)"
+                )
     finally:
         if not q.isActive:
             shutil.rmtree(ckpt, ignore_errors=True)
-    return df.sparkSession.table(qname)
+    return spark.table(qname)
 
 
 @register(
@@ -263,7 +297,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
         how="inner",
     )
-    return _drain_to_memory(joined, "append")
+    return _drain_to_memory(joined, "append", require_single_batch=True)
 
 
 STATEFUL_GAP_HOURS = 6
@@ -323,7 +357,7 @@ def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
     out = sessionize_stateful(
         src, gap_minutes=STATEFUL_GAP_HOURS * 60, timeout_flush=False
     ).select("user_id", "n_events", "session_start", "session_end", "closed_by")
-    return _drain_to_memory(out, "append")
+    return _drain_to_memory(out, "append", require_single_batch=True)
 
 
 CURATION_CORPUS_SPLIT = 100  # doc_id < split = existing corpus; rest stream in
@@ -383,3 +417,137 @@ def streaming_document_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_hash", "n_tokens", "ttr", "stopword_kind_frac"
     )
     return _drain_to_memory(curated, "append")
+
+
+LEFTOUTER_HORIZON_MIN = 30
+
+# Replay chunking for the left-outer join gate: each side arrives as this
+# many contiguous-by-ts file batches, followed by two sentinel batches
+# whose only job is to push the watermark past every real click's horizon
+# (batch K advances the watermark; batch K+1 runs eviction, which is when
+# outer null-rows actually emit — see tests/test_streaming.py's
+# left-outer case for the two-batch emission behavior this mirrors).
+LEFTOUTER_CHUNKS = 2
+_SENTINEL_CLICK_USER = -1
+_SENTINEL_PURCHASE_USER = -2
+
+
+def _write_replay_side(rows, out_dir: str, prefix: str, sentinel_rows) -> None:
+    """Write one join side as ts-ordered parquet file batches with
+    strictly increasing mtimes (FileStreamSource orders batches by mtime;
+    same-mtime ties are arbitrary and can drop 'late' rows).  Contiguous
+    ts chunks guarantee no row is ever late w.r.t. the inter-batch
+    watermark, so the streamed join loses no matches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir)
+    n = len(rows)
+    per = max(1, (n + LEFTOUTER_CHUNKS - 1) // LEFTOUTER_CHUNKS)
+    chunks = [rows[i : i + per] for i in range(0, n, per)]
+    chunks += [[s] for s in sentinel_rows]
+    for i, chunk in enumerate(chunks):
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in chunk], pa.int64()),
+                "event_id": pa.array([r[1] for r in chunk], pa.int64()),
+                "ts": pa.array([r[2] for r in chunk], pa.timestamp("us")),
+            }
+        )
+        path = os.path.join(out_dir, f"{prefix}{i:03d}.parquet")
+        pq.write_table(t, path)
+        mt = 1_700_000_000 + i * 10
+        os.utime(path, (mt, mt))
+
+
+@register(
+    "streaming_leftouter_join",
+    oracle=f"""
+SELECT c.user_id AS c_user_id,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL {LEFTOUTER_HORIZON_MIN} MINUTE
+""",
+)
+def streaming_leftouter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join under the gate: every click
+    emits — matched with each same-user purchase inside the
+    {LEFTOUTER_HORIZON_MIN}-minute horizon, or with null purchase columns
+    once the watermark PROVES no purchase can arrive
+    (``streaming.operators.attribute_purchases(how='left_outer')``).
+
+    Outer rows only emit on state EVICTION, which happens one micro-batch
+    after the watermark advance — a single availableNow batch would emit
+    the inner matches and silently drop every unmatched click.  So this
+    gate replays each side as {LEFTOUTER_CHUNKS} contiguous-by-ts file
+    batches (maxFilesPerTrigger=1) plus two trailing sentinel batches
+    (user_id {_SENTINEL_CLICK_USER}/{_SENTINEL_PURCHASE_USER}, ts far past
+    the real data): sentinel batch 1 advances the global watermark beyond
+    every real click's horizon, sentinel batch 2 runs the eviction that
+    flushes the outer rows.  Sentinels match nothing (negative user_ids on
+    opposite sides), the click sentinels' own horizons never pass the final
+    watermark, and the output filters user_id >= 0 — so the drained table
+    equals the batch LEFT JOIN the oracle runs.
+
+    100-TB note: the replay harness is gate scaffolding; the operator under
+    test is ``attribute_purchases``, whose state is bounded by
+    [horizon + lateness] per the watermark — the same bound that holds on
+    an unbounded production stream.
+    """
+    import datetime
+    import shutil
+
+    from ..streaming.operators import attribute_purchases
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id", "event_id", "ts")
+    )
+    rows = ev.collect()  # gate-scale replay staging (sf<=0.1), not a hot path
+    clicks = sorted(
+        ((r["user_id"], r["event_id"], r["ts"]) for r in rows if r["event_type"] == "click"),
+        key=lambda t: t[2],
+    )
+    purchases = sorted(
+        ((r["user_id"], r["event_id"], r["ts"]) for r in rows if r["event_type"] == "purchase"),
+        key=lambda t: t[2],
+    )
+    max_ts = max(clicks[-1][2], purchases[-1][2])
+    sent = [max_ts + datetime.timedelta(hours=2 + i) for i in range(2)]
+    base = tempfile.mkdtemp(prefix="lojoin_replay_")
+    cdir, pdir = os.path.join(base, "clicks"), os.path.join(base, "purchases")
+    _write_replay_side(
+        clicks, cdir, "c", [(_SENTINEL_CLICK_USER, -100 - i, s) for i, s in enumerate(sent)]
+    )
+    _write_replay_side(
+        purchases, pdir, "p", [(_SENTINEL_PURCHASE_USER, -200 - i, s) for i, s in enumerate(sent)]
+    )
+
+    schema = "user_id bigint, event_id bigint, ts timestamp"
+
+    def rd(d: str) -> DataFrame:
+        return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+
+    joined = attribute_purchases(
+        rd(cdir),
+        rd(pdir),
+        horizon_minutes=LEFTOUTER_HORIZON_MIN,
+        watermark="1 hour",
+        how="left_outer",
+    )
+    try:
+        # Sentinels are dropped from the DRAINED batch table, not the
+        # streaming frame: a pre-sink filter gets pushed below the
+        # EventTimeWatermark operator, which would silently eat the click
+        # sentinels before they advance the watermark and the last real
+        # click's outer row would never flush (observed at sf0.001).
+        return _drain_to_memory(joined, "append").filter(F.col("c_user_id") >= 0)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
