@@ -297,9 +297,12 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming execution path itself under the correctness gate."""
     import tempfile
 
-    from .streaming_queries import _stream_table
+    from .streaming_queries import ROCKSDB_PROVIDER, _stream_table
     from .tables import normalize_event_ts
 
+    # match _drain_to_memory: the driver's bare session must run the
+    # graded streaming path on the production RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     batch = table(spark, sf_dir, "events")
     src = normalize_event_ts(_stream_table(spark, sf_dir, "events"))
     _STREAM_Q_SEQ[0] += 1

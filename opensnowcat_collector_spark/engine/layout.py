@@ -170,8 +170,18 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """Idempotently register the published layout in THIS session's
     catalog (the in-memory catalog is per-session; the files are not).
     Table names embed the source fingerprint, so a regenerated dataset
-    can never resolve to a stale registration."""
+    can never resolve to a stale registration.
+
+    Refuses to register an unpublished layout: CREATE TABLE ... LOCATION
+    over a missing/incomplete directory would succeed and then every join
+    over it would silently return zero rows — the exact failure mode the
+    rename guard in build_bucketed_layout exists to prevent."""
     path = bucketed_layout_path(sf_dir)
+    if not _os.path.exists(_os.path.join(path, "_LAYOUT_SUCCESS")):
+        raise FileNotFoundError(
+            f"bucketed layout at {path} has no _LAYOUT_SUCCESS marker — "
+            f"call build_bucketed_layout(spark, sf_dir) first"
+        )
     names = _bucketed_table_names(sf_dir)
     for name, bkey in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         src = spark.read.parquet(_os.path.join(sf_dir, f"{name}.parquet"))

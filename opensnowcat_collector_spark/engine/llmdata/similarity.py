@@ -204,14 +204,21 @@ def ann_index_path(sf_dir: str) -> str:
 
 def _publish_index(tmp: str, path: str) -> None:
     """Atomically publish a freshly-built index directory: rename into
-    place; if a concurrent builder won the race (dest now exists), keep
-    theirs and discard ours — both builds are deterministic-identical."""
+    place; if a concurrent builder won the race (dest now exists with its
+    ``_SUCCESS`` marker), keep theirs and discard ours — both builds are
+    deterministic-identical.  Any OTHER rename failure (EXDEV, EACCES,
+    ENOENT on a missing parent...) re-raises: swallowing it would discard
+    the build and surface later as a confusing path-not-found instead of
+    the real cause (same discipline as layout.build_bucketed_layout)."""
     import shutil
 
     try:
         os.rename(tmp, path)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
 
 
 def build_ann_index(

