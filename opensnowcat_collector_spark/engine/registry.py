@@ -29,15 +29,16 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 #
 # r5 rotation (VERDICT r4 top item): the 11 queries that had NEVER
 # appeared in any CORRECTNESS_r*.json (added r3/r4 past the window) move
-# INTO the window, plus the new streaming_leftouter_join — displacing the
-# 12 most-confirmed entries (11 with 4 driver-green rounds r1-r4, plus
-# agg_approx_distinct with 2).  After r5 every registered query has at
-# least one external driver-green CORRECTNESS row.
+# INTO the window, plus the two new streaming gates
+# (streaming_leftouter_join, streaming_session_timeout_flush) —
+# displacing the thirteen most-confirmed entries (eleven with 4
+# driver-green rounds r1-r4; agg_approx_distinct and dedup_simhash with
+# 2).  After r5 every registered query has at least one external
+# driver-green CORRECTNESS row.
 _PRIORITY: list[str] = [
     # --- LLM-data pipeline: dedup family ---
     "dedup_paragraph_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_kmeans",
     "dedup_cluster_components",
@@ -89,18 +90,21 @@ _PRIORITY: list[str] = [
     "streaming_stateful_sessionize",
     "streaming_document_curation",
     "streaming_leftouter_join",
+    "streaming_session_timeout_flush",
     # --- specialized joins ---
     "join_skew_salted",
     "join_bucketed_colocated",
     # ---- slot 51+ below: driver-confirmed in earlier rounds (see
     # COVERAGE.md gate map), pytest-covered by the full-registry sweep.
-    # r5 displaced the twelve most-confirmed entries (dedup_exact,
+    # r5 displaced the thirteen most-confirmed entries (dedup_exact,
     # dedup_ngram_jaccard, q1/q3/q5/q10, the three collector queries,
     # streaming_hourly_rollup, join_asof_last_click: 4x driver-green;
-    # agg_approx_distinct: 2x) to give the 11 never-driver-confirmed
-    # queries plus streaming_leftouter_join external evidence.
+    # agg_approx_distinct, dedup_simhash: 2x) to give the 11
+    # never-driver-confirmed queries plus the two new streaming gates
+    # external evidence.
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -551,3 +551,131 @@ def streaming_leftouter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_to_memory(joined, "append").filter(F.col("c_user_id") >= 0)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+TIMEOUT_FLUSH_MS = 2_000  # wall-clock inactivity before open sessions flush
+
+
+@register(
+    "streaming_session_timeout_flush",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev IS NULL
+                    OR ts - prev > INTERVAL {STATEFUL_GAP_HOURS} HOUR
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+s AS (
+  SELECT user_id, sid,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(ts) AS session_start,
+         MAX(ts) AS session_end,
+         MAX(sid) OVER (PARTITION BY user_id) AS last_sid
+  FROM g GROUP BY user_id, sid
+)
+SELECT user_id, n_events, session_start, session_end,
+       CASE WHEN sid = last_sid THEN 'timeout' ELSE 'gap' END AS closed_by
+FROM s
+""",
+)
+def streaming_session_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The state-TIMEOUT serving mode of the custom stateful sessionizer
+    under the gate: gap-closed sessions emit as data flows, and every
+    user's final OPEN session flushes on processing-time timeout
+    (``closed_by='timeout'``) — the continuous-serving behavior
+    ``streaming_stateful_sessionize`` deliberately turns off.
+
+    Unlike the availableNow drains, this runs a processingTime trigger:
+    the single-file source lands as one data batch, then the engine keeps
+    scheduling (empty) micro-batches so pending ProcessingTimeTimeouts
+    fire ({TIMEOUT_FLUSH_MS} ms wall-clock, decoupled from the
+    {STATEFUL_GAP_HOURS}h event-time gap).  The drain polls the sink
+    until it holds exactly the batch-computed session count (every
+    session emits exactly once — by gap or by timeout), then stops; a
+    deadline guard fails loudly instead of returning a partial table.
+
+    100-TB note: flush state is three longs per ACTIVE user (removed at
+    timeout), so state size tracks concurrent activity, not history.
+    """
+    import shutil
+    import time
+
+    from pyspark.sql.window import Window
+
+    from ..streaming.operators import sessionize_stateful
+
+    batch = normalize_event_ts(table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    expected = (
+        batch.select(
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                    > STATEFUL_GAP_HOURS * 3600
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_new")
+        )
+        .agg(F.sum("is_new"))
+        .head()[0]
+    )
+
+    src = _events_stream(spark, sf_dir)
+    out = sessionize_stateful(
+        src,
+        gap_minutes=STATEFUL_GAP_HOURS * 60,
+        timeout_flush=True,
+        timeout_ms=TIMEOUT_FLUSH_MS,
+    ).select("user_id", "n_events", "session_start", "session_end", "closed_by")
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    _SEQ[0] += 1
+    qname = f"stream_gate_{_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 300
+        while spark.table(qname).count() < expected:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"timeout-flush gate: sink has "
+                    f"{spark.table(qname).count()}/{expected} sessions after 300s"
+                )
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+        if data_batches > 1:
+            raise RuntimeError(
+                f"timeout-flush gate drained in {data_batches} data batches; "
+                f"single-batch replay required for per-user in-batch sort"
+            )
+        got = spark.table(qname)
+        if got.count() != expected:
+            raise RuntimeError(
+                f"timeout-flush gate: sink overshot — {got.count()} rows vs "
+                f"{expected} sessions (a session emitted twice?)"
+            )
+        return got
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -94,18 +94,25 @@ SESSION_OUT_SCHEMA = StructType(
 )
 
 
-def make_session_fn(gap_ms: int, timeout_flush: bool = True):
+def make_session_fn(gap_ms: int, timeout_flush: bool = True, timeout_ms: int | None = None):
     """applyInPandasWithState function: accumulates per-user session state,
     emits a session row whenever a gap > gap_ms is observed inside a batch,
     and (when ``timeout_flush``) flushes the open session on
     processing-time timeout.  State per key is three longs —
     constant-size, watermark-independent.
 
+    ``timeout_ms`` decouples the WALL-CLOCK inactivity timeout from the
+    EVENT-TIME gap (default: equal, the serving-mode choice where stream
+    time tracks wall time).  A bounded replay compresses event time, so
+    its flush timeout must be real-seconds short while the gap stays
+    event-time large.
+
     ``timeout_flush=False`` registers no timeout: open sessions stay in
     state forever.  That is the mode for bounded availableNow replays —
     with ProcessingTimeTimeout the streaming engine must keep scheduling
     empty batches so pending timeouts can fire, and an availableNow drain
     therefore never terminates."""
+    flush_ms = gap_ms if timeout_ms is None else timeout_ms
 
     def fn(
         key: tuple[Any, ...],
@@ -156,7 +163,7 @@ def make_session_fn(gap_ms: int, timeout_flush: bool = True):
                 last_us = t
             state.update((n, start_us, last_us))
             if timeout_flush:
-                state.setTimeoutDuration(gap_ms)
+                state.setTimeoutDuration(flush_ms)
         if out:
             df = pd.DataFrame(out)
             yield pd.DataFrame(
@@ -173,18 +180,22 @@ def make_session_fn(gap_ms: int, timeout_flush: bool = True):
 
 
 def sessionize_stateful(
-    events: DataFrame, gap_minutes: int = 30, timeout_flush: bool = True
+    events: DataFrame,
+    gap_minutes: int = 30,
+    timeout_flush: bool = True,
+    timeout_ms: int | None = None,
 ) -> DataFrame:
     """Custom stateful sessionization (applyInPandasWithState) — closed
     sessions emit on gap within the stream; open sessions flush on
     processing-time timeout when ``timeout_flush`` (continuous serving
-    mode), or stay held in state when not (bounded availableNow replays,
+    mode; ``timeout_ms`` overrides the wall-clock inactivity horizon),
+    or stay held in state when not (bounded availableNow replays,
     which cannot terminate while timeouts are pending)."""
     return (
         events.select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            make_session_fn(gap_minutes * 60 * 1000, timeout_flush),
+            make_session_fn(gap_minutes * 60 * 1000, timeout_flush, timeout_ms),
             outputStructType=SESSION_OUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",

@@ -10,7 +10,9 @@ Replication preserves semantics instead of inflating join fan-out:
   cross-replica shingles don't collide (no artificial N^2 near-dup pairs);
 - embedding labels shift by replica*10, keeping cosine blocks intra-replica.
 
-Usage: python tools/scale_probe.py [K ...]   (default: 1 4 8)
+Usage: python tools/scale_probe.py [K ...] [--queries a,b,c]
+(default K: 1 4 8; default queries: PROBE_QUERIES).  At K>=32 run a
+subset — replica build time dominates otherwise.
 Writes one JSON line per K; paste the summary into BASELINE.md.
 """
 
@@ -95,7 +97,13 @@ def build(spark, k: int) -> str:
 
 
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 8]
+    args = sys.argv[1:]
+    probe = PROBE_QUERIES
+    if "--queries" in args:
+        i = args.index("--queries")
+        probe = args[i + 1].split(",")
+        args = args[:i] + args[i + 2 :]
+    ks = [int(a) for a in args] or [1, 4, 8]
     from opensnowcat_collector_spark.engine import registry
     from opensnowcat_collector_spark.session import get_spark
 
@@ -116,7 +124,7 @@ def main() -> None:
         build_ann_index(spark, sf_dir)
         build_bucketed_layout(spark, sf_dir)
         timings = {}
-        for name in PROBE_QUERIES:
+        for name in probe:
             t0 = time.perf_counter()
             n = qs[name](spark, sf_dir).count()
             timings[name] = round(time.perf_counter() - t0, 2)
