@@ -564,3 +564,61 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dup_docs").cast("double") / F.col("n_docs")).alias("dup_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist (bad-words) filter — C4-style admission control
+# ---------------------------------------------------------------------------
+
+#: token blocklist for the C4-style filter; matched on whole whitespace
+#: tokens (NOT substrings — 'slow' must not reject 'slowly')
+BLOCKLIST = ["slow", "bad", "broken"]
+
+
+@register(
+    "curate_blocklist_filter",
+    oracle=f"""
+WITH flagged AS (
+  SELECT source, n_chars,
+         CASE WHEN LEN(list_intersect(string_split(lower(text), ' '),
+                                      [{", ".join(repr(w) for w in BLOCKLIST)}])) > 0
+              THEN 1 ELSE 0 END AS blocked
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(1 - blocked) AS BIGINT) AS n_kept,
+       CAST(SUM(blocked) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN blocked = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM flagged
+GROUP BY source
+ORDER BY source
+""",
+)
+def curate_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style bad-words admission filter: a document is dropped when any
+    whitespace token equals a blocklist entry (whole-token match via
+    ``arrays_overlap`` — substring matching would reject 'slowly' for
+    'slow').  Per-source keep/drop accounting mirrors what a curation run
+    reports before materializing the kept corpus.
+
+    Dataflow: scan-stage projection computes the flag (arrays_overlap is
+    a non-lambda array op — codegen'd), then one tiny groupBy(source)
+    shuffle over pre-aggregated partials.  At 100 TB the cost is the scan;
+    the blocklist is a literal array, no join."""
+    d = table(spark, sf_dir, "documents")
+    blocked = F.arrays_overlap(
+        F.split(F.lower("text"), " "),
+        F.array(*[F.lit(w) for w in BLOCKLIST]),
+    ).cast("int")
+    return (
+        d.select("source", "n_chars", blocked.alias("blocked"))
+        .groupBy("source")
+        .agg(
+            F.sum(1 - F.col("blocked")).cast("long").alias("n_kept"),
+            F.sum("blocked").cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("blocked") == 0, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -541,3 +541,91 @@ def curate_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ids_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (Dolma/CCNet-style redaction pass)
+# ---------------------------------------------------------------------------
+
+#: redaction patterns — simple enough that Java regex (Spark, codegen'd)
+#: and RE2 (DuckDB) agree token-for-token
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or 555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 100 AS VARCHAR) AS t
+  FROM documents
+), counted AS (
+  SELECT doc_id, source, t,
+         CAST(LEN(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+         CAST(LEN(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+         regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{_PII_PHONE}', '<PHONE>', 'g') AS t2
+  FROM aug
+)
+SELECT doc_id, source, n_emails, n_phones,
+       CAST(LEN(regexp_extract_all(t2, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(LENGTH(regexp_replace(t2, '{_PII_IPV4}', '<IP>', 'g')) AS BIGINT) AS clean_len,
+       md5(regexp_replace(t2, '{_PII_IPV4}', '<IP>', 'g')) AS clean_md5
+FROM counted
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails / phone numbers / IPv4) with per-doc
+    counts and an md5 pin of the scrubbed text.
+
+    The synthetic corpus carries no real PII, so the query plants
+    deterministic PII derived from ``doc_id`` (same expression on both
+    engines) before scrubbing — the regexes do real work and the oracle
+    verifies the redacted output byte-for-byte via md5.
+
+    Dataflow: pure projection — regexp_count/regexp_replace are JVM
+    codegen'd; zero shuffles, scan-bound at 100 TB.  Emails scrub before
+    the IPv4 pass so dotted-digit fragments inside redacted domains
+    cannot double-match."""
+    d = table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    t = d.select("doc_id", "source", aug.alias("t"))
+    t2 = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    out = t.select(
+        "doc_id",
+        "source",
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PII_PHONE)).alias("n_phones"),
+        t2.alias("t2"),
+    )
+    clean = F.regexp_replace(F.col("t2"), _PII_IPV4, "<IP>")
+    return out.select(
+        "doc_id",
+        "source",
+        "n_emails",
+        "n_phones",
+        F.regexp_count(F.col("t2"), F.lit(_PII_IPV4)).alias("n_ips"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )

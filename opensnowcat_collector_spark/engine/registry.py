@@ -21,7 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import collector_queries, relational, streaming_queries  # noqa: F401  (registration side effects)
+from . import collector_queries, relational, streaming_queries, tpch_patterns  # noqa: F401  (registration side effects)
 from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401  (registration side effects)
 
 # First 50 = the driver-graded window. Order within the window groups by
@@ -156,6 +156,25 @@ _PRIORITY: list[str] = [
     "setop_except_inactive",
     "scalar_string_funcs",
     "scalar_datetime_funcs",
+    # --- TPC-H pattern completion (r5, tpch_patterns.py): placed past the
+    # window deliberately — the window this round is reserved for the 11
+    # previously-never-confirmed queries + new streaming gates; these
+    # rotate into the window in r6 once local sweep evidence exists.
+    "q2_minprice_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_balance",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_supply",
+    "q21_waiting_supplier",
+    # --- LLM-pipeline admission ops (r5): same placement rationale.
+    "text_pii_scrub",
+    "curate_blocklist_filter",
 ]
 
 
