@@ -995,3 +995,68 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-ngram fraction (MassiveText/Gopher-style duplicated-span signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_repeated_ngram_fraction",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, UNNEST([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                         for i in generate_series(1, greatest(len(ws)-2, 1))]) AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+), shared AS (
+  SELECT shingle FROM (
+    SELECT shingle, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY 1
+  ) WHERE nd >= 2
+)
+SELECT doc_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN s.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN s.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_fraction,
+       CASE WHEN 10 * SUM(CASE WHEN s.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 > 7 * COUNT(*) THEN 1 ELSE 0 END AS drop_flag
+FROM pos LEFT JOIN shared s USING (shingle)
+GROUP BY doc_id
+""",
+)
+def dedup_repeated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText-style duplicated-span signal: for each doc, the
+    fraction of its 3-gram window POSITIONS whose shingle also appears
+    in at least one other document; docs over 70% duplicated are flagged
+    for drop (threshold as the integer comparison ``10*n_dup > 7*n`` —
+    no float boundary).
+
+    Dataflow: one narrow explode (``raw_shingles``), the shared-shingle
+    set from a distinct + groupBy(shingle) — both shuffles keyed on
+    `shingle` so they stack on one exchange — then a shingle-keyed
+    membership join back and one doc_id rollup.  Linear in window count;
+    the shared set is a 1-column semi-join side.  At 100 TB the
+    boilerplate-heavy shingles dominate the shared set; the membership
+    join stays an equi-join (no quadratic pair expansion anywhere)."""
+    raw = raw_shingles(spark, sf_dir)
+    shared = (
+        raw.select("doc_id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("shingle", F.lit(1).alias("is_shared"))
+    )
+    n_dup = F.sum(F.coalesce(F.col("is_shared"), F.lit(0)))
+    n_win = F.count(F.lit(1))
+    return (
+        raw.join(shared, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            n_win.alias("n_windows"),
+            n_dup.cast("long").alias("n_dup"),
+            (n_dup.cast("double") / n_win).alias("dup_fraction"),
+            F.when(F.lit(10) * n_dup > F.lit(7) * n_win, 1).otherwise(0).alias("drop_flag"),
+        )
+    )

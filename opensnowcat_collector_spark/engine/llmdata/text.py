@@ -629,3 +629,70 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("long").alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (log-free exact-ratio variant)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+  FROM tf JOIN df USING (w) CROSS JOIN n
+)
+SELECT doc_id, w AS term, tf, df, score, rk AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, w) AS rk
+  FROM scored
+)
+WHERE rk <= 5
+""",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by TF-IDF, in the log-free exact-ratio
+    form ``score = tf * N / df``: tf*N is an exact integer and IEEE
+    division is correctly rounded, so the score (and therefore the
+    ranking, tie-broken by term) is bit-identical across engines —
+    a ln()-based idf could diverge in the last ulp and flip near-ties.
+
+    Dataflow: one explode; tf aggregates on (doc_id, w); df on w (the
+    Zipf-small vocab side, broadcast back); the top-k window shuffles on
+    doc_id.  Linear in token count; no all-pairs anywhere.  Monotonic in
+    tf*(N/df), so the ranking equals the classic tf*ln(N/df) ranking
+    whenever df differs, and beats it on determinism."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )

@@ -175,6 +175,9 @@ _PRIORITY: list[str] = [
     # --- LLM-pipeline admission ops (r5): same placement rationale.
     "text_pii_scrub",
     "curate_blocklist_filter",
+    "dedup_repeated_ngram_fraction",
+    "text_tfidf_topterms",
+    "agg_approx_percentile",
 ]
 
 

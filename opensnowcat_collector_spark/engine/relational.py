@@ -1645,3 +1645,48 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(_cents(F.col("c_acctbal"))).cast("double") / 100.0).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based percentile (approx_percentile vs exact, HLL-gate pattern)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_approx_percentile",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       TRUE AS p50_within_1pct,
+       TRUE AS p90_within_1pct,
+       TRUE AS p99_within_1pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` (Greenwald-Khanna sketch) vs the exact
+    percentile, per return flag.
+
+    Like ``agg_approx_distinct``: the sketch estimate is
+    accuracy-parameter-specific, so the deterministic outputs are the
+    exact row counts plus booleans asserting the sketch landed within 1%
+    of the exact value — the oracle pins the counts and expects TRUE.
+    At 100 TB the sketch is the only viable path (bounded memory,
+    mergeable partials); the exact percentile computed here for the
+    comparison is the scale-up casualty the sketch replaces."""
+    l = table(spark, sf_dir, "lineitem")
+
+    def within(p: float) -> "F.Column":
+        approx = F.percentile_approx("l_extendedprice", p, 10000)
+        exact = F.percentile("l_extendedprice", p)
+        return (F.abs(approx - exact) <= 0.01 * exact).alias(
+            f"p{int(p * 100)}_within_1pct"
+        )
+
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        within(0.5),
+        within(0.9),
+        within(0.99),
+    )

@@ -117,3 +117,60 @@ def test_q17_threshold_is_exact_integer_form(spark):
         < F.col("sum_qc")
     )
     assert [r.q for r in joined2.collect()] == [1.0]
+
+
+def test_repeated_ngram_fraction_counts_positions_not_distinct(spark):
+    """A doc repeating one shared shingle many times must count every
+    window position, not the distinct shingle once."""
+    from opensnowcat_collector_spark.engine import registry
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            [
+                # doc 0: 'x y z' repeated -> 7 windows, all shared with doc 1
+                (0, "x y z x y z x y z", "en", "s0", 17),
+                (1, "x y z only once here", "en", "s0", 20),
+                (2, "totally different words entirely", "en", "s1", 32),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.doc_id: r
+            for r in registry.all_queries()["dedup_repeated_ngram_fraction"](
+                spark, d
+            ).collect()
+        }
+        # doc 0 windows: 'x y z','y z x','z x y','x y z','y z x','z x y',
+        # 'x y z' — 7 positions; only 'x y z' is shared with doc 1, at 3
+        # positions -> n_dup counts every position, not the distinct once
+        assert out[0].n_windows == 7
+        assert out[0].n_dup == 3
+        assert out[2].n_dup == 0 and out[2].drop_flag == 0
+        assert out[0].drop_flag == 0  # 10*3 < 7*7
+
+
+def test_tfidf_ranking_deterministic_and_log_free(spark):
+    from opensnowcat_collector_spark.engine import registry
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            [
+                (0, "apple apple banana", "en", "s0", 18),
+                (1, "banana cherry cherry", "en", "s0", 20),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = registry.all_queries()["text_tfidf_topterms"](spark, d).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        d0 = sorted(by_doc[0], key=lambda r: r.rank)
+        # doc 0: apple tf=2 df=1 -> score 2*2/1=4; banana tf=1 df=2 -> 1
+        assert [r.term for r in d0] == ["apple", "banana"]
+        assert d0[0].score == 4.0 and d0[1].score == 1.0
