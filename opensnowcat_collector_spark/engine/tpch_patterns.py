@@ -74,9 +74,12 @@ def q2_minprice_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The correlated ``price = (SELECT MIN(...) WHERE same part)`` is
     decorrelated the way Catalyst would: aggregate per part first
-    (|parts| rows), broadcast, equi-join back on (partkey, min-cents).
-    Ties keep every witnessing supplier — identical sets on both
-    engines because the min is exact integer cents."""
+    (|parts| rows), equi-join back on (partkey, min-cents).  The
+    aggregate side scales with |part|, so it carries NO broadcast hint —
+    AQE broadcasts it at test scale and falls back to sort-merge on the
+    shared partkey shuffle at production scale.  Ties keep every
+    witnessing supplier — identical sets on both engines because the
+    min is exact integer cents."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_size") < 10) & (F.col("p_type") == "STANDARD")
@@ -94,7 +97,7 @@ def q2_minprice_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sale.join(
-            F.broadcast(best),
+            best,
             (F.col("l_partkey") == F.col("b_partkey")) & (F.col("price_c") == F.col("min_c")),
         )
         .drop("b_partkey", "min_c")
@@ -518,8 +521,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: ``l_quantity < 0.2 * avg(l_quantity per part)``
     rationalized to the exact integer form ``5*qty_c*cnt < sum_qc``
     (multiply both sides by 5*cnt/cents) — no float average, no
-    boundary divergence.  The per-part aggregate is broadcast and the
-    fact joins back once."""
+    boundary divergence.  The per-part aggregate joins back once; it
+    scales with |part| so the broadcast decision is left to AQE (hinting
+    it would force a |part|-sized broadcast at 100 TB)."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     qty = l.groupBy(F.col("l_partkey").alias("q_partkey")).agg(
@@ -528,7 +532,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(qty), l.l_partkey == F.col("q_partkey"))
+        .join(qty, l.l_partkey == F.col("q_partkey"))
         .filter(F.lit(5) * _cents(F.col("l_quantity")) * F.col("cnt") < F.col("sum_qc"))
         .agg(
             (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100.0 / 7.0).alias(
@@ -570,8 +574,10 @@ def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 pattern (no partsupp => a supplier 'holds excess stock'
     of a part when it shipped >15% of that part's total volume).  The
     15% threshold is the integer comparison ``100*sp > 15*total``.  Both
-    aggregates shuffle on l_partkey-prefixed keys; the final IN is a
-    semi-join against the tiny distinct supplier set."""
+    aggregates shuffle on l_partkey-prefixed keys and join on partkey —
+    the per-part total scales with |part|, so no broadcast hint (AQE
+    decides); the final IN is a semi-join against the tiny distinct
+    supplier set."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     s = table(spark, sf_dir, "supplier")
@@ -582,7 +588,7 @@ def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_cents(F.col("l_quantity"))).alias("sp_qc")
     )
     heavy = (
-        supp_part.join(F.broadcast(part_total), F.col("l_partkey") == F.col("pt_partkey"))
+        supp_part.join(part_total, F.col("l_partkey") == F.col("pt_partkey"))
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .filter(F.lit(100) * F.col("sp_qc") > F.lit(15) * F.col("total_qc"))
         .select("l_suppkey")
