@@ -325,7 +325,11 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rollup_"))
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # awaitTermination returns False on timeout without raising — a
+        # partially-drained table must never reach the oracle compare
+        q.stop()
+        raise TimeoutError("streaming_hourly_rollup drain did not finish in 300s")
     assert batch is not None  # keep the batch loader exercised for schema parity
     return spark.table(qname).select(
         F.col("w.start").alias("hour_start"),

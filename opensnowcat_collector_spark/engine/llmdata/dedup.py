@@ -201,13 +201,21 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_from_counts(inter: DataFrame, counts: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_inter) + per-doc shingle counts -> thresholded
-    jaccard pairs.  Exact integer inputs -> engine-identical doubles."""
+    jaccard pairs.  Exact integer inputs -> engine-identical doubles.
+
+    The counts side is per-document, i.e. corpus-scaled, so both joins
+    carry a merge hint: the localCheckpoint'd shingle subtree upstream
+    has no parquet statistics, and the static planner was observed
+    (64x probe) choosing to BROADCAST these sides — which dies with
+    "not enough memory to build and broadcast" once the corpus outgrows
+    the driver.  Pinning sort-merge keeps the plan corpus-safe at any
+    scale; at bench scale the difference is noise."""
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        inter.join(ca.hint("merge"), "doc_a")
+        .join(cb.hint("merge"), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -258,8 +266,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = capped.alias("a")
     b = capped.alias("b")
+    # both self-join sides are the corpus-scaled capped shingle set —
+    # merge hint for the same broadcast-safety reason as dedup_minhash_lsh
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b.hint("merge"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -386,11 +396,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_key"),
     )
+    # Every side of the candidate/verify joins below scales with the
+    # corpus (band rows, candidate pairs, exploded shingles), and the
+    # localCheckpoint'd subtree carries no size statistics — at 64x the
+    # static planner broadcast ALL of them and overran driver memory.
+    # merge hints pin shuffle joins: corpus-safe at any scale.
     a = bands_long.alias("a")
     b = bands_long.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -408,8 +423,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
     eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        cand.join(ea, "doc_a")
-        .join(eb, ["doc_b", "shingle"])
+        cand.join(ea.hint("merge"), "doc_a")
+        .join(eb.hint("merge"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

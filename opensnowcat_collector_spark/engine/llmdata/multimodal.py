@@ -91,6 +91,12 @@ def _parse_jpeg_dims(payload: bytes) -> tuple[int, int] | None:
     while i + 4 <= n:
         if payload[i] != 0xFF:
             return None
+        # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them instead of misreading 0xFF as a marker id
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            return None
         marker = payload[i + 1]
         if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone markers
             i += 2

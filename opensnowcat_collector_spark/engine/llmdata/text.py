@@ -680,8 +680,11 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    # no broadcast hint on df: the corpus vocabulary is Zipf-small in
+    # clean text but grows unboundedly with corpus junk (URLs, typos) —
+    # AQE broadcasts it while it fits and falls back to sort-merge beyond
     scored = (
-        tf.join(F.broadcast(df), "w")
+        tf.join(df, "w")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -519,7 +519,12 @@ def streaming_leftouter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((r["user_id"], r["event_id"], r["ts"]) for r in rows if r["event_type"] == "purchase"),
         key=lambda t: t[2],
     )
-    max_ts = max(clicks[-1][2], purchases[-1][2])
+    if not clicks and not purchases:
+        # degenerate dataset: no rows on either side — fail with a
+        # diagnosable message instead of IndexError below (the batch
+        # oracle would return empty; testdata always carries both types)
+        raise ValueError(f"no click/purchase events in {sf_dir}/events.parquet")
+    max_ts = max(t[2] for t in (clicks[-1:] + purchases[-1:]))
     sent = [max_ts + datetime.timedelta(hours=2 + i) for i in range(2)]
     base = tempfile.mkdtemp(prefix="lojoin_replay_")
     cdir, pdir = os.path.join(base, "clicks"), os.path.join(base, "purchases")
@@ -654,6 +659,15 @@ def streaming_session_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFra
     try:
         deadline = time.monotonic() + 300
         while spark.table(qname).count() < expected:
+            if not q.isActive:
+                # surface the real stream failure instead of spinning to
+                # the deadline and reporting a misleading TimeoutError
+                exc = q.exception()
+                raise RuntimeError(
+                    f"timeout-flush gate: streaming query died with "
+                    f"{expected - spark.table(qname).count()} sessions "
+                    f"outstanding: {exc}"
+                )
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     f"timeout-flush gate: sink has "

@@ -407,15 +407,21 @@ class CollectorServer:
         if cfg.ssl.enable:
             import ssl as _ssl
 
-            if not (ssl_certfile and ssl_keyfile):
-                raise ValueError(
-                    "ssl.enable requires ssl_certfile and ssl_keyfile "
-                    "(PEM paths) — or terminate TLS upstream and disable "
-                    "the ssl block"
-                )
-            ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
-            ctx.load_cert_chain(ssl_certfile, ssl_keyfile)
-            self.httpd.socket = ctx.wrap_socket(self.httpd.socket, server_side=True)
+            try:
+                if not (ssl_certfile and ssl_keyfile):
+                    raise ValueError(
+                        "ssl.enable requires ssl_certfile and ssl_keyfile "
+                        "(PEM paths) — or terminate TLS upstream and disable "
+                        "the ssl block"
+                    )
+                ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+                ctx.load_cert_chain(ssl_certfile, ssl_keyfile)
+                self.httpd.socket = ctx.wrap_socket(self.httpd.socket, server_side=True)
+            except Exception:
+                # the listener is already bound — release the port instead
+                # of leaking it for the process lifetime on failed TLS setup
+                self.httpd.server_close()
+                raise
         self.port = self.httpd.server_address[1]
         self._thread: threading.Thread | None = None
 

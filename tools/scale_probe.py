@@ -101,6 +101,10 @@ def main() -> None:
     probe = PROBE_QUERIES
     if "--queries" in args:
         i = args.index("--queries")
+        if i + 1 >= len(args):
+            raise SystemExit(
+                "usage: scale_probe.py [K ...] [--queries name1,name2,...]"
+            )
         probe = args[i + 1].split(",")
         args = args[:i] + args[i + 2 :]
     ks = [int(a) for a in args] or [1, 4, 8]
