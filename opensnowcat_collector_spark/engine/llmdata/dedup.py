@@ -677,12 +677,17 @@ def _star_round(edges: DataFrame, kind: str) -> DataFrame:
     m = sym.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("m")
     )
+    # m is node-scaled and derives from the localCheckpoint'd (stats-less)
+    # edge set — merge hint so the static planner can never choose to
+    # broadcast it at graph scale (same failure mode fixed in
+    # dedup_minhash_lsh at the 64x probe); the join keys on src, the same
+    # key as the groupBy above, so sort-merge reuses that exchange.
     if kind == "large":
         sel = sym.filter(F.col("dst") > F.col("src"))
-        out = sel.join(m, "src").select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        out = sel.join(m.hint("merge"), "src").select(F.col("dst").alias("a"), F.col("m").alias("b"))
     else:
         sel = sym.filter(F.col("dst") < F.col("src"))
-        out = sel.join(m, "src").select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        out = sel.join(m.hint("merge"), "src").select(F.col("dst").alias("a"), F.col("m").alias("b"))
         out = out.union(m.select(F.col("src").alias("a"), F.col("m").alias("b")))
     return (
         out.filter(F.col("a") != F.col("b"))
@@ -747,7 +752,7 @@ def connected_components(
                 F.lit(1).alias("_seen"),
             )
             flagged = stepped.join(
-                prev,
+                prev.hint("merge"),  # edge-scaled + stats-less: never broadcast
                 (F.col("src") == F.col("o_src")) & (F.col("dst") == F.col("o_dst")),
                 "left",
             ).select("src", "dst", "_seen")
@@ -768,7 +773,7 @@ def connected_components(
         lbls = edges.select(F.col("src").alias("node"), F.col("dst").alias("lbl"))
         labels = (
             docs.select(F.col("doc_id").alias("node"))
-            .join(lbls, "node", "left")
+            .join(lbls.hint("merge"), "node", "left")  # node-scaled side
             .select("node", F.coalesce("lbl", "node").alias("lbl"))
         )
     elif method == "propagate":
@@ -782,11 +787,11 @@ def connected_components(
         while rounds < max_rounds:
             rounds += 1
             nbr_min = (
-                edges.join(labels, edges.src == labels.node)
+                edges.join(labels.hint("merge"), edges.src == labels.node)
                 .groupBy("dst")
                 .agg(F.min("lbl").alias("nbr_lbl"))
             )
-            stepped_plan = labels.join(nbr_min, labels.node == nbr_min.dst, "left").select(
+            stepped_plan = labels.join(nbr_min.hint("merge"), labels.node == nbr_min.dst, "left").select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("new_lbl"),
                 "lbl",
@@ -837,7 +842,7 @@ def _register_cluster_components():
         labels = connected_components(docs, pairs, method="star")
         sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
         return (
-            labels.join(sizes, "lbl")
+            labels.join(sizes.hint("merge"), "lbl")  # per-cluster, node-scaled worst case
             .select(
                 F.col("node").alias("doc_id"),
                 F.col("lbl").alias("cluster_id"),
@@ -1065,8 +1070,11 @@ def dedup_repeated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     n_dup = F.sum(F.coalesce(F.col("is_shared"), F.lit(0)))
     n_win = F.count(F.lit(1))
+    # shared is the corpus-scaled cross-doc shingle set — merge hint per
+    # the broadcast policy (the join keys on shingle, the same key as the
+    # groupBy that built it, so the exchange is shared)
     return (
-        raw.join(shared, "shingle", "left")
+        raw.join(shared.hint("merge"), "shingle", "left")
         .groupBy("doc_id")
         .agg(
             n_win.alias("n_windows"),
