@@ -1083,3 +1083,78 @@ def dedup_repeated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame
             F.when(F.lit(10) * n_dup > F.lit(7) * n_win, 1).otherwise(0).alias("drop_flag"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL dedup (web-crawl pipeline admission op)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+WITH pages AS (
+  SELECT doc_id,
+         'https://CDN' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM/' || source
+           || '/page-' || CAST(doc_id % 50 AS VARCHAR)
+           || '?utm_source=s' || CAST(doc_id AS VARCHAR)
+           || '&id=' || CAST(doc_id % 10 AS VARCHAR) || '#frag' AS url,
+         -- the oracle knows the construction, so the canonical form is
+         -- computed analytically (DuckDB has no parse_url); the Spark
+         -- side must arrive at the same string by actually PARSING
+         'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/' || source
+           || '/page-' || CAST(doc_id % 50 AS VARCHAR)
+           || '?id=' || CAST(doc_id % 10 AS VARCHAR) AS canonical_url
+  FROM documents
+)
+SELECT canonical_url,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_urls,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM pages
+GROUP BY canonical_url
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup, the first admission pass of a web-crawl
+    pipeline: lowercase the host, strip tracking parameters (utm_*) and
+    the fragment, keep identifying parameters, first-crawled URL wins.
+
+    The synthetic corpus has no URL column, so the query plants a
+    deterministic URL per doc (host case-noise + utm_ param + fragment)
+    and the Spark side canonicalizes it with REAL ``parse_url`` calls
+    (HOST/PATH/QUERY-key extraction); the oracle derives the expected
+    canonical form analytically from the same construction.
+
+    Dataflow: pure projection then one groupBy(canonical) shuffle —
+    linear, scan-bound at crawl scale."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://CDN"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM/"),
+        F.col("source"),
+        F.lit("/page-"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=s"),
+        F.col("doc_id").cast("string"),
+        F.lit("&id="),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("#frag"),
+    )
+    pages = d.select("doc_id", url.alias("url"))
+    canonical = F.concat(
+        F.lower(F.parse_url(F.col("url"), F.lit("HOST"))),
+        F.parse_url(F.col("url"), F.lit("PATH")),
+        F.lit("?id="),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id")),
+    )
+    return (
+        pages.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_urls"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        )
+    )

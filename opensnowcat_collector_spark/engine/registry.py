@@ -178,6 +178,8 @@ _PRIORITY: list[str] = [
     "dedup_repeated_ngram_fraction",
     "text_tfidf_topterms",
     "agg_approx_percentile",
+    "dedup_url_canonical",
+    "events_transition_matrix",
 ]
 
 

@@ -1690,3 +1690,61 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(0.9),
         within(0.99),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (behavioral sequence modeling prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p_next
+FROM trans
+ORDER BY prev_type, next_type
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences: for
+    each (prev_type -> next_type) pair, the occurrence count and the
+    conditional probability P(next | prev) — the sufficient statistics
+    for a Markov model of user behavior (sequence-modeling / anomaly
+    baseline prep).
+
+    Tie-break: events at the same ts order by event_id, so the lag
+    pairing is deterministic on both engines.  p_next is an exact-int
+    ratio (count / per-prev total) -> engine-identical doubles.
+
+    Dataflow: one user_id window shuffle for the lag, one tiny
+    (|event types|^2) aggregation, one |event types| window for the
+    denominator — linear in events, no self-join."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return (
+        trans.select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p_next"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
