@@ -1158,3 +1158,81 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Apply the near-dup clusters: materialized-dedup accounting (the last
+# mile — pairwise verdicts -> clusters -> kept corpus)
+# ---------------------------------------------------------------------------
+
+_DEDUP_APPLY_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ngram_sql}) p
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+mins AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN m.doc_id = m.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN m.doc_id = m.cluster_id THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN m.doc_id = m.cluster_id THEN d.n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM mins m JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+def _register_dedup_apply():
+    from ..relational import ORACLE
+
+    @register(
+        "curate_dedup_apply",
+        oracle=_DEDUP_APPLY_ORACLE.format(ngram_sql=ORACLE["dedup_ngram_jaccard"]),
+    )
+    def curate_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Apply the near-dup clustering to the corpus: each cluster keeps
+        its canonical member (minimum doc_id == the cluster label), and
+        the per-source keep/drop/char accounting is what a curation run
+        reports before writing the deduplicated corpus — the production
+        endpoint of the pairs -> clusters -> selection chain.
+
+        Reuses ``dedup_cluster_components``'s distributed CC (O(log n)
+        star rounds); the apply step itself is one doc_id equi-join back
+        to documents plus a tiny groupBy(source).  keeper test is
+        ``doc_id == cluster_id`` because the cluster label IS the minimum
+        reachable doc_id — no extra min-per-cluster pass needed."""
+        from ..relational import QUERIES
+
+        d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+        clusters = QUERIES["dedup_cluster_components"](spark, sf_dir).select(
+            "doc_id", "cluster_id"
+        )
+        kept = F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)
+        return (
+            d.join(clusters.hint("merge"), "doc_id")  # both sides corpus-scaled
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(kept).cast("long").alias("n_kept"),
+                F.sum(1 - kept).cast("long").alias("n_dropped"),
+                F.sum(F.col("n_chars") * kept).cast("long").alias("kept_chars"),
+            )
+            .orderBy("source")
+        )
+
+
+_register_dedup_apply()

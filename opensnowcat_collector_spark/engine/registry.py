@@ -33,8 +33,10 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # (streaming_leftouter_join, streaming_session_timeout_flush) —
 # displacing the thirteen most-confirmed entries (eleven with 4
 # driver-green rounds r1-r4; agg_approx_distinct and dedup_simhash with
-# 2).  After r5 every registered query has at least one external
-# driver-green CORRECTNESS row.
+# 2).  After r5 every query registered BEFORE r5 has at least one
+# external driver-green CORRECTNESS row; the 20 operators ADDED in r5
+# (slots 105+) hold local-sweep evidence only and rotate into the
+# window in r6.
 _PRIORITY: list[str] = [
     # --- LLM-data pipeline: dedup family ---
     "dedup_paragraph_exact",
@@ -180,6 +182,7 @@ _PRIORITY: list[str] = [
     "agg_approx_percentile",
     "dedup_url_canonical",
     "events_transition_matrix",
+    "curate_dedup_apply",
 ]
 
 
