@@ -1,0 +1,66 @@
+"""End-to-end LLM-training-data pipeline demo over the synthetic corpus.
+
+Chains the engine's curation surface the way a production run would:
+admission (blocklist + PII scrub) -> dedup (exact, then near-dup
+clusters applied) -> quality gating -> packing stats -> dataset card.
+Each step is one of the oracle-gated registry operators — this script
+just sequences them and prints the headline numbers.
+
+Run:  python examples/llm_pipeline.py [sf_dir]   (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from opensnowcat_collector_spark.engine import registry
+    from opensnowcat_collector_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="llm-pipeline-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.all_queries()
+
+    print(f"== corpus: {sf_dir}")
+
+    block = qs["curate_blocklist_filter"](spark, sf_dir)
+    kept = block.agg({"n_kept": "sum", "n_dropped": "sum"}).first()
+    print(f"admission: {kept['sum(n_kept)']} kept / {kept['sum(n_dropped)']} blocklisted")
+
+    pii = qs["text_pii_scrub"](spark, sf_dir)
+    tot = pii.agg({"n_emails": "sum", "n_phones": "sum", "n_ips": "sum"}).first()
+    print(
+        f"pii scrub: {tot['sum(n_emails)']} emails, {tot['sum(n_phones)']} phones, "
+        f"{tot['sum(n_ips)']} ips redacted"
+    )
+
+    exact = qs["dedup_exact"](spark, sf_dir)
+    n_canon = exact.filter("is_canonical").count()
+    print(f"exact dedup: {exact.count()} docs -> {n_canon} canonical")
+
+    applied = qs["curate_dedup_apply"](spark, sf_dir)
+    a = applied.agg({"n_kept": "sum", "n_dropped": "sum", "kept_chars": "sum"}).first()
+    print(
+        f"near-dup clusters applied: {a['sum(n_kept)']} kept / "
+        f"{a['sum(n_dropped)']} dropped ({a['sum(kept_chars)']} chars kept)"
+    )
+
+    gate = qs["curate_quality_quantile_filter"](spark, sf_dir)
+    print(f"quality gate survivors: {gate.count()}")
+
+    packs = qs["curate_pack_sequences"](spark, sf_dir)
+    print(f"packed sequences: {packs.count()}")
+
+    card = qs["curate_dataset_card"](spark, sf_dir)
+    print("dataset card:")
+    for row in card.collect():
+        print("  ", row.asDict())
+
+
+if __name__ == "__main__":
+    main()
