@@ -187,6 +187,74 @@ def _string_query(rng: random.Random) -> str:
     )
 
 
+def _exists_query(rng: random.Random) -> str:
+    """(NOT) EXISTS correlated on orderkey — Spark decorrelates to a
+    semi/anti join (the q4/q21/q22 shape); DuckDB runs the same text."""
+    neg = rng.choice(["EXISTS", "NOT EXISTS"])
+    ocut = rng.choice(
+        [
+            "o.o_orderstatus = 'F'",
+            "o.o_orderpriority = '1-URGENT'",
+            "o.o_custkey < 500",
+        ]
+    )
+    where = _predicate(rng)
+    return (
+        f"SELECT l_returnflag, COUNT(*) AS n, SUM(l_linenumber) AS sum_ln "
+        f"FROM lineitem l WHERE ({where}) AND {neg} "
+        f"(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND {ocut}) "
+        f"GROUP BY l_returnflag"
+    )
+
+
+def _in_subquery(rng: random.Random) -> str:
+    """(NOT) IN against a subquery key set — o_orderkey is non-null so
+    NOT IN's null-aware special case never fires on either engine."""
+    neg = rng.choice(["IN", "NOT IN"])
+    ocut = rng.choice(
+        [
+            "o_orderstatus = 'P'",
+            "o_custkey % 7 = 0",
+            "o_orderpriority IN ('2-HIGH', '5-LOW')",
+        ]
+    )
+    where = _predicate(rng)
+    return (
+        f"SELECT l_linestatus, COUNT(*) AS n, MIN(l_orderkey) AS min_ok "
+        f"FROM lineitem WHERE ({where}) AND l_orderkey {neg} "
+        f"(SELECT o_orderkey FROM orders WHERE {ocut}) GROUP BY l_linestatus"
+    )
+
+
+def _scalar_subquery(rng: random.Random) -> str:
+    """Uncorrelated scalar-aggregate threshold (the q11/q15/q22 shape) —
+    exact-integer comparison, no float boundary."""
+    fn = rng.choice(["MIN", "MAX"])
+    ocut = rng.choice(["o_custkey < 100", "o_orderstatus = 'O'", "o_custkey % 11 = 3"])
+    cmp_op = rng.choice(["<", ">="])
+    where = _predicate(rng)
+    return (
+        f"SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+        f"WHERE ({where}) AND l_orderkey {cmp_op} "
+        f"(SELECT {fn}(o_orderkey) FROM orders WHERE {ocut}) "
+        f"GROUP BY l_returnflag"
+    )
+
+
+def _correlated_scalar_query(rng: random.Random) -> str:
+    """Correlated groupwise-max scalar subquery (the q2/q17 shape):
+    rows equal to their group's max line number."""
+    where = _predicate(rng)
+    limit = rng.choice([50, 200])
+    return (
+        f"SELECT l_orderkey, l_linenumber FROM lineitem l "
+        f"WHERE ({where}) AND l_linenumber = "
+        f"(SELECT MAX(l2.l_linenumber) FROM lineitem l2 "
+        f" WHERE l2.l_orderkey = l.l_orderkey) "
+        f"ORDER BY l_orderkey, l_linenumber LIMIT {limit}"
+    )
+
+
 def _cases() -> list[str]:
     rng = random.Random(SEED)
     out = []
@@ -202,6 +270,12 @@ def _cases() -> list[str]:
                 _case_query,
                 _distinct_query,
                 _string_query,
+                # r5: the subquery/decorrelation space the TPC-H pattern
+                # module exercises with hand-written queries
+                _exists_query,
+                _in_subquery,
+                _scalar_subquery,
+                _correlated_scalar_query,
             ]
         )
         out.append(gen(rng))
