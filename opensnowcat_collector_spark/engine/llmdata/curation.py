@@ -622,3 +622,60 @@ def curate_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (hash-bucketed, leakage-free)
+# ---------------------------------------------------------------------------
+
+#: hex-prefix boundaries on md5(doc_id): < TRAIN -> train, < VAL -> val,
+#: else test (~80/10/10; md5 is uniform over hex strings)
+SPLIT_TRAIN_PREFIX = "cc"
+SPLIT_VAL_PREFIX = "e6"
+
+
+@register(
+    "curate_train_val_split",
+    oracle=f"""
+WITH assigned AS (
+  SELECT source, n_chars,
+         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{SPLIT_TRAIN_PREFIX}' THEN 'train'
+              WHEN md5(CAST(doc_id AS VARCHAR)) < '{SPLIT_VAL_PREFIX}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+FROM assigned
+GROUP BY split, source
+ORDER BY split, source
+""",
+)
+def curate_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split by md5(doc_id) hex
+    prefix, with per-(split, source) accounting.  Hash-bucketing makes
+    the split a pure function of the document identity: reproducible
+    across engines/re-runs/repartitions, immune to the
+    train-test-leakage failure of order- or seed-based splits on
+    appended data (a doc keeps its split forever, regardless of when or
+    where it lands).
+
+    Dataflow: scan-stage projection + one tiny (3 x |sources|)
+    aggregation — zero-shuffle assignment at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    split = (
+        F.when(h < SPLIT_TRAIN_PREFIX, "train")
+        .when(h < SPLIT_VAL_PREFIX, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+        .orderBy("split", "source")
+    )

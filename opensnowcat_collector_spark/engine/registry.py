@@ -34,7 +34,7 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # displacing the thirteen most-confirmed entries (eleven with 4
 # driver-green rounds r1-r4; agg_approx_distinct and dedup_simhash with
 # 2).  After r5 every query registered BEFORE r5 has at least one
-# external driver-green CORRECTNESS row; the 20 operators ADDED in r5
+# external driver-green CORRECTNESS row; the operators ADDED in r5
 # (slots 105+) hold local-sweep evidence only and rotate into the
 # window in r6.
 _PRIORITY: list[str] = [
@@ -183,6 +183,7 @@ _PRIORITY: list[str] = [
     "dedup_url_canonical",
     "events_transition_matrix",
     "curate_dedup_apply",
+    "curate_train_val_split",
 ]
 
 
