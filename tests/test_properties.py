@@ -120,3 +120,51 @@ def test_event_buffer_keeps_newest(items, cap):
     kept = buf.drain()
     assert kept == items[-cap:] if items else kept == []
     assert buf.dropped == max(0, len(items) - cap)
+
+
+# ---------------------------------------------------------------------------
+# r5 admission ops: PII scrub + blocklist, checked as pure functions via
+# Python re (the regexes are engine-portable by design — Java, RE2, and
+# Python agree on this subset; the Spark-side behavior is pinned by
+# test_tpch_patterns + the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from opensnowcat_collector_spark.engine.llmdata.text import (
+    _PII_EMAIL,
+    _PII_IPV4,
+    _PII_PHONE,
+)
+
+
+def _scrub(text: str) -> str:
+    t = _re.sub(_PII_EMAIL, "<EMAIL>", text)
+    t = _re.sub(_PII_PHONE, "<PHONE>", t)
+    return _re.sub(_PII_IPV4, "<IP>", t)
+
+
+_pii_free = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz  .,!?"), max_size=80
+)
+
+
+@given(_pii_free, st.integers(0, 10**9))
+@settings(max_examples=300, deadline=None)
+def test_pii_scrub_idempotent_and_complete(base, n):
+    """Scrubbing is idempotent (placeholders contain no PII shapes) and
+    the scrubbed text never matches any PII pattern again."""
+    text = f"{base} u{n}@ex{n % 97}.example.org {base} 555-{n % 1000:03d}-{n % 10000:04d} 10.{n % 256}.0.{n % 100}"
+    once = _scrub(text)
+    assert _scrub(once) == once
+    for pat in (_PII_EMAIL, _PII_PHONE, _PII_IPV4):
+        assert not _re.search(pat, once)
+
+
+@given(_pii_free)
+@settings(max_examples=200, deadline=None)
+def test_pii_scrub_no_false_positives_on_clean_text(base):
+    """Text with no digits and no @ is returned byte-identical."""
+    assert _scrub(base) == base
+
+
