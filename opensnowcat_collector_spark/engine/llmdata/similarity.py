@@ -914,3 +914,116 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deletion from the materialized ANN index (the GDPR /
+# right-to-be-forgotten path: remove vectors WITHOUT rebuilding)
+# ---------------------------------------------------------------------------
+
+#: deterministic deletion set: every 5th vector of the incremental batch
+#: (includes OFFSET+0 — the query's exact twin that sim_ann_incremental
+#: proves visible) plus a thin slice of the base corpus
+DELETE_INCR_MOD = 5
+DELETE_BASE_MOD = 101
+DELETE_BASE_REM = 7
+
+
+def delete_from_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Tombstone deletion — removal without rebuild: deleted vec_ids land
+    in a ``_tombstones/`` parquet INSIDE the index directory (the
+    underscore prefix keeps Spark's file listing from scanning it as
+    data, exactly like ``_SUCCESS``), and probes anti-join the broadcast
+    tombstone set after the partition-pruned bucket scan.  Index data
+    files are never rewritten; a compaction job can later fold tombstones
+    in, but correctness never waits for it — the same
+    tombstone-then-compact contract LSM stores and lakehouse formats use.
+
+    The demo stage copies the ``-incr`` index to a ``-del`` artifact
+    (atomic publish, same discipline as ``update_ann_index``) so sibling
+    queries keep their pristine inputs."""
+    import shutil
+
+    base = update_ann_index(spark, sf_dir)
+    path = f"{ann_index_path(sf_dir)}-del"
+    if not os.path.exists(os.path.join(path, "_DEL_SUCCESS")):
+        tmp = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base, tmp)
+        e = table(spark, sf_dir, "embeddings")
+        dead = (
+            e.filter(F.col("vec_id") < INCR_BATCH_SIZE)
+            .filter(F.col("vec_id") % DELETE_INCR_MOD == 0)
+            .select((F.col("vec_id") + INCR_VEC_OFFSET).alias("vec_id"))
+            .union(
+                e.filter(F.col("vec_id") % DELETE_BASE_MOD == DELETE_BASE_REM).select(
+                    "vec_id"
+                )
+            )
+        )
+        dead.write.mode("overwrite").parquet(os.path.join(tmp, "_tombstones"))
+        with open(os.path.join(tmp, "_DEL_SUCCESS"), "w") as f:
+            f.write("ok\n")
+        _publish_index(tmp, path)
+    return path
+
+
+@register(
+    "sim_ann_delete",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {INCR_VEC_OFFSET} AS vec_id, label, embedding
+  FROM embeddings WHERE vec_id < {INCR_BATCH_SIZE}
+),
+dead AS (
+  SELECT vec_id + {INCR_VEC_OFFSET} AS vec_id FROM embeddings
+  WHERE vec_id < {INCR_BATCH_SIZE} AND vec_id % {DELETE_INCR_MOD} = 0
+  UNION ALL
+  SELECT vec_id FROM embeddings WHERE vec_id % {DELETE_BASE_MOD} = {DELETE_BASE_REM}
+),
+live AS (
+  SELECT c.* FROM corpus c WHERE c.vec_id NOT IN (SELECT vec_id FROM dead)
+),
+sk AS (
+  SELECT vec_id, label, embedding, {_duck_sketch("embedding")} AS sketch
+  FROM live
+), q AS (
+  SELECT embedding AS qvec, sketch AS qsketch FROM sk WHERE vec_id = 0
+)
+SELECT s.vec_id, s.label, s.sketch,
+       {_duck_cos("s.embedding", "q.qvec")} AS cosine
+FROM sk s CROSS JOIN q
+WHERE s.sketch = q.qsketch AND s.vec_id <> 0
+ORDER BY cosine DESC, s.vec_id
+LIMIT 5
+""",
+)
+def sim_ann_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe AFTER tombstone deletion (``delete_from_ann_index``): the
+    partition-pruned bucket scan anti-joins the broadcast tombstone set,
+    so the appended exact twin of the query (cosine 1.0, proven visible
+    by ``sim_ann_incremental``) must now be ABSENT from the top-5 — the
+    removal is effective without any index rewrite.  The tombstone side
+    is deletion-scaled (small), so the broadcast is the correct plan at
+    any corpus size."""
+    path = delete_from_ann_index(spark, sf_dir)
+    idx = spark.read.parquet(path)
+    dead = spark.read.parquet(os.path.join(path, "_tombstones"))
+    qsketch, qvec = query_sketch(spark, sf_dir)
+    probe = (
+        idx.filter((F.col("bucket") == "b" + qsketch) & (F.col("vec_id") != 0))
+        .join(F.broadcast(dead), "vec_id", "left_anti")
+    )
+    return (
+        _with_query_vec(probe, qvec)
+        .select(
+            "vec_id",
+            "label",
+            "sketch",
+            F.expr(_spark_cos("embedding", "qvec")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(5)
+    )

@@ -184,6 +184,9 @@ _PRIORITY: list[str] = [
     "events_transition_matrix",
     "curate_dedup_apply",
     "curate_train_val_split",
+    "agg_hll_partitioned_merge",
+    "events_burst_detection",
+    "sim_ann_delete",
 ]
 
 

@@ -1748,3 +1748,118 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "agg_hll_partitioned_merge",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_custkeys,
+       CAST(COUNT(DISTINCT EXTRACT(YEAR FROM o_orderdate)) AS BIGINT) AS n_years,
+       TRUE AS merged_within_5pct
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE reaggregation pattern at 100 TB:
+    per-(priority, year) HLL sketches built independently (as a daily
+    ingest job would materialize them), then ``hll_union_agg`` merges the
+    partial sketches per priority WITHOUT rescanning the fact table, and
+    the merged estimate is compared to the exact distinct count.
+
+    Like the other sketch gates, the estimate is engine-specific, so the
+    deterministic outputs are the exact counts plus a within-5% flag the
+    oracle expects to be TRUE.  The sketch partials are what makes
+    incremental rollup possible: day N+1 only sketches its own rows and
+    unions, while exact distinct would rescan all history."""
+    o = table(spark, sf_dir, "orders")
+    partials = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("o_year")
+    ).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("year_exact"),
+    )
+    merged = partials.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+        F.count(F.lit(1)).alias("n_years"),
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_custkeys")
+    )
+    return (
+        exact.join(merged, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_custkeys",
+            F.col("n_years").cast("long").alias("n_years"),
+            (
+                F.abs(F.col("merged_est") - F.col("exact_custkeys"))
+                <= 0.05 * F.col("exact_custkeys")
+            ).alias("merged_within_5pct"),
+        )
+    )
+
+
+@register(
+    "events_burst_detection",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), windowed AS (
+  SELECT event_type, hour_start, n,
+         SUM(n) OVER w AS trail_sum,
+         COUNT(*) OVER w AS trail_cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_start, n,
+       CASE WHEN trail_cnt > 0 AND n * trail_cnt > 2 * trail_sum
+            THEN 1 ELSE 0 END AS is_burst
+FROM windowed
+ORDER BY event_type, hour_start
+""",
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational burst detection: an hour is a burst when its event
+    count exceeds 2x the trailing-24-observed-hours mean for that type.
+    The threshold is the integer comparison ``n * trail_cnt > 2 *
+    trail_sum`` — no float mean, no stddev summation-order hazard.
+
+    Dataflow: hourly rollup (one shuffle), then a ROWS-frame window per
+    event_type — at 100 TB the windowed series is |types| x |hours|,
+    thousands of rows regardless of event volume; only the rollup
+    touches the fact table."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-24, -1)
+    )
+    windowed = hourly.select(
+        "event_type",
+        "hour_start",
+        "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_cnt"),
+    )
+    return (
+        windowed.select(
+            "event_type",
+            "hour_start",
+            "n",
+            F.when(
+                (F.col("trail_cnt") > 0)
+                & (F.col("n") * F.col("trail_cnt") > 2 * F.col("trail_sum")),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_burst"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
