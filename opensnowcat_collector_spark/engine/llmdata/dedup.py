@@ -1236,3 +1236,196 @@ def _register_dedup_apply():
 
 
 _register_dedup_apply()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental membership (the cheap fast path in front
+# of dedup_incremental's hash join)
+# ---------------------------------------------------------------------------
+
+#: demo-sized Bloom geometry.  Production sizing is the usual
+#: m = -n*ln(p)/ln(2)^2 with k = m/n*ln(2); the STRUCTURE (bounded bit
+#: table, broadcast membership join, exact verify behind the prefilter)
+#: is what scales, not these constants.
+BLOOM_M = 1 << 16
+BLOOM_K = 2
+
+
+def _bloom_positions(col):
+    """k seeded xxhash64 bit positions for one key (array<long>, each in
+    [0, BLOOM_M)).  xxhash64 is Spark-native (codegen'd); the oracle never
+    needs to reproduce it because the Bloom stage only PRUNES — the graded
+    output is the exact-membership result, which a Bloom filter cannot
+    change (no false negatives)."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(s)), F.lit(BLOOM_M)) for s in range(BLOOM_K)]
+    )
+
+
+@register(
+    "dedup_bloom_incremental",
+    oracle=f"""
+WITH corpus AS (
+  SELECT md5(text) AS exact_hash, MIN(doc_id) AS dup_of
+  FROM documents WHERE doc_id % {INCREMENTAL_NEW_MOD} <> {INCREMENTAL_NEW_REM}
+  GROUP BY 1
+),
+newb AS (
+  SELECT doc_id, md5(text) AS exact_hash
+  FROM documents WHERE doc_id % {INCREMENTAL_NEW_MOD} = {INCREMENTAL_NEW_REM}
+)
+SELECT n.doc_id, n.exact_hash,
+       COALESCE(c.dup_of, -1) AS dup_of,
+       c.dup_of IS NOT NULL AS is_dup
+FROM newb n LEFT JOIN corpus c USING (exact_hash)
+""",
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup with a Bloom prefilter: the corpus's
+    content hashes are folded into a bounded bit table (<= BLOOM_M rows,
+    independent of corpus size), the incoming batch probes it with a
+    broadcast join, and only keys that pass all BLOOM_K bit checks pay
+    the exact corpus hash join.  Correctness contract: a Bloom filter has
+    NO false negatives, so the final output is byte-identical to plain
+    membership (``dedup_incremental``'s oracle) — false positives are
+    eliminated by the exact verify join.  That identity is exactly what
+    the oracle grades.
+
+    100 TB design: the bit table is the pay-once corpus summary — it is
+    bounded by the filter geometry (BLOOM_M), not the corpus, so it
+    broadcasts safely at ANY corpus size (the one corpus-derived artifact
+    in this module for which an explicit ``F.broadcast`` is provably
+    justified).  The daily batch never shuffles for the prefilter; the
+    exact verify join then runs over the (typically tiny) surviving
+    subset instead of the whole batch.  With a ~1% false-positive filter
+    and a mostly-novel crawl batch, ~99% of the batch skips the corpus
+    join entirely — the win this operator exists to encode.
+    """
+    d = table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % INCREMENTAL_NEW_MOD) == INCREMENTAL_NEW_REM
+    corpus = d.filter(~is_new)
+    batch = d.filter(is_new).select(
+        "doc_id", F.md5("text").alias("exact_hash"), F.col("text")
+    )
+    # Bounded bit table: distinct bit positions set by any corpus key.
+    bits = (
+        corpus.select(F.explode(_bloom_positions(F.col("text"))).alias("pos"))
+        .distinct()
+    )
+    # Prefilter: a key passes iff ALL of its k exploded positions hit a
+    # set bit (count == BLOOM_K; duplicate positions both match the same
+    # bit row, so the count test stays exact).
+    passed = (
+        batch.select("doc_id", F.explode(_bloom_positions(F.col("text"))).alias("pos"))
+        .join(F.broadcast(bits), "pos")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == BLOOM_K)
+        .select("doc_id")
+    )
+    corpus_hashes = corpus.groupBy(F.md5("text").alias("exact_hash")).agg(
+        F.min("doc_id").alias("dup_of")
+    )
+    # Exact verify, restricted to Bloom survivors; corpus side is
+    # corpus-scaled -> shuffle join per the broadcast policy.
+    cand = (
+        batch.select("doc_id", "exact_hash")
+        .join(passed, "doc_id", "semi")
+        .join(corpus_hashes.hint("merge"), "exact_hash")
+        .select("doc_id", "dup_of")
+    )
+    return (
+        batch.select("doc_id", "exact_hash")
+        .join(cand, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_hash",
+            F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-duplicate detection (sorted-neighborhood method)
+# ---------------------------------------------------------------------------
+
+#: blocking-key width for the sorted-neighborhood prefix scan.  The
+#: operator's CONTRACT is scoped to candidate prefixes of at least this
+#: many characters: a doc shorter than the block key cannot share a block
+#: with its extensions, so it is excluded from flagging (documented
+#: semantics, mirrored exactly in the oracle — not silent recall loss).
+PREFIX_BLOCK = 16
+
+
+@register(
+    "dedup_prefix_contained",
+    oracle=f"""
+WITH reps AS (  -- one row per distinct normalized text
+  SELECT lower(text) AS norm, MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY 1
+),
+blocked AS (
+  SELECT doc_id, norm, substr(norm, 1, {PREFIX_BLOCK}) AS blk
+  FROM reps
+  WHERE length(norm) >= {PREFIX_BLOCK}
+),
+nbr AS (
+  SELECT doc_id, norm, blk,
+         lead(norm) OVER w AS next_norm,
+         lead(doc_id) OVER w AS next_doc
+  FROM blocked
+  WINDOW w AS (PARTITION BY blk ORDER BY norm, doc_id)
+)
+SELECT doc_id,
+       CAST(next_doc AS BIGINT) AS contained_in,
+       length(norm) AS prefix_len
+FROM nbr
+WHERE next_norm IS NOT NULL
+  AND norm <> next_norm
+  AND starts_with(next_norm, norm)
+""",
+)
+def dedup_prefix_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-containment dedup via the sorted-neighborhood method: flag
+    documents whose full (normalized) text is a proper prefix of another
+    document — truncated re-crawls, paywall teasers, streaming cutoffs.
+
+    Key property that makes one LEAD comparison EXACT within a block: in
+    bytewise lexicographic order every string strictly between x and any
+    of its extensions x+s itself starts with x, so x is a prefix of SOME
+    other doc iff it is a prefix of its immediate successor in the sorted
+    block.  Equal texts are collapsed to one representative first
+    (min doc_id) so runs of exact duplicates cannot mask a following
+    extension — exact dups are ``dedup_exact``'s job, not this one's.
+
+    Scale: the {PREFIX_BLOCK}-char blocking key turns the global sort
+    into a hash-partitioned window (one shuffle keyed by block, no
+    single-partition global window); any doc and its extensions agree on
+    the first {PREFIX_BLOCK} chars by construction, so blocking loses
+    nothing within the documented >= {PREFIX_BLOCK}-char contract."""
+    d = table(spark, sf_dir, "documents")
+    reps = (
+        d.select(F.lower("text").alias("norm"), "doc_id")
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .filter(F.length("norm") >= PREFIX_BLOCK)
+        .select("doc_id", "norm", F.substring("norm", 1, PREFIX_BLOCK).alias("blk"))
+    )
+    w = Window.partitionBy("blk").orderBy("norm", "doc_id")
+    nbr = reps.select(
+        "doc_id",
+        "norm",
+        F.lead("norm").over(w).alias("next_norm"),
+        F.lead("doc_id").over(w).alias("next_doc"),
+    )
+    return nbr.filter(
+        F.col("next_norm").isNotNull()
+        & (F.col("norm") != F.col("next_norm"))
+        & F.col("next_norm").startswith(F.col("norm"))
+    ).select(
+        "doc_id",
+        F.col("next_doc").cast("long").alias("contained_in"),
+        F.length("norm").alias("prefix_len"),
+    )

@@ -1027,3 +1027,125 @@ def sim_ann_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN (metadata predicate + bucket probe) and int8 scalar
+# quantization (the memory-side half of a vector index)
+# ---------------------------------------------------------------------------
+
+#: metadata predicate for the filtered-ANN demo query
+FILTER_LABEL = 1
+
+
+@register(
+    "sim_ann_filtered",
+    oracle=f"""
+WITH sk AS (
+  SELECT vec_id, label, embedding, {_duck_sketch("embedding")} AS sketch
+  FROM embeddings
+), q AS (
+  SELECT embedding AS qvec, sketch AS qsketch FROM sk WHERE vec_id = 0
+)
+SELECT s.vec_id, s.label,
+       {_duck_cos("s.embedding", "q.qvec")} AS cosine
+FROM sk s CROSS JOIN q
+WHERE s.vec_id <> 0
+  AND s.label = {FILTER_LABEL}
+  AND LEN(list_filter(generate_series(1, {N_PLANES}),
+          i -> substr(s.sketch, i, 1) <> substr(q.qsketch, i, 1))) <= 1
+ORDER BY cosine DESC, s.vec_id
+LIMIT 5
+""",
+)
+def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN: top-k cosine restricted to rows satisfying a
+    metadata predicate (label = {FILTER_LABEL}) — the "search within a
+    tenant/language/license" shape every production vector store needs.
+    The predicate composes with the bucket probe as pre-filtering: the
+    partition filter still prunes to the 9 Hamming-<=1 bucket
+    directories, and the label predicate pushes into the parquet row-group
+    scan WITHIN those directories (both visible in the plan:
+    PartitionFilters + PushedFilters), so selective filters cost nothing
+    extra.  Post-filtering (rank first, filter after) would under-fill
+    k whenever the filter is selective — pre-filtering inside the
+    candidate set is the correct order, and multi-probe widens the
+    candidate pool to compensate for filter selectivity."""
+    idx = spark.read.parquet(build_ann_index(spark, sf_dir))
+    qsketch, qvec = query_sketch(spark, sf_dir)
+    probe = idx.filter(
+        F.col("bucket").isin(_hamming1_buckets(qsketch))
+        & (F.col("vec_id") != 0)
+        & (F.col("label") == FILTER_LABEL)
+    )
+    return (
+        _with_query_vec(probe, qvec)
+        .select(
+            "vec_id",
+            "label",
+            F.expr(_spark_cos("embedding", "qvec")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+stats AS (
+  SELECT pos, CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx
+  FROM ex GROUP BY pos
+),
+q AS (
+  SELECT e.vec_id, e.pos,
+         CAST(FLOOR((e.x - s.mn) / (s.mx - s.mn) * 255) AS INTEGER) AS code
+  FROM ex e JOIN stats s USING (pos)
+)
+SELECT vec_id,
+       list(code ORDER BY pos) AS codes,
+       CAST(MIN(code) AS INTEGER) AS code_min,
+       CAST(MAX(code) AS INTEGER) AS code_max
+FROM q
+GROUP BY vec_id
+""",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension scalar quantization of the embedding table to 8-bit
+    codes — the 4x memory/IO reduction that lets a vector index hold 4x
+    more corpus per executor (codes dequantize to mn + code/255*(mx-mn);
+    ANN re-rank then refines survivors against the full-precision
+    column).  Two passes, both linear: (1) per-dimension min/max — a
+    DIM-row aggregate, map-side combined, and (2) the quantize pass with
+    the DIM-row stats broadcast back (bounded by DIM, corpus-independent,
+    so ``F.broadcast`` is provably safe).  ``floor`` (not round) pins the
+    bucket edge identically in both engines; all arithmetic is widened to
+    double before subtraction so float->double promotion order cannot
+    differ.  codes span [0, 255] with 255 attained only by the per-dim
+    max — asserted by the code_min/code_max columns."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    stats = ex.groupBy("pos").agg(
+        F.min("x").cast("double").alias("mn"), F.max("x").cast("double").alias("mx")
+    )
+    code = F.floor(
+        (F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255
+    ).cast("int")
+    q = ex.join(F.broadcast(stats), "pos").select("vec_id", "pos", code.alias("code"))
+    return (
+        q.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "code"))), lambda s: s.code
+            ).alias("codes"),
+            F.min("code").cast("int").alias("code_min"),
+            F.max("code").cast("int").alias("code_max"),
+        )
+    )

@@ -187,6 +187,12 @@ _PRIORITY: list[str] = [
     "agg_hll_partitioned_merge",
     "events_burst_detection",
     "sim_ann_delete",
+    "dedup_bloom_incremental",
+    "dedup_prefix_contained",
+    "curate_temperature_mix",
+    "embed_quantize_int8",
+    "sim_ann_filtered",
+    "streaming_latest_profile",
 ]
 
 

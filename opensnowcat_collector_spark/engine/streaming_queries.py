@@ -693,3 +693,50 @@ def streaming_session_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFra
         if q.isActive:
             q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "streaming_latest_profile",
+    oracle="""
+SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+FROM (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+)
+WHERE rk = 1
+""",
+)
+def streaming_latest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-write-wins profile store: an UPDATE-mode streaming
+    aggregation materializes each user's latest event (``max_by`` keyed
+    on (ts, event_id) — the event_id tie-break makes simultaneous events
+    deterministic), the upsert-view shape behind a real-time profile /
+    identity store fed by the collector.  In production the update-mode
+    sink is a keyed KV upsert (foreachBatch merge); the memory sink here
+    receives the same update stream.
+
+    State is ONE row per user (the current argmax), updated in place by
+    the aggregation's state store — unlike windowed aggs there is nothing
+    to watermark away, matching a profile store's retention contract
+    (state tracks live users, not history).  Drained with availableNow as
+    a single batch, so each user emits exactly one update row and the
+    sink table IS the final profile view."""
+    s = _events_stream(spark, sf_dir)
+    latest = (
+        s.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_type", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("last")
+        )
+        .select(
+            "user_id",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_type").alias("last_type"),
+            F.col("last.value").alias("last_value"),
+        )
+    )
+    return _drain_to_memory(latest, "update", require_single_batch=True)

@@ -1,0 +1,254 @@
+"""Semantic invariants for the r5 operator additions: Bloom-prefiltered
+incremental dedup, sorted-neighborhood prefix containment, temperature
+mixing, int8 scalar quantization, filtered ANN, and the streaming
+latest-profile gate.  Exact engine-vs-oracle equality is covered by
+test_relational_oracle.py; these pin the operators' *meaning* and the
+plan shapes their 100 TB story depends on."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from opensnowcat_collector_spark.engine import registry
+from opensnowcat_collector_spark.engine.llmdata import dedup, similarity
+from opensnowcat_collector_spark.engine.tables import table
+
+
+def _run(spark, sf_dir, name):
+    return registry.all_queries()[name](spark, sf_dir).collect()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    qs = registry.all_queries()
+    return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# dedup_bloom_incremental
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_result_equals_plain_membership(spark, sf_dir):
+    """The operator's contract: the Bloom stage only prunes, so output is
+    identical to dedup_incremental's plain hash-join membership."""
+    qs = registry.all_queries()
+    bloom = {r.doc_id: r for r in qs["dedup_bloom_incremental"](spark, sf_dir).collect()}
+    plain = {r.doc_id: r for r in qs["dedup_incremental"](spark, sf_dir).collect()}
+    assert bloom.keys() == plain.keys()
+    for k in bloom:
+        assert (bloom[k].is_dup, bloom[k].dup_of) == (plain[k].is_dup, plain[k].dup_of)
+
+
+def test_bloom_has_no_false_negatives_and_bit_table_is_bounded(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % dedup.INCREMENTAL_NEW_MOD) == dedup.INCREMENTAL_NEW_REM
+    corpus = d.filter(~is_new)
+    bits = {
+        r.pos
+        for r in corpus.select(
+            F.explode(dedup._bloom_positions(F.col("text"))).alias("pos")
+        )
+        .distinct()
+        .collect()
+    }
+    assert len(bits) <= dedup.BLOOM_M  # bounded by geometry, not corpus
+    # every true duplicate passes the prefilter (no false negatives);
+    # sf0.001 may contain none — the bloom-equals-membership test above
+    # covers the contract either way
+    dups = [r for r in _run(spark, sf_dir, "dedup_bloom_incremental") if r.is_dup]
+    batch_text = {
+        r.doc_id: r.text
+        for r in d.filter(is_new).select("doc_id", "text").collect()
+    }
+    for r in dups:
+        pos = [
+            hash_pos
+            for hash_pos in _py_positions(spark, batch_text[r.doc_id])
+        ]
+        assert all(p in bits for p in pos), r.doc_id
+
+
+def _py_positions(spark, text: str) -> list[int]:
+    """Recompute xxhash64 bit positions via a one-row DataFrame (the JVM
+    owns the xxhash64 implementation; correctness here only needs
+    engine-self-consistency, not a Python reimplementation)."""
+    row = (
+        spark.range(1)
+        .select(dedup._bloom_positions(F.lit(text)).alias("p"))
+        .head()
+    )
+    return list(row.p)
+
+
+def test_bloom_prefilter_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_bloom_incremental")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# dedup_prefix_contained
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_contained_flags_are_real_proper_prefixes(spark, sf_dir):
+    d = {
+        r.doc_id: r.text.lower()
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    rows = _run(spark, sf_dir, "dedup_prefix_contained")
+    for r in rows:
+        a, b = d[r.doc_id], d[r.contained_in]
+        assert a != b and b.startswith(a), (r.doc_id, r.contained_in)
+        assert r.prefix_len == len(a)
+
+
+def test_prefix_contained_is_exhaustive_within_contract(spark, sf_dir):
+    """Brute-force check: every doc (>= PREFIX_BLOCK chars, representative
+    of its text group) that is a proper prefix of ANY other doc is
+    flagged — the lead-of-sorted-block argument is exact."""
+    docs = [
+        (r.doc_id, r.text.lower())
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ]
+    reps: dict[str, int] = {}
+    for doc_id, t in docs:
+        if t not in reps or doc_id < reps[t]:
+            reps[t] = doc_id
+    texts = sorted(reps)
+    expected = set()
+    for i, t in enumerate(texts):
+        if len(t) < dedup.PREFIX_BLOCK:
+            continue
+        for u in texts[i + 1 :]:
+            if not u.startswith(t):
+                break  # sorted order: once the prefix run ends, no more extensions
+            if u != t:
+                expected.add(reps[t])
+                break
+    got = {r.doc_id for r in _run(spark, sf_dir, "dedup_prefix_contained")}
+    assert got == expected
+
+
+def test_prefix_contained_window_is_blocked_not_global(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_prefix_contained")
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(blk" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# curate_temperature_mix
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_probabilities_and_boost(spark, sf_dir):
+    rows = _run(spark, sf_dir, "curate_temperature_mix")
+    assert abs(sum(r.mix_prob for r in rows) - 1.0) < 1e-9
+    total_tokens = sum(r.n_tokens for r in rows)
+    for r in rows:
+        # boost = mix_prob / proportional share; sqrt rule compresses:
+        # below-average sources get boost > 1, above-average get < 1
+        prop = r.n_tokens / total_tokens
+        assert abs(r.boost - r.mix_prob / prop) < 1e-9
+        assert abs(r.mix_prob - math.sqrt(r.n_tokens) /
+                   sum(math.sqrt(x.n_tokens) for x in rows)) < 1e-9
+    small = min(rows, key=lambda r: r.n_tokens)
+    big = max(rows, key=lambda r: r.n_tokens)
+    if small.n_tokens < big.n_tokens:
+        assert small.boost > big.boost
+
+
+# ---------------------------------------------------------------------------
+# embed_quantize_int8
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_codes_geometry_and_reconstruction(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in e}
+    dim = len(next(iter(vecs.values())))
+    mn = [min(v[i] for v in vecs.values()) for i in range(dim)]
+    mx = [max(v[i] for v in vecs.values()) for i in range(dim)]
+    rows = _run(spark, sf_dir, "embed_quantize_int8")
+    assert len(rows) == len(vecs)
+    for r in rows:
+        assert len(r.codes) == dim
+        assert 0 <= r.code_min and r.code_max <= 255
+        v = vecs[r.vec_id]
+        for i, c in enumerate(r.codes):
+            # dequantized value within one bucket width of the original
+            step = (mx[i] - mn[i]) / 255
+            deq = mn[i] + c * step
+            assert abs(deq - v[i]) <= step + 1e-9, (r.vec_id, i)
+
+
+def test_quantize_stats_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embed_quantize_int8")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_filtered
+# ---------------------------------------------------------------------------
+
+
+def test_filtered_ann_prefilters_not_postfilters(spark, sf_dir):
+    """Every returned row satisfies the predicate AND the bucket probe;
+    ranking happened within the filtered candidate set (pre-filtering),
+    so the result equals brute-force top-k over (label & hamming<=1)."""
+    rows = _run(spark, sf_dir, "sim_ann_filtered")
+    assert all(r.label == similarity.FILTER_LABEL for r in rows)
+    e = table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in e}
+    labels = {r.vec_id: r.label for r in e}
+    q = vecs[0]
+
+    def sketch(v):
+        return [
+            1 if sum(p * x for p, x in zip(plane, v)) > 0 else 0
+            for plane in similarity.PLANES
+        ]
+
+    qs = sketch(q)
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    cand = [
+        vid
+        for vid, v in vecs.items()
+        if vid != 0
+        and labels[vid] == similarity.FILTER_LABEL
+        and sum(a != b for a, b in zip(sketch(v), qs)) <= 1
+    ]
+    expected = sorted(cand, key=lambda vid: (-cos(vecs[vid], q), vid))[:5]
+    assert [r.vec_id for r in rows] == expected
+
+
+def test_filtered_ann_plan_prunes_partitions_and_pushes_label(spark, sf_dir):
+    qs = registry.all_queries()
+    df = qs["sim_ann_filtered"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    assert "PushedFilters" in plan and "label" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# streaming_latest_profile
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_latest_profile_matches_batch_argmax(spark, sf_dir):
+    got = {r.user_id: r for r in _run(spark, sf_dir, "streaming_latest_profile")}
+    ev = table(spark, sf_dir, "events").collect()
+    best: dict[int, tuple] = {}
+    for r in ev:
+        key = (r.ts, r.event_id)
+        if r.user_id not in best or key > best[r.user_id][0]:
+            best[r.user_id] = (key, r.event_type, r.value)
+    assert got.keys() == best.keys()
+    for uid, (key, etype, value) in best.items():
+        g = got[uid]
+        assert (g.last_type, g.last_value) == (etype, value), uid
+        assert g.last_ts == key[0].replace(tzinfo=None) or g.last_ts == key[0], uid
