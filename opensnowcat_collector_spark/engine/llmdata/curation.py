@@ -753,3 +753,77 @@ def curate_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total_w") * F.col("n_tokens"))
         ).alias("boost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping chunk windows (long-document chunking for embedding /
+# retrieval pipelines — the complement of curate_pack_sequences)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64   # window width (tokens)
+CHUNK_STRIDE = 48   # window stride (CHUNK_TOKENS - CHUNK_STRIDE tokens overlap)
+
+
+@register(
+    "curate_chunk_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, n_tok, UNNEST(generate_series(1, n_tok, {CHUNK_STRIDE})) AS start,
+         ws
+  FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(LEAST(start + {CHUNK_TOKENS} - 1, n_tok) - start + 1 AS BIGINT)
+         AS chunk_len,
+       array_to_string(list_slice(ws, start, LEAST(start + {CHUNK_TOKENS} - 1, n_tok)), ' ')
+         AS chunk_text
+FROM starts
+""",
+)
+def curate_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into overlapping token windows
+    ({CHUNK_TOKENS} tokens, stride {CHUNK_STRIDE} -> 16-token overlap) —
+    the standard preprocessing for embedding / retrieval indexing, where
+    overlap keeps sentences that straddle a boundary retrievable from
+    at least one chunk.  Windows start at 1, 1+stride, ... while within
+    the document; the final window is short rather than dropped (its
+    text still only exists there), and chunk_idx/chunk_start make the
+    windowing self-describing for downstream joins back to documents.
+
+    Dataflow: one narrow explode of the start sequence + an array slice
+    per window — zero shuffles, scan-bound at any corpus size; a 100 TB
+    run writes the chunk table partitioned by source so per-domain
+    re-embedding stays partition-pruned.  ~n_tok/stride output rows per
+    doc (bounded fan-out, no join anywhere)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    starts = toks.select(
+        "doc_id",
+        "n_tok",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("n_tok"), F.lit(CHUNK_STRIDE).cast("long"))
+        ).alias("start"),
+    )
+    chunk_end = F.least(F.col("start") + CHUNK_TOKENS - 1, F.col("n_tok"))
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("chunk_start"),
+        (chunk_end - F.col("start") + 1).cast("long").alias("chunk_len"),
+        F.concat_ws(
+            " ",
+            F.slice("ws", F.col("start").cast("int"), (chunk_end - F.col("start") + 1).cast("int")),
+        ).alias("chunk_text"),
+    )

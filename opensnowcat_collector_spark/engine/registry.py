@@ -193,6 +193,8 @@ _PRIORITY: list[str] = [
     "embed_quantize_int8",
     "sim_ann_filtered",
     "streaming_latest_profile",
+    "sim_ann_pq",
+    "curate_chunk_overlap",
 ]
 
 

@@ -252,3 +252,90 @@ def test_streaming_latest_profile_matches_batch_argmax(spark, sf_dir):
         g = got[uid]
         assert (g.last_type, g.last_value) == (etype, value), uid
         assert g.last_ts == key[0].replace(tzinfo=None) or g.last_ts == key[0], uid
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_pq
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_and_adc_match_python_recompute(spark, sf_dir):
+    import os
+
+    import numpy as np
+
+    idx = similarity.build_pq_index(spark, sf_dir)
+    assert os.path.exists(os.path.join(idx, "_SUCCESS"))
+    book = {}
+    for r in spark.read.parquet(os.path.join(idx, "codebook")).collect():
+        book.setdefault((r.sub, r.cid), {})[r.i] = r.c
+    e = table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e}
+    q = vecs[0]
+    rows = _run(spark, sf_dir, "sim_ann_pq")
+    assert len(rows) == 10
+    sd = similarity.PQ_SUB_DIM
+    prev = None
+    for r in rows:
+        codes = [getattr(r, f"code_{s}") for s in range(similarity.PQ_SUB)]
+        assert all(0 <= c < similarity.PQ_K for c in codes)
+        # ADC distance recomputed from the persisted codebook
+        expected = 0.0
+        for s, c in enumerate(codes):
+            cent = np.array(
+                [book[(s, c)][i] for i in sorted(book[(s, c)])], dtype=np.float64
+            )
+            qs = q[s * sd : (s + 1) * sd]
+            expected += round(float(((qs - cent) ** 2).sum()), 6)
+        assert abs(r.adc_d2 - round(expected, 6)) < 1e-6, r.vec_id
+        if prev is not None:  # ascending distance order
+            assert r.adc_d2 >= prev - 1e-9
+        prev = r.adc_d2
+
+
+def test_pq_probe_scan_has_no_joins(spark, sf_dir):
+    """The ADC probe must be a single compressed scan: the lookup table
+    is folded in as literal maps — no join, no shuffle except top-k."""
+    plan = _plan(spark, sf_dir, "sim_ann_pq")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin"):
+        assert op not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# curate_chunk_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_overlap_geometry_and_coverage(spark, sf_dir):
+    from opensnowcat_collector_spark.engine.llmdata import curation
+
+    W, S = curation.CHUNK_TOKENS, curation.CHUNK_STRIDE
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    chunks: dict[int, list] = {}
+    for r in _run(spark, sf_dir, "curate_chunk_overlap"):
+        chunks.setdefault(r.doc_id, []).append(r)
+    assert chunks.keys() == docs.keys()
+    for doc_id, ws in docs.items():
+        rows = sorted(chunks[doc_id], key=lambda r: r.chunk_idx)
+        covered = set()
+        for k, r in enumerate(rows):
+            assert r.chunk_idx == k
+            assert r.chunk_start == 1 + k * S
+            toks = r.chunk_text.split(" ") if r.chunk_text else []
+            assert len(toks) == r.chunk_len
+            # window content matches the source tokens
+            assert toks == ws[r.chunk_start - 1 : r.chunk_start - 1 + r.chunk_len]
+            assert r.chunk_len <= W
+            covered.update(range(r.chunk_start, r.chunk_start + r.chunk_len))
+        # every token position is covered by at least one window
+        assert covered == set(range(1, len(ws) + 1)), doc_id
+
+
+def test_chunk_overlap_plan_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "curate_chunk_overlap")
+    assert "Exchange" not in plan, plan
