@@ -1360,3 +1360,148 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the classic composed layout — IVF cell pruning picks WHICH
+# codes to scan, PQ decides HOW CHEAP each scanned row is
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_ctes(flat_cte: str) -> list[str]:
+    """Combined training CTEs: the IVF coarse quantizer chain
+    (``_kmeans_ctes``) and the PQ per-subspace chain (``_pq_ctes``)
+    share one ``flat`` CTE; names do not collide (cent/d/a vs
+    pcent/pd/pa)."""
+    return _kmeans_ctes(flat_cte) + _pq_ctes(flat_cte)[1:]  # skip pq's duplicate flat
+
+
+def ivfpq_index_path(sf_dir: str) -> str:
+    key = hashlib.md5(
+        f"ivfpq:{os.path.abspath(sf_dir)}:{_source_fingerprint(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    return os.path.join("/tmp/spark_graft_ivfpq_index", key)
+
+
+def build_ivfpq_index(
+    spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
+) -> str:
+    """Train coarse quantizer + PQ codebooks ONCE; persist the corpus as
+    PQ codes hive-partitioned by IVF cell:
+
+    - ``codes/`` (partitioned by ``cell``): (vec_id, label, code_0..3) —
+      a probe reads ONE cell directory of ~{PQ_SUB}-byte rows: partition
+      pruning x 32x compression multiply, the reason IVF-PQ is the
+      default layout for billion-vector serving;
+    - ``codebook/``: the PQ codebooks (ADC lookup source);
+    - ``centroids/``: the IVF centroids (query cell assignment).
+
+    Same atomic-publish / fingerprint / bit-identical-to-oracle
+    discipline as ``build_ivf_index`` and ``build_pq_index``."""
+    path = path or ivfpq_index_path(sf_dir)
+    if force:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e = table(spark, sf_dir, "embeddings")
+        e.createOrReplaceTempView("embeddings")
+        ctes = "WITH " + ",\n".join(_ivfpq_ctes(_SPARK_KMEANS_FLAT))
+        codes = spark.sql(
+            f"{ctes}\nSELECT k.vec_id, a.cid AS cell, "
+            + ", ".join(f"k.code_{s}" for s in range(PQ_SUB))
+            + f" FROM ({_pq_code_cols(PQ_ASSIGN)}) k JOIN {KMEANS_ASSIGN} a"
+            " ON a.vec_id = k.vec_id"
+        )
+        book = spark.sql(f"{ctes}\nSELECT sub, cid, i, c FROM {PQ_CODEBOOK}")
+        cent = spark.sql(f"{ctes}\nSELECT cid, i, c FROM {KMEANS_FINAL_CENT}")
+        tmp = f"{path}.build-{os.getpid()}"
+        (
+            e.select("vec_id", "label")
+            .join(codes, "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(tmp, "codes"))
+        )
+        book.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
+        cent.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        with open(os.path.join(tmp, "_SUCCESS"), "w", encoding="utf-8"):
+            pass
+        _publish_index(tmp, path)
+    return path
+
+
+@register(
+    "sim_ann_ivfpq",
+    oracle=(
+        "WITH "
+        + ",\n".join(_ivfpq_ctes(_DUCK_KMEANS_FLAT))
+        + f""",
+codes AS ({_pq_code_cols(PQ_ASSIGN)}),
+qd AS (
+  SELECT c.sub, c.cid, ROUND(SUM((f.x - c.c) * (f.x - c.c)), 6) AS d2
+  FROM flat f
+  JOIN {PQ_CODEBOOK} c
+    ON c.sub = CAST(FLOOR((f.i - 1) / {PQ_SUB_DIM}) AS INTEGER) AND c.i = f.i
+  WHERE f.vec_id = 0
+  GROUP BY c.sub, c.cid
+)
+SELECT e.vec_id, e.label, a.cid AS cell, """
+        + ", ".join(f"k.code_{s}" for s in range(PQ_SUB))
+        + ",\n       ROUND("
+        + " + ".join(
+            f"(SELECT d2 FROM qd WHERE sub = {s} AND cid = k.code_{s})"
+            for s in range(PQ_SUB)
+        )
+        + f""", 6) AS adc_d2
+FROM codes k
+JOIN {KMEANS_ASSIGN} a ON a.vec_id = k.vec_id
+JOIN embeddings e ON e.vec_id = k.vec_id
+WHERE a.cid = (SELECT cid FROM {KMEANS_ASSIGN} WHERE vec_id = 0)
+  AND e.vec_id <> 0
+ORDER BY adc_d2 ASC, e.vec_id
+LIMIT 10"""
+    ),
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe — the composed production layout: the query assigns
+    to its IVF cell driver-side (persisted coarse centroids, same 6-dp
+    discipline as ``sim_ann_ivf_kmeans``), then ONE partition-pruned
+    scan reads that cell's PQ codes and ranks by literal-map ADC
+    (``sim_ann_pq``'s zero-join distance evaluation).  The probe plan is
+    PartitionFilters + codegen'd projection + top-k: cost is
+    O(cell size) rows x O(PQ_SUB) bytes — the multiplicative pruning x
+    compression win that makes billion-vector serving fit a machine.
+    Both quantizers train once into the fingerprinted artifact; the
+    oracle re-derives training, cell, codes, and ADC in one SQL
+    statement with identical rounding."""
+    idx = build_ivfpq_index(spark, sf_dir)
+    cell, _qvec = query_cell(spark, idx, sf_dir)
+    adc = _adc_table(spark, idx, sf_dir)
+    codes = (
+        spark.read.parquet(os.path.join(idx, "codes"))
+        .filter((F.col("cell") == cell) & (F.col("vec_id") != 0))
+    )
+    per_sub = [
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for cid in range(PQ_K) for x in (cid, adc[s][cid])]
+            ),
+            F.col(f"code_{s}"),
+        )
+        for s in range(PQ_SUB)
+    ]
+    total = per_sub[0]
+    for term in per_sub[1:]:
+        total = total + term
+    return (
+        codes.select(
+            "vec_id",
+            "label",
+            F.col("cell").cast("long").alias("cell"),
+            *[F.col(f"code_{s}") for s in range(PQ_SUB)],
+            F.round(total, 6).alias("adc_d2"),
+        )
+        .orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -195,6 +195,7 @@ _PRIORITY: list[str] = [
     "streaming_latest_profile",
     "sim_ann_pq",
     "curate_chunk_overlap",
+    "sim_ann_ivfpq",
 ]
 
 

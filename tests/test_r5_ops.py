@@ -339,3 +339,39 @@ def test_chunk_overlap_geometry_and_coverage(spark, sf_dir):
 def test_chunk_overlap_plan_is_shuffle_free(spark, sf_dir):
     plan = _plan(spark, sf_dir, "curate_chunk_overlap")
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_ivfpq
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_probe_is_partition_pruned_compressed_scan(spark, sf_dir):
+    """The composed probe must show BOTH wins: PartitionFilters on the
+    cell column (IVF pruning) and a join-free ADC ranking (PQ literal
+    maps)."""
+    qs = registry.all_queries()
+    df = qs["sim_ann_ivfpq"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin"):
+        assert op not in plan, plan
+
+
+def test_ivfpq_results_live_in_query_cell_and_match_pq_distances(spark, sf_dir):
+    import os
+
+    idx = similarity.build_ivfpq_index(spark, sf_dir)
+    cell, _ = similarity.query_cell(spark, idx, sf_dir)
+    rows = _run(spark, sf_dir, "sim_ann_ivfpq")
+    assert rows and all(r.cell == cell for r in rows)
+    # ADC distances agree with the standalone PQ ranking for shared vecs
+    # (same codebooks: both artifacts train the identical deterministic SQL)
+    pq = {r.vec_id: r.adc_d2 for r in _run(spark, sf_dir, "sim_ann_pq")}
+    for r in rows:
+        if r.vec_id in pq:
+            assert abs(r.adc_d2 - pq[r.vec_id]) < 1e-9
+    # ranking is ascending within the cell
+    ds = [r.adc_d2 for r in rows]
+    assert ds == sorted(ds)
