@@ -50,11 +50,27 @@ def main() -> None:
         f"{a['sum(n_dropped)']} dropped ({a['sum(kept_chars)']} chars kept)"
     )
 
+    bloom = qs["dedup_bloom_incremental"](spark, sf_dir)
+    nb = bloom.count()
+    nd = bloom.filter("is_dup").count()
+    print(f"incoming batch vs corpus (Bloom-prefiltered): {nd}/{nb} already present")
+
+    prefix = qs["dedup_prefix_contained"](spark, sf_dir)
+    print(f"prefix-contained (truncated re-crawls): {prefix.count()} flagged")
+
     gate = qs["curate_quality_quantile_filter"](spark, sf_dir)
     print(f"quality gate survivors: {gate.count()}")
 
+    mix = qs["curate_temperature_mix"](spark, sf_dir)
+    print("temperature mix (T=2) boosts:")
+    for row in mix.orderBy("source").collect()[:5]:
+        print(f"   {row.source}: prob={row.mix_prob:.4f} boost={row.boost:.2f}")
+
     packs = qs["curate_pack_sequences"](spark, sf_dir)
     print(f"packed sequences: {packs.count()}")
+
+    chunks = qs["curate_chunk_overlap"](spark, sf_dir)
+    print(f"retrieval chunks (64-token windows, 16 overlap): {chunks.count()}")
 
     card = qs["curate_dataset_card"](spark, sf_dir)
     print("dataset card:")
