@@ -685,11 +685,13 @@ def curate_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Temperature-scaled source mixing (multilingual/multi-domain sampling)
 # ---------------------------------------------------------------------------
 
-#: mixing temperature T: sampling weight per source is n_tokens^(1/T).
-#: T=2 (the sqrt rule) is the standard multilingual compromise between
-#: proportional (T=1, head domains dominate) and uniform (T=inf, tail
-#: domains oversampled into repetition).
-MIX_TEMPERATURE = 2
+# Mixing temperature is FIXED at T=2 — the sqrt rule, the standard
+# multilingual compromise between proportional (T=1, head domains
+# dominate) and uniform (T=inf, tail domains oversampled into
+# repetition).  sqrt (not pow(x, 1/T)) because IEEE sqrt is correctly
+# rounded in both engines, pow is not; outputs are additionally rounded
+# to 6 dp because SUM(weight) is a cross-row float reduction whose
+# last-ulp value depends on reduction order.
 
 
 @register(
@@ -710,8 +712,8 @@ tot AS (
   SELECT SUM(weight) AS total_w, CAST(SUM(n_tokens) AS BIGINT) AS all_tokens FROM w
 )
 SELECT w.source, w.n_docs, w.n_tokens,
-       w.weight / t.total_w AS mix_prob,
-       (w.weight * t.all_tokens) / (t.total_w * w.n_tokens) AS boost
+       ROUND(w.weight / t.total_w, 6) AS mix_prob,
+       ROUND((w.weight * t.all_tokens) / (t.total_w * w.n_tokens), 6) AS boost
 FROM w CROSS JOIN tot t
 """,
 )
@@ -726,10 +728,11 @@ def curate_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row global normalizer broadcast back — identical shape to
     ``curate_domain_mix`` and flat at any corpus size (the per-source
     rollup is map-side-combined; everything after runs on |sources|
-    rows).  sqrt is IEEE-correctly-rounded in both engines, division
-    order is pinned by the shared expression shape, and the graded hash
-    rounds doubles to 4 decimals — cross-engine fp agreement holds with
-    margin."""
+    rows).  sqrt is IEEE-correctly-rounded in both engines and division
+    order is pinned by the shared expression shape; the one cross-row
+    float reduction (SUM of weights) is reduction-order-sensitive at the
+    last ulp, so both engines round the outputs to 6 dp (the module's
+    standard discipline, cf. _duck_cos)."""
     d = table(spark, sf_dir, "documents")
     per_source = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -747,10 +750,11 @@ def curate_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        (F.col("weight") / F.col("total_w")).alias("mix_prob"),
-        (
+        F.round(F.col("weight") / F.col("total_w"), 6).alias("mix_prob"),
+        F.round(
             (F.col("weight") * F.col("all_tokens"))
-            / (F.col("total_w") * F.col("n_tokens"))
+            / (F.col("total_w") * F.col("n_tokens")),
+            6,
         ).alias("boost"),
     )
 

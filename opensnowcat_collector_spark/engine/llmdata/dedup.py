@@ -1295,11 +1295,13 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the filter geometry (BLOOM_M), not the corpus, so it
     broadcasts safely at ANY corpus size (the one corpus-derived artifact
     in this module for which an explicit ``F.broadcast`` is provably
-    justified).  The daily batch never shuffles for the prefilter; the
-    exact verify join then runs over the (typically tiny) surviving
-    subset instead of the whole batch.  With a ~1% false-positive filter
-    and a mostly-novel crawl batch, ~99% of the batch skips the corpus
-    join entirely — the win this operator exists to encode.
+    justified).  The prefilter is ``BLOOM_K`` chained broadcast SEMI
+    joins (one per hash function), so the batch is never exploded,
+    never shuffled, and keeps its scan partitioning until the exact
+    verify join — which runs over the (typically tiny) surviving subset
+    instead of the whole batch.  With a ~1% false-positive filter and a
+    mostly-novel crawl batch, ~99% of the batch skips the corpus join
+    entirely — the win this operator exists to encode.
     """
     d = table(spark, sf_dir, "documents")
     is_new = (F.col("doc_id") % INCREMENTAL_NEW_MOD) == INCREMENTAL_NEW_REM
@@ -1312,17 +1314,15 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select(F.explode(_bloom_positions(F.col("text"))).alias("pos"))
         .distinct()
     )
-    # Prefilter: a key passes iff ALL of its k exploded positions hit a
-    # set bit (count == BLOOM_K; duplicate positions both match the same
-    # bit row, so the count test stays exact).
-    passed = (
-        batch.select("doc_id", F.explode(_bloom_positions(F.col("text"))).alias("pos"))
-        .join(F.broadcast(bits), "pos")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-        .filter(F.col("n_hit") == BLOOM_K)
-        .select("doc_id")
-    )
+    # Prefilter: a key passes iff EVERY seeded position hits a set bit —
+    # one broadcast semi join per hash function, batch side never moves.
+    passed = batch
+    for s in range(BLOOM_K):
+        pos_s = F.pmod(F.xxhash64(F.col("text"), F.lit(s)), F.lit(BLOOM_M))
+        passed = passed.withColumn(f"_p{s}", pos_s).join(
+            F.broadcast(bits.withColumnRenamed("pos", f"_p{s}")), f"_p{s}", "semi"
+        )
+    passed = passed.select("doc_id")
     corpus_hashes = corpus.groupBy(F.md5("text").alias("exact_hash")).agg(
         F.min("doc_id").alias("dup_of")
     )

@@ -1104,7 +1104,9 @@ stats AS (
 ),
 q AS (
   SELECT e.vec_id, e.pos,
-         CAST(FLOOR((e.x - s.mn) / (s.mx - s.mn) * 255) AS INTEGER) AS code
+         CASE WHEN s.mx > s.mn
+              THEN CAST(FLOOR((e.x - s.mn) / (s.mx - s.mn) * 255) AS INTEGER)
+              ELSE 0 END AS code
   FROM ex e JOIN stats s USING (pos)
 )
 SELECT vec_id,
@@ -1126,8 +1128,10 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     so ``F.broadcast`` is provably safe).  ``floor`` (not round) pins the
     bucket edge identically in both engines; all arithmetic is widened to
     double before subtraction so float->double promotion order cannot
-    differ.  codes span [0, 255] with 255 attained only by the per-dim
-    max — asserted by the code_min/code_max columns."""
+    differ; a constant dimension (mx == mn, common with padded embedding
+    exports) maps to code 0 explicitly — an unguarded division would be
+    NaN->0 in Spark but NULL in DuckDB.  codes span [0, 255] with 255
+    attained only by the per-dim max — asserted by code_min/code_max."""
     e = table(spark, sf_dir, "embeddings")
     ex = e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "xf")
@@ -1135,9 +1139,10 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ex.groupBy("pos").agg(
         F.min("x").cast("double").alias("mn"), F.max("x").cast("double").alias("mx")
     )
-    code = F.floor(
-        (F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255
-    ).cast("int")
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255),
+    ).otherwise(F.lit(0)).cast("int")
     q = ex.join(F.broadcast(stats), "pos").select("vec_id", "pos", code.alias("code"))
     return (
         q.groupBy("vec_id")
@@ -1266,19 +1271,28 @@ def build_pq_index(
     return path
 
 
-def _adc_table(spark: SparkSession, idx_path: str, sf_dir: str, vec_id: int = 0):
+def _adc_table(
+    spark: SparkSession,
+    idx_path: str,
+    sf_dir: str,
+    vec_id: int = 0,
+    qvec: list | None = None,
+):
     """Driver-side ADC lookup table: 6-dp-rounded squared distance from
     the query's subvectors to every (sub, cid) codebook entry —
     O(PQ_SUB * PQ_K * PQ_SUB_DIM) = O(DIM * PQ_K) work on {PQ_SUB}x{PQ_K}
     rows, the PQ analogue of ``query_cell``.  Rounding matches the
-    training SQL so the oracle's in-SQL qd derivation is identical."""
-    row = (
-        table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == vec_id)
-        .select("embedding")
-        .head()
-    )
-    v = np.array(row[0], dtype=np.float64)
+    training SQL so the oracle's in-SQL qd derivation is identical.
+    Pass ``qvec`` when the caller already fetched the query row (e.g.
+    from ``query_cell``) to skip the redundant scan."""
+    if qvec is None:
+        qvec = (
+            table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .head()[0]
+        )
+    v = np.array(qvec, dtype=np.float64)
     book = (
         spark.read.parquet(os.path.join(idx_path, "codebook"))
         .orderBy("sub", "cid", "i")
@@ -1290,6 +1304,28 @@ def _adc_table(spark: SparkSession, idx_path: str, sf_dir: str, vec_id: int = 0)
         qs = v[int(sub) * PQ_SUB_DIM : (int(sub) + 1) * PQ_SUB_DIM]
         adc.setdefault(int(sub), {})[int(cid)] = round(float(((qs - c) ** 2).sum()), 6)
     return adc
+
+
+def _adc_expr(adc: dict[int, dict[int, float]]):
+    """Summed literal-map ADC column over code_0..code_{PQ_SUB-1}.  Maps
+    are built from the (sub, cid) pairs PRESENT in the codebook — a
+    cluster emptied during training (possible when seed subvectors
+    collide on regenerated data) has no codebook rows, and no vector is
+    ever assigned to it, so omitting it is both safe and required (a
+    range(PQ_K) lookup would KeyError at expression-build time)."""
+    per_sub = [
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for cid, d in sorted(adc[s].items()) for x in (cid, d)]
+            ),
+            F.col(f"code_{s}"),
+        )
+        for s in sorted(adc)
+    ]
+    total = per_sub[0]
+    for term in per_sub[1:]:
+        total = total + term
+    return total
 
 
 @register(
@@ -1338,24 +1374,12 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_pq_index(spark, sf_dir)
     adc = _adc_table(spark, idx, sf_dir)
     codes = spark.read.parquet(os.path.join(idx, "codes")).filter(F.col("vec_id") != 0)
-    per_sub = [
-        F.element_at(
-            F.create_map(
-                *[F.lit(x) for cid in range(PQ_K) for x in (cid, adc[s][cid])]
-            ),
-            F.col(f"code_{s}"),
-        )
-        for s in range(PQ_SUB)
-    ]
-    total = per_sub[0]
-    for term in per_sub[1:]:
-        total = total + term
     return (
         codes.select(
             "vec_id",
             "label",
             *[F.col(f"code_{s}") for s in range(PQ_SUB)],
-            F.round(total, 6).alias("adc_d2"),
+            F.round(_adc_expr(adc), 6).alias("adc_d2"),
         )
         .orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
         .limit(10)
@@ -1476,31 +1500,19 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives training, cell, codes, and ADC in one SQL
     statement with identical rounding."""
     idx = build_ivfpq_index(spark, sf_dir)
-    cell, _qvec = query_cell(spark, idx, sf_dir)
-    adc = _adc_table(spark, idx, sf_dir)
+    cell, qvec = query_cell(spark, idx, sf_dir)
+    adc = _adc_table(spark, idx, sf_dir, qvec=qvec)
     codes = (
         spark.read.parquet(os.path.join(idx, "codes"))
         .filter((F.col("cell") == cell) & (F.col("vec_id") != 0))
     )
-    per_sub = [
-        F.element_at(
-            F.create_map(
-                *[F.lit(x) for cid in range(PQ_K) for x in (cid, adc[s][cid])]
-            ),
-            F.col(f"code_{s}"),
-        )
-        for s in range(PQ_SUB)
-    ]
-    total = per_sub[0]
-    for term in per_sub[1:]:
-        total = total + term
     return (
         codes.select(
             "vec_id",
             "label",
             F.col("cell").cast("long").alias("cell"),
             *[F.col(f"code_{s}") for s in range(PQ_SUB)],
-            F.round(total, 6).alias("adc_d2"),
+            F.round(_adc_expr(adc), 6).alias("adc_d2"),
         )
         .orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
         .limit(10)

@@ -143,16 +143,18 @@ def test_prefix_contained_window_is_blocked_not_global(spark, sf_dir):
 
 
 def test_temperature_mix_probabilities_and_boost(spark, sf_dir):
+    # outputs are rounded to 6 dp (cross-engine sum-order discipline),
+    # so tolerances here are rounding-scale, not ulp-scale
     rows = _run(spark, sf_dir, "curate_temperature_mix")
-    assert abs(sum(r.mix_prob for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.mix_prob for r in rows) - 1.0) < 1e-5 * len(rows)
     total_tokens = sum(r.n_tokens for r in rows)
     for r in rows:
         # boost = mix_prob / proportional share; sqrt rule compresses:
         # below-average sources get boost > 1, above-average get < 1
         prop = r.n_tokens / total_tokens
-        assert abs(r.boost - r.mix_prob / prop) < 1e-9
+        assert abs(r.boost - r.mix_prob / prop) < 1e-4
         assert abs(r.mix_prob - math.sqrt(r.n_tokens) /
-                   sum(math.sqrt(x.n_tokens) for x in rows)) < 1e-9
+                   sum(math.sqrt(x.n_tokens) for x in rows)) < 1e-6
     small = min(rows, key=lambda r: r.n_tokens)
     big = max(rows, key=lambda r: r.n_tokens)
     if small.n_tokens < big.n_tokens:
