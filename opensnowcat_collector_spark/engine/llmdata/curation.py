@@ -831,3 +831,64 @@ def curate_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("ws", F.col("start").cast("int"), (chunk_end - F.col("start") + 1).cast("int")),
         ).alias("chunk_text"),
     )
+
+
+def _register_mix_apply():
+    from ..relational import ORACLE
+
+    @register(
+        "curate_mix_apply",
+        oracle=f"""
+WITH mix AS ({{mix_sql}}),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.rn,
+       CAST(CEIL(LEAST(1.0, m.boost) * m.n_docs) AS BIGINT) AS n_keep
+FROM ranked r JOIN mix m USING (source)
+WHERE r.rn <= CEIL(LEAST(1.0, m.boost) * m.n_docs)
+""".format(mix_sql=ORACLE["curate_temperature_mix"]),
+    )
+    def curate_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Apply the temperature-mix weights as an actual selection: each
+        source keeps its first ceil(min(1, boost) * n_docs) documents by
+        md5(doc_id) rank — the deterministic stand-in for sampling source
+        s at rate boost (down-sampling head domains; boost > 1 tail
+        domains keep everything — UP-sampling repetition factors live in
+        the data loader, not the corpus).  Reuses
+        ``curate_temperature_mix``'s graded output (including its 6-dp
+        boost rounding, so the keep-count boundary is identical in both
+        engines) and ``curate_source_quota``'s md5-rank selection rule.
+
+        Dataflow: one window shuffle keyed by source + a broadcast-sized
+        join against the |sources|-row mix table — the window reuses the
+        same source-keyed exchange at any corpus size."""
+        from pyspark.sql import Window
+
+        from ..relational import QUERIES
+
+        d = table(spark, sf_dir, "documents")
+        w = Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+        ranked = d.select(
+            "doc_id", "source", F.row_number().over(w).cast("long").alias("rn")
+        )
+        mix = QUERIES["curate_temperature_mix"](spark, sf_dir).select(
+            "source",
+            F.ceil(F.least(F.lit(1.0), F.col("boost")) * F.col("n_docs"))
+            .cast("long")
+            .alias("n_keep"),
+        )
+        return (
+            ranked.join(F.broadcast(mix), "source")
+            .filter(F.col("rn") <= F.col("n_keep"))
+            .select("doc_id", "source", "rn", "n_keep")
+        )
+
+
+_register_mix_apply()

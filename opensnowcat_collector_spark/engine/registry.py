@@ -196,6 +196,8 @@ _PRIORITY: list[str] = [
     "sim_ann_pq",
     "curate_chunk_overlap",
     "sim_ann_ivfpq",
+    "curate_mix_apply",
+    "streaming_foreachbatch_sink",
 ]
 
 

@@ -740,3 +740,59 @@ def streaming_latest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(latest, "update", require_single_batch=True)
+
+
+@register(
+    "streaming_foreachbatch_sink",
+    oracle="""
+SELECT event_id, event_type, value > 0 AS is_positive
+FROM events
+""",
+)
+def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production sink API under the gate: ``foreachBatch`` writes
+    each micro-batch to a parquet target partitioned by ``epoch=<id>``
+    with per-epoch ``overwrite`` — Structured Streaming's standard
+    exactly-once recipe (a replayed epoch after a crash overwrites its
+    own directory instead of duplicating rows; Spark guarantees the same
+    epoch_id re-presents the same data under availableNow + checkpoint).
+    Every other streaming gate drains to the memory sink; this one
+    grades the foreachBatch path end-to-end — batch-function execution,
+    epoch partitioning, and the read-back of what actually landed.
+
+    The returned frame is localCheckpoint'd so the scratch target can be
+    removed before the driver collects (nothing leaks into /tmp across
+    sweep runs)."""
+    import shutil
+
+    s = _events_stream(spark, sf_dir)
+    proj = s.select("event_id", "event_type", (F.col("value") > 0).alias("is_positive"))
+    target = tempfile.mkdtemp(prefix="fb_sink_")
+    shutil.rmtree(target)  # foreachBatch creates it
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(target, f"epoch={epoch_id}")
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_fb_")
+    q = (
+        proj.writeStream.foreachBatch(write_epoch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("foreachBatch gate did not drain within 300s")
+    finally:
+        if not q.isActive:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    out = (
+        spark.read.parquet(target)
+        .select("event_id", "event_type", "is_positive")
+        .localCheckpoint()
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    return out

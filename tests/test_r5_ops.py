@@ -377,3 +377,45 @@ def test_ivfpq_results_live_in_query_cell_and_match_pq_distances(spark, sf_dir):
     # ranking is ascending within the cell
     ds = [r.adc_d2 for r in rows]
     assert ds == sorted(ds)
+
+
+# ---------------------------------------------------------------------------
+# curate_mix_apply
+# ---------------------------------------------------------------------------
+
+
+def test_mix_apply_keeps_exactly_the_rate_scaled_prefix(spark, sf_dir):
+    import hashlib
+    import math as m
+
+    mix = {r.source: r for r in _run(spark, sf_dir, "curate_temperature_mix")}
+    docs = {}
+    for r in table(spark, sf_dir, "documents").select("doc_id", "source").collect():
+        docs.setdefault(r.source, []).append(r.doc_id)
+    kept = {}
+    for r in _run(spark, sf_dir, "curate_mix_apply"):
+        kept.setdefault(r.source, set()).add(r.doc_id)
+        assert r.rn <= r.n_keep
+    for source, ids in docs.items():
+        n_keep = m.ceil(min(1.0, mix[source].boost) * mix[source].n_docs)
+        expected = set(
+            sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))[
+                :n_keep
+            ]
+        )
+        assert kept.get(source, set()) == expected, source
+
+
+# ---------------------------------------------------------------------------
+# streaming_foreachbatch_sink
+# ---------------------------------------------------------------------------
+
+
+def test_foreachbatch_sink_lands_the_projection(spark, sf_dir):
+    got = {r.event_id: r for r in _run(spark, sf_dir, "streaming_foreachbatch_sink")}
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value").collect()
+    assert len(got) == len(ev)
+    for r in ev:
+        g = got[r.event_id]
+        assert g.event_type == r.event_type
+        assert g.is_positive == (r.value > 0)
