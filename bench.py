@@ -42,6 +42,12 @@ HEADLINE = [
     "text_fingerprint",
     "sim_topk_bruteforce",
     "sim_ann_lsh",
+    # r5 family representatives: Bloom-prefiltered membership, the
+    # IVF-PQ compressed probe (index build is pay-once in the cold pass),
+    # and the zero-shuffle chunker
+    "dedup_bloom_incremental",
+    "sim_ann_ivfpq",
+    "curate_chunk_overlap",
 ]
 
 
