@@ -833,13 +833,16 @@ def curate_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _register_mix_apply():
-    from ..relational import ORACLE
+# curate_temperature_mix is registered above in this module, so its
+# oracle SQL is available for composition at this point (same pattern a
+# plain f-string would give; no deferred-registration wrapper needed).
+from ..relational import ORACLE as _ORACLE  # noqa: E402  (post-registration read)
 
-    @register(
-        "curate_mix_apply",
-        oracle=f"""
-WITH mix AS ({{mix_sql}}),
+
+@register(
+    "curate_mix_apply",
+    oracle=f"""
+WITH mix AS ({_ORACLE["curate_temperature_mix"]}),
 ranked AS (
   SELECT doc_id, source,
          CAST(row_number() OVER (
@@ -851,44 +854,41 @@ SELECT r.doc_id, r.source, r.rn,
        CAST(CEIL(LEAST(1.0, m.boost) * m.n_docs) AS BIGINT) AS n_keep
 FROM ranked r JOIN mix m USING (source)
 WHERE r.rn <= CEIL(LEAST(1.0, m.boost) * m.n_docs)
-""".format(mix_sql=ORACLE["curate_temperature_mix"]),
+""",
+)
+def curate_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the temperature-mix weights as an actual selection: each
+    source keeps its first ceil(min(1, boost) * n_docs) documents by
+    md5(doc_id) rank — the deterministic stand-in for sampling source
+    s at rate boost (down-sampling head domains; boost > 1 tail
+    domains keep everything — UP-sampling repetition factors live in
+    the data loader, not the corpus).  Reuses
+    ``curate_temperature_mix``'s graded output (including its 6-dp
+    boost rounding, so the keep-count boundary is identical in both
+    engines) and ``curate_source_quota``'s md5-rank selection rule.
+
+    Dataflow: one window shuffle keyed by source + a broadcast-sized
+    join against the |sources|-row mix table — the window reuses the
+    same source-keyed exchange at any corpus size."""
+    from pyspark.sql import Window
+
+    from ..relational import QUERIES
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
-    def curate_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Apply the temperature-mix weights as an actual selection: each
-        source keeps its first ceil(min(1, boost) * n_docs) documents by
-        md5(doc_id) rank — the deterministic stand-in for sampling source
-        s at rate boost (down-sampling head domains; boost > 1 tail
-        domains keep everything — UP-sampling repetition factors live in
-        the data loader, not the corpus).  Reuses
-        ``curate_temperature_mix``'s graded output (including its 6-dp
-        boost rounding, so the keep-count boundary is identical in both
-        engines) and ``curate_source_quota``'s md5-rank selection rule.
-
-        Dataflow: one window shuffle keyed by source + a broadcast-sized
-        join against the |sources|-row mix table — the window reuses the
-        same source-keyed exchange at any corpus size."""
-        from pyspark.sql import Window
-
-        from ..relational import QUERIES
-
-        d = table(spark, sf_dir, "documents")
-        w = Window.partitionBy("source").orderBy(
-            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-        )
-        ranked = d.select(
-            "doc_id", "source", F.row_number().over(w).cast("long").alias("rn")
-        )
-        mix = QUERIES["curate_temperature_mix"](spark, sf_dir).select(
-            "source",
-            F.ceil(F.least(F.lit(1.0), F.col("boost")) * F.col("n_docs"))
-            .cast("long")
-            .alias("n_keep"),
-        )
-        return (
-            ranked.join(F.broadcast(mix), "source")
-            .filter(F.col("rn") <= F.col("n_keep"))
-            .select("doc_id", "source", "rn", "n_keep")
-        )
-
-
-_register_mix_apply()
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("rn")
+    )
+    mix = QUERIES["curate_temperature_mix"](spark, sf_dir).select(
+        "source",
+        F.ceil(F.least(F.lit(1.0), F.col("boost")) * F.col("n_docs"))
+        .cast("long")
+        .alias("n_keep"),
+    )
+    return (
+        ranked.join(F.broadcast(mix), "source")
+        .filter(F.col("rn") <= F.col("n_keep"))
+        .select("doc_id", "source", "rn", "n_keep")
+    )

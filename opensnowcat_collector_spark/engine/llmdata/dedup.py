@@ -1310,9 +1310,14 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("exact_hash"), F.col("text")
     )
     # Bounded bit table: distinct bit positions set by any corpus key.
+    # localCheckpoint (lazy) so the corpus aggregation runs ONCE and the
+    # BLOOM_K semi joins below all broadcast the same materialized blocks
+    # — structural pay-once rather than hoping ReusedExchange fires on k
+    # identical subtrees (at production sizing k ~ 7).
     bits = (
         corpus.select(F.explode(_bloom_positions(F.col("text"))).alias("pos"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     # Prefilter: a key passes iff EVERY seeded position hits a set bit —
     # one broadcast semi join per hash function, batch side never moves.

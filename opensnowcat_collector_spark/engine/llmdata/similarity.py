@@ -1437,8 +1437,16 @@ def build_ivfpq_index(
             + f" FROM ({_pq_code_cols(PQ_ASSIGN)}) k JOIN {KMEANS_ASSIGN} a"
             " ON a.vec_id = k.vec_id"
         )
-        book = spark.sql(f"{ctes}\nSELECT sub, cid, i, c FROM {PQ_CODEBOOK}")
-        cent = spark.sql(f"{ctes}\nSELECT cid, i, c FROM {KMEANS_FINAL_CENT}")
+        # Both small tables in ONE action (sub = -1 tags the IVF
+        # centroids): each spark.sql action re-executes the full training
+        # chain, so folding them halves the small-table training cost.
+        # The codes write is the second (and last) execution — the
+        # residual 2x is the price of keeping the training definition as
+        # one dialect-shared SQL string the oracle replays verbatim.
+        small = spark.sql(
+            f"{ctes}\nSELECT -1 AS sub, cid, i, c FROM {KMEANS_FINAL_CENT}"
+            f"\nUNION ALL SELECT sub, cid, i, c FROM {PQ_CODEBOOK}"
+        ).toPandas()
         tmp = f"{path}.build-{os.getpid()}"
         (
             e.select("vec_id", "label")
@@ -1447,8 +1455,12 @@ def build_ivfpq_index(
             .partitionBy("cell")
             .parquet(os.path.join(tmp, "codes"))
         )
-        book.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
-        cent.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        spark.createDataFrame(
+            small[small["sub"] >= 0][["sub", "cid", "i", "c"]]
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
+        spark.createDataFrame(
+            small[small["sub"] < 0][["cid", "i", "c"]]
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
         with open(os.path.join(tmp, "_SUCCESS"), "w", encoding="utf-8"):
             pass
         _publish_index(tmp, path)

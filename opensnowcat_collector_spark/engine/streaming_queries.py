@@ -83,6 +83,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(_stream_table(spark, sf_dir, "events"))
 
 
+def _await_drain(q, what: str, timeout_s: int = 300) -> None:
+    """Shared drain discipline for the gate queries: block until the
+    availableNow query terminates, stop + fail loudly on timeout (a
+    partially-drained sink must never reach the oracle compare)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"{what} did not drain within {timeout_s}s")
+
+
 def _drain_to_memory(
     df: DataFrame, mode: str, *, require_single_batch: bool = False
 ) -> DataFrame:
@@ -119,11 +128,7 @@ def _drain_to_memory(
         .start()
     )
     try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                f"streaming gate query {qname} did not drain within 300s"
-            )
+        _await_drain(q, f"streaming gate query {qname}")
         if require_single_batch:
             data_batches = sum(
                 1 for p in q.recentProgress if p["numInputRows"] > 0
@@ -761,10 +766,14 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch partitioning, and the read-back of what actually landed.
 
     The returned frame is localCheckpoint'd so the scratch target can be
-    removed before the driver collects (nothing leaks into /tmp across
-    sweep runs)."""
+    removed before the driver collects — on EVERY exit path, success or
+    failure (nothing leaks into /tmp across sweep runs).  The state-store
+    provider is pinned like every other gate: this query is stateless
+    today, but the pin keeps a future stateful foreachBatch gate built
+    from this template on the production backend."""
     import shutil
 
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     s = _events_stream(spark, sf_dir)
     proj = s.select("event_id", "event_type", (F.col("value") > 0).alias("is_positive"))
     target = tempfile.mkdtemp(prefix="fb_sink_")
@@ -776,23 +785,19 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_gate_fb_")
-    q = (
-        proj.writeStream.foreachBatch(write_epoch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
     try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("foreachBatch gate did not drain within 300s")
+        q = (
+            proj.writeStream.foreachBatch(write_epoch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        _await_drain(q, "foreachBatch gate")
+        return (
+            spark.read.parquet(target)
+            .select("event_id", "event_type", "is_positive")
+            .localCheckpoint()
+        )
     finally:
-        if not q.isActive:
-            shutil.rmtree(ckpt, ignore_errors=True)
-    out = (
-        spark.read.parquet(target)
-        .select("event_id", "event_type", "is_positive")
-        .localCheckpoint()
-    )
-    shutil.rmtree(target, ignore_errors=True)
-    return out
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(target, ignore_errors=True)
