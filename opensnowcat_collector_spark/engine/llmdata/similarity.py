@@ -968,9 +968,11 @@ def delete_from_ann_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@register(
-    "sim_ann_delete",
-    oracle=f"""
+#: probe-after-deletion oracle — shared verbatim by ``sim_ann_delete``
+#: (tombstoned index) and ``sim_ann_compacted`` (rewritten index): the
+#: two probes MUST return identical rows; that identity is the
+#: compaction correctness contract.
+_DELETE_PROBE_ORACLE = f"""
 WITH corpus AS (
   SELECT vec_id, label, embedding FROM embeddings
   UNION ALL
@@ -998,8 +1000,10 @@ FROM sk s CROSS JOIN q
 WHERE s.sketch = q.qsketch AND s.vec_id <> 0
 ORDER BY cosine DESC, s.vec_id
 LIMIT 5
-""",
-)
+"""
+
+
+@register("sim_ann_delete", oracle=_DELETE_PROBE_ORACLE)
 def sim_ann_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe AFTER tombstone deletion (``delete_from_ann_index``): the
     partition-pruned bucket scan anti-joins the broadcast tombstone set,
@@ -1528,4 +1532,65 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tombstone compaction: the second half of the tombstone-then-compact
+# contract sim_ann_delete's docstring promises
+# ---------------------------------------------------------------------------
+
+
+def compact_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Fold the tombstones into the data files: rewrite the index MINUS
+    tombstoned vec_ids into a fresh artifact (``<index>-compact``) with
+    no ``_tombstones/`` set — after compaction probes need no anti-join.
+    Correctness never waited for this (tombstoned probes are already
+    exact); compaction just reclaims space and removes the per-probe
+    anti-join — the LSM/lakehouse maintenance job.
+
+    At 100 TB the rewrite is restricted to the bucket partitions that
+    actually CONTAIN tombstoned rows (join tombstones to their buckets,
+    rewrite only those directories); the demo corpus rewrites all
+    buckets in one partitioned write.  Same atomic-publish discipline as
+    every other index artifact."""
+    src_path = delete_from_ann_index(spark, sf_dir)
+    path = f"{ann_index_path(sf_dir)}-compact"
+    if not os.path.exists(os.path.join(path, "_COMPACT_SUCCESS")):
+        idx = spark.read.parquet(src_path)
+        dead = spark.read.parquet(os.path.join(src_path, "_tombstones"))
+        live = idx.join(F.broadcast(dead), "vec_id", "left_anti")
+        tmp = f"{path}.build-{os.getpid()}"
+        live.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        with open(os.path.join(tmp, "_COMPACT_SUCCESS"), "w", encoding="utf-8"):
+            pass
+        with open(os.path.join(tmp, "_SUCCESS"), "w", encoding="utf-8"):
+            pass  # _publish_index race check keys on _SUCCESS
+        _publish_index(tmp, path)
+    return path
+
+
+@register("sim_ann_compacted", oracle=_DELETE_PROBE_ORACLE)
+def sim_ann_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe AFTER compaction (``compact_ann_index``): byte-identical
+    rows to ``sim_ann_delete`` — the shared oracle grades that identity —
+    but the plan is a plain partition-pruned bucket scan with NO
+    anti-join (the tombstones are gone from the data, not masked).
+    Tombstone-then-compact in full: deletes are visible immediately via
+    the mask, and the maintenance rewrite later restores the
+    probe-plan simplicity of a never-deleted index."""
+    path = compact_ann_index(spark, sf_dir)
+    idx = spark.read.parquet(path)
+    qsketch, qvec = query_sketch(spark, sf_dir)
+    probe = idx.filter((F.col("bucket") == "b" + qsketch) & (F.col("vec_id") != 0))
+    return (
+        _with_query_vec(probe, qvec)
+        .select(
+            "vec_id",
+            "label",
+            "sketch",
+            F.expr(_spark_cos("embedding", "qvec")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(5)
     )

@@ -198,6 +198,7 @@ _PRIORITY: list[str] = [
     "sim_ann_ivfpq",
     "curate_mix_apply",
     "streaming_foreachbatch_sink",
+    "sim_ann_compacted",
 ]
 
 

@@ -419,3 +419,33 @@ def test_foreachbatch_sink_lands_the_projection(spark, sf_dir):
         g = got[r.event_id]
         assert g.event_type == r.event_type
         assert g.is_positive == (r.value > 0)
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_compacted
+# ---------------------------------------------------------------------------
+
+
+def test_compacted_probe_equals_tombstoned_probe_without_antijoin(spark, sf_dir):
+    """Compaction contract: identical rows to the tombstone-masked probe,
+    and the compacted index carries no tombstone set or anti-join."""
+    import os
+
+    qs = registry.all_queries()
+    masked = [tuple(r) for r in qs["sim_ann_delete"](spark, sf_dir).collect()]
+    compacted_df = qs["sim_ann_compacted"](spark, sf_dir)
+    compacted = [tuple(r) for r in compacted_df.collect()]
+    assert compacted == masked
+    plan = compacted_df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan, plan
+    path = similarity.compact_ann_index(spark, sf_dir)
+    assert not os.path.exists(os.path.join(path, "_tombstones"))
+    # every tombstoned vec_id is physically gone from the compacted data
+    dead = {
+        r.vec_id
+        for r in spark.read.parquet(
+            os.path.join(similarity.delete_from_ann_index(spark, sf_dir), "_tombstones")
+        ).collect()
+    }
+    live = {r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()}
+    assert not (dead & live)
