@@ -317,19 +317,29 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_rollup_")
     q = (
         agg.writeStream.format("memory")
         .queryName(qname)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rollup_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
-    if not q.awaitTermination(300):
-        # awaitTermination returns False on timeout without raising — a
-        # partially-drained table must never reach the oracle compare
-        q.stop()
-        raise TimeoutError("streaming_hourly_rollup drain did not finish in 300s")
+    try:
+        if not q.awaitTermination(300):
+            # awaitTermination returns False on timeout without raising —
+            # a partially-drained table must never reach the oracle compare
+            q.stop()
+            raise TimeoutError("streaming_hourly_rollup drain did not finish in 300s")
+    finally:
+        # same no-leak discipline as streaming_queries._drain_to_memory:
+        # RocksDB state files per run would otherwise accumulate in /tmp
+        # forever across sweep/bench/driver rounds
+        if not q.isActive:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
     assert batch is not None  # keep the batch loader exercised for schema parity
     return spark.table(qname).select(
         F.col("w.start").alias("hour_start"),

@@ -1776,10 +1776,7 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     partials = o.groupBy(
         "o_orderpriority", F.year("o_orderdate").alias("o_year")
-    ).agg(
-        F.hll_sketch_agg("o_custkey").alias("sk"),
-        F.count_distinct("o_custkey").alias("year_exact"),
-    )
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
     merged = partials.groupBy("o_orderpriority").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
         F.count(F.lit(1)).alias("n_years"),

@@ -416,7 +416,20 @@ class CollectorServer:
                     )
                 ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
                 ctx.load_cert_chain(ssl_certfile, ssl_keyfile)
-                self.httpd.socket = ctx.wrap_socket(self.httpd.socket, server_side=True)
+                # do_handshake_on_connect=False: with it on, the handshake
+                # would run inside accept() in the single serve_forever
+                # thread, so one stalled peer (slow-loris) wedges the whole
+                # listener.  Deferred, the handshake happens lazily on the
+                # first read — inside the per-connection handler THREAD —
+                # and the handler timeout below bounds it.
+                self.httpd.socket = ctx.wrap_socket(
+                    self.httpd.socket,
+                    server_side=True,
+                    do_handshake_on_connect=False,
+                )
+                # Bound per-connection reads (incl. the deferred handshake):
+                # BaseHTTPRequestHandler applies this as the socket timeout.
+                self.httpd.RequestHandlerClass.timeout = 30
             except Exception:
                 # the listener is already bound — release the port instead
                 # of leaking it for the process lifetime on failed TLS setup
@@ -460,6 +473,15 @@ class SslRedirectServer:
             protocol_version = "HTTP/1.1"
 
             def _redirect(self) -> None:
+                # Drain the request body first: on a keep-alive HTTP/1.1
+                # connection an unread POST body would be parsed as the
+                # NEXT request line, desyncing every later exchange.
+                length = int(self.headers.get("Content-Length") or 0)
+                while length > 0:
+                    chunk = self.rfile.read(min(length, 65536))
+                    if not chunk:
+                        break
+                    length -= len(chunk)
                 target = f"https://{https_host}:{https_port}{self.path}"
                 self.send_response(308)
                 self.send_header("Location", target)

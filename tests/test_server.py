@@ -463,3 +463,35 @@ def test_https_serving_and_redirect_companion(tmp_path):
             )
     finally:
         redir.stop()
+
+
+def test_ssl_redirect_drains_post_body_on_keepalive():
+    """Two POSTs with bodies over ONE keep-alive connection: the redirect
+    handler must consume each request body before answering, or the
+    unread body bytes desync the connection and the second request is
+    parsed from the middle of the first one's body."""
+    import http.client
+
+    from opensnowcat_collector_spark.config import CollectorConfig
+    from opensnowcat_collector_spark.server import SslRedirectServer
+
+    cfg = CollectorConfig()
+    redir = SslRedirectServer(cfg, https_host="collector.example.com")
+    redir.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", redir.port, timeout=10)
+        body = b"e=pv&p=web&" + b"x" * 4096
+        for i in range(2):
+            conn.request(
+                "POST",
+                f"/com.snowplowanalytics.snowplow/tp2?n={i}",
+                body=body,
+                headers={"Content-Type": "application/x-www-form-urlencoded"},
+            )
+            resp = conn.getresponse()
+            assert resp.status == 308
+            assert resp.getheader("Location").endswith(f"/com.snowplowanalytics.snowplow/tp2?n={i}")
+            resp.read()
+        conn.close()
+    finally:
+        redir.stop()
