@@ -1594,3 +1594,88 @@ def sim_ann_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitext mining: cross-lingual nearest neighbor over the LSH bucket
+# structure (multilingual parallel-corpus construction)
+# ---------------------------------------------------------------------------
+
+BITEXT_CONFIDENT = 0.5  # acceptance threshold for mined pairs
+
+
+@register(
+    "sim_bitext_mine",
+    oracle=f"""
+WITH sk AS (
+  SELECT e.vec_id, d.lang, e.embedding, {_duck_sketch("e.embedding")} AS sketch
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+src AS (SELECT * FROM sk WHERE lang = 'en'),
+tgt AS (SELECT * FROM sk WHERE lang <> 'en'),
+cand AS (
+  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, t.lang AS tgt_lang,
+         {_duck_cos("s.embedding", "t.embedding")} AS cosine
+  FROM src s JOIN tgt t ON s.sketch = t.sketch
+)
+SELECT src_id, tgt_id, tgt_lang, cosine,
+       cosine >= {BITEXT_CONFIDENT} AS is_confident
+FROM (
+  SELECT src_id, tgt_id, tgt_lang, cosine,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY cosine DESC, tgt_id) AS rk
+  FROM cand
+)
+WHERE rk = 1
+""",
+)
+def sim_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining — the multilingual parallel-corpus construction
+    pass: every English document's best non-English neighbor by
+    embedding cosine, with candidates restricted to the SAME LSH bucket
+    (sketch equality over the materialized ANN index), so the cross-
+    lingual search is a bucket equi-join — the margin-based mining shape
+    (LASER/CCMatrix-style) — never an |en| x |non-en| cross join.
+    ``is_confident`` applies the acceptance threshold; production
+    pipelines tune it on a seed dictionary.
+
+    Dataflow: index scan + broadcast-sized doc-lang join keyed on
+    vec_id, one bucket equi-join, one per-src window.  Recall knobs at
+    scale are the ANN family's usual: more hash tables or Hamming-1
+    multiprobe on the bucket key."""
+    idx = spark.read.parquet(build_ann_index(spark, sf_dir))
+    langs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    sk = idx.join(langs, "vec_id")
+    src = sk.filter(F.col("lang") == "en").select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("src_emb"),
+        "bucket",
+    )
+    tgt = sk.filter(F.col("lang") != "en").select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("lang").alias("tgt_lang"),
+        F.col("embedding").alias("tgt_emb"),
+        "bucket",
+    )
+    cand = src.join(tgt, "bucket").select(
+        "src_id",
+        "tgt_id",
+        "tgt_lang",
+        F.expr(_spark_cos("src_emb", "tgt_emb")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(), F.col("tgt_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "src_id",
+            "tgt_id",
+            "tgt_lang",
+            "cosine",
+            (F.col("cosine") >= BITEXT_CONFIDENT).alias("is_confident"),
+        )
+    )

@@ -699,3 +699,43 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+@register(
+    "text_length_histogram",
+    oracle="""
+WITH toks AS (
+  SELECT CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents
+)
+SELECT CAST(FLOOR(LOG2(n_tok)) AS BIGINT) AS bucket,
+       CAST(POWER(2, FLOOR(LOG2(n_tok))) AS BIGINT) AS bucket_lo,
+       CAST(POWER(2, FLOOR(LOG2(n_tok)) + 1) - 1 AS BIGINT) AS bucket_hi,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM toks
+GROUP BY 1, 2, 3
+""",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in log2 buckets — the planning query
+    behind context-window and packing-budget choices (how much of the
+    corpus is short-tail vs truncation-risk long docs).  floor(log2) is
+    fp-safe cross-engine: log2 of a power of two is exact, everything
+    else is far from an integer boundary.  One map-side-combined
+    aggregation over ~60 buckets max — scan-bound at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    b = F.floor(F.log2(n_tok))
+    return (
+        d.select(
+            b.cast("long").alias("bucket"),
+            F.pow(F.lit(2.0), b).cast("long").alias("bucket_lo"),
+            (F.pow(F.lit(2.0), b + 1) - 1).cast("long").alias("bucket_hi"),
+            n_tok.alias("n_tok"),
+        )
+        .groupBy("bucket", "bucket_lo", "bucket_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )

@@ -199,6 +199,8 @@ _PRIORITY: list[str] = [
     "curate_mix_apply",
     "streaming_foreachbatch_sink",
     "sim_ann_compacted",
+    "sim_bitext_mine",
+    "text_length_histogram",
 ]
 
 

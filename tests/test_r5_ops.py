@@ -449,3 +449,38 @@ def test_compacted_probe_equals_tombstoned_probe_without_antijoin(spark, sf_dir)
     }
     live = {r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()}
     assert not (dead & live)
+
+
+# ---------------------------------------------------------------------------
+# sim_bitext_mine / text_length_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_bitext_pairs_are_cross_lingual_bucket_mates(spark, sf_dir):
+    langs = {
+        r.doc_id: r.lang
+        for r in table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    rows = _run(spark, sf_dir, "sim_bitext_mine")
+    assert rows
+    seen_src = set()
+    for r in rows:
+        assert langs[r.src_id] == "en" and langs[r.tgt_id] != "en"
+        assert r.tgt_lang == langs[r.tgt_id]
+        assert r.src_id not in seen_src  # best-match: one row per source
+        seen_src.add(r.src_id)
+        assert r.is_confident == (r.cosine >= similarity.BITEXT_CONFIDENT)
+
+
+def test_length_histogram_partitions_the_corpus(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("text").collect()
+    n_docs = len(docs)
+    total = sum(len(r.text.split(" ")) for r in docs)
+    rows = _run(spark, sf_dir, "text_length_histogram")
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.total_tokens for r in rows) == total
+    for r in rows:
+        assert r.bucket_lo == 2 ** r.bucket
+        assert r.bucket_hi == 2 ** (r.bucket + 1) - 1
+        # bucket totals are consistent with their bounds
+        assert r.bucket_lo * r.n_docs <= r.total_tokens <= r.bucket_hi * r.n_docs
