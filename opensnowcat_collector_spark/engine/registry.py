@@ -201,6 +201,7 @@ _PRIORITY: list[str] = [
     "sim_ann_compacted",
     "sim_bitext_mine",
     "text_length_histogram",
+    "events_scd2_intervals",
 ]
 
 

@@ -1860,3 +1860,84 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_start")
     )
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev_type IS NULL OR prev_type <> event_type
+              THEN 1 ELSE 0 END AS is_change
+  FROM o
+),
+g AS (
+  SELECT user_id, ts, event_type,
+         SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS grp
+  FROM c
+),
+runs AS (
+  SELECT user_id, grp,
+         MIN(event_type) AS state,
+         MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM g GROUP BY user_id, grp
+)
+SELECT user_id, state, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         IS NULL AS is_current,
+       n_events
+FROM runs
+""",
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 construction from the event
+    stream: collapse each user's consecutive same-type events into runs
+    (gaps-and-islands via the change-flag running sum) and emit validity
+    intervals [valid_from, valid_to) where valid_to is the next run's
+    start and the open interval (NULL) marks the current state — the
+    standard CDC -> warehouse-dimension materialization.
+
+    All four window passes and the run rollup key on user_id, so the
+    whole query is ONE user_id shuffle reused end-to-end (the same
+    single-exchange discipline as events_sessionize); the (ts, event_id)
+    tie-break pins run boundaries deterministically in both engines."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_change = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    g = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(is_change)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("grp"),
+    )
+    runs = g.groupBy("user_id", "grp").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(w2)
+    return runs.select(
+        "user_id",
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )

@@ -484,3 +484,44 @@ def test_length_histogram_partitions_the_corpus(spark, sf_dir):
         assert r.bucket_hi == 2 ** (r.bucket + 1) - 1
         # bucket totals are consistent with their bounds
         assert r.bucket_lo * r.n_docs <= r.total_tokens <= r.bucket_hi * r.n_docs
+
+
+# ---------------------------------------------------------------------------
+# events_scd2_intervals
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_intervals_tile_each_users_timeline(spark, sf_dir):
+    rows = _run(spark, sf_dir, "events_scd2_intervals")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r.user_id, []).append(r)
+    assert got.keys() == by_user.keys()
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        # python reference run-length encoding
+        runs = []
+        for r in evs:
+            if not runs or runs[-1][0] != r.event_type:
+                runs.append([r.event_type, r.ts, 0])
+            runs[-1][2] += 1
+        ivs = sorted(got[uid], key=lambda r: r.valid_from)
+        assert len(ivs) == len(runs), uid
+        for (state, start, n), iv in zip(runs, ivs):
+            assert iv.state == state and iv.n_events == n
+        # intervals tile: each valid_to equals the next valid_from;
+        # exactly one open (current) interval per user, the last one
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from and not a.is_current
+        assert ivs[-1].is_current and ivs[-1].valid_to is None
+
+
+def test_scd2_plan_is_single_user_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_scd2_intervals")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
