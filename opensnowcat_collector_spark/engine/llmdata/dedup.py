@@ -1434,3 +1434,116 @@ def dedup_prefix_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_doc").cast("long").alias("contained_in"),
         F.length("norm").alias("prefix_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality metric: banding recall / candidate precision against the
+# exact-Jaccard ground truth (the dedup family's analogue of
+# similarity.sim_ann_recall)
+# ---------------------------------------------------------------------------
+
+
+def _register_lsh_quality():
+    from ..relational import ORACLE
+
+    @register(
+        "dedup_lsh_quality",
+        oracle=f"""
+WITH {_DUCK_SHINGLE_CTE},
+truth AS (
+  SELECT doc_a, doc_b FROM ({ORACLE["dedup_ngram_jaccard"]})
+),
+sigs AS (
+  SELECT doc_id,
+         {_minhash_duck()}
+  FROM exploded
+  GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+         {_bands_duck()}
+  FROM sigs
+),
+bands_long AS (
+  SELECT doc_id, band_idx, band_key FROM banded
+  UNPIVOT (band_key FOR band_idx IN ({", ".join(f"band_{b}" for b in range(N_BANDS))}))
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_long a JOIN bands_long b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+det AS (
+  SELECT t.doc_a, t.doc_b FROM truth t JOIN cand c
+    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM det) AS n_detected,
+       ROUND((SELECT COUNT(*) FROM det) * 1.0
+             / GREATEST((SELECT COUNT(*) FROM truth), 1), 6) AS recall,
+       ROUND((SELECT COUNT(*) FROM det) * 1.0
+             / GREATEST((SELECT COUNT(*) FROM cand), 1), 6) AS candidate_precision
+""",
+    )
+    def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Quality metric for the MinHash-LSH banding: recall of the
+        band-collision candidate set against the exact-Jaccard >= 0.8
+        ground truth, plus candidate precision (what fraction of the
+        verify work finds a real pair) — the dedup family's analogue of
+        ``sim_ann_recall``, and the number a production pipeline watches
+        when tuning bands x rows (expected recall at j=0.8 with 4x3:
+        1-(1-0.8^3)^4 ~ 0.97).  Detected pairs are truth INTERSECT
+        candidates, exactly what ``dedup_minhash_lsh``'s count-based
+        verify emits.  Cost: the metric runs BOTH the exact ground
+        truth (the quadratic-ish capped shingle self-join) and the
+        banding pipeline — it is a diagnostics query to run on a sample
+        or a tuning slice, not per-ingest; at 100 TB the truth side is
+        the expensive arm, which is exactly why LSH exists."""
+        from ..relational import QUERIES
+
+        truth = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
+        ex = exploded_shingles(spark, sf_dir)
+        sigs = ex.groupBy("doc_id").agg(*_minhash_aggs())
+        banded = sigs.select("doc_id", *_band_keys())
+        bands_long = banded.select(
+            "doc_id",
+            F.explode(
+                F.map_from_arrays(
+                    F.array(*[F.lit(f"band_{b}") for b in range(N_BANDS)]),
+                    F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)]),
+                )
+            ).alias("band_idx", "band_key"),
+        )
+        a = bands_long.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+        b = bands_long.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+        cand = (
+            a.join(b.hint("merge"), ["band_idx", "band_key"])  # both sides corpus-scaled
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        det = truth.join(cand.hint("merge"), ["doc_a", "doc_b"])
+        n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_det = det.agg(F.count(F.lit(1)).alias("n_detected"))
+        return (
+            n_true.crossJoin(F.broadcast(n_cand))
+            .crossJoin(F.broadcast(n_det))
+            .select(
+                F.col("n_true").cast("long").alias("n_true"),
+                F.col("n_candidates").cast("long").alias("n_candidates"),
+                F.col("n_detected").cast("long").alias("n_detected"),
+                F.round(
+                    F.col("n_detected") / F.greatest(F.col("n_true"), F.lit(1)), 6
+                ).alias("recall"),
+                F.round(
+                    F.col("n_detected") / F.greatest(F.col("n_candidates"), F.lit(1)),
+                    6,
+                ).alias("candidate_precision"),
+            )
+        )
+
+
+_register_lsh_quality()

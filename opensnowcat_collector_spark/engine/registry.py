@@ -202,6 +202,8 @@ _PRIORITY: list[str] = [
     "sim_bitext_mine",
     "text_length_histogram",
     "events_scd2_intervals",
+    "join_asof_forward_tolerance",
+    "dedup_lsh_quality",
 ]
 
 

@@ -1941,3 +1941,82 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.isNull().alias("is_current"),
         "n_events",
     )
+
+
+ASOF_FORWARD_TOLERANCE_H = 1
+
+
+@register(
+    "join_asof_forward_tolerance",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase'
+              THEN struct_pack(ts := ts, event_id := event_id) END AS p
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+fwd AS (
+  -- struct MIN = (ts, event_id) lexicographic minimum, the same
+  -- deterministic tie-break as the Spark side's struct min (ARG_MIN
+  -- would tie-break arbitrarily on equal timestamps)
+  SELECT user_id, ts, event_id, event_type,
+         MIN(p) OVER w AS nxt
+  FROM o
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       event_id AS click_id,
+       ts AS click_ts,
+       nxt.event_id AS purchase_id,
+       nxt.ts AS purchase_ts
+FROM fwd
+WHERE event_type = 'click'
+  AND nxt.ts IS NOT NULL
+  AND nxt.ts - ts <= INTERVAL {ASOF_FORWARD_TOLERANCE_H} HOUR
+""",
+)
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: each click matched to the
+    user's NEXT purchase, kept only when it lands within 1 hour — the
+    conversion-attribution complement of ``join_asof_last_click``
+    (backward).  Same scalable union+window formulation: one user_id
+    shuffle, the forward-looking frame carries the minimum future
+    purchase timestamp (and its event_id via the (ts, event_id) struct
+    min — deterministic tie-break), then the tolerance predicate filters
+    — never a per-row range join.
+
+    Correctness note: clicks and purchases interleave in ONE ordered
+    stream, so "next purchase after this click" is exact even when
+    multiple clicks precede one purchase (they all match it)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(
+            F.col("event_type") == "purchase", F.struct("ts", "event_id")
+        )
+    ).over(w)
+    return (
+        e.withColumn("nxt", nxt)
+        .filter(
+            (F.col("event_type") == "click")
+            & F.col("nxt").isNotNull()
+            & (
+                F.col("nxt.ts").cast("double") - F.col("ts").cast("double")
+                <= ASOF_FORWARD_TOLERANCE_H * 3600
+            )
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("nxt.event_id").alias("purchase_id"),
+            F.col("nxt.ts").alias("purchase_ts"),
+        )
+    )

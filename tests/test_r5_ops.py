@@ -525,3 +525,51 @@ def test_scd2_intervals_tile_each_users_timeline(spark, sf_dir):
 def test_scd2_plan_is_single_user_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_scd2_intervals")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# join_asof_forward_tolerance / dedup_lsh_quality
+# ---------------------------------------------------------------------------
+
+
+def test_asof_forward_matches_python_reference(spark, sf_dir):
+    ev = [
+        r
+        for r in table(spark, sf_dir, "events").collect()
+        if r.event_type in ("click", "purchase")
+    ]
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    expected = {}
+    from opensnowcat_collector_spark.engine import relational as R
+
+    tol = R.ASOF_FORWARD_TOLERANCE_H * 3600
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        for i, r in enumerate(evs):
+            if r.event_type != "click":
+                continue
+            nxt = min(
+                ((p.ts, p.event_id) for p in evs[i + 1 :] if p.event_type == "purchase"),
+                default=None,
+            )
+            if nxt and (nxt[0] - r.ts).total_seconds() <= tol:
+                expected[r.event_id] = nxt[1]
+    got = {r.click_id: r.purchase_id for r in _run(spark, sf_dir, "join_asof_forward_tolerance")}
+    assert got == expected
+
+
+def test_lsh_quality_counts_are_consistent(spark, sf_dir):
+    rows = _run(spark, sf_dir, "dedup_lsh_quality")
+    assert len(rows) == 1
+    r = rows[0]
+    # detected is the truth∩candidates intersection: bounded by both
+    assert 0 <= r.n_detected <= min(r.n_true, r.n_candidates)
+    # detected must equal what dedup_minhash_lsh actually emits
+    lsh_pairs = _run(spark, sf_dir, "dedup_minhash_lsh")
+    assert r.n_detected == len(lsh_pairs)
+    if r.n_true:
+        assert abs(r.recall - r.n_detected / r.n_true) < 1e-6
+        # 4x3 banding at j>=0.8 should catch the large majority
+        assert r.recall >= 0.9
