@@ -326,12 +326,10 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", ckpt)
         .start()
     )
+    from .streaming_queries import _await_drain
+
     try:
-        if not q.awaitTermination(300):
-            # awaitTermination returns False on timeout without raising —
-            # a partially-drained table must never reach the oracle compare
-            q.stop()
-            raise TimeoutError("streaming_hourly_rollup drain did not finish in 300s")
+        _await_drain(q, "streaming_hourly_rollup")
     finally:
         # same no-leak discipline as streaming_queries._drain_to_memory:
         # RocksDB state files per run would otherwise accumulate in /tmp

@@ -1503,7 +1503,13 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
         the expensive arm, which is exactly why LSH exists."""
         from ..relational import QUERIES
 
-        truth = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
+        # lazy localCheckpoint: both expensive subtrees are referenced
+        # twice below (count + det intersection) — materialize each once
+        truth = (
+            QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=False)
+        )
         ex = exploded_shingles(spark, sf_dir)
         sigs = ex.groupBy("doc_id").agg(*_minhash_aggs())
         banded = sigs.select("doc_id", *_band_keys())
@@ -1523,6 +1529,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
             .distinct()
+            .localCheckpoint(eager=False)
         )
         det = truth.join(cand.hint("merge"), ["doc_a", "doc_b"])
         n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))

@@ -1890,10 +1890,12 @@ runs AS (
          CAST(COUNT(*) AS BIGINT) AS n_events
   FROM g GROUP BY user_id, grp
 )
+-- grp is monotone in (ts, event_id) order, so it tie-breaks runs that
+-- share a valid_from (same-timestamp state flips) deterministically
 SELECT user_id, state, valid_from,
-       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, grp)
          AS valid_to,
-       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, grp)
          IS NULL AS is_current,
        n_events
 FROM runs
@@ -1931,7 +1933,8 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    # grp tie-breaks runs sharing a valid_from (same-ts state flips)
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "grp")
     valid_to = F.lead("valid_from").over(w2)
     return runs.select(
         "user_id",

@@ -430,6 +430,24 @@ class CollectorServer:
                 # Bound per-connection reads (incl. the deferred handshake):
                 # BaseHTTPRequestHandler applies this as the socket timeout.
                 self.httpd.RequestHandlerClass.timeout = 30
+
+                # Deferring the handshake moves failures (plain-HTTP
+                # probes, port scanners, LB TCP health checks) from the
+                # silently-dropped accept() path into the handler thread,
+                # where the default handle_error prints a traceback per
+                # connection.  Drop TLS/connection noise; keep real errors.
+                def _handle_error(request, client_address,
+                                  _default=self.httpd.handle_error):
+                    import sys as _sys
+
+                    et = _sys.exc_info()[0]
+                    if et is not None and issubclass(
+                        et, (_ssl.SSLError, ConnectionError, TimeoutError)
+                    ):
+                        return
+                    _default(request, client_address)
+
+                self.httpd.handle_error = _handle_error
             except Exception:
                 # the listener is already bound — release the port instead
                 # of leaking it for the process lifetime on failed TLS setup
@@ -471,11 +489,19 @@ class SslRedirectServer:
 
         class _Redirect(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+            # bound body-drain reads: without it one stalled client that
+            # advertises a Content-Length it never sends pins a handler
+            # thread forever (same discipline as the TLS listener)
+            timeout = 30
 
             def _redirect(self) -> None:
                 # Drain the request body first: on a keep-alive HTTP/1.1
                 # connection an unread POST body would be parsed as the
                 # NEXT request line, desyncing every later exchange.
+                # Chunked bodies have no Content-Length to drain by — close
+                # the connection after responding instead of desyncing.
+                if self.headers.get("Transfer-Encoding"):
+                    self.close_connection = True
                 length = int(self.headers.get("Content-Length") or 0)
                 while length > 0:
                     chunk = self.rfile.read(min(length, 65536))
