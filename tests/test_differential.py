@@ -255,6 +255,81 @@ def _correlated_scalar_query(rng: random.Random) -> str:
     )
 
 
+def _frame_query(rng: random.Random) -> str:
+    """Explicit window FRAMES — ROWS offsets and RANGE peer-groups are a
+    classic cross-engine divergence spot.  ROWS frames order by the
+    unique key pair (offset frames over dup keys would be
+    tie-order-dependent); the RANGE frame orders by the non-unique
+    l_orderkey deliberately — RANGE includes ALL peers, so the aggregate
+    is deterministic even though the row order within peers is not."""
+    part = rng.choice(STR_COLS)
+    func = rng.choice(
+        ["SUM(l_linenumber)", "MIN(l_orderkey)", "MAX(l_linenumber)", "COUNT(*)"]
+    )
+    if rng.random() < 0.25:
+        n = rng.choice([1, 5, 100])
+        win = (
+            f"OVER (PARTITION BY {part} ORDER BY l_orderkey "
+            f"RANGE BETWEEN {n} PRECEDING AND CURRENT ROW)"
+        )
+    else:
+        frame = rng.choice(
+            [
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW",
+                "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+                "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+            ]
+        )
+        win = f"OVER (PARTITION BY {part} ORDER BY l_orderkey, l_linenumber {frame})"
+    where = _predicate(rng)
+    limit = rng.choice([50, 200])
+    return (
+        f"SELECT l_orderkey, l_linenumber, {part}, {func} {win} AS wv "
+        f"FROM lineitem WHERE {where} "
+        f"ORDER BY {part}, l_orderkey, l_linenumber, wv LIMIT {limit}"
+    )
+
+
+def _lag_lead_query(rng: random.Random) -> str:
+    """LAG/LEAD with offsets and literal defaults over a fully-unique
+    ordering — boundary-row default handling must agree."""
+    part = rng.choice(STR_COLS)
+    fn = rng.choice(["LAG", "LEAD"])
+    off = rng.choice([1, 2, 5])
+    default = rng.choice(["0", "-1", "999999"])
+    win = f"OVER (PARTITION BY {part} ORDER BY l_orderkey, l_linenumber)"
+    where = _predicate(rng)
+    limit = rng.choice([50, 200])
+    return (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"{fn}(l_linenumber, {off}, {default}) {win} AS nb "
+        f"FROM lineitem WHERE {where} "
+        # nb tail: lineitem's (l_orderkey, l_linenumber) is NOT unique in
+        # the synthetic data; tied duplicate rows carry different nb
+        # values, so only nb makes the ordering (and LIMIT) deterministic
+        f"ORDER BY {part}, l_orderkey, l_linenumber, nb LIMIT {limit}"
+    )
+
+
+def _null_order_query(rng: random.Random) -> str:
+    """Explicit NULLS FIRST/LAST with ASC/DESC over a synthesized-null
+    column: the engines' DEFAULT null placement differs (Spark: nulls
+    first ASC; DuckDB: nulls last), so the subset always spells it out —
+    this family proves the explicit spellings agree."""
+    nl = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    dirn = rng.choice(["ASC", "DESC"])
+    sentinel = rng.choice([1, 2, 3])
+    where = _predicate(rng)
+    limit = rng.choice([50, 200])
+    return (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CASE WHEN l_linenumber = {sentinel} THEN NULL ELSE l_linenumber END AS v "
+        f"FROM lineitem WHERE {where} "
+        f"ORDER BY v {dirn} {nl}, l_orderkey, l_linenumber LIMIT {limit}"
+    )
+
+
 def _cases() -> list[str]:
     rng = random.Random(SEED)
     out = []
@@ -276,6 +351,11 @@ def _cases() -> list[str]:
                 _in_subquery,
                 _scalar_subquery,
                 _correlated_scalar_query,
+                # late r5: frame offsets / boundary defaults / explicit
+                # null placement — the ordering-semantics corners
+                _frame_query,
+                _lag_lead_query,
+                _null_order_query,
             ]
         )
         out.append(gen(rng))
