@@ -204,6 +204,7 @@ _PRIORITY: list[str] = [
     "events_scd2_intervals",
     "join_asof_forward_tolerance",
     "dedup_lsh_quality",
+    "events_zorder_pruned",
 ]
 
 

@@ -2023,3 +2023,57 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nxt.ts").alias("purchase_ts"),
         )
     )
+
+
+ZQ_USER_LO, ZQ_USER_HI = 30, 60
+ZQ_HOURS = 24
+
+
+@register(
+    "events_zorder_pruned",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE user_id BETWEEN {ZQ_USER_LO} AND {ZQ_USER_HI}
+  AND ts < (SELECT MIN(ts) FROM events) + INTERVAL {ZQ_HOURS} HOUR
+GROUP BY event_type
+""",
+)
+def events_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-scoped time-range scan over the Z-ORDERED layout
+    (``layout.build_zorder_layout``): a box predicate on (user_id, ts)
+    that a 1-D layout can only prune on one side.  Because every file of
+    the Morton-clustered rewrite carries tight footer min/max on BOTH
+    columns, the scan skips most files on stats alone
+    (tests/test_layout.py measures the clustering quality directly from
+    the parquet footers).  Results are layout-independent — the oracle
+    runs the same box over the raw table — which is exactly the point:
+    Z-ordering buys IO, never semantics.  The time bound derives from
+    min(ts) (one O(1) driver read of the clustered table) so the query
+    tracks regenerated data."""
+    from .layout import build_zorder_layout
+    from .tables import normalize_event_ts
+
+    path = build_zorder_layout(spark, sf_dir)
+    import os as _os
+
+    e = spark.read.parquet(_os.path.join(path, "events"))
+    tmin = e.agg(F.min("ts")).head()[0]
+    import datetime as _dt
+
+    bound = tmin + _dt.timedelta(hours=ZQ_HOURS)
+    return (
+        e.filter(
+            F.col("user_id").between(ZQ_USER_LO, ZQ_USER_HI)
+            & (F.col("ts") < F.lit(bound))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )

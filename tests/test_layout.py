@@ -185,3 +185,72 @@ def test_publish_index_reraises_real_rename_failures(tmp_path):
     open(os.path.join(dest, "_SUCCESS"), "w").close()
     _publish_index(src, dest)
     assert not os.path.exists(src)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: clustering quality measured straight from the parquet
+# footers (the stats the scan's row-group pruning actually uses)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from opensnowcat_collector_spark.engine import layout, relational
+
+    path = layout.build_zorder_layout(spark, sf_dir)
+    files = sorted(glob.glob(os.path.join(path, "events", "part-*.parquet")))
+    assert len(files) > 4, "need multiple files for pruning to mean anything"
+    boxes = []
+    for f in files:
+        md = pq.read_metadata(f)
+        umin = umax = tmin = tmax = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None:
+                    continue
+                if name == "user_id":
+                    umin = st.min if umin is None else min(umin, st.min)
+                    umax = st.max if umax is None else max(umax, st.max)
+                if name == "ts":
+                    tmin = st.min if tmin is None else min(tmin, st.min)
+                    tmax = st.max if tmax is None else max(tmax, st.max)
+        assert None not in (umin, umax, tmin, tmax), f
+        boxes.append((umin, umax, tmin, tmax))
+    gu_lo = min(b[0] for b in boxes)
+    gu_hi = max(b[1] for b in boxes)
+    gt_lo = min(b[2] for b in boxes)
+    gt_hi = max(b[3] for b in boxes)
+
+    def frac(lo, hi, glo, ghi):
+        span = (ghi - glo) if not hasattr(ghi, "timestamp") else (
+            ghi.timestamp() - glo.timestamp()
+        )
+        width = (hi - lo) if not hasattr(hi, "timestamp") else (
+            hi.timestamp() - lo.timestamp()
+        )
+        return width / span if span else 1.0
+
+    avg_u = sum(frac(b[0], b[1], gu_lo, gu_hi) for b in boxes) / len(boxes)
+    avg_t = sum(frac(b[2], b[3], gt_lo, gt_hi) for b in boxes) / len(boxes)
+    # a 1-D sort gives ~1/n_files on its column and ~1.0 on the other;
+    # Morton clustering must be materially tight on BOTH dimensions
+    assert avg_u < 0.6, (avg_u, avg_t)
+    assert avg_t < 0.6, (avg_u, avg_t)
+
+    # and the graded query's box must actually skip files on footer stats
+    q_u = (relational.ZQ_USER_LO, relational.ZQ_USER_HI)
+    cut = gt_lo.timestamp() + relational.ZQ_HOURS * 3600
+    overlapping = sum(
+        1
+        for (umin, umax, tmin, tmax) in boxes
+        if not (umax < q_u[0] or umin > q_u[1]) and tmin.timestamp() < cut
+    )
+    assert overlapping < len(boxes), "query box overlaps every file — no pruning"
