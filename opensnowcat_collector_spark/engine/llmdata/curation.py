@@ -892,3 +892,61 @@ def curate_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("n_keep"))
         .select("doc_id", "source", "rn", "n_keep")
     )
+
+
+@register(
+    "curate_snapshot_diff",
+    oracle=f"""
+WITH old AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+  WHERE doc_id % {{mod}} <> {{rem}}
+),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN md5(text || '!') ELSE md5(text) END AS h
+  FROM documents
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+""".format(mod=10, rem=9),
+)
+def curate_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the bookkeeping pass between two corpus versions
+    that decides what an incremental pipeline must reprocess: rows only
+    in the new snapshot are ``added`` (the doc_id % 10 == 9 slice plays
+    the new crawl), rows only in the old are ``removed``, rows present in
+    both compare by content hash (every third doc's text is perturbed to
+    stand in for an edited page) -> ``changed`` vs ``unchanged``.
+    Downstream, only added+changed re-enter dedup/embedding/indexing —
+    the delta that keeps a 100 TB corpus's daily cost proportional to the
+    day's churn, not the corpus.
+
+    Dataflow: two scans of the same table (in production: two snapshot
+    manifests), one full outer join on doc_id — a single co-partitioned
+    shuffle; the hash comparison is a projection."""
+    d = table(spark, sf_dir, "documents")
+    old = d.filter((F.col("doc_id") % 10) != 9).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    new = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.md5(F.concat(F.col("text"), F.lit("!")))
+        )
+        .otherwise(F.md5("text"))
+        .alias("h"),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    return o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full").select(
+        F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )

@@ -205,6 +205,7 @@ _PRIORITY: list[str] = [
     "join_asof_forward_tolerance",
     "dedup_lsh_quality",
     "events_zorder_pruned",
+    "curate_snapshot_diff",
 ]
 
 

@@ -573,3 +573,24 @@ def test_lsh_quality_counts_are_consistent(spark, sf_dir):
         assert abs(r.recall - r.n_detected / r.n_true) < 1e-6
         # 4x3 banding at j>=0.8 should catch the large majority
         assert r.recall >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# curate_snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classes_partition_the_union(spark, sf_dir):
+    rows = _run(spark, sf_dir, "curate_snapshot_diff")
+    by_class: dict[str, set] = {}
+    for r in rows:
+        by_class.setdefault(r.change, set()).add(r.doc_id)
+    docs = {r.doc_id for r in table(spark, sf_dir, "documents").select("doc_id").collect()}
+    # every doc appears exactly once (old snapshot ⊆ new here, no removals)
+    assert len(rows) == len(docs)
+    assert by_class.get("removed", set()) == set()
+    assert by_class.get("added") == {d for d in docs if d % 10 == 9}
+    assert by_class.get("changed") == {d for d in docs if d % 10 != 9 and d % 3 == 0}
+    assert by_class.get("unchanged") == {
+        d for d in docs if d % 10 != 9 and d % 3 != 0
+    }
