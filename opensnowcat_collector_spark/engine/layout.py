@@ -99,6 +99,27 @@ def explain_has(df: DataFrame, *needles: str) -> dict[str, bool]:
 import hashlib as _hashlib
 import os as _os
 
+
+def publish_atomic(tmp: str, path: str, marker: str) -> None:
+    """Single home for the artifact-publish race discipline (used by the
+    bucketed layout, the z-order layout, and similarity's index builds):
+    atomically rename ``tmp`` into place; if the rename fails, only a
+    concurrent builder's COMPLETED artifact (marker present at the
+    destination) excuses it — both builds are deterministic-identical,
+    keep theirs.  Any other failure (EACCES, EXDEV, ENOENT on a missing
+    parent, reaped destination) re-raises WITH the tmp build left on disk
+    — a real failure should be inspectable/retryable, not silently
+    discarded (contract pinned by tests/test_layout.py)."""
+    import shutil
+
+    try:
+        _os.rename(tmp, path)
+    except OSError:
+        if not _os.path.exists(_os.path.join(path, marker)):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+
+
 BUCKET_COUNT = 16
 _BUCKETED_SOURCES = ("orders.parquet", "lineitem.parquet")
 
@@ -152,17 +173,7 @@ def build_bucketed_layout(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             spark.sql(f"DROP TABLE IF EXISTS {stage}")
         with open(_os.path.join(tmp, "_LAYOUT_SUCCESS"), "w") as f:
             f.write("ok\n")
-        try:
-            _os.rename(tmp, path)
-        except OSError:
-            # only a concurrent builder's completed artifact excuses the
-            # failure — anything else (EACCES, EXDEV, reaped dest) must
-            # raise, or the DDL below would register an empty location
-            # and the join would silently return zero rows
-            if not _os.path.exists(_os.path.join(path, "_LAYOUT_SUCCESS")):
-                shutil.rmtree(tmp, ignore_errors=True)
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+        publish_atomic(tmp, path, "_LAYOUT_SUCCESS")
     return ensure_bucketed_tables(spark, sf_dir)
 
 
@@ -254,11 +265,12 @@ def build_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
         # un-normalized interleaving lets the wider dimension's high bits
         # dominate the sort — degenerating Z-order into a 1-D sort.  One
         # bounds aggregation at build time (the nightly job's O(1) scan).
-        b = e.select(hours.alias("h"), "user_id").agg(
+        b = e.select(hours.alias("h"), "user_id", "ts").agg(
             F.min("user_id").alias("ulo"),
             F.max("user_id").alias("uhi"),
             F.min("h").alias("hlo"),
             F.max("h").alias("hhi"),
+            F.min("ts").alias("tsmin"),
         ).head()
         m = F.lit(1 << ZORDER_BITS)
 
@@ -292,13 +304,38 @@ def build_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
                 spark.conf.unset(ts_conf)
             else:
                 spark.conf.set(ts_conf, prev)
+        # persist the build-time bounds so probes get their predicate
+        # anchors with an O(1) file read instead of a per-query min scan
+        import json as _json
+
+        with open(_os.path.join(tmp, "_BOUNDS.json"), "w") as f:
+            import datetime as _dt
+
+            _json.dump(
+                {
+                    "user_lo": int(b.ulo),
+                    "user_hi": int(b.uhi),
+                    "hour_lo": int(b.hlo),
+                    "hour_hi": int(b.hhi),
+                    # exact min(ts) in epoch micros (the predicate anchor
+                    # probes need; hour_lo is the floored clustering bound)
+                    "ts_min_us": int(
+                        b.tsmin.replace(tzinfo=_dt.timezone.utc).timestamp()
+                        * 1_000_000
+                    ),
+                },
+                f,
+            )
         with open(_os.path.join(tmp, "_LAYOUT_SUCCESS"), "w") as f:
             f.write("ok\n")
-        try:
-            _os.rename(tmp, path)
-        except OSError:
-            if not _os.path.exists(_os.path.join(path, "_LAYOUT_SUCCESS")):
-                shutil.rmtree(tmp, ignore_errors=True)
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+        publish_atomic(tmp, path, "_LAYOUT_SUCCESS")
     return path
+
+
+def zorder_bounds(sf_dir: str) -> dict:
+    """The build-time dimension bounds of the published z-order layout —
+    one JSON read, no Spark job."""
+    import json as _json
+
+    with open(_os.path.join(zorder_layout_path(sf_dir), "_BOUNDS.json")) as f:
+        return _json.load(f)

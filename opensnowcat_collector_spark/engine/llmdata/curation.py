@@ -896,10 +896,10 @@ def curate_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "curate_snapshot_diff",
-    oracle=f"""
+    oracle="""
 WITH old AS (
   SELECT doc_id, md5(text) AS h FROM documents
-  WHERE doc_id % {{mod}} <> {{rem}}
+  WHERE doc_id % 10 <> 9
 ),
 new AS (
   SELECT doc_id,
@@ -912,7 +912,7 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
             WHEN o.h <> n.h THEN 'changed'
             ELSE 'unchanged' END AS change
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
-""".format(mod=10, rem=9),
+""",
 )
 def curate_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff — the bookkeeping pass between two corpus versions

@@ -210,15 +210,9 @@ def _publish_index(tmp: str, path: str) -> None:
     ENOENT on a missing parent...) re-raises: swallowing it would discard
     the build and surface later as a confusing path-not-found instead of
     the real cause (same discipline as layout.build_bucketed_layout)."""
-    import shutil
+    from ..layout import publish_atomic
 
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            raise
+    publish_atomic(tmp, path, "_SUCCESS")
 
 
 def build_ann_index(

@@ -2050,19 +2050,22 @@ def events_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_layout.py measures the clustering quality directly from
     the parquet footers).  Results are layout-independent — the oracle
     runs the same box over the raw table — which is exactly the point:
-    Z-ordering buys IO, never semantics.  The time bound derives from
-    min(ts) (one O(1) driver read of the clustered table) so the query
-    tracks regenerated data."""
-    from .layout import build_zorder_layout
-    from .tables import normalize_event_ts
-
-    path = build_zorder_layout(spark, sf_dir)
+    Z-ordering buys IO, never semantics.  The time bound anchors on the
+    layout's persisted build-time bounds (one JSON read, no Spark job) so
+    the query tracks regenerated data."""
+    import datetime as _dt
     import os as _os
 
-    e = spark.read.parquet(_os.path.join(path, "events"))
-    tmin = e.agg(F.min("ts")).head()[0]
-    import datetime as _dt
+    from .layout import build_zorder_layout, zorder_bounds
 
+    path = build_zorder_layout(spark, sf_dir)
+    e = spark.read.parquet(_os.path.join(path, "events"))
+    # exact min(ts) persisted at build — must match the oracle's
+    # (SELECT MIN(ts) FROM events) anchor to the microsecond
+    bmeta = zorder_bounds(sf_dir)
+    tmin = _dt.datetime.fromtimestamp(
+        bmeta["ts_min_us"] / 1_000_000, _dt.timezone.utc
+    ).replace(tzinfo=None)
     bound = tmin + _dt.timedelta(hours=ZQ_HOURS)
     return (
         e.filter(

@@ -257,11 +257,14 @@ def _correlated_scalar_query(rng: random.Random) -> str:
 
 def _frame_query(rng: random.Random) -> str:
     """Explicit window FRAMES — ROWS offsets and RANGE peer-groups are a
-    classic cross-engine divergence spot.  ROWS frames order by the
-    unique key pair (offset frames over dup keys would be
-    tie-order-dependent); the RANGE frame orders by the non-unique
-    l_orderkey deliberately — RANGE includes ALL peers, so the aggregate
-    is deterministic even though the row order within peers is not."""
+    classic cross-engine divergence spot.  NOTE (l_orderkey, l_linenumber)
+    is NOT unique in the synthetic data: ROWS-frame determinism rests on
+    tied duplicate rows being identical in every aggregated column PLUS
+    the wv tail in the final ORDER BY — any new frame variant projecting
+    a column that differs across tied rows needs its own tie-breaker.
+    The RANGE frame orders by the non-unique l_orderkey deliberately —
+    RANGE includes ALL peers, so the aggregate is deterministic even
+    though the row order within peers is not."""
     part = rng.choice(STR_COLS)
     func = rng.choice(
         ["SUM(l_linenumber)", "MIN(l_orderkey)", "MAX(l_linenumber)", "COUNT(*)"]
