@@ -38,34 +38,110 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # (slots 105+) hold local-sweep evidence only and rotate into the
 # window in r6.
 _PRIORITY: list[str] = [
-    # --- LLM-data pipeline: dedup family ---
+    # ---- slots 1-24: r6 rotation tranche 1 (VERDICT r5 top item).  The
+    # 24 r5-added queries that had never been graded by the external
+    # driver (local full-registry oracle sweep evidence only): the 12
+    # TPC-H subquery patterns + the 12 admission/quality ops.  Done =
+    # 24 new driver-green rows in CORRECTNESS_r06.json.
+    "q2_minprice_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_balance",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_supply",
+    "q21_waiting_supplier",
+    "text_pii_scrub",
+    "curate_blocklist_filter",
+    "dedup_repeated_ngram_fraction",
+    "text_tfidf_topterms",
+    "agg_approx_percentile",
+    "dedup_url_canonical",
+    "events_transition_matrix",
+    "curate_dedup_apply",
+    "curate_train_val_split",
+    "agg_hll_partitioned_merge",
+    "events_burst_detection",
+    "sim_ann_delete",
+    # ---- slots 25-37: kept from the r5 window — exactly one
+    # driver-green round (r5) so far; a second round of evidence.
+    "dedup_incremental_minhash",
+    "sim_ann_recall",
+    "sim_ann_incremental",
+    "text_vocab_stats",
+    "text_unigram_logprob",
+    "text_cooccurrence_ratio",
+    "curate_dataset_card",
+    "curate_tokenize_ids",
+    "events_session_sequences",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "streaming_leftouter_join",
+    "streaming_session_timeout_flush",
+    # ---- slots 38-46: kept — two driver-green rounds (r4+r5); the
+    # streaming gates stay windowed every round because they are the
+    # highest-variance machinery in the repo (flake armor).
     "dedup_paragraph_exact",
+    "streaming_dedup_watermark",
+    "streaming_session_window",
+    "streaming_enrich_join",
+    "streaming_stream_stream_join",
+    "streaming_stateful_sessionize",
+    "streaming_document_curation",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    # ---- slots 47-50: kept flagships (three driver-green rounds) —
+    # the operators whose plans changed most recently (minhash merge
+    # hints, ANN index build, curation pipeline, multimodal UDF path).
     "dedup_minhash_lsh",
+    "sim_ann_lsh",
+    "corpus_curation_pipeline",
+    "mm_feature_extract",
+    # ---- slot 51+ below: NOT driver-graded this round.
+    # Tranche 2 (r7 rotation, pre-staged per VERDICT r5 item 3): the 19
+    # remaining r5 additions whose only evidence is the local sweep.
+    # r7's rotation = move this contiguous block to the top of the
+    # window; after that every registered query has >=1 driver-green
+    # CORRECTNESS row.
+    "dedup_bloom_incremental",
+    "dedup_prefix_contained",
+    "curate_temperature_mix",
+    "embed_quantize_int8",
+    "sim_ann_filtered",
+    "streaming_latest_profile",
+    "sim_ann_pq",
+    "curate_chunk_overlap",
+    "sim_ann_ivfpq",
+    "curate_mix_apply",
+    "streaming_foreachbatch_sink",
+    "sim_ann_compacted",
+    "sim_bitext_mine",
+    "text_length_histogram",
+    "events_scd2_intervals",
+    "join_asof_forward_tolerance",
+    "dedup_lsh_quality",
+    "events_zorder_pruned",
+    "curate_snapshot_diff",
+    # ---- displaced from the r5 window (three driver-green rounds
+    # r3+r4+r5 each); still run by the full-registry pytest sweep.
     "dedup_embedding_cosine",
     "dedup_embedding_kmeans",
     "dedup_cluster_components",
     "dedup_incremental",
-    "dedup_incremental_minhash",
-    # --- LLM-data pipeline: similarity / ANN family ---
     "sim_topk_bruteforce",
-    "sim_ann_lsh",
     "sim_ann_multiprobe",
     "sim_ann_ivf",
     "sim_ann_ivf_kmeans",
     "sim_ann_batch",
-    "sim_ann_recall",
-    "sim_ann_incremental",
-    # --- LLM-data pipeline: text analysis ---
     "text_token_stats",
     "text_quality_score",
     "text_langid",
     "text_token_bpeish",
     "text_repetition_score",
-    "text_vocab_stats",
-    "text_unigram_logprob",
-    "text_cooccurrence_ratio",
-    "corpus_curation_pipeline",
-    # --- LLM-data pipeline: corpus curation / selection family ---
     "curate_sample_stratified",
     "curate_pack_sequences",
     "curate_contamination",
@@ -73,37 +149,11 @@ _PRIORITY: list[str] = [
     "curate_quality_quantile_filter",
     "curate_source_quota",
     "curate_token_budget_select",
-    "curate_dataset_card",
-    "curate_tokenize_ids",
-    # --- LLM-data pipeline: multimodal plumbing ---
     "mm_decode_metadata",
-    "mm_feature_extract",
     "mm_resize_plan",
     "mm_frame_sample",
-    # --- event-table analytics (sequences / funnel / retention) ---
-    "events_session_sequences",
-    "events_funnel_steps",
-    "events_retention_cohorts",
-    # --- streaming-stateful surface (real Structured Streaming runs) ---
-    "streaming_dedup_watermark",
-    "streaming_session_window",
-    "streaming_enrich_join",
-    "streaming_stream_stream_join",
-    "streaming_stateful_sessionize",
-    "streaming_document_curation",
-    "streaming_leftouter_join",
-    "streaming_session_timeout_flush",
-    # --- specialized joins ---
-    "join_skew_salted",
-    "join_bucketed_colocated",
-    # ---- slot 51+ below: driver-confirmed in earlier rounds (see
+    # ---- legacy order: driver-confirmed green in earlier rounds (see
     # COVERAGE.md gate map), pytest-covered by the full-registry sweep.
-    # r5 displaced the thirteen most-confirmed entries (dedup_exact,
-    # dedup_ngram_jaccard, q1/q3/q5/q10, the three collector queries,
-    # streaming_hourly_rollup, join_asof_last_click: 4x driver-green;
-    # agg_approx_distinct, dedup_simhash: 2x) to give the 11
-    # never-driver-confirmed queries plus the two new streaming gates
-    # external evidence.
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -158,54 +208,6 @@ _PRIORITY: list[str] = [
     "setop_except_inactive",
     "scalar_string_funcs",
     "scalar_datetime_funcs",
-    # --- TPC-H pattern completion (r5, tpch_patterns.py): placed past the
-    # window deliberately — the window this round is reserved for the 11
-    # previously-never-confirmed queries + new streaming gates; these
-    # rotate into the window in r6 once local sweep evidence exists.
-    "q2_minprice_supplier",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_balance",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q20_excess_supply",
-    "q21_waiting_supplier",
-    # --- LLM-pipeline admission ops (r5): same placement rationale.
-    "text_pii_scrub",
-    "curate_blocklist_filter",
-    "dedup_repeated_ngram_fraction",
-    "text_tfidf_topterms",
-    "agg_approx_percentile",
-    "dedup_url_canonical",
-    "events_transition_matrix",
-    "curate_dedup_apply",
-    "curate_train_val_split",
-    "agg_hll_partitioned_merge",
-    "events_burst_detection",
-    "sim_ann_delete",
-    "dedup_bloom_incremental",
-    "dedup_prefix_contained",
-    "curate_temperature_mix",
-    "embed_quantize_int8",
-    "sim_ann_filtered",
-    "streaming_latest_profile",
-    "sim_ann_pq",
-    "curate_chunk_overlap",
-    "sim_ann_ivfpq",
-    "curate_mix_apply",
-    "streaming_foreachbatch_sink",
-    "sim_ann_compacted",
-    "sim_bitext_mine",
-    "text_length_histogram",
-    "events_scd2_intervals",
-    "join_asof_forward_tolerance",
-    "dedup_lsh_quality",
-    "events_zorder_pruned",
-    "curate_snapshot_diff",
 ]
 
 
@@ -213,7 +215,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "dedup_exact"  # first entry past the window, r5
+_WINDOW_SENTINEL = "dedup_bloom_incremental"  # first entry past the window, r6
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY
