@@ -318,11 +318,12 @@ def build_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
                     "hour_lo": int(b.hlo),
                     "hour_hi": int(b.hhi),
                     # exact min(ts) in epoch micros (the predicate anchor
-                    # probes need; hour_lo is the floored clustering bound)
-                    "ts_min_us": int(
-                        b.tsmin.replace(tzinfo=_dt.timezone.utc).timestamp()
-                        * 1_000_000
-                    ),
+                    # probes need; hour_lo is the floored clustering bound).
+                    # Pure integer arithmetic: float timestamp()*1e6 loses
+                    # exactness past 2^53/1e6 s and the probe anchor must
+                    # match the oracle's MIN(ts) to the microsecond.
+                    "ts_min_us": (b.tsmin - _dt.datetime(1970, 1, 1))
+                    // _dt.timedelta(microseconds=1),
                 },
                 f,
             )

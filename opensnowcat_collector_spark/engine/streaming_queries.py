@@ -437,30 +437,43 @@ _SENTINEL_CLICK_USER = -1
 _SENTINEL_PURCHASE_USER = -2
 
 
-def _write_replay_side(rows, out_dir: str, prefix: str, sentinel_rows) -> None:
-    """Write one join side as ts-ordered parquet file batches with
+def _stage_replay_side(df: DataFrame, out_dir: str, sentinel_rows) -> None:
+    """Stage one join side as ts-contiguous parquet file batches with
     strictly increasing mtimes (FileStreamSource orders batches by mtime;
-    same-mtime ties are arbitrary and can drop 'late' rows).  Contiguous
-    ts chunks guarantee no row is ever late w.r.t. the inter-batch
-    watermark, so the streamed join loses no matches."""
+    same-mtime ties are arbitrary and can drop 'late' rows).
+
+    Executor-side staging: ``repartitionByRange(LEFTOUTER_CHUNKS, "ts")``
+    makes every part file a disjoint contiguous ts range, and part-file
+    NAMES sort in range order (range-partition index = task index = file
+    ordinal), so no row in a later batch is ever late w.r.t. the
+    watermark an earlier batch advanced.  The sentinels are appended as
+    tiny single-row files — constant driver work regardless of data
+    volume — then mtimes are rewritten increasing in
+    [parts..., sentinels...] order."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(out_dir)
-    n = len(rows)
-    per = max(1, (n + LEFTOUTER_CHUNKS - 1) // LEFTOUTER_CHUNKS)
-    chunks = [rows[i : i + per] for i in range(0, n, per)]
-    chunks += [[s] for s in sentinel_rows]
-    for i, chunk in enumerate(chunks):
+    df.repartitionByRange(LEFTOUTER_CHUNKS, "ts").write.parquet(out_dir)
+    success = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    for i, (uid, eid, ts) in enumerate(sentinel_rows):
         t = pa.table(
             {
-                "user_id": pa.array([r[0] for r in chunk], pa.int64()),
-                "event_id": pa.array([r[1] for r in chunk], pa.int64()),
-                "ts": pa.array([r[2] for r in chunk], pa.timestamp("us")),
+                "user_id": pa.array([uid], pa.int64()),
+                "event_id": pa.array([eid], pa.int64()),
+                "ts": pa.array([ts], pa.timestamp("us")),
             }
         )
-        path = os.path.join(out_dir, f"{prefix}{i:03d}.parquet")
+        path = os.path.join(out_dir, f"sentinel{i}.parquet")
         pq.write_table(t, path)
+        files.append(path)
+    for i, path in enumerate(files):
         mt = 1_700_000_000 + i * 10
         os.utime(path, (mt, mt))
 
@@ -503,7 +516,9 @@ def streaming_leftouter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB note: the replay harness is gate scaffolding; the operator under
     test is ``attribute_purchases``, whose state is bounded by
     [horizon + lateness] per the watermark — the same bound that holds on
-    an unbounded production stream.
+    an unbounded production stream.  The staging itself is executor-side
+    (``repartitionByRange`` parquet writes); the driver only pulls one
+    MAX(ts) row to place the sentinels.
     """
     import datetime
     import shutil
@@ -515,29 +530,24 @@ def streaming_leftouter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isin("click", "purchase"))
         .select("event_type", "user_id", "event_id", "ts")
     )
-    rows = ev.collect()  # gate-scale replay staging (sf<=0.1), not a hot path
-    clicks = sorted(
-        ((r["user_id"], r["event_id"], r["ts"]) for r in rows if r["event_type"] == "click"),
-        key=lambda t: t[2],
-    )
-    purchases = sorted(
-        ((r["user_id"], r["event_id"], r["ts"]) for r in rows if r["event_type"] == "purchase"),
-        key=lambda t: t[2],
-    )
-    if not clicks and not purchases:
+    # Single-row global-aggregate pull: the only driver-side data movement
+    # in the staging (the rows themselves are written executor-side by
+    # _stage_replay_side's repartitionByRange).
+    max_ts = ev.agg(F.max("ts").alias("max_ts")).first()["max_ts"]
+    if max_ts is None:
         # degenerate dataset: no rows on either side — fail with a
-        # diagnosable message instead of IndexError below (the batch
-        # oracle would return empty; testdata always carries both types)
+        # diagnosable message (the batch oracle would return empty;
+        # testdata always carries both types)
         raise ValueError(f"no click/purchase events in {sf_dir}/events.parquet")
-    max_ts = max(t[2] for t in (clicks[-1:] + purchases[-1:]))
     sent = [max_ts + datetime.timedelta(hours=2 + i) for i in range(2)]
     base = tempfile.mkdtemp(prefix="lojoin_replay_")
     cdir, pdir = os.path.join(base, "clicks"), os.path.join(base, "purchases")
-    _write_replay_side(
-        clicks, cdir, "c", [(_SENTINEL_CLICK_USER, -100 - i, s) for i, s in enumerate(sent)]
+    side = lambda kind: ev.filter(F.col("event_type") == kind).select("user_id", "event_id", "ts")  # noqa: E731
+    _stage_replay_side(
+        side("click"), cdir, [(_SENTINEL_CLICK_USER, -100 - i, s) for i, s in enumerate(sent)]
     )
-    _write_replay_side(
-        purchases, pdir, "p", [(_SENTINEL_PURCHASE_USER, -200 - i, s) for i, s in enumerate(sent)]
+    _stage_replay_side(
+        side("purchase"), pdir, [(_SENTINEL_PURCHASE_USER, -200 - i, s) for i, s in enumerate(sent)]
     )
 
     schema = "user_id bigint, event_id bigint, ts timestamp"
@@ -785,6 +795,7 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_gate_fb_")
+    q = None
     try:
         q = (
             proj.writeStream.foreachBatch(write_epoch)
@@ -799,5 +810,10 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     finally:
+        # Stop before deleting the checkpoint: a non-timeout exception
+        # between start() and drain (interrupt, read-back failure) must
+        # not leave a live stream whose checkpoint just vanished.
+        if q is not None and q.isActive:
+            q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(target, ignore_errors=True)

@@ -41,6 +41,21 @@ _EVENT_PATH_RE = re.compile(
 )
 _OPS_PATHS = {"/health", "/sink-health", "/crossdomain.xml", "/robots.txt", "/"}
 
+
+def parse_content_length(value) -> int | None:
+    """RFC 9112 §6.2: Content-Length must be a non-negative integer.
+    Returns the parsed length (absent/empty → 0), or ``None`` for a
+    malformed or negative header so callers can answer 400 / close the
+    connection instead of surfacing ``int()``'s ValueError as a 500."""
+    if value is None or value == "":
+        return 0
+    try:
+        n = int(value)
+    except (TypeError, ValueError):
+        return None
+    return n if n >= 0 else None
+
+
 def render_crossdomain_xml(cfg: CollectorConfig) -> str:
     """CollectorService.scala:222-237: one allow-access-from line per
     configured domain."""
@@ -249,7 +264,12 @@ def make_handler(cfg: CollectorConfig, writer: LandingWriter, sinks: tuple = ())
             # handling unless default redirects are enabled
             if path.startswith("/r/") and not cfg.enable_default_redirect:
                 return self._respond(404, b"redirects disabled", "text/plain")
-            length = int(self.headers.get("Content-Length") or 0)
+            length = parse_content_length(self.headers.get("Content-Length"))
+            if length is None:
+                # Body framing is unknowable — close after responding so a
+                # keep-alive peer can't desync the next exchange.
+                self.close_connection = True
+                return self._respond(400, b"bad content-length", "text/plain")
             body = self.rfile.read(length).decode("utf-8") if length else None
             row = self._raw_row(method, body)
             qs_params = dict(parse_qsl(split.query or "", keep_blank_values=True))
@@ -502,7 +522,12 @@ class SslRedirectServer:
                 # the connection after responding instead of desyncing.
                 if self.headers.get("Transfer-Encoding"):
                     self.close_connection = True
-                length = int(self.headers.get("Content-Length") or 0)
+                length = parse_content_length(self.headers.get("Content-Length"))
+                if length is None:
+                    # Malformed header: can't drain what we can't frame —
+                    # still redirect, but close instead of desyncing.
+                    self.close_connection = True
+                    length = 0
                 while length > 0:
                     chunk = self.rfile.read(min(length, 65536))
                     if not chunk:

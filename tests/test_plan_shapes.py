@@ -144,3 +144,29 @@ def test_incremental_ann_probe_prunes_partitions(spark, sf_dir):
 
     pf = [p for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if "bucket" in p]
     assert pf, plan
+
+
+def test_no_driver_collect_in_graded_query_modules():
+    """No graded query body may stage data through the driver: ``.collect()``
+    is banned in every engine query module (VERDICT r5 item 2 — the
+    leftouter replay staging was the last holdout, now executor-side via
+    repartitionByRange).  Bounded O(1) pulls (``.first()``/``.head()`` on
+    aggregates, small-index ``.toPandas()``) remain allowed; it is the
+    unbounded full-result pull that kills a 1000-executor run."""
+    import os
+
+    import opensnowcat_collector_spark.engine as eng
+
+    root = os.path.dirname(eng.__file__)
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path, encoding="utf-8") as f:
+                for lineno, line in enumerate(f, 1):
+                    code = line.split("#", 1)[0]
+                    if ".collect()" in code:
+                        offenders.append(f"{os.path.relpath(path, root)}:{lineno}")
+    assert offenders == [], f"driver-side .collect() in engine modules: {offenders}"

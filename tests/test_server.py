@@ -495,3 +495,51 @@ def test_ssl_redirect_drains_post_body_on_keepalive():
         conn.close()
     finally:
         redir.stop()
+
+
+def test_malformed_content_length_clean_reject():
+    """A non-numeric Content-Length must not surface int()'s ValueError
+    as a 500 traceback: the collector answers a clean 400 and closes;
+    the SSL-redirect companion still answers 308 but marks the
+    connection close (body framing is unknowable, so draining is
+    impossible)."""
+    import http.client
+
+    from opensnowcat_collector_spark.config import CollectorConfig
+    from opensnowcat_collector_spark.server import SslRedirectServer
+
+    cfg = CollectorConfig()
+    redir = SslRedirectServer(cfg, https_host="collector.example.com")
+    redir.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", redir.port, timeout=10)
+        conn.putrequest("POST", "/com.snowplowanalytics.snowplow/tp2")
+        conn.putheader("Content-Length", "abc")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 308
+        resp.read()
+        # The handler must have dropped keep-alive: the next request on
+        # the same connection dies instead of desyncing.
+        import pytest as _pytest
+
+        conn.putrequest("GET", "/health", skip_host=False)
+        conn.endheaders()
+        with _pytest.raises((http.client.HTTPException, ConnectionError, OSError)):
+            conn.getresponse().read()
+        conn.close()
+    finally:
+        redir.stop()
+
+
+def test_malformed_content_length_collector_400(server):
+    import http.client
+
+    srv, _landing = server
+    conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
+    conn.putrequest("POST", "/com.snowplowanalytics.snowplow/tp2")
+    conn.putheader("Content-Length", "-7")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
