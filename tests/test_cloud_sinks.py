@@ -297,3 +297,144 @@ def test_gcp_user_agent_matches_reference_spec():
         "projects/p/topics/t", publisher_factory=lambda: None, gcp_user_agent_product="Acme"
     ).user_agent
     assert sink_ua == "Acme/collector (GPN:Snowplow;)"
+
+
+# --- wire-format request shapes (VERDICT r5 item 4) -------------------------
+# Exact request dicts pinned against the reference builders — the part of
+# kinesis/src/it/.../KinesisSinkSpec the broker-less sandbox can verify.
+
+
+class RawCaptureKinesis:
+    """Records the verbatim put_records kwargs (no normalization)."""
+
+    def __init__(self):
+        self.requests = []
+
+    def put_records(self, **kwargs):
+        self.requests.append(kwargs)
+        return {
+            "FailedRecordCount": 0,
+            "Records": [{"SequenceNumber": "1"}] * len(kwargs["Records"]),
+        }
+
+
+class RawCaptureSqs:
+    def __init__(self):
+        self.requests = []
+
+    def send_message_batch(self, **kwargs):
+        self.requests.append(kwargs)
+        return {"Failed": []}
+
+
+def test_kinesis_putrecords_request_shape(spark):
+    """KinesisSink.scala:271: PutRecordsRequestEntry carries the partition
+    key verbatim and the payload as RAW bytes (no base64 on the Kinesis
+    path — base64 is SQS-only)."""
+    fk = RawCaptureKinesis()
+    sink = KinesisSink("events-stream", client_factory=lambda: fk, **FAST)
+    df = spark.createDataFrame(
+        [("pk-a", '{"e": 1}'), ("pk-b", '{"e": 2}')],
+        "partition_key string, serialized string",
+    )
+    sink.write(df)
+    assert fk.requests == [
+        {
+            "StreamName": "events-stream",
+            "Records": [
+                {"Data": b'{"e": 1}', "PartitionKey": "pk-a"},
+                {"Data": b'{"e": 2}', "PartitionKey": "pk-b"},
+            ],
+        }
+    ]
+
+
+def test_sqs_sendmessagebatch_request_shape(spark):
+    """SqsSink.scala:193-209: entry = unique Id + base64 MessageBody +
+    a single String attribute ``kinesisKey`` holding the partition key."""
+    fs = RawCaptureSqs()
+    sink = SqsSink("https://sqs.example/q", client_factory=lambda: fs, **FAST)
+    df = spark.createDataFrame(
+        [("pk-a", '{"e": 1}'), ("pk-b", '{"e": 2}')],
+        "partition_key string, serialized string",
+    )
+    sink.write(df)
+    assert fs.requests == [
+        {
+            "QueueUrl": "https://sqs.example/q",
+            "Entries": [
+                {
+                    "Id": "0",
+                    "MessageBody": base64.b64encode(b'{"e": 1}').decode("ascii"),
+                    "MessageAttributes": {
+                        "kinesisKey": {"DataType": "String", "StringValue": "pk-a"}
+                    },
+                },
+                {
+                    "Id": "1",
+                    "MessageBody": base64.b64encode(b'{"e": 2}').decode("ascii"),
+                    "MessageAttributes": {
+                        "kinesisKey": {"DataType": "String", "StringValue": "pk-b"}
+                    },
+                },
+            ],
+        }
+    ]
+
+
+def test_kinesis_failover_request_shape(spark):
+    """KinesisSink.scala:304-320: the failover message is the SQS wire
+    shape (base64 + kinesisKey), not a re-serialized Kinesis entry."""
+    fk = FakeKinesis(fail_seq=[[0], [0], [0]])  # one record exhausts retries
+    fs = RawCaptureSqs()
+    sink = KinesisSink(
+        "s",
+        client_factory=lambda: fk,
+        sqs_failover_queue_url="https://sqs.example/buf",
+        sqs_client_factory=lambda: fs,
+        **FAST,
+    )
+    df = spark.createDataFrame(
+        [("pk-a", '{"e": 1}')], "partition_key string, serialized string"
+    )
+    sink.write(df)
+    assert fs.requests == [
+        {
+            "QueueUrl": "https://sqs.example/buf",
+            "Entries": [
+                {
+                    "Id": "0",
+                    "MessageBody": base64.b64encode(b'{"e": 1}').decode("ascii"),
+                    "MessageAttributes": {
+                        "kinesisKey": {"DataType": "String", "StringValue": "pk-a"}
+                    },
+                }
+            ],
+        }
+    ]
+
+
+def test_sqs_1mib_guard_exact_accounting():
+    """SQSPublisher.scala:303-307: the cap is on base64(body) length plus
+    the 100 B attribute estimate, against 1 MiB exactly.  786357 raw
+    bytes -> b64 1048476 + 100 == 1048576 passes; one more raw byte
+    rounds b64 up to 1048480 and trips the guard."""
+    from opensnowcat_collector_spark.sinks.cloud import _sqs_send
+    from opensnowcat_collector_spark.sinks.base import BackoffPolicy
+
+    def run(n):
+        fs = RawCaptureSqs()
+        _sqs_send(
+            fs,
+            "q",
+            [("pk", "x" * n)],
+            BackoffPolicy(max_retries=1, min_backoff_ms=1, max_backoff_ms=1),
+            __import__("random").Random(0),
+            lambda s: None,
+            on_exhausted=lambda f: None,
+        )
+        return fs.requests
+
+    assert len(run(786357)) == 1  # exactly at the cap: ships
+    with pytest.raises(RuntimeError, match="exceed"):
+        run(786358)
