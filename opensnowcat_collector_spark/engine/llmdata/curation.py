@@ -950,3 +950,84 @@ def curate_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global corpus shuffle (r6)
+# ---------------------------------------------------------------------------
+
+#: shuffle-order salt: vary per epoch ("epoch1:", ...) for a fresh but
+#: reproducible order each training pass
+SHUFFLE_SALT = "epoch0"
+#: range partitions for the distributed position assignment; at corpus
+#: scale set ~ corpus_bytes / 1 GiB (any value yields the same order)
+SHUFFLE_PARTS = 32
+
+
+@register(
+    "curate_global_shuffle",
+    oracle=f"""
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS position,
+       doc_id, source
+FROM documents
+""",
+)
+def curate_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training order WITHOUT a single-reducer sort:
+    every doc gets position = its rank under md5(salt:doc_id) — a
+    deterministic permutation, reproducible across runs/engines/cluster
+    sizes, re-derivable per epoch by changing the salt.
+
+    Dataflow (two-phase distributed row_number, ONE corpus shuffle):
+    1. repartitionByRange on the hash key + sortWithinPartitions —
+       Spark's sampled total-order shuffle; partition i's keys all sort
+       below partition i+1's, rows sorted inside each partition.
+    2. ``monotonically_increasing_id`` over that sorted layout encodes
+       (partition, intra-partition ordinal) without any window; a
+       <= SHUFFLE_PARTS-row aggregate (map-side combined) yields each
+       partition's row count and min id, cumulative-summed into offsets
+       on that tiny frame and broadcast back.
+    position = offset[partition] + (id - min_id[partition]) + 1.  The
+    sorted subtree is pinned with a lazy ``localCheckpoint`` so the two
+    consumers (offset aggregate, final projection) share ONE
+    materialization — and so the ids, which depend on physical row
+    order, are frozen before being read twice.  A naive
+    ``row_number() OVER (ORDER BY hash)`` plans a SinglePartition
+    window — the exact scale-killer this operator exists to avoid; this
+    plan's only global structure is the SHUFFLE_PARTS-row offset table.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    key = F.md5(F.concat(F.lit(SHUFFLE_SALT + ":"), F.col("doc_id").cast("string")))
+    ranged = (
+        d.withColumn("shuffle_key", key)
+        .repartitionByRange(SHUFFLE_PARTS, "shuffle_key", "doc_id")
+        .sortWithinPartitions("shuffle_key", "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.spark_partition_id().alias("_p"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    counts = ranged.groupBy("_p").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("_mid").alias("_mid0")
+    )
+    off_w = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_p", "_mid0", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_offset")
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_p")
+        .select(
+            (F.col("_offset") + (F.col("_mid") - F.col("_mid0")) + 1)
+            .cast("long")
+            .alias("position"),
+            "doc_id",
+            "source",
+        )
+    )

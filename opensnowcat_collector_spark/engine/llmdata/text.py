@@ -739,3 +739,90 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style admission gates (r6)
+# ---------------------------------------------------------------------------
+
+# Rahimi/Rae et al. "Scaling Language Models: ... Gopher" App. A quality
+# heuristics, integer-rationalized so every gate is an exact integer
+# comparison (no float ratios cross the engine boundary):
+#   word count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]
+#   mean word length in [3, 10]   <=>  3*n_words <= n_chars <= 10*n_words
+#   symbol ratio (#, ellipsis) <= 1/10  <=>  10*n_sym <= n_text_chars
+#   bullet-line ratio <= 9/10  <=>  10*n_bullet <= 9*n_lines
+#   >= 2 distinct stopwords present
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+@register(
+    "text_gopher_quality_gates",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(LEN(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+         CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_word_chars,
+         CAST(LENGTH(text) AS BIGINT) AS n_text_chars,
+         CAST(LENGTH(text) - LENGTH(REPLACE(REPLACE(text, '#', ''), '…', '')) AS BIGINT) AS n_symbols,
+         CAST(1 + LENGTH(text) - LENGTH(REPLACE(text, chr(10), '')) AS BIGINT) AS n_lines,
+         CAST(LEN(regexp_extract_all(text, '(^|\n)[-*] ')) AS BIGINT) AS n_bullet_lines,
+         CAST(LEN(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                                 [{_sql_in_list(STOPWORDS)}])) AS BIGINT) AS n_stopword_kinds
+  FROM documents
+)
+SELECT doc_id, n_words,
+       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS gate_word_count,
+       3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words AS gate_mean_word_len,
+       10 * n_symbols <= n_text_chars AS gate_symbol_ratio,
+       10 * n_bullet_lines <= 9 * n_lines AS gate_bullet_lines,
+       n_stopword_kinds >= 2 AS gate_stopwords,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+         AND 10 * n_symbols <= n_text_chars
+         AND 10 * n_bullet_lines <= 9 * n_lines
+         AND n_stopword_kinds >= 2 AS passes_gopher
+FROM m
+""",
+)
+def text_gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule admission gates as one zero-shuffle projection.
+
+    Every gate is an integer-rationalized comparison (see module
+    constants), so the booleans are bit-identical across engines and the
+    whole row stays inside whole-stage codegen: split/size/replace/
+    regexp_count/array_intersect are non-lambda array ops — no
+    interpreted HOFs, no Python.  At 100 TB this is scan-bound and
+    trivially parallel; the pass flag is the standard pre-dedup
+    admission predicate, composable with curate_blocklist_filter and
+    text_pii_scrub upstream of the dedup family."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+    n_words = F.size(words).cast("long")
+    n_word_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long")
+    n_text_chars = F.length("text").cast("long")
+    n_symbols = (
+        F.length("text")
+        - F.length(F.replace(F.replace(F.col("text"), F.lit("#"), F.lit("")), F.lit("…"), F.lit("")))
+    ).cast("long")
+    n_lines = (1 + F.length("text") - F.length(F.replace(F.col("text"), F.lit("\n"), F.lit("")))).cast("long")
+    n_bullets = F.regexp_count("text", F.lit(r"(^|\n)[-*] ")).cast("long")
+    n_stop_kinds = F.size(
+        F.array_intersect(F.array_distinct(words), F.array(*[F.lit(w) for w in STOPWORDS]))
+    ).cast("long")
+    g_wc = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    g_mwl = (3 * n_words <= n_word_chars) & (n_word_chars <= 10 * n_words)
+    g_sym = 10 * n_symbols <= n_text_chars
+    g_bul = 10 * n_bullets <= 9 * n_lines
+    g_stop = n_stop_kinds >= 2
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        g_wc.alias("gate_word_count"),
+        g_mwl.alias("gate_mean_word_len"),
+        g_sym.alias("gate_symbol_ratio"),
+        g_bul.alias("gate_bullet_lines"),
+        g_stop.alias("gate_stopwords"),
+        (g_wc & g_mwl & g_sym & g_bul & g_stop).alias("passes_gopher"),
+    )

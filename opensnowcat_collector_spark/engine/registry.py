@@ -126,6 +126,10 @@ _PRIORITY: list[str] = [
     "dedup_lsh_quality",
     "events_zorder_pruned",
     "curate_snapshot_diff",
+    # ---- tranche 3 (r6 additions, local sweep only): window these WITH
+    # tranche 2 in r7 (19 + 2 = 21 rotate in, 29 keeps stay).
+    "text_gopher_quality_gates",
+    "curate_global_shuffle",
     # ---- displaced from the r5 window (three driver-green rounds
     # r3+r4+r5 each); still run by the full-registry pytest sweep.
     "dedup_embedding_cosine",

@@ -170,3 +170,23 @@ def test_no_driver_collect_in_graded_query_modules():
                     if ".collect()" in code:
                         offenders.append(f"{os.path.relpath(path, root)}:{lineno}")
     assert offenders == [], f"driver-side .collect() in engine modules: {offenders}"
+
+
+def test_gopher_gates_zero_exchange_codegen(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_gopher_quality_gates")
+    assert "Exchange" not in plan  # pure scan-stage projection
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(1)" in plan  # whole-stage codegen'd
+
+
+def test_global_shuffle_no_corpus_single_partition_sort(spark, sf_dir):
+    """position assignment must not funnel the corpus through one task:
+    the only SinglePartition structure allowed is the <=SHUFFLE_PARTS-row
+    offset window; the offsets join back is a broadcast."""
+    plan = _plan(spark, sf_dir, "curate_global_shuffle")
+    assert plan.count("SinglePartition") <= 1
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # no global Sort: every Sort node in the plan is intra-partition
+    for line in plan.splitlines():
+        if "Sort " in line and "SortMergeJoin" not in line:
+            assert "global=false" in line or "global=true" not in line, line
