@@ -130,6 +130,7 @@ _PRIORITY: list[str] = [
     # tranche 2 in r7 (19 + 2 = 21 rotate in, 29 keeps stay).
     "text_gopher_quality_gates",
     "curate_global_shuffle",
+    "agg_countmin_heavy_hitters",
     # ---- displaced from the r5 window (three driver-green rounds
     # r3+r4+r5 each); still run by the full-registry pytest sweep.
     "dedup_embedding_cosine",

@@ -2080,3 +2080,108 @@ def events_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (r6)
+# ---------------------------------------------------------------------------
+
+#: count-min depth (independent md5-seeded hash rows) and width (two hex
+#: chars -> 256 buckets per row); support threshold est*DENOM >= N
+#: (phi = 1/128) kept integer-exact
+CMS_DEPTH = 3
+CMS_PHI_DENOM = 128
+
+_CMS_J_VALUES = ", ".join(f"({j})" for j in range(CMS_DEPTH))
+
+
+@register(
+    "agg_countmin_heavy_hitters",
+    oracle=f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+tot AS (SELECT COUNT(*) AS n FROM ev),
+J AS (SELECT * FROM (VALUES {_CMS_J_VALUES}) AS t(j)),
+sketch AS (
+  SELECT j, substr(md5('cm' || CAST(j AS VARCHAR) || ':' || k), 1, 2) AS bucket,
+         COUNT(*) AS cnt
+  FROM ev CROSS JOIN J GROUP BY 1, 2
+),
+est AS (
+  SELECT p.k, MIN(s.cnt) AS est_count
+  FROM (SELECT DISTINCT k FROM ev) p
+  CROSS JOIN J
+  JOIN sketch s
+    ON s.j = J.j
+   AND s.bucket = substr(md5('cm' || CAST(J.j AS VARCHAR) || ':' || p.k), 1, 2)
+  GROUP BY p.k
+),
+heavy AS (
+  SELECT k, est_count FROM est, tot WHERE est_count * {CMS_PHI_DENOM} >= tot.n
+)
+SELECT CAST(h.k AS BIGINT) AS user_id,
+       CAST(h.est_count AS BIGINT) AS est_count,
+       CAST(COUNT(*) AS BIGINT) AS exact_count
+FROM heavy h JOIN ev ON ev.k = h.k
+GROUP BY 1, 2
+""",
+)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters as a prefilter + exact verify —
+    the bounded-state frequent-items pattern at 100 TB.
+
+    Pass 1 builds the CMS: each event lands in CMS_DEPTH md5-seeded
+    hex-prefix buckets; map-side combine collapses the explode to at
+    most DEPTH*256 counter rows per task before one tiny shuffle — the
+    sketch is {CMS_DEPTH}x256 rows TOTAL regardless of corpus size.
+    Pass 2 probes: distinct keys join the BROADCAST sketch on
+    (row, bucket) and take the min counter — the classic CMS
+    overestimate, engine-exact because the hashes are md5 and the
+    counters integers.  Keys whose estimate clears the integer support
+    threshold (est*{CMS_PHI_DENOM} >= N) become candidates; only THEY
+    get the exact verification count (broadcast semi-style join back to
+    the fact), so the expensive exact aggregation is restricted to the
+    sketch's survivor set.  est_count >= exact_count always (CMS never
+    underestimates).  No per-key state beyond the distinct-key pass;
+    the sketch itself is mergeable across partitions/days by counter
+    addition.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    js = F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+
+    def bucket(j_col, k_col):
+        return F.substring(
+            F.md5(F.concat(F.lit("cm"), j_col.cast("string"), F.lit(":"), k_col)),
+            1,
+            2,
+        )
+
+    exploded = ev.select("k", F.explode(js).alias("j"))
+    sketch = (
+        exploded.select("j", bucket(F.col("j"), F.col("k")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("n"))
+    est = (
+        ev.distinct()
+        .select("k", F.explode(js).alias("j"))
+        .withColumn("bucket", bucket(F.col("j"), F.col("k")))
+        .join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("k")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    heavy = est.crossJoin(F.broadcast(total)).filter(
+        F.col("est_count") * CMS_PHI_DENOM >= F.col("n")
+    )
+    return (
+        ev.join(F.broadcast(heavy), "k")
+        .groupBy("k", "est_count")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .select(
+            F.col("k").cast("long").alias("user_id"),
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+        )
+    )

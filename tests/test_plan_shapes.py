@@ -190,3 +190,12 @@ def test_global_shuffle_no_corpus_single_partition_sort(spark, sf_dir):
     for line in plan.splitlines():
         if "Sort " in line and "SortMergeJoin" not in line:
             assert "global=false" in line or "global=true" not in line, line
+
+
+def test_countmin_sketch_broadcast_only(spark, sf_dir):
+    """CMS heavy hitters: sketch and candidate set join BROADCAST (both
+    bounded — <=768 counter rows, survivors only); the corpus-scaled
+    side must never sort-merge."""
+    plan = _plan(spark, sf_dir, "agg_countmin_heavy_hitters")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
