@@ -131,6 +131,7 @@ _PRIORITY: list[str] = [
     "text_gopher_quality_gates",
     "curate_global_shuffle",
     "agg_countmin_heavy_hitters",
+    "events_max_concurrency_sweep",
     # ---- displaced from the r5 window (three driver-green rounds
     # r3+r4+r5 each); still run by the full-registry pytest sweep.
     "dedup_embedding_cosine",

@@ -2185,3 +2185,90 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_count").cast("long").alias("exact_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval concurrency via distributed sweep-line (r6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_max_concurrency_sweep",
+    oracle="""
+WITH spans AS (
+  SELECT user_id, date_trunc('day', ts) AS d, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM events GROUP BY 1, 2
+),
+deltas AS (
+  SELECT t0 AS ts, 1 AS delta FROM spans
+  UNION ALL
+  SELECT t1 AS ts, -1 AS delta FROM spans
+),
+sweep AS (
+  SELECT ts, delta,
+         SUM(delta) OVER (ORDER BY ts, delta ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas
+)
+SELECT date_trunc('hour', ts) AS hour,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+       CAST(COUNT(*) AS BIGINT) AS n_boundaries
+FROM sweep GROUP BY 1
+""",
+)
+def events_max_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per hour — the sweep-line counting that
+    answers "how many users were active at once" WITHOUT enumerating the
+    O(n^2) overlapping pairs, decomposed so the prefix sum never runs on
+    one task.
+
+    Each user-day activity span [min ts, max ts] becomes a +1/-1
+    boundary pair; ends sort before starts at the same instant
+    (ORDER BY ts, delta — half-open semantics, deterministic because
+    the within-tie order cannot change the multiset of prefix values).
+    The naive form is SUM(delta) OVER (ORDER BY ts) — a SinglePartition
+    window, the classic sweep-line scale-killer.  Here it is split:
+
+    1. within-hour running sums — a window PARTITIONED by hour, fully
+       parallel (one hour shuffle);
+    2. carry-in per hour = cumulative net delta of all PRIOR hours —
+       computed on the per-hour aggregate (a tiny |hours|-row frame)
+       and broadcast back.
+
+    peak(hour) = carry(hour) + max(within-hour prefix).  Identical to
+    the oracle's global cumsum by associativity of prefix sums; the
+    only global structure is the |hours|-row carry table, so the plan
+    survives a 100-TB event history (same two-phase shape as
+    curate_global_shuffle's position assignment).
+    """
+    ev = table(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    deltas = spans.select(F.col("t0").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        spans.select(F.col("t1").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    hour = F.date_trunc("hour", "ts")
+    in_hour = Window.partitionBy(hour).orderBy("ts", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = deltas.select(
+        hour.alias("hour"),
+        F.sum("delta").over(in_hour).alias("prefix"),
+    )
+    per_hour = swept.groupBy("hour").agg(
+        F.max("prefix").alias("max_prefix"),
+        F.count(F.lit(1)).alias("n_boundaries"),
+    )
+    net = deltas.groupBy(hour.alias("hour")).agg(F.sum("delta").alias("net"))
+    carry_w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)
+    carry = net.select(
+        "hour", F.coalesce(F.sum("net").over(carry_w), F.lit(0)).alias("carry")
+    )
+    return (
+        per_hour.join(F.broadcast(carry), "hour")
+        .select(
+            "hour",
+            (F.col("carry") + F.col("max_prefix")).cast("long").alias("max_concurrent"),
+            F.col("n_boundaries").cast("long").alias("n_boundaries"),
+        )
+    )

@@ -199,3 +199,12 @@ def test_countmin_sketch_broadcast_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_countmin_heavy_hitters")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_sweep_concurrency_no_global_window(spark, sf_dir):
+    """The sweep-line prefix sum must run per-hour (partitioned window);
+    the only SinglePartition structure allowed is the |hours|-row carry
+    cumsum, joined back broadcast."""
+    plan = _plan(spark, sf_dir, "events_max_concurrency_sweep")
+    assert plan.count("SinglePartition") <= 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" in plan
