@@ -132,6 +132,7 @@ _PRIORITY: list[str] = [
     "curate_global_shuffle",
     "agg_countmin_heavy_hitters",
     "events_max_concurrency_sweep",
+    "streaming_countmin_sketch",
     # ---- displaced from the r5 window (three driver-green rounds
     # r3+r4+r5 each); still run by the full-registry pytest sweep.
     "dedup_embedding_cosine",

@@ -2095,9 +2095,7 @@ CMS_PHI_DENOM = 128
 _CMS_J_VALUES = ", ".join(f"({j})" for j in range(CMS_DEPTH))
 
 
-@register(
-    "agg_countmin_heavy_hitters",
-    oracle=f"""
+CMS_ORACLE = f"""
 WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
 tot AS (SELECT COUNT(*) AS n FROM ev),
 J AS (SELECT * FROM (VALUES {_CMS_J_VALUES}) AS t(j)),
@@ -2123,8 +2121,10 @@ SELECT CAST(h.k AS BIGINT) AS user_id,
        CAST(COUNT(*) AS BIGINT) AS exact_count
 FROM heavy h JOIN ev ON ev.k = h.k
 GROUP BY 1, 2
-""",
-)
+"""
+
+
+@register("agg_countmin_heavy_hitters", oracle=CMS_ORACLE)
 def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters as a prefilter + exact verify —
     the bounded-state frequent-items pattern at 100 TB.
@@ -2148,26 +2148,48 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("k")
     )
-    js = F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+    return cms_heavy_hitters(ev, cms_build_sketch(ev))
 
-    def bucket(j_col, k_col):
-        return F.substring(
-            F.md5(F.concat(F.lit("cm"), j_col.cast("string"), F.lit(":"), k_col)),
-            1,
-            2,
-        )
 
-    exploded = ev.select("k", F.explode(js).alias("j"))
-    sketch = (
-        exploded.select("j", bucket(F.col("j"), F.col("k")).alias("bucket"))
+def _cms_js() -> "F.Column":
+    return F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+
+
+def cms_bucket(j_col, k_col) -> "F.Column":
+    """Two-hex-char md5 bucket of key ``k`` in sketch row ``j`` — the
+    deterministic cross-engine hash family shared by the batch and
+    streaming CMS gates."""
+    return F.substring(
+        F.md5(F.concat(F.lit("cm"), j_col.cast("string"), F.lit(":"), k_col)),
+        1,
+        2,
+    )
+
+
+def cms_build_sketch(ev: DataFrame) -> DataFrame:
+    """(j, bucket, cnt) counter table from a one-column frame of keys
+    ``k`` — map-side combine collapses the explode to <= DEPTH*256 rows
+    per task before one tiny shuffle.  Works identically on a streaming
+    frame (complete-mode aggregate: sketch state is bounded by
+    construction, which is exactly why CMS is the streaming frequent-
+    items structure)."""
+    return (
+        ev.select("k", F.explode(_cms_js()).alias("j"))
+        .select("j", cms_bucket(F.col("j"), F.col("k")).alias("bucket"))
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def cms_heavy_hitters(ev: DataFrame, sketch: DataFrame) -> DataFrame:
+    """Probe + exact-verify half of the CMS gate: estimate every distinct
+    key against the broadcast sketch, keep keys clearing the integer
+    support threshold, and count exactly only those survivors."""
     total = ev.agg(F.count(F.lit(1)).alias("n"))
     est = (
         ev.distinct()
-        .select("k", F.explode(js).alias("j"))
-        .withColumn("bucket", bucket(F.col("j"), F.col("k")))
+        .select("k", F.explode(_cms_js()).alias("j"))
+        .withColumn("bucket", cms_bucket(F.col("j"), F.col("k")))
         .join(F.broadcast(sketch), ["j", "bucket"])
         .groupBy("k")
         .agg(F.min("cnt").alias("est_count"))

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.operators import enrich_stream_static
+from . import relational
 from .relational import register
 from .tables import normalize_event_ts, table
 
@@ -817,3 +818,30 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(target, ignore_errors=True)
+
+
+@register("streaming_countmin_sketch", oracle=relational.CMS_ORACLE)
+def streaming_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained INCREMENTALLY by a real stream:
+    the (j, bucket) counter aggregate runs as a complete-mode streaming
+    aggregation — legal without a watermark precisely because CMS state
+    is bounded at DEPTH*256 counters no matter how much data flows — and
+    the drained sketch feeds the same probe + exact-verify plan as the
+    batch gate (``relational.cms_heavy_hitters``).  Equality with the
+    batch oracle IS the mergeability proof: counters accumulated
+    micro-batch by micro-batch equal counters built in one pass, because
+    the sketch is a sum.
+
+    100-TB note: this is the streaming frequent-items serving pattern —
+    per-micro-batch state is a few KB, the sink table is 768 rows, and
+    the expensive exact verification runs batch-side only on the
+    sketch's survivor set.
+    """
+    ev_s = _events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    sketch = _drain_to_memory(relational.cms_build_sketch(ev_s), "complete")
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    return relational.cms_heavy_hitters(ev, sketch)
