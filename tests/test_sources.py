@@ -67,3 +67,25 @@ def test_rate_source_smoke(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert spark.table("rate_smoke").collect()[0]["n"] >= 0
+
+
+def test_orc_scan_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC is Spark-native alongside parquet: round-trip the orders
+    table and check predicate pushdown reaches the ORC scan."""
+    orders = table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    orders.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == orders.count()
+    assert sorted(back.columns) == sorted(orders.columns)
+    plan = (
+        back.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[-1]
+    got = back.filter(F.col("o_orderstatus") == "F").count()
+    want = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert got == want
