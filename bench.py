@@ -48,6 +48,10 @@ HEADLINE = [
     "dedup_bloom_incremental",
     "sim_ann_ivfpq",
     "curate_chunk_overlap",
+    # r6 family representatives: the single-range-shuffle global shuffle
+    # and the constant-state CMS prefilter + exact verify
+    "curate_global_shuffle",
+    "agg_countmin_heavy_hitters",
 ]
 
 

@@ -25,18 +25,15 @@ from . import collector_queries, relational, streaming_queries, tpch_patterns  #
 from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401  (registration side effects)
 
 # First 50 = the driver-graded window. Order within the window groups by
-# subsystem; order past the window is alphabetical-ish legacy order.
+# subsystem; order past the window is rotation-staged (see tranche
+# comments below), then legacy order.
 #
-# r5 rotation (VERDICT r4 top item): the 11 queries that had NEVER
-# appeared in any CORRECTNESS_r*.json (added r3/r4 past the window) move
-# INTO the window, plus the two new streaming gates
-# (streaming_leftouter_join, streaming_session_timeout_flush) —
-# displacing the thirteen most-confirmed entries (eleven with 4
-# driver-green rounds r1-r4; agg_approx_distinct and dedup_simhash with
-# 2).  After r5 every query registered BEFORE r5 has at least one
-# external driver-green CORRECTNESS row; the operators ADDED in r5
-# (slots 105+) hold local-sweep evidence only and rotate into the
-# window in r6.
+# r6 rotation (VERDICT r5 top item): tranche 1 — the 24 r5 additions
+# that had never been driver-graded — moves into slots 1-24, displacing
+# the 24 most-confirmed (3x driver-green) r5-window entries.  Tranche 2
+# (the 19 remaining r5 additions) is pre-staged contiguously at slot
+# 51+ and rotates in in r7 together with tranche 3 (the r6 additions);
+# after r7 every registered query has >=1 driver-green CORRECTNESS row.
 _PRIORITY: list[str] = [
     # ---- slots 1-24: r6 rotation tranche 1 (VERDICT r5 top item).  The
     # 24 r5-added queries that had never been graded by the external
@@ -127,7 +124,7 @@ _PRIORITY: list[str] = [
     "events_zorder_pruned",
     "curate_snapshot_diff",
     # ---- tranche 3 (r6 additions, local sweep only): window these WITH
-    # tranche 2 in r7 (19 + 2 = 21 rotate in, 29 keeps stay).
+    # tranche 2 in r7 (19 + 5 = 24 rotate in, 26 keeps stay).
     "text_gopher_quality_gates",
     "curate_global_shuffle",
     "agg_countmin_heavy_hitters",
