@@ -2300,3 +2300,56 @@ def events_max_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_boundaries").cast("long").alias("n_boundaries"),
         )
     )
+
+
+@register(
+    "events_sliding_window_stats",
+    oracle="""
+WITH k AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(k)),
+w AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts)
+           - k.k * INTERVAL '15 minutes' AS window_start,
+         user_id, value
+  FROM events CROSS JOIN k
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM w GROUP BY 1
+""",
+)
+def events_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows — 1 h span hopping every
+    15 min, so each event lands in exactly 4 overlapping windows.
+    ``F.window(ts, '1 hour', '15 minutes')`` is the native Spark
+    operator (epoch-aligned starts, end-exclusive), mirrored in the
+    oracle by the k=0..3 window-start expansion over
+    ``time_bucket``-floored timestamps.  Values aggregate as exact
+    cents (the repo's fixed-point convention) so the doubles never
+    cross the engine boundary.
+
+    100-TB note: the explode is bounded at span/slide = 4 copies before
+    map-side combine collapses them — one shuffle keyed by window
+    start, the same cost shape as the tumbling rollup.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_users",
+            "value_cents",
+        )
+    )
