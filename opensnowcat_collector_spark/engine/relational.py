@@ -2353,3 +2353,91 @@ def events_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase'
+              THEN struct_pack(ts := ts, event_id := event_id) END AS p
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+f AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(p) OVER wp AS prv,
+         MIN(p) OVER wn AS nxt
+  FROM o
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+m AS (
+  SELECT user_id, event_id, ts, prv, nxt,
+         CASE WHEN prv.ts IS NULL THEN 'next'
+              WHEN nxt.ts IS NULL THEN 'prev'
+              WHEN ts - prv.ts <= nxt.ts - ts THEN 'prev'
+              ELSE 'next' END AS direction
+  FROM f
+  WHERE event_type = 'click' AND (prv.ts IS NOT NULL OR nxt.ts IS NOT NULL)
+)
+SELECT user_id,
+       event_id AS click_id,
+       ts AS click_ts,
+       CASE WHEN direction = 'prev' THEN prv.event_id ELSE nxt.event_id END AS purchase_id,
+       CASE WHEN direction = 'prev' THEN prv.ts ELSE nxt.ts END AS purchase_ts,
+       direction
+FROM m
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each click matched to the temporally closest
+    same-user purchase in EITHER direction — completing the as-of family
+    (backward = ``join_asof_last_click``, forward =
+    ``join_asof_forward_tolerance``).  Ties at equal distance go to the
+    earlier (prev) purchase; equal-timestamp purchases tie-break through
+    the struct extremum exactly as in the forward variant (prev = struct
+    MAX over preceding, next = struct MIN over following — both
+    lexicographic on (ts, event_id), identical in Spark and DuckDB).
+
+    Same scalable shape as its siblings: one interleaved stream, one
+    user_id shuffle shared by both window frames, never a per-row range
+    join."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = F.when(F.col("event_type") == "purchase", F.struct("ts", "event_id"))
+    prv = F.max(p).over(base.rowsBetween(Window.unboundedPreceding, -1))
+    nxt = F.min(p).over(base.rowsBetween(1, Window.unboundedFollowing))
+    ts_d = F.col("ts").cast("double")
+    direction = (
+        F.when(F.col("prv.ts").isNull(), "next")
+        .when(F.col("nxt.ts").isNull(), "prev")
+        .when(
+            ts_d - F.col("prv.ts").cast("double")
+            <= F.col("nxt.ts").cast("double") - ts_d,
+            "prev",
+        )
+        .otherwise("next")
+    )
+    chosen = F.when(F.col("direction") == "prev", F.col("prv")).otherwise(F.col("nxt"))
+    return (
+        e.withColumn("prv", prv)
+        .withColumn("nxt", nxt)
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("prv").isNotNull() | F.col("nxt").isNotNull())
+        )
+        .withColumn("direction", direction)
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            chosen["event_id"].alias("purchase_id"),
+            chosen["ts"].alias("purchase_ts"),
+            "direction",
+        )
+    )
