@@ -1031,3 +1031,68 @@ def curate_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic importance resampling / epoch upsampling (r6)
+# ---------------------------------------------------------------------------
+
+#: fractional-copy coin: one extra copy when md5(doc_id:rs) starts below
+#: this hex threshold (= probability 1/2), the same hash-threshold
+#: mechanism as curate_train_val_split — reproducible, engine-identical
+RESAMPLE_EXTRA_PREFIX = "80"
+
+
+@register(
+    "curate_importance_resample",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(SUBSTR(source, 4) AS INT) % 4 AS m
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         (2 + m) // 2
+           + CASE WHEN (2 + m) % 2 = 1
+                   AND md5(CAST(doc_id AS VARCHAR) || ':rs') < '{RESAMPLE_EXTRA_PREFIX}'
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM d
+)
+SELECT doc_id, source,
+       UNNEST(generate_series(0, n_copies - 1)) AS copy_idx
+FROM c
+""",
+)
+def curate_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize an importance-resampled training epoch: each doc is
+    replicated by a per-source sampling factor with a FRACTIONAL part —
+    integer copies via ``explode(sequence(...))``, the extra fractional
+    copy decided by an md5 hash-threshold coin (deterministic per doc,
+    reproducible across engines/runs — the same mechanism as the
+    train/val split, never a random() that breaks lineage).
+
+    The demo factor is 1.0/1.5/2.0/2.5 cycling by source ordinal,
+    carried in half-units so every comparison is integer; a production
+    pipeline plugs the temperature-mix weights in the same slot.
+
+    100-TB note: zero shuffles — factor assignment and replication are
+    scan-stage projections, and the bounded explode (<= ceil(max factor)
+    copies) is the standard upsampling shape; downstream consumers see
+    (doc_id, copy_idx) so sequence packing stays deterministic.
+    """
+    d = table(spark, sf_dir, "documents")
+    m = F.substring("source", 4, 10).cast("int") % 4
+    half_units = 2 + m
+    extra = (
+        (half_units % 2 == 1)
+        & (
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rs")))
+            < RESAMPLE_EXTRA_PREFIX
+        )
+    ).cast("int")
+    n_copies = (F.floor(half_units / 2) + extra).cast("int")
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), n_copies - 1)).alias("copy_idx"),
+    )
