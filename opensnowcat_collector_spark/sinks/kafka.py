@@ -20,9 +20,24 @@ from ..config import BufferConfig
 from .base import Sink
 
 
+#: KafkaTimeouts defaults (model.scala:154-159) — the non-blocking
+#: producer guards the reference sets so a down broker cannot stall the
+#: collector (KafkaSink.scala:390-396)
+KAFKA_MAX_BLOCK_MS = 5000
+KAFKA_REQUEST_TIMEOUT_MS = 5000
+KAFKA_DELIVERY_TIMEOUT_MS = 10000
+KAFKA_METADATA_MAX_AGE_MS = 5000
+
+
 def kafka_options(
     brokers: str, topic: str, buffer: BufferConfig, extra: dict[str, str] | None = None
 ) -> dict[str, str]:
+    """Spark kafka-writer options mirroring the reference's producer
+    props (KafkaSink.scala:377-400): acks=all, retries,
+    buffer.memory=byteLimit, linger.ms=timeLimit, plus the four
+    KafkaTimeouts guards.  ``kafka.``-prefixed keys pass through Spark's
+    connector to the underlying producer verbatim; serializers are owned
+    by the connector (key/value binary columns), not set here."""
     opts = {
         "kafka.bootstrap.servers": brokers,
         "topic": topic,
@@ -30,6 +45,10 @@ def kafka_options(
         "kafka.linger.ms": str(buffer.time_limit_ms),
         "kafka.buffer.memory": str(buffer.byte_limit),
         "kafka.retries": "10",
+        "kafka.max.block.ms": str(KAFKA_MAX_BLOCK_MS),
+        "kafka.request.timeout.ms": str(KAFKA_REQUEST_TIMEOUT_MS),
+        "kafka.delivery.timeout.ms": str(KAFKA_DELIVERY_TIMEOUT_MS),
+        "kafka.metadata.max.age.ms": str(KAFKA_METADATA_MAX_AGE_MS),
     }
     opts.update(extra or {})
     return opts

@@ -438,3 +438,52 @@ def test_sqs_1mib_guard_exact_accounting():
     assert len(run(786357)) == 1  # exactly at the cap: ships
     with pytest.raises(RuntimeError, match="exceed"):
         run(786358)
+
+
+# --- K2 Kafka wire shape ----------------------------------------------------
+
+
+def test_kafka_options_exact_producer_props():
+    """KafkaSink.scala:377-400 + model.scala KafkaTimeouts defaults: the
+    writer options must carry acks=all, retries, the BufferConfig-mapped
+    buffer.memory/linger.ms, and the four non-blocking timeout guards —
+    as exact strings (Spark passes kafka.* options to the producer
+    verbatim)."""
+    from opensnowcat_collector_spark.config import BufferConfig
+    from opensnowcat_collector_spark.sinks.kafka import kafka_options
+
+    buf = BufferConfig(byte_limit=3145728, time_limit_ms=500)
+    assert kafka_options("broker1:9092,broker2:9092", "events", buf) == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "topic": "events",
+        "kafka.acks": "all",
+        "kafka.linger.ms": "500",
+        "kafka.buffer.memory": "3145728",
+        "kafka.retries": "10",
+        "kafka.max.block.ms": "5000",
+        "kafka.request.timeout.ms": "5000",
+        "kafka.delivery.timeout.ms": "10000",
+        "kafka.metadata.max.age.ms": "5000",
+    }
+    # producerConf passthrough (KafkaSink.scala:398: producerConf
+    # entries override/extend the computed props)
+    assert (
+        kafka_options("b:9092", "t", buf, extra={"kafka.compression.type": "lz4"})[
+            "kafka.compression.type"
+        ]
+        == "lz4"
+    )
+
+
+def test_kafka_record_mapping(spark):
+    """(partition_key, serialized) -> (key, value): the partition key is
+    the kafka record key, so same-user events keep per-partition order —
+    the reference's KafkaProducer[String, Array[Byte]] contract."""
+    from opensnowcat_collector_spark.sinks.kafka import to_kafka_records
+
+    recs = to_kafka_records(_records_df(spark, 3)).collect()
+    assert [(r["key"], r["value"]) for r in recs] == [
+        ("pk-0", '{"r": 0}'),
+        ("pk-1", '{"r": 1}'),
+        ("pk-2", '{"r": 2}'),
+    ]
