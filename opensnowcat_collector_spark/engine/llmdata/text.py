@@ -826,3 +826,128 @@ def text_gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         g_stop.alias("gate_stopwords"),
         (g_wc & g_mwl & g_sym & g_bul & g_stop).alias("passes_gopher"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained char-ngram language ID (r6)
+# ---------------------------------------------------------------------------
+
+#: profile size: top-K char-3grams per language (Cavnar-Trenkle-style
+#: out-of-place ranking simplified to integer profile overlap)
+LANGID_PROFILE_K = 50
+#: profiles train on the deterministic md5 doc sample below this hex
+#: prefix (~1/8 of docs) — profile counts converge long before the full
+#: corpus, so the training pass reads a fraction of the score pass
+LANGID_TRAIN_PREFIX = "20"
+
+
+@register(
+    "text_langid_ngram_profiles",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, lang,
+         substr(lower(text), UNNEST(generate_series(1, length(text) - 2)), 3) AS gram
+  FROM documents
+),
+prof AS (
+  SELECT lang, gram, COUNT(*) AS c FROM grams
+  WHERE md5(CAST(doc_id AS VARCHAR) || ':lp') < '{LANGID_TRAIN_PREFIX}'
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT lang, gram FROM (
+    SELECT lang, gram,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rn
+    FROM prof
+  ) WHERE rn <= {LANGID_PROFILE_K}
+),
+overlap AS (
+  SELECT g.doc_id, g.lang AS true_lang, t.lang AS cand,
+         COUNT(DISTINCT g.gram) AS n_overlap
+  FROM grams g JOIN topk t USING (gram)
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, true_lang, cand AS pred_lang, n_overlap,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n_overlap DESC, cand) AS rn
+  FROM overlap
+)
+SELECT doc_id, true_lang, pred_lang,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       pred_lang = true_lang AS is_correct
+FROM pred WHERE rn = 1
+""",
+)
+def text_langid_ngram_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID from CORPUS-TRAINED character-3-gram profiles —
+    train and score in one declarative plan (the same no-model-file
+    pattern as ``text_unigram_logprob``, but over char n-grams, the
+    signal real LID models use).
+
+    Train: top-{LANGID_PROFILE_K} 3-grams per language by count over a
+    deterministic md5 doc sample (~1/8 — profile counts converge long
+    before the full corpus, so the train pass reads a fraction of what
+    scoring reads; rank: count desc, gram asc).  Score: a doc's
+    prediction is the language whose profile shares the most DISTINCT
+    3-grams with it — a pure integer overlap, so argmax + tie-break
+    (overlap desc, lang asc) is engine-exact with no float scoring.
+
+    Dataflow: the gram explode is a scan-stage projection
+    (explode(sequence) + dynamic substring in a separate projection —
+    Spark rejects generators nested in expressions; no lambda HOFs),
+    recomputed per consumer — deliberately NOT checkpointed: the
+    explode is scan-stage codegen and re-running it is cheaper than
+    materializing the full gram frame (measured: a localCheckpoint here
+    stalled the 32x probe).  Profiles aggregate to |lang x gram| and rank in a tiny per-lang
+    window; scoring joins the BROADCAST profile (5x{LANGID_PROFILE_K}
+    rows) and counts DISTINCT matching grams per (doc, language) in one
+    aggregation — partial map-side dedup, no standalone distinct
+    shuffle.  Linear in corpus chars, profile side constant.
+
+    Honesty note: in the synthetic corpus the ``lang`` label is
+    independent of the text (same vocabulary for every language), so
+    ``is_correct`` sits at chance by construction — the oracle grades
+    the deterministic train+score computation, not model quality; on a
+    real multilingual corpus the same plan is the standard profile LID.
+    """
+    d = table(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.lower("text").alias("lt"),
+            F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
+        )
+        .select("doc_id", "lang", F.expr("substring(lt, i, 3)").alias("gram"))
+    )
+    train = grams.filter(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":lp")))
+        < LANGID_TRAIN_PREFIX
+    )
+    prof = train.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "gram")
+    topk = (
+        prof.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= LANGID_PROFILE_K)
+        .select(F.col("lang").alias("cand"), "gram")
+    )
+    overlap = (
+        grams.join(F.broadcast(topk), "gram")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "cand")
+        .agg(F.count_distinct("gram").alias("n_overlap"))
+    )
+    pred_w = Window.partitionBy("doc_id").orderBy(F.col("n_overlap").desc(), "cand")
+    return (
+        overlap.withColumn("rn", F.row_number().over(pred_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("cand").alias("pred_lang"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            (F.col("cand") == F.col("true_lang")).alias("is_correct"),
+        )
+    )
