@@ -208,3 +208,24 @@ def test_sweep_concurrency_no_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_max_concurrency_sweep")
     assert plan.count("SinglePartition") <= 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("events_sliding_window_stats", 2),  # one window-start shuffle (+AQE read)
+        ("join_asof_nearest", 1),  # one user_id shuffle shared by both frames
+        ("curate_importance_resample", 0),  # scan-stage replication
+    ],
+)
+def test_r6_ops_exchange_budget(spark, sf_dir, name, max_exchanges):
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("Exchange") <= max_exchanges, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_langid_profiles_broadcast_scoring(spark, sf_dir):
+    """The 250-row profile must broadcast into the scoring join; the
+    corpus-scaled gram side never sort-merges."""
+    plan = _plan(spark, sf_dir, "text_langid_ngram_profiles")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
