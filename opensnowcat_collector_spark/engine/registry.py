@@ -124,7 +124,7 @@ _PRIORITY: list[str] = [
     "events_zorder_pruned",
     "curate_snapshot_diff",
     # ---- tranche 3 (r6 additions, local sweep only): window these WITH
-    # tranche 2 in r7 (19 + 9 = 28 rotate in, 22 keeps stay).
+    # tranche 2 in r7 (19 + 10 = 29 rotate in, 21 keeps stay).
     "text_gopher_quality_gates",
     "curate_global_shuffle",
     "agg_countmin_heavy_hitters",
@@ -134,6 +134,7 @@ _PRIORITY: list[str] = [
     "join_asof_nearest",
     "curate_importance_resample",
     "text_langid_ngram_profiles",
+    "streaming_sliding_window",
     # ---- displaced from the r5 window (three driver-green rounds
     # r3+r4+r5 each); still run by the full-registry pytest sweep.
     "dedup_embedding_cosine",

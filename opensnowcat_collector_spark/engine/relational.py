@@ -2302,9 +2302,7 @@ def events_max_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_sliding_window_stats",
-    oracle="""
+SLIDING_WINDOW_ORACLE = """
 WITH k AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(k)),
 w AS (
   SELECT time_bucket(INTERVAL '15 minutes', ts)
@@ -2318,8 +2316,10 @@ SELECT window_start,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
 FROM w GROUP BY 1
-""",
-)
+"""
+
+
+@register("events_sliding_window_stats", oracle=SLIDING_WINDOW_ORACLE)
 def events_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) event-time windows — 1 h span hopping every
     15 min, so each event lands in exactly 4 overlapping windows.

@@ -845,3 +845,54 @@ def streaming_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("k")
     )
     return relational.cms_heavy_hitters(ev, sketch)
+
+
+@register(
+    "streaming_sliding_window",
+    oracle="""
+WITH k AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(k)),
+w AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts)
+           - k.k * INTERVAL '15 minutes' AS window_start,
+         value
+  FROM events CROSS JOIN k
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM w GROUP BY 1
+""",
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hopping-window rollup under a REAL stream: same 1h/15min
+    ``F.window`` as the batch twin (``events_sliding_window_stats``),
+    complete-mode drain so every window — including the ones the final
+    watermark never passes — reaches the sink and the result equals the
+    batch oracle exactly.  (The twin's exact distinct-user count is
+    batch-only: streaming aggregation forbids exact COUNT(DISTINCT), by
+    design — unbounded per-group state.)
+
+    100-TB note: in production this runs append-mode with the watermark
+    closing windows incrementally (state = open windows only, 4 per
+    event-time slice); complete mode here is the gate's drain choice so
+    the graded table is the full history, mirroring
+    ``streaming_hourly_rollup``'s contract.
+    """
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+    return _drain_to_memory(agg, "complete").select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_events",
+        "value_cents",
+    )
