@@ -19,6 +19,34 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# The frozen r1 21-query subset (BASELINE.md "Measured r1 numbers").  Its
+# total is emitted every run as r1_like_for_like_total so cross-round
+# ratios against the r1-pinned baseline stay one-glance comparable while
+# the headline list keeps growing (judge VERDICT r6 item 8).
+R1_SUBSET = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "join_left_order_counts",
+    "window_rank_acctbal",
+    "window_running_spend",
+    "events_sessionize",
+    "events_hourly_rollup",
+    "events_tumbling_15min",
+    "collector_enrich_events",
+    "join_asof_last_click",
+    "dedup_embedding_cosine",
+    "agg_rollup_region_nation",
+    "topk_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "text_fingerprint",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh",
+]
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -52,6 +80,9 @@ HEADLINE = [
     # and the constant-state CMS prefilter + exact verify
     "curate_global_shuffle",
     "agg_countmin_heavy_hitters",
+    # r7: the §2.4 split/size-guard path (JVM thrift-size routing +
+    # mapInPandas bin-packing on the oversized subset)
+    "collector_split_accounting",
 ]
 
 
@@ -111,6 +142,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_total": round(sum(cold.values()), 3),
+                "r1_like_for_like_total": round(
+                    sum(timings[n] for n in R1_SUBSET if n in timings), 3
+                ),
                 "sf": float(sf) if sf else None,
             }
         )

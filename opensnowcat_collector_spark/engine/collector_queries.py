@@ -27,7 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import pipeline
-from ..config import CollectorConfig, CookieBounceConfig, DoNotTrackCookieConfig
+from ..config import (
+    CollectorConfig,
+    CookieBounceConfig,
+    DoNotTrackCookieConfig,
+    RedirectMacroConfig,
+    SinkConfig,
+)
 from .relational import register
 from .tables import table
 
@@ -416,4 +422,450 @@ def collector_bounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bounce",
         F.col("network_user_id").alias("resolved_nuid"),
         F.col("qs_bouncing").alias("already_bouncing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 + F7 + T10 split/size-guard accounting under the oracle gate: the
+# reference's signature transform (SplitBatch.scala:48-113) end-to-end
+# through the REAL pipeline.run size routing + mapInPandas split stage,
+# graded per-request against a closed-form DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_SPLIT_CFG = CollectorConfig(
+    deterministic_now_ms=1705320000000,
+    good_sink=SinkConfig(max_bytes=700),  # small cap so fixtures stay compact
+)
+
+# Closed-form size constants under the default "thrift" accounting
+# (TBinaryProtocol, thrift_codec.encode_collector_payload — pinned
+# byte-exact by tests/test_split.py and test_collector_split_constants):
+#   OP  = 303  thrift bytes of a tp2 POST payload minus len(querystring)
+#              + len(network_user_id) + len(body)   [all other fields fixed]
+#   OG  = 220  same for a pixel GET (no body/content_type, empty headers)
+#   s   = 26   compact-JSON bytes of a small data element
+#              {"e":"pv","i":"<9 digits>"}
+#   S   = 435  big element (adds ,"pad":"<400 x's>")
+# With L = len(str(user_id)) and n = 3 + user_id % 40 elements:
+#   whole(split body) = OP + (12+L) + (2+L) + 54 + ibd  [54 = envelope chars]
+#   maximum = max_bytes - whole + ibd = 329 - 2L        [ibd cancels]
+#   k = maximum // 27 elements per batch; n_batches = ceil(n_small / k)
+_SPLIT_ORACLE = """
+WITH p AS (
+  SELECT 'ev-' || CAST(event_id AS VARCHAR) AS request_id,
+         user_id % 8 AS m,
+         3 + user_id % 40 AS n,
+         length(CAST(user_id AS VARCHAR)) AS l
+  FROM events
+), f AS (
+  SELECT request_id, m, n, l,
+         (329 - 2*l) // 27 AS k,
+         (n + 2) // 3 AS nbig,
+         n - (n + 2) // 3 AS nsmall,
+         372 + 2*l + 27*n AS whole1
+  FROM p
+)
+SELECT request_id,
+       CAST(CASE WHEN m = 0 THEN 1
+                 WHEN m = 1 AND whole1 < 700 THEN 1
+                 WHEN m = 1 THEN (n + k - 1) // k
+                 WHEN m = 4 THEN (nsmall + k - 1) // k
+                 ELSE 0 END AS BIGINT) AS n_good,
+       CAST(CASE WHEN m IN (0, 1) THEN 0
+                 WHEN m = 4 THEN nbig
+                 ELSE 1 END AS BIGINT) AS n_bad,
+       CASE WHEN m = 2 THEN 'not_json'
+            WHEN m = 3 THEN 'get'
+            WHEN m = 4 THEN 'element_too_big'
+            WHEN m = 5 THEN 'not_self_describing'
+            WHEN m = 6 THEN 'no_data_array'
+            WHEN m = 7 THEN 'envelope_too_big'
+            END AS reason,
+       CAST(CASE WHEN m = 0 THEN 1
+                 WHEN m = 1 THEN n
+                 WHEN m = 4 THEN nsmall END AS BIGINT) AS n_elements_out,
+       CAST(CASE WHEN m = 2 THEN 1017 + 2*l
+                 WHEN m = 3 THEN 999 + 2*l
+                 WHEN m = 4 THEN 435
+                 WHEN m = 5 THEN 1044 + 2*l
+                 WHEN m = 6 THEN 1073 + 2*l
+                 WHEN m = 7 THEN 1164 + 2*l END AS BIGINT) AS max_bad_size
+FROM f
+"""
+
+_IGLU = "iglu:com.acme/ev/jsonschema/1-0-0"
+
+
+@register("collector_split_accounting", oracle=_SPLIT_ORACLE)
+def collector_split_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 split bin-packing + F7 size guard + T10 size-violation rows,
+    per-request accounting through the REAL ``pipeline.run`` path
+    (SplitBatch.scala:48-113 semantics, SplitBatchSpec.scala:35-158 cases).
+
+    Each event synthesizes one request covering a split branch by
+    ``user_id % 8``: 0 small (never routed to Python), 1 clean greedy
+    first-fit split (small n stays on the JVM fast path — the routing
+    threshold itself is graded), 2 oversized non-JSON POST, 3 oversized
+    pixel GET, 4 split with unsplittable big elements (good batches AND
+    per-element SizeViolations from one request), 5 non-self-describing,
+    6 no data array, 7 envelope-without-data still too big.
+
+    Output per request: good-split count, bad-row count, violation
+    category, total elements preserved across split bodies, and the max
+    SizeViolation actual-size — the last two force the oracle to
+    reproduce the exact thrift size accounting and the greedy walk.
+
+    Scale: synthesis + split are narrow (mapInPandas on the oversized
+    subset only); the accounting is one groupBy(request_id) + two
+    broadcast-free left joins on the same key — co-partitioned by AQE,
+    linear in request count."""
+    e = table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    uid_s = uid.cast("string")
+    m = uid % 8
+    n = (uid % 40 + 3).cast("int")
+    pad760 = "x" * 760
+    pad400 = "x" * 400
+    pad700x = "x" * 700
+    pad700z = "z" * 700
+
+    small_el = lambda i: F.concat(  # noqa: E731
+        F.lit('{"e":"pv","i":"'), F.lpad(i.cast("string"), 9, "0"), F.lit('"}')
+    )
+    big_el = lambda i: F.concat(  # noqa: E731
+        F.lit('{"e":"pv","i":"'),
+        F.lpad(i.cast("string"), 9, "0"),
+        F.lit('","pad":"' + pad400 + '"}'),
+    )
+
+    def sd_body(elements_col) -> F.Column:
+        return F.concat(
+            F.lit('{"schema":"' + _IGLU + '","data":['),
+            F.array_join(elements_col, ","),
+            F.lit("]}"),
+        )
+
+    els_small = F.transform(F.sequence(F.lit(1), n), small_el)
+    els_mixed = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i % 3 == 1, big_el(i)).otherwise(small_el(i)),
+    )
+    one_el = F.array(small_el(F.lit(1)))
+
+    body = (
+        F.when(m == 0, sd_body(one_el))
+        .when(m == 1, sd_body(els_small))
+        .when(m == 2, F.lit(pad700z))
+        .when(m == 3, F.lit(None).cast("string"))
+        .when(m == 4, sd_body(els_mixed))
+        .when(m == 5, F.lit('{"schema":"nope","data":"' + pad700x + '"}'))
+        .when(m == 6, F.lit('{"schema":"' + _IGLU + '","data":"' + pad700x + '"}'))
+        .otherwise(sd_body(one_el))  # m == 7: small body, huge querystring
+    )
+    qs = (
+        F.when(
+            m.isin(3, 7),
+            F.concat(F.lit("e=pv&pad=" + pad760 + "&nuid=u-"), uid_s),
+        ).otherwise(F.concat(F.lit("e=pv&nuid=u-"), uid_s))
+    )
+    is_get = m == 3
+    raw = e.select(
+        F.concat(F.lit("ev-"), F.col("event_id").cast("string")).alias("request_id"),
+        F.when(is_get, F.lit("GET")).otherwise(F.lit("POST")).alias("method"),
+        F.when(is_get, F.lit("/i"))
+        .otherwise(F.lit("/com.snowplowanalytics.snowplow/tp2"))
+        .alias("path"),
+        qs.alias("querystring"),
+        body.alias("body"),
+        F.lit("UA").alias("user_agent"),
+        F.lit(None).cast("string").alias("referer_uri"),
+        F.lit("collector.local").alias("hostname"),
+        F.lit("10.0.0.1").alias("remote_ip"),
+        F.array().cast("array<string>").alias("headers"),
+        F.lit(None).cast("string").alias("origin"),
+        F.create_map().cast("map<string,string>").alias("cookies"),
+        F.when(is_get, F.lit(None).cast("string"))
+        .otherwise(F.lit("application/json"))
+        .alias("content_type"),
+        F.lit(None).cast("string").alias("sp_anonymous"),
+        F.col("ts").alias("request_time"),
+    )
+    res = pipeline.run(raw, _SPLIT_CFG)
+
+    goods = res.good.groupBy("request_id").agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum(
+            F.size(
+                F.from_json(
+                    F.get_json_object("body", "$.data"), "array<map<string,string>>"
+                )
+            )
+        ).cast("long").alias("n_elements_out"),
+    )
+    exp = F.col("bad_expectation")
+    reason = (
+        F.when(exp == "GET requests cannot be split", "get")
+        .when(exp.startswith("cannot split POST requests which are not json"), "not_json")
+        .when(exp == "cannot split POST requests which are not self-describing",
+              "not_self_describing")
+        .when(exp == "cannot split POST requests which do not contain a data array",
+              "no_data_array")
+        .when(exp == 'cannot split this POST request because event without "data"'
+              " field is still too big", "envelope_too_big")
+        .when(exp == "this POST request split is still too large", "element_too_big")
+    )
+    bads = (
+        res.split_out.filter(F.col("is_bad") == 1)
+        .groupBy("request_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bad"),
+            F.max(reason).alias("reason"),
+            F.max("bad_actual_size").cast("long").alias("max_bad_size"),
+        )
+    )
+    base = raw.select("request_id")
+    return (
+        base.join(goods, "request_id", "left")
+        .join(bads, "request_id", "left")
+        .select(
+            "request_id",
+            F.coalesce(F.col("n_good"), F.lit(0)).cast("long").alias("n_good"),
+            F.coalesce(F.col("n_bad"), F.lit(0)).cast("long").alias("n_bad"),
+            "reason",
+            "n_elements_out",
+            "max_bad_size",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 + F5 + T6 under the oracle gate (r7): redirect-domain allowlist,
+# redirect macro expansion, and the Amplitude origin wildcard allowlist —
+# the three remaining request-side filters that were pytest-only.
+# ---------------------------------------------------------------------------
+
+_REDIR_CFG = CollectorConfig(
+    deterministic_now_ms=1705320000000,
+    redirect_domains=("trusted.example.com", "ok.org"),
+    redirect_macro=RedirectMacroConfig(enabled=True),  # default ${SP_NUID}
+    enable_amplitude_bridge=True,
+    amplitude_allowed_domains=("*.allowed.com", "exact.net"),
+)
+
+# ``allowed`` folds F4 (redirect rows) and F5 (amplitude rows) into ONE
+# non-null boolean: nullable booleans hash differently across the two
+# engines' pandas bridges (None vs NaN), and tri-state adds nothing here.
+_REDIR_ORACLE = """
+SELECT 'ev-' || CAST(event_id AS VARCHAR) AS request_id,
+       CASE WHEN user_id % 2 = 0 THEN 'redirect' ELSE 'amplitude' END AS kind,
+       CASE WHEN user_id % 2 = 0 THEN user_id % 10 IN (0, 4, 6)
+            ELSE user_id % 14 IN (1, 3, 5, 7) END AS allowed,
+       CASE WHEN user_id % 2 = 0 AND user_id % 10 = 0
+                 THEN 'https://trusted.example.com/lp'
+            WHEN user_id % 2 = 0 AND user_id % 10 = 4
+                 THEN 'https://sub.ok.org/page'
+            WHEN user_id % 2 = 0 AND user_id % 10 = 6
+                 THEN 'https://trusted.example.com/r/u-' || CAST(user_id AS VARCHAR)
+            END AS redirect_location
+FROM events
+"""
+
+
+@register("collector_redirect_origin_gates", oracle=_REDIR_ORACLE)
+def collector_redirect_origin_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 redirect-domain allowlist (CollectorService.scala:379-399 —
+    note the reference's deliberately permissive substring ``contains``
+    host match), T6 ${SP_NUID} macro expansion (CollectorService.scala
+    redirect macro), and F5 Amplitude origin wildcard allowlist
+    (AmplitudeBridge.scala:56-112: '*.d' and exact entries both admit
+    the apex and subdomains; 'notallowed.com' must NOT match
+    '*.allowed.com') — all through the REAL ``pipeline.enrich``.
+
+    Even user_ids synthesize /r/* redirect GETs cycling five targets
+    (allowed apex, denied host, allowed subdomain, allowed + macro,
+    missing u param); odd user_ids synthesize Amplitude POSTs cycling
+    seven Origin values (subdomain/apex of a wildcard entry,
+    exact-entry apex/subdomain, denied host, the 'notallowed.com'
+    suffix trap, null).  Narrow shuffle-free projection plan."""
+    e = table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    uid_s = uid.cast("string")
+    is_redir = uid % 2 == 0
+    t = (uid % 10) / 2  # 0..4 over even uids
+    target = (
+        F.when(t == 0, F.lit("https://trusted.example.com/lp"))
+        .when(t == 1, F.lit("https://evil.com/phish"))
+        .when(t == 2, F.lit("https://sub.ok.org/page"))
+        .when(t == 3, F.lit("https://trusted.example.com/r/${SP_NUID}"))
+    )  # t == 4: no u param at all
+    qs = F.when(
+        is_redir & (t != 4),
+        F.concat(F.lit("u="), target, F.lit("&nuid=u-"), uid_s),
+    ).otherwise(F.concat(F.lit("nuid=u-"), uid_s))
+    o = ((uid % 14) - 1) / 2  # 0..6 over odd uids (uid % 14 is odd there)
+    origin = (
+        F.when(o == 0, F.lit("app.allowed.com"))
+        .when(o == 1, F.lit("allowed.com"))
+        .when(o == 2, F.lit("exact.net"))
+        .when(o == 3, F.lit("sub.exact.net"))
+        .when(o == 4, F.lit("evil.net"))
+        .when(o == 5, F.lit("notallowed.com"))  # suffix trap: must be denied
+    )  # o == 6: null Origin -> denied
+    amp_body = F.lit('{"api_key":"k","events":[{"device_id":"d","time":1}]}')
+    raw = e.select(
+        F.concat(F.lit("ev-"), F.col("event_id").cast("string")).alias("request_id"),
+        F.when(is_redir, F.lit("GET")).otherwise(F.lit("POST")).alias("method"),
+        F.when(is_redir, F.lit("/r/track"))
+        .otherwise(F.lit("/com.amplitude/2/httpapi"))
+        .alias("path"),
+        qs.alias("querystring"),
+        F.when(is_redir, F.lit(None).cast("string")).otherwise(amp_body).alias("body"),
+        F.lit("UA").alias("user_agent"),
+        F.lit(None).cast("string").alias("referer_uri"),
+        F.lit("collector.local").alias("hostname"),
+        F.lit("10.0.0.1").alias("remote_ip"),
+        F.array().cast("array<string>").alias("headers"),
+        F.when(is_redir, F.lit(None).cast("string")).otherwise(origin).alias("origin"),
+        F.create_map().cast("map<string,string>").alias("cookies"),
+        F.when(is_redir, F.lit(None).cast("string"))
+        .otherwise(F.lit("application/json"))
+        .alias("content_type"),
+        F.lit(None).cast("string").alias("sp_anonymous"),
+        F.col("ts").alias("request_time"),
+    )
+    enriched = pipeline.enrich(raw, _REDIR_CFG)
+    return enriched.select(
+        "request_id",
+        F.when(F.col("is_redirect"), F.lit("redirect"))
+        .otherwise(F.lit("amplitude"))
+        .alias("kind"),
+        F.when(F.col("is_redirect"), F.col("redirect_allowed"))
+        .otherwise(F.col("amp_valid"))
+        .alias("allowed"),
+        "redirect_location",
+    )
+
+
+# ---------------------------------------------------------------------------
+# T9 Thrift wire codec under the oracle gate (r7): encode -> decode
+# roundtrip through the REAL pandas-UDF codec pair, graded on every
+# payload field plus the exact TBinaryProtocol record size.
+# ---------------------------------------------------------------------------
+
+_RT_UNI_UA = "Mozilla/5.0 (X11; Linux) ünïcödé"  # 32 chars, 36 utf8 bytes
+_RT_BODY = '{"schema":"iglu:com.acme/ev/jsonschema/1-0-0","data":[{"e":"pv"}]}'  # 66 B
+_RT_TAG = "opensnowcat-collector-spark-0.1.0-stdout"
+
+# Closed-form TBinaryProtocol size (string 7+utf8, i64 11, list<string>
+# 8 + 4+utf8 per element, +1 stop; null fields omitted).  BASE=255 covers
+# every fixed field; pinned against the real encoder by
+# test_collector_thrift_roundtrip_constants.
+_RT_ORACLE = f"""
+WITH p AS (
+  SELECT 'ev-' || CAST(event_id AS VARCHAR) AS request_id,
+         user_id, event_id, ts,
+         user_id % 2 = 0 AS even,
+         user_id % 3 = 0 AS uni,
+         user_id % 3 = 1 AS has_ref,
+         length(CAST(user_id AS VARCHAR)) AS l,
+         length(CAST(event_id AS VARCHAR)) AS le,
+         length(CAST(user_id % 250 AS VARCHAR)) AS d
+  FROM events
+)
+SELECT request_id,
+       '10.0.' || CAST(user_id % 250 AS VARCHAR) || '.7' AS ip_address,
+       epoch_ms(ts) AS "timestamp",
+       'e=pv&eid=ev-' || CAST(event_id AS VARCHAR)
+         || '&nuid=u-' || CAST(user_id AS VARCHAR) AS querystring,
+       CASE WHEN even THEN '{_RT_BODY.replace("'", "''")}' END AS body,
+       CASE WHEN even THEN '/com.snowplowanalytics.snowplow/tp2'
+            ELSE '/i' END AS path,
+       CASE WHEN uni THEN '{_RT_UNI_UA}' ELSE 'UA' END AS user_agent,
+       CASE WHEN has_ref
+            THEN 'https://ref/' || CAST(user_id % 10 AS VARCHAR) END AS referer_uri,
+       'collector.local' AS hostname,
+       'u-' || CAST(user_id AS VARCHAR) AS network_user_id,
+       CASE WHEN even THEN 'application/json' END AS content_type,
+       CAST(1 AS INTEGER) AS n_headers,
+       'User-Agent: ' || (CASE WHEN uni THEN '{_RT_UNI_UA}' ELSE 'UA' END)
+         AS header0,
+       CAST(255 + d + le + 2*l
+            + 2 * (CASE WHEN uni THEN 36 ELSE 2 END)
+            + (CASE WHEN has_ref THEN 20 ELSE 0 END)
+            + (CASE WHEN even THEN 129 ELSE 0 END) AS BIGINT) AS thrift_len
+FROM p
+"""
+
+
+@register("collector_thrift_roundtrip", oracle=_RT_ORACLE)
+def collector_thrift_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 byte codec (thrift_codec.py; reference SplitBatch.scala:36-38
+    TSerializer/TBinaryProtocol) driver-graded end-to-end: payload rows
+    synthesized from ``events`` -> REAL ``with_thrift_bytes`` encoder ->
+    REAL ``read_thrift_records`` decoder (its ingest direction, with the
+    r7 passthrough columns) -> every field compared against identity plus
+    the exact wire size against the closed-form TBinaryProtocol
+    arithmetic.  Branch coverage: null-field omission (odd rows drop
+    body/content_type/referer), multi-byte UTF-8 accounting (every third
+    row's user agent), i64 timestamps, list<string> headers.
+
+    Scale: two Arrow-batched Python stages (encode, decode) in one
+    narrow pipeline — no shuffle, no join; the passthrough keeps record
+    provenance without a post-decode join."""
+    from ..thrift_codec import read_thrift_records, with_thrift_bytes
+
+    e = table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    uid_s = uid.cast("string")
+    eid_s = F.col("event_id").cast("string")
+    even = uid % 2 == 0
+    ua = F.when(uid % 3 == 0, F.lit(_RT_UNI_UA)).otherwise(F.lit("UA"))
+    payload = e.select(
+        F.concat(F.lit("ev-"), eid_s).alias("request_id"),
+        F.lit(
+            "iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0"
+        ).alias("schema"),
+        F.concat(F.lit("10.0."), (uid % 250).cast("string"), F.lit(".7")).alias(
+            "ip_address"
+        ),
+        F.unix_millis(F.col("ts")).alias("timestamp"),
+        F.lit("UTF-8").alias("encoding"),
+        F.lit(_RT_TAG).alias("collector"),
+        F.concat(
+            F.lit("e=pv&eid=ev-"), eid_s, F.lit("&nuid=u-"), uid_s
+        ).alias("querystring"),
+        F.when(even, F.lit(_RT_BODY)).alias("body"),
+        F.when(even, F.lit("/com.snowplowanalytics.snowplow/tp2"))
+        .otherwise(F.lit("/i"))
+        .alias("path"),
+        ua.alias("user_agent"),
+        F.when(
+            uid % 3 == 1, F.concat(F.lit("https://ref/"), (uid % 10).cast("string"))
+        ).alias("referer_uri"),
+        F.lit("collector.local").alias("hostname"),
+        F.concat(F.lit("u-"), uid_s).alias("network_user_id"),
+        F.array(F.concat(F.lit("User-Agent: "), ua)).alias("headers"),
+        F.when(even, F.lit("application/json")).alias("content_type"),
+    )
+    encoded = with_thrift_bytes(payload).withColumn(
+        "thrift_len", F.octet_length("thrift_bytes").cast("long")
+    )
+    decoded = read_thrift_records(
+        encoded, passthrough=("request_id", "thrift_len")
+    )
+    return decoded.select(
+        "request_id",
+        "ip_address",
+        "timestamp",
+        "querystring",
+        "body",
+        "path",
+        "user_agent",
+        "referer_uri",
+        "hostname",
+        "network_user_id",
+        "content_type",
+        F.size("headers").alias("n_headers"),
+        F.col("headers")[0].alias("header0"),
+        "thrift_len",
     )

@@ -1554,3 +1554,81 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
 
 
 _register_lsh_quality()
+
+
+# ---------------------------------------------------------------------------
+# Directional shingle containment (r7): quote / subset near-dup detection
+# ---------------------------------------------------------------------------
+
+#: containment C(src -> dst) = |S(src) & S(dst)| / |S(src)| threshold —
+#: the asymmetric counterpart of Jaccard: a short document quoted inside
+#: a long one scores near 1.0 here while its Jaccard stays tiny.
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_shingle_containment",
+    oracle=f"""
+WITH {_DUCK_SHINGLE_CTE},
+capped AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM exploded
+  ) WHERE df <= {MAX_SHINGLE_DF}
+),
+capped_counts AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst, COUNT(*) AS n_inter
+  FROM capped a JOIN capped b ON a.shingle = b.shingle
+                             AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_src, i.doc_dst,
+       CAST(i.n_inter AS DOUBLE) / ca.n_sh AS containment
+FROM inter i JOIN capped_counts ca ON ca.doc_id = i.doc_src
+WHERE CAST(i.n_inter AS DOUBLE) / ca.n_sh >= {CONTAINMENT_THRESHOLD}
+""",
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment >= 0.8: detects
+    documents whose (DF-capped) shingle set is mostly contained in
+    another document — the quote / partial-copy case that symmetric
+    Jaccard misses (a 50-word quote inside a 5000-word page has Jaccard
+    ~0.01 but containment ~1.0).  Standard training-data curation gate
+    for "document subsumed by a superset page".
+
+    Same scale shape as ``dedup_ngram_jaccard``: the DF window kills
+    boilerplate shingles BEFORE the self-join (the quadratic-in-DF
+    killer), shuffles once on ``shingle`` — the very key the self-join
+    needs — and the denominator join carries the same anti-broadcast
+    merge hint (counts side is corpus-scaled and the checkpointed
+    shingle subtree has no stats).  Directional pairs double the
+    intersection rows vs Jaccard but nothing else changes."""
+    sh = exploded_shingles(spark, sf_dir)
+    df_w = Window.partitionBy("shingle")
+    capped = (
+        sh.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+    )
+    counts = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    inter = (
+        a.join(
+            b.hint("merge"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_src"), F.col("b.doc_id").alias("doc_dst"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_src"), F.col("n_sh").alias("n_src"))
+    containment = F.col("n_inter").cast("double") / F.col("n_src")
+    return (
+        inter.join(ca.hint("merge"), "doc_src")
+        .select("doc_src", "doc_dst", containment.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )

@@ -1702,3 +1702,55 @@ def sim_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cosine") >= BITEXT_CONFIDENT).alias("is_confident"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cosine radius search (r7): all-neighbors-within-τ, the range-query
+# counterpart of sim_topk_bruteforce's top-k.
+# ---------------------------------------------------------------------------
+
+#: deterministic probe workload: vec_id % RADIUS_MOD == 3 (~3% of the
+#: corpus stands in for the externally-supplied query batch, which in
+#: production is bounded by the caller, not corpus-scaled)
+RADIUS_MOD = 29
+RADIUS_TAU = 0.3
+
+
+@register(
+    "sim_radius_search",
+    oracle=f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS qvec
+           FROM embeddings WHERE vec_id % {RADIUS_MOD} = 3)
+SELECT p.probe_id, e.vec_id, e.label,
+       {_duck_cos("e.embedding", "p.qvec")} AS cosine
+FROM embeddings e JOIN p ON e.vec_id <> p.probe_id
+WHERE {_duck_cos("e.embedding", "p.qvec")} >= {RADIUS_TAU}
+""",
+)
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine radius search: every corpus vector within cosine >=
+    0.3 of each probe — the range-query member of the similarity family
+    (top-k answers "closest k", radius answers "all within τ", the
+    primitive behind near-dup blocklists and semantic recall sweeps).
+
+    Plan: the bounded probe set broadcasts; one scan of the corpus
+    evaluates all probes per row (BroadcastNestedLoopJoin on a
+    deliberately tiny side — the pattern PLANS.md allows only for
+    bounded broadcast sides), with the cosine computed by the
+    Arrow-vectorized ``pair_cos_udf`` (sequential-over-dims fold,
+    bit-identical to the oracle's list_sum after 6dp rounding — the
+    flat SQL expression would evaluate interpreted, the measured 32x
+    scale killer that pair_cos_udf replaced in r5).  Linear in corpus
+    size x probes; no shuffle at all."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % RADIUS_MOD == 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qvec")
+    )
+    pc = pair_cos_udf()
+    return (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cosine", pc(F.col("embedding"), F.col("qvec")))
+        .filter(F.col("cosine") >= RADIUS_TAU)
+        .select("probe_id", "vec_id", "label", "cosine")
+    )

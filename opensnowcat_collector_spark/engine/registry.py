@@ -28,18 +28,81 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # subsystem; order past the window is rotation-staged (see tranche
 # comments below), then legacy order.
 #
-# r6 rotation (VERDICT r5 top item): tranche 1 — the 24 r5 additions
-# that had never been driver-graded — moves into slots 1-24, displacing
-# the 24 most-confirmed (3x driver-green) r5-window entries.  Tranche 2
-# (the 19 remaining r5 additions) is pre-staged contiguously at slot
-# 51+ and rotates in in r7 together with tranche 3 (the r6 additions);
-# after r7 every registered query has >=1 driver-green CORRECTNESS row.
+# r7 rotation (VERDICT r6 top item): tranches 2+3 — the 29 queries whose
+# only prior evidence was the local full-registry sweep — move into the
+# window, together with the r7-new collector_split_accounting gate.
+# After this round EVERY registered query has >=1 driver-green
+# CORRECTNESS row (cross-round union, see COVERAGE.md gate map).
 _PRIORITY: list[str] = [
-    # ---- slots 1-24: r6 rotation tranche 1 (VERDICT r5 top item).  The
-    # 24 r5-added queries that had never been graded by the external
-    # driver (local full-registry oracle sweep evidence only): the 12
-    # TPC-H subquery patterns + the 12 admission/quality ops.  Done =
-    # 24 new driver-green rows in CORRECTNESS_r06.json.
+    # ---- slots 1-19: r7 rotation tranche 2 (the 19 late-r5 additions,
+    # pre-staged contiguously since r6).
+    "dedup_bloom_incremental",
+    "dedup_prefix_contained",
+    "curate_temperature_mix",
+    "embed_quantize_int8",
+    "sim_ann_filtered",
+    "streaming_latest_profile",
+    "sim_ann_pq",
+    "curate_chunk_overlap",
+    "sim_ann_ivfpq",
+    "curate_mix_apply",
+    "streaming_foreachbatch_sink",
+    "sim_ann_compacted",
+    "sim_bitext_mine",
+    "text_length_histogram",
+    "events_scd2_intervals",
+    "join_asof_forward_tolerance",
+    "dedup_lsh_quality",
+    "events_zorder_pruned",
+    "curate_snapshot_diff",
+    # ---- slots 20-29: r7 rotation tranche 3 (the 10 r6 additions).
+    # join_asof_nearest + text_langid_ngram_profiles also carry r7 fixes
+    # (exact-microsecond distance compare; length>=3 gram guard), and the
+    # two CMS queries carry the r7 scale-derived support threshold —
+    # fresh driver grading is exactly what those changes need.
+    "text_gopher_quality_gates",
+    "curate_global_shuffle",
+    "agg_countmin_heavy_hitters",
+    "events_max_concurrency_sweep",
+    "streaming_countmin_sketch",
+    "events_sliding_window_stats",
+    "join_asof_nearest",
+    "curate_importance_resample",
+    "text_langid_ngram_profiles",
+    "streaming_sliding_window",
+    # ---- slots 30-35: NEW in r7.  Slot 30 closes VERDICT r6 item 2
+    # (§2.4/F7/T10 split path under the external gate); 31-32 move T9 and
+    # F4/F5/T6 out of the pytest-only bucket; 33-35 widen the LLM-data
+    # families (directional containment dedup, cosine radius search,
+    # entropy quality gates).
+    "collector_split_accounting",
+    "collector_thrift_roundtrip",
+    "collector_redirect_origin_gates",
+    "dedup_shingle_containment",
+    "sim_radius_search",
+    "text_entropy_metrics",
+    # ---- slots 36-50: the 15 keeps.  All streaming gates stay windowed
+    # every round (highest-variance machinery, flake armor), plus the
+    # skew/bucketed join pins and the four flagships whose plans changed
+    # most recently.
+    "streaming_leftouter_join",
+    "streaming_session_timeout_flush",
+    "dedup_paragraph_exact",
+    "streaming_dedup_watermark",
+    "streaming_session_window",
+    "streaming_enrich_join",
+    "streaming_stream_stream_join",
+    "streaming_stateful_sessionize",
+    "streaming_document_curation",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh",
+    "corpus_curation_pipeline",
+    "mm_feature_extract",
+    # ---- slot 51+ below: NOT driver-graded this round.
+    # Displaced r6-window entries (tranche 1 of the r6 rotation, each
+    # driver-green in r6; the TPC-H subquery patterns + admission ops).
     "q2_minprice_supplier",
     "q4_priority_exists",
     "q6_forecast_revenue",
@@ -64,79 +127,20 @@ _PRIORITY: list[str] = [
     "agg_hll_partitioned_merge",
     "events_burst_detection",
     "sim_ann_delete",
-    # ---- slots 25-37: kept from the r5 window — exactly one
-    # driver-green round (r5) so far; a second round of evidence.
+    # ---- displaced two-round (r5+r6) window entries.
     "dedup_incremental_minhash",
-    "sim_ann_recall",
     "sim_ann_incremental",
+    "curate_tokenize_ids",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "sim_ann_recall",
     "text_vocab_stats",
     "text_unigram_logprob",
     "text_cooccurrence_ratio",
     "curate_dataset_card",
-    "curate_tokenize_ids",
     "events_session_sequences",
-    "events_funnel_steps",
-    "events_retention_cohorts",
-    "streaming_leftouter_join",
-    "streaming_session_timeout_flush",
-    # ---- slots 38-46: kept — two driver-green rounds (r4+r5); the
-    # streaming gates stay windowed every round because they are the
-    # highest-variance machinery in the repo (flake armor).
-    "dedup_paragraph_exact",
-    "streaming_dedup_watermark",
-    "streaming_session_window",
-    "streaming_enrich_join",
-    "streaming_stream_stream_join",
-    "streaming_stateful_sessionize",
-    "streaming_document_curation",
-    "join_skew_salted",
-    "join_bucketed_colocated",
-    # ---- slots 47-50: kept flagships (three driver-green rounds) —
-    # the operators whose plans changed most recently (minhash merge
-    # hints, ANN index build, curation pipeline, multimodal UDF path).
-    "dedup_minhash_lsh",
-    "sim_ann_lsh",
-    "corpus_curation_pipeline",
-    "mm_feature_extract",
-    # ---- slot 51+ below: NOT driver-graded this round.
-    # Tranche 2 (r7 rotation, pre-staged per VERDICT r5 item 3): the 19
-    # remaining r5 additions whose only evidence is the local sweep.
-    # r7's rotation = move this contiguous block to the top of the
-    # window; after that every registered query has >=1 driver-green
-    # CORRECTNESS row.
-    "dedup_bloom_incremental",
-    "dedup_prefix_contained",
-    "curate_temperature_mix",
-    "embed_quantize_int8",
-    "sim_ann_filtered",
-    "streaming_latest_profile",
-    "sim_ann_pq",
-    "curate_chunk_overlap",
-    "sim_ann_ivfpq",
-    "curate_mix_apply",
-    "streaming_foreachbatch_sink",
-    "sim_ann_compacted",
-    "sim_bitext_mine",
-    "text_length_histogram",
-    "events_scd2_intervals",
-    "join_asof_forward_tolerance",
-    "dedup_lsh_quality",
-    "events_zorder_pruned",
-    "curate_snapshot_diff",
-    # ---- tranche 3 (r6 additions, local sweep only): window these WITH
-    # tranche 2 in r7 (19 + 10 = 29 rotate in, 21 keeps stay).
-    "text_gopher_quality_gates",
-    "curate_global_shuffle",
-    "agg_countmin_heavy_hitters",
-    "events_max_concurrency_sweep",
-    "streaming_countmin_sketch",
-    "events_sliding_window_stats",
-    "join_asof_nearest",
-    "curate_importance_resample",
-    "text_langid_ngram_profiles",
-    "streaming_sliding_window",
-    # ---- displaced from the r5 window (three driver-green rounds
-    # r3+r4+r5 each); still run by the full-registry pytest sweep.
+    # ---- displaced earlier (three driver-green rounds r3+r4+r5 each);
+    # still run by the full-registry pytest sweep.
     "dedup_embedding_cosine",
     "dedup_embedding_kmeans",
     "dedup_cluster_components",
@@ -224,7 +228,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "dedup_bloom_incremental"  # first entry past the window, r6
+_WINDOW_SENTINEL = "q2_minprice_supplier"  # first entry past the window, r7
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

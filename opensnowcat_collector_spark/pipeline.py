@@ -43,6 +43,11 @@ class PipelineResult:
     enriched: DataFrame  # pre-split, all decision columns (for response building)
     good: DataFrame  # canonical collector payloads (struct columns + serialized)
     bad: DataFrame  # BAD_ROW_SCHEMA rows
+    #: raw split-stage output (SPLIT_OUT_SCHEMA rows, oversized subset
+    #: only) — kept so per-request split accounting (the
+    #: collector_split_accounting gate) can attribute bad rows to their
+    #: request_id, which the BAD_ROW_SCHEMA rows deliberately do not carry
+    split_out: DataFrame | None = None
 
 
 def enrich(raw: DataFrame, cfg: CollectorConfig) -> DataFrame:
@@ -208,4 +213,4 @@ def run(raw: DataFrame, cfg: CollectorConfig) -> PipelineResult:
         )
     )
     bad = bad_split.select("bad.*").unionByName(bad_qs.select("bad.*"))
-    return PipelineResult(enriched=enriched, good=good, bad=bad)
+    return PipelineResult(enriched=enriched, good=good, bad=bad, split_out=split_out)

@@ -137,11 +137,15 @@ def with_thrift_bytes(df, out_col: str = "thrift_bytes"):
     return df.withColumn(out_col, enc(F.struct(*[F.col(c) for c in cols if c in df.columns])))
 
 
-def read_thrift_records(df, bytes_col: str = "thrift_bytes"):
+def read_thrift_records(df, bytes_col: str = "thrift_bytes", passthrough: tuple = ()):
     """BinaryType column of Thrift records -> payload struct columns (the
     ingest direction: consume records produced by the reference collector
     or any Thrift writer).  Arrow-batched mapInPandas, one output row per
-    record."""
+    record.
+
+    ``passthrough`` names extra input columns carried alongside the
+    decoded fields (record provenance — file path, offset, ingest id) so
+    consumers never need a post-decode join back to the source frame."""
     from pyspark.sql.types import (  # noqa: PLC0415
         ArrayType,
         LongType,
@@ -150,7 +154,8 @@ def read_thrift_records(df, bytes_col: str = "thrift_bytes"):
         StructType,
     )
 
-    fields = []
+    in_fields = {f.name: f for f in df.schema.fields}
+    fields = [in_fields[c] for c in passthrough]
     for _, name, ftype in FIELDS:
         if ftype == _T_I64:
             t = LongType()
@@ -160,13 +165,16 @@ def read_thrift_records(df, bytes_col: str = "thrift_bytes"):
             t = StringType()
         fields.append(StructField(name, t))
     schema = StructType(fields)
-    names = [f.name for f in schema.fields]
+    names = [name for _, name, _ in FIELDS]
 
     def decode_batches(batches):
         for pdf in batches:
             rows = [decode_collector_payload(bytes(b)) for b in pdf[bytes_col]]
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 [{n: r.get(n) for n in names} for r in rows], columns=names
             )
+            for c in passthrough:
+                out.insert(list(passthrough).index(c), c, pdf[c].values)
+            yield out
 
-    return df.select(bytes_col).mapInPandas(decode_batches, schema)
+    return df.select(*passthrough, bytes_col).mapInPandas(decode_batches, schema)

@@ -114,11 +114,24 @@ def set_cookie_struct(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
     )
 
 
+# Host extraction equivalent to the reference's ``new URL(target).getHost``
+# (CollectorService.scala:393-397): scheme '://', optional userinfo '@',
+# host up to ':' port / '/' path.  NOT Spark's parse_url: (a) strict
+# parse_url ABORTS THE WHOLE BATCH on any invalid URL in the column
+# (found by the r7 collector_redirect_origin_gates oracle gate), and
+# (b) even try_parse_url uses the stricter java.net.URI, which rejects a
+# pre-substitution macro placeholder path (``u=https://d/${SP_NUID}``)
+# that java.net.URL — and therefore the reference — accepts and allows.
+_URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+
 def redirect_allowed(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
     """F4: redirect target host must contain a configured domain
-    (CollectorService.scala:379-399; empty allowlist allows all)."""
+    (CollectorService.scala:379-399; empty allowlist allows all;
+    malformed target -> disallowed, exactly the reference's
+    MalformedURLException => false branch)."""
     target = F.col("query_params")["u"]
-    host = F.parse_url(target, F.lit("HOST"))
+    host = F.nullif(F.regexp_extract(target, _URL_HOST_RE, 1), F.lit(""))
     if not cfg.redirect_domains:
         allowed = target.isNotNull() & host.isNotNull()
     else:

@@ -45,22 +45,50 @@ def test_unlisted_extra_raises_then_allowed_with_flag():
 
 
 def test_never_driver_confirmed_queries_now_in_window():
-    """r5 rotation: the 11 queries without any CORRECTNESS_r*.json row,
-    plus the new streaming_leftouter_join, sit inside the graded window."""
+    """r7 rotation (VERDICT r6 top item): tranches 2+3 — every query whose
+    only prior evidence was the local sweep — plus the r7-new split gate
+    sit inside the graded window, and all streaming gates stay windowed."""
     rotated_in = [
-        "sim_ann_recall",
-        "sim_ann_incremental",
-        "dedup_incremental_minhash",
-        "events_session_sequences",
-        "events_funnel_steps",
-        "events_retention_cohorts",
-        "curate_dataset_card",
-        "text_vocab_stats",
-        "text_unigram_logprob",
-        "curate_tokenize_ids",
-        "text_cooccurrence_ratio",
-        "streaming_leftouter_join",
+        # tranche 2 (late-r5 additions)
+        "dedup_bloom_incremental",
+        "dedup_prefix_contained",
+        "curate_temperature_mix",
+        "embed_quantize_int8",
+        "sim_ann_filtered",
+        "streaming_latest_profile",
+        "sim_ann_pq",
+        "curate_chunk_overlap",
+        "sim_ann_ivfpq",
+        "curate_mix_apply",
+        "streaming_foreachbatch_sink",
+        "sim_ann_compacted",
+        "sim_bitext_mine",
+        "text_length_histogram",
+        "events_scd2_intervals",
+        "join_asof_forward_tolerance",
+        "dedup_lsh_quality",
+        "events_zorder_pruned",
+        "curate_snapshot_diff",
+        # tranche 3 (r6 additions)
+        "text_gopher_quality_gates",
+        "curate_global_shuffle",
+        "agg_countmin_heavy_hitters",
+        "events_max_concurrency_sweep",
+        "streaming_countmin_sketch",
+        "events_sliding_window_stats",
+        "join_asof_nearest",
+        "curate_importance_resample",
+        "text_langid_ngram_profiles",
+        "streaming_sliding_window",
+        # r7-new
+        "collector_split_accounting",
     ]
     window = registry._PRIORITY[: registry.GRADED_WINDOW]
     for name in rotated_in:
+        assert name in window, name
+    # flake armor: every streaming gate is driver-graded every round
+    streaming = [n for n in registry._PRIORITY if n.startswith("streaming_")]
+    for name in streaming:
+        if name == "streaming_hourly_rollup":  # legacy r1-r4 gate, displaced
+            continue
         assert name in window, name

@@ -373,3 +373,49 @@ def test_thrift_size_expr_matches_codec(spark):
     got = [r[0] for r in df.select(thrift_size_expr()).collect()]
     want = [payload_size(r, "thrift") for r in rows]
     assert got == want
+
+
+def test_collector_split_accounting_oracle_constants():
+    """The collector_split_accounting DuckDB oracle uses closed-form thrift
+    size constants (OP=303 POST overhead, OG=220 GET overhead, s=26 small
+    element, S=435 big element, 54 envelope chars).  Pin each against the
+    REAL encoder so the oracle arithmetic can never silently drift from
+    thrift_codec / the fixture shapes."""
+    import json
+
+    from opensnowcat_collector_spark.config import COLLECTOR_PAYLOAD_SCHEMA
+    from opensnowcat_collector_spark.engine.collector_queries import _IGLU, _SPLIT_CFG
+    from opensnowcat_collector_spark.thrift_codec import encode_collector_payload
+
+    assert _SPLIT_CFG.good_sink.max_bytes == 700
+    assert _SPLIT_CFG.good_sink.size_accounting == "thrift"
+    tag = _SPLIT_CFG.collector_tag
+    uid = 1234
+    qs = f"e=pv&nuid=u-{uid}"
+    nuid = f"u-{uid}"
+    body = '{"schema":"' + _IGLU + '","data":[{"e":"pv","i":"000000001"}]}'
+    post = {
+        "schema": COLLECTOR_PAYLOAD_SCHEMA,
+        "ip_address": "10.0.0.1",
+        "timestamp": _SPLIT_CFG.deterministic_now_ms,
+        "encoding": "UTF-8",
+        "collector": tag,
+        "querystring": qs,
+        "body": body,
+        "path": "/com.snowplowanalytics.snowplow/tp2",
+        "user_agent": "UA",
+        "referer_uri": None,
+        "hostname": "collector.local",
+        "network_user_id": nuid,
+        "headers": ["application/json"],
+        "content_type": "application/json",
+    }
+    op = len(encode_collector_payload(post)) - len(qs) - len(nuid) - len(body)
+    assert op == 303
+    get = post | {"body": None, "content_type": None, "headers": [], "path": "/i"}
+    og = len(encode_collector_payload(get)) - len(qs) - len(nuid)
+    assert og == 220
+    compact = lambda o: json.dumps(o, separators=(",", ":"))  # noqa: E731
+    assert len(compact({"e": "pv", "i": "000000001"})) == 26
+    assert len(compact({"e": "pv", "i": "000000001", "pad": "x" * 400})) == 435
+    assert body.index("[") == 53  # 54 envelope chars incl. trailing '}'
