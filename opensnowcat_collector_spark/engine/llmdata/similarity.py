@@ -1108,7 +1108,7 @@ q AS (
   FROM ex e JOIN stats s USING (pos)
 )
 SELECT vec_id,
-       list(code ORDER BY pos) AS codes,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos) AS codes,
        CAST(MIN(code) AS INTEGER) AS code_min,
        CAST(MAX(code) AS INTEGER) AS code_max
 FROM q
@@ -1129,7 +1129,14 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ; a constant dimension (mx == mn, common with padded embedding
     exports) maps to code 0 explicitly — an unguarded division would be
     NaN->0 in Spark but NULL in DuckDB.  codes span [0, 255] with 255
-    attained only by the per-dim max — asserted by code_min/code_max."""
+    attained only by the per-dim max — asserted by code_min/code_max.
+
+    The code vector is emitted as a comma-joined string (``array_join``
+    here, ``string_agg(... ORDER BY pos)`` in the oracle): the driver's
+    canonicalizer sorts result cells with pandas, which cannot hash
+    array cells, so every registered query's output schema is
+    scalar-only (enforced repo-wide by
+    tests/test_registry.py::test_registered_query_outputs_are_scalar_only)."""
     e = table(spark, sf_dir, "embeddings")
     ex = e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "xf")
@@ -1145,8 +1152,12 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q.groupBy("vec_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "code"))), lambda s: s.code
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "code"))),
+                    lambda s: s.code.cast("string"),
+                ),
+                ",",
             ).alias("codes"),
             F.min("code").cast("int").alias("code_min"),
             F.max("code").cast("int").alias("code_max"),

@@ -175,10 +175,11 @@ def test_quantize_codes_geometry_and_reconstruction(spark, sf_dir):
     rows = _run(spark, sf_dir, "embed_quantize_int8")
     assert len(rows) == len(vecs)
     for r in rows:
-        assert len(r.codes) == dim
+        codes = [int(c) for c in r.codes.split(",")]
+        assert len(codes) == dim
         assert 0 <= r.code_min and r.code_max <= 255
         v = vecs[r.vec_id]
-        for i, c in enumerate(r.codes):
+        for i, c in enumerate(codes):
             # dequantized value within one bucket width of the original
             step = (mx[i] - mn[i]) / 255
             deq = mn[i] + c * step

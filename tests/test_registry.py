@@ -92,3 +92,35 @@ def test_never_driver_confirmed_queries_now_in_window():
         if name == "streaming_hourly_rollup":  # legacy r1-r4 gate, displaced
             continue
         assert name in window, name
+
+
+def test_registered_query_outputs_are_scalar_only(spark, sf_dir):
+    """The driver's correctness canonicalizer sorts result cells with
+    pandas (``sort_values`` over all columns), which cannot hash array /
+    map / struct cells — ``embed_quantize_int8`` escaped the local sweep
+    in r7 and died in the driver with ``TypeError: unhashable type:
+    'list'`` (CORRECTNESS_r07.json).  Every registered query therefore
+    emits scalar columns only; vector-shaped results must be flattened
+    (``array_join`` / explode) before registration.
+
+    Batch queries are checked here lazily via ``.schema`` (analysis only,
+    no job).  ``streaming_*`` gates drain a real stream inside their
+    callable, so they are asserted instead at execution time by the full
+    oracle sweep (tests/test_relational_oracle.py rejects non-scalar
+    cells for every query, streaming included).
+    """
+    from pyspark.sql import types as T
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in registry.all_queries().items():
+        if name.startswith("streaming_"):
+            continue
+        schema = fn(spark, sf_dir).schema
+        complex_fields = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_fields:
+            bad[name] = complex_fields
+    assert bad == {}, f"non-scalar output columns break the driver gate: {bad}"

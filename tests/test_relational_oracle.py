@@ -46,8 +46,15 @@ def _norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return v
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, (list, tuple, dict, set)):
+        # The driver's pandas canonicalizer cannot hash container cells
+        # (r7: embed_quantize_int8 passed here with tuple-normalization
+        # but died externally).  Keep this gate at least as strict as
+        # the driver's: non-scalar cells are a hard failure.
+        raise AssertionError(
+            f"non-scalar result cell {type(v).__name__}: {v!r} — flatten "
+            "the column (array_join / explode); the driver gate rejects it"
+        )
     return v
 
 

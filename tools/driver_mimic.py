@@ -32,6 +32,18 @@ def value_hash(pdf: pd.DataFrame) -> str:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
         if pdf[c].dtype == object:
+            # The real driver sort_values-canonicalizes and dies on
+            # unhashable container cells (r7: embed_quantize_int8).
+            # Stay at least as strict: reject them instead of
+            # stringifying them away.
+            import numpy as np
+
+            bad = pdf[c].map(lambda v: isinstance(v, (list, tuple, dict, set, np.ndarray)))
+            if bad.any():
+                raise TypeError(
+                    f"non-scalar cells in column {c!r} (e.g. "
+                    f"{pdf[c][bad].iloc[0]!r}) — driver canonicalizer would fail"
+                )
             pdf[c] = pdf[c].astype(str)
         elif pdf[c].dtype.kind == "f":
             pdf[c] = pdf[c].round(4)
