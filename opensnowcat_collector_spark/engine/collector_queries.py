@@ -663,7 +663,7 @@ SELECT 'ev-' || CAST(event_id AS VARCHAR) AS request_id,
        CASE WHEN user_id % 2 = 0 AND user_id % 10 = 0
                  THEN 'https://trusted.example.com/lp'
             WHEN user_id % 2 = 0 AND user_id % 10 = 4
-                 THEN 'https://sub.ok.org/page'
+                 THEN 'https://ok.org/page'
             WHEN user_id % 2 = 0 AND user_id % 10 = 6
                  THEN 'https://trusted.example.com/r/u-' || CAST(user_id AS VARCHAR)
             END AS redirect_location
@@ -673,18 +673,22 @@ FROM events
 
 @register("collector_redirect_origin_gates", oracle=_REDIR_ORACLE)
 def collector_redirect_origin_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4 redirect-domain allowlist (CollectorService.scala:379-399 —
-    note the reference's deliberately permissive substring ``contains``
-    host match), T6 ${SP_NUID} macro expansion (CollectorService.scala
-    redirect macro), and F5 Amplitude origin wildcard allowlist
-    (AmplitudeBridge.scala:56-112: '*.d' and exact entries both admit
-    the apex and subdomains; 'notallowed.com' must NOT match
-    '*.allowed.com') — all through the REAL ``pipeline.enrich``.
+    """F4 redirect-domain allowlist (CollectorService.scala:391-398 —
+    ``Option(new URL(target).getHost)`` then
+    ``redirectDomains.exists(url.contains)``, which is Scala
+    Option.contains: EXACT host equality, so ``ok.org.evil.com`` and
+    ``sub.ok.org`` are both denied under entry 'ok.org'), T6 ${SP_NUID}
+    macro expansion (CollectorService.scala redirect macro), and F5
+    Amplitude origin wildcard allowlist (AmplitudeBridge.scala:56-112:
+    '*.d' and exact entries both admit the apex and subdomains;
+    'notallowed.com' must NOT match '*.allowed.com') — all through the
+    REAL ``pipeline.enrich``.
 
     Even user_ids synthesize /r/* redirect GETs cycling five targets
-    (allowed apex, denied host, allowed subdomain, allowed + macro,
-    missing u param); odd user_ids synthesize Amplitude POSTs cycling
-    seven Origin values (subdomain/apex of a wildcard entry,
+    (allowed apex, the 'ok.org.evil.com' suffix trap a substring match
+    would wrongly admit, the second allowlist apex exactly, allowed +
+    macro, missing u param); odd user_ids synthesize Amplitude POSTs
+    cycling seven Origin values (subdomain/apex of a wildcard entry,
     exact-entry apex/subdomain, denied host, the 'notallowed.com'
     suffix trap, null).  Narrow shuffle-free projection plan."""
     e = table(spark, sf_dir, "events")
@@ -694,8 +698,8 @@ def collector_redirect_origin_gates(spark: SparkSession, sf_dir: str) -> DataFra
     t = (uid % 10) / 2  # 0..4 over even uids
     target = (
         F.when(t == 0, F.lit("https://trusted.example.com/lp"))
-        .when(t == 1, F.lit("https://evil.com/phish"))
-        .when(t == 2, F.lit("https://sub.ok.org/page"))
+        .when(t == 1, F.lit("https://ok.org.evil.com/phish"))
+        .when(t == 2, F.lit("https://ok.org/page"))
         .when(t == 3, F.lit("https://trusted.example.com/r/${SP_NUID}"))
     )  # t == 4: no u param at all
     qs = F.when(

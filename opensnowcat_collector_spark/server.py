@@ -313,9 +313,12 @@ def make_handler(cfg: CollectorConfig, writer: LandingWriter, sinks: tuple = ())
                 qs = dict(parse_qsl(split.query or "", keep_blank_values=True))
                 target = qs.get("u")
                 host = urlsplit(target or "").hostname
+                # exact host equality, matching the reference's Scala
+                # Option.contains (CollectorService.scala:394-395) and
+                # transforms/privacy.redirect_allowed
                 allowed = bool(target) and host is not None and (
                     not cfg.redirect_domains
-                    or any(d in host for d in cfg.redirect_domains)
+                    or host in cfg.redirect_domains
                 )
                 if not allowed:
                     return self._respond(400, b"invalid redirect", "text/plain")

@@ -122,25 +122,29 @@ def set_cookie_struct(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
 # (b) even try_parse_url uses the stricter java.net.URI, which rejects a
 # pre-substitution macro placeholder path (``u=https://d/${SP_NUID}``)
 # that java.net.URL — and therefore the reference — accepts and allows.
-_URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+# The scheme alternation mirrors java.net.URL's built-in protocol
+# handlers (case-insensitive, like the JDK): an unknown scheme such as
+# ``foo://h/x`` throws MalformedURLException in the reference and must
+# yield a null host (=> denied) here, not a parsed one.
+_URL_HOST_RE = r"^(?i:https?|ftp|file|jar|netdoc)://(?:[^/?#@]*@)?([^/?#:]+)"
 
 
 def redirect_allowed(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
-    """F4: redirect target host must contain a configured domain
-    (CollectorService.scala:379-399; empty allowlist allows all;
-    malformed target -> disallowed, exactly the reference's
-    MalformedURLException => false branch)."""
+    """F4: redirect target host must EXACTLY equal a configured domain.
+    The reference (CollectorService.scala:391-398) wraps the host in an
+    Option — ``Option(new URL(target).getHost)`` — and then calls
+    ``config.redirectDomains.exists(url.contains)``: that is Scala
+    ``Option.contains``, i.e. host == domain, NOT substring match (a
+    substring match would admit ``ok.org.evil.com`` — an open-redirect
+    bypass).  Empty allowlist allows all; malformed target ->
+    disallowed, exactly the reference's MalformedURLException => false
+    branch."""
     target = F.col("query_params")["u"]
     host = F.nullif(F.regexp_extract(target, _URL_HOST_RE, 1), F.lit(""))
     if not cfg.redirect_domains:
         allowed = target.isNotNull() & host.isNotNull()
     else:
-        allowed = host.isNotNull() & (
-            F.exists(
-                F.array(*[F.lit(d) for d in cfg.redirect_domains]),
-                lambda d: F.contains(host, d),
-            )
-        )
+        allowed = host.isNotNull() & host.isin(*cfg.redirect_domains)
     return df.withColumn("redirect_allowed", F.when(F.col("is_redirect"), allowed))
 
 

@@ -242,3 +242,48 @@ def test_bridges_disabled_fall_through(spark):
     assert by_req["req-0000"]["content_type"] == "text/plain"
     assert by_req["req-0001"]["body"] == AMPLITUDE_BATCH_BODY
     assert by_req["req-0001"]["path"] == "/com.amplitude/2/httpapi"
+
+
+def test_redirect_allowlist_exact_host_equality(spark):
+    """F4 is EXACT host equality (CollectorService.scala:394-395 —
+    Scala ``Option.contains``): substring relatives of an allowlisted
+    domain (``sub.ok.org``, ``prefixok.org``, ``ok.org.evil.com``) and
+    unknown-scheme targets (java.net.URL MalformedURLException branch)
+    are all denied; only ``ok.org`` itself passes."""
+    from urllib.parse import quote
+
+    cases = {
+        "https://ok.org/x": True,
+        "http://ok.org/deep/path?q=1": True,
+        "HTTPS://ok.org/x": True,  # JDK scheme parse is case-insensitive
+        "https://user:pw@ok.org/x": True,  # userinfo stripped like getHost
+        "https://sub.ok.org/x": False,  # subdomain != exact host
+        "https://prefixok.org/x": False,
+        "https://ok.org.evil.com/x": False,  # suffix trap
+        "https://evil.com/ok.org": False,  # domain in path only
+        "foo://ok.org/x": False,  # unknown scheme -> MalformedURLException
+        "notaurl": False,
+        "https://ok.org:8443/x": True,  # getHost excludes the port
+    }
+    reqs = [
+        _mk_redirect_req(i, target)
+        for i, target in enumerate(cases)
+    ]
+    cfg = CollectorConfig(
+        deterministic_now_ms=1705320000000, redirect_domains=("other.example", "ok.org")
+    )
+    raw = spark.createDataFrame(reqs, RAW_REQUEST_SCHEMA)
+    enriched = {r["request_id"]: r.asDict() for r in pipeline.enrich(raw, cfg).collect()}
+    got = {
+        target: enriched[f"req-{i:04d}"]["redirect_allowed"]
+        for i, target in enumerate(cases)
+    }
+    assert got == cases
+
+
+def _mk_redirect_req(i, target):
+    from urllib.parse import quote
+
+    from .fixtures import _req
+
+    return _req(i, path="/r/tp2", querystring=f"u={quote(target, safe='')}&e=pv")
