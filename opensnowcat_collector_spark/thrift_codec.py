@@ -154,6 +154,17 @@ def read_thrift_records(df, bytes_col: str = "thrift_bytes", passthrough: tuple 
         StructType,
     )
 
+    decoded_names = {name for _, name, _ in FIELDS}
+    clash = [c for c in passthrough if c in decoded_names]
+    if clash:
+        # without this guard the output StructType gets duplicate fields
+        # and pandas' out.insert raises an opaque error at EXECUTOR
+        # runtime; fail fast on the driver with the fix spelled out
+        raise ValueError(
+            f"passthrough column(s) {clash} collide with decoded payload "
+            f"field names {sorted(decoded_names)} — alias them before "
+            "read_thrift_records"
+        )
     in_fields = {f.name: f for f in df.schema.fields}
     fields = [in_fields[c] for c in passthrough]
     for _, name, ftype in FIELDS:

@@ -221,3 +221,61 @@ def test_main_stream_names_from_hocon(tmp_path):
     )
     assert _stream_names(str(p)) == ("raw-good", "raw-bad")
     assert _stream_names(None) == ("good", "bad")
+
+
+def test_collector_thrift_roundtrip_constants():
+    """Pin collector_thrift_roundtrip's closed-form TBinaryProtocol
+    arithmetic (_RT_ORACLE: BASE=255 covering every fixed field, +129 for
+    even rows' body/content_type/path delta, +20 for the referer, 36 utf8
+    bytes for the unicode UA vs 2 for 'UA', counted twice via headers[0])
+    against the REAL encoder, so the oracle can never silently drift from
+    thrift_codec or the fixture shapes (mirrors
+    test_collector_split_accounting_oracle_constants)."""
+    from opensnowcat_collector_spark.config import COLLECTOR_PAYLOAD_SCHEMA
+    from opensnowcat_collector_spark.engine.collector_queries import (
+        _RT_BODY,
+        _RT_TAG,
+        _RT_UNI_UA,
+    )
+    from opensnowcat_collector_spark.thrift_codec import encode_collector_payload
+
+    assert len(_RT_UNI_UA.encode()) == 36
+    assert len(_RT_BODY) == 66
+
+    def payload(uid: int, eid: int) -> dict:
+        even, uni, has_ref = uid % 2 == 0, uid % 3 == 0, uid % 3 == 1
+        ua = _RT_UNI_UA if uni else "UA"
+        return {
+            "schema": COLLECTOR_PAYLOAD_SCHEMA,
+            "ip_address": f"10.0.{uid % 250}.7",
+            "timestamp": 1705320000000,
+            "encoding": "UTF-8",
+            "collector": _RT_TAG,
+            "querystring": f"e=pv&eid=ev-{eid}&nuid=u-{uid}",
+            "body": _RT_BODY if even else None,
+            "path": "/com.snowplowanalytics.snowplow/tp2" if even else "/i",
+            "user_agent": ua,
+            "referer_uri": f"https://ref/{uid % 10}" if has_ref else None,
+            "hostname": "collector.local",
+            "network_user_id": f"u-{uid}",
+            "headers": [f"User-Agent: {ua}"],
+            "content_type": "application/json" if even else None,
+        }
+
+    def closed_form(uid: int, eid: int) -> int:
+        even, uni, has_ref = uid % 2 == 0, uid % 3 == 0, uid % 3 == 1
+        d, le, l = len(str(uid % 250)), len(str(eid)), len(str(uid))
+        return (
+            255 + d + le + 2 * l
+            + 2 * (36 if uni else 2)
+            + (20 if has_ref else 0)
+            + (129 if even else 0)
+        )
+
+    # every (even, uni/has_ref/neither) branch combination plus digit-width
+    # variation in uid/eid
+    for uid in (0, 1, 2, 3, 4, 5, 42, 997, 1234, 250, 251):
+        for eid in (0, 7, 123456):
+            assert len(encode_collector_payload(payload(uid, eid))) == closed_form(
+                uid, eid
+            ), (uid, eid)
