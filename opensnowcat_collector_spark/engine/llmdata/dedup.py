@@ -1632,3 +1632,160 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_src", "doc_dst", containment.alias("containment"))
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Suffix-array-style repeated-substring dedup (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", ACL 2022 — the ExactSubstr
+# method): detect substrings of >= SUFFIX_MIN_REPEAT tokens that occur
+# more than once anywhere in the corpus, beyond fixed paragraph chunks.
+# ---------------------------------------------------------------------------
+
+#: suffixes are capped at this many tokens — the sorted-neighborhood LCP
+#: can therefore report repeats up to this length (longer repeats are
+#: still detected, their reported length saturates at the cap)
+SUFFIX_CAP = 12
+#: a position counts as duplicated when >= this many tokens starting
+#: there also occur elsewhere in the corpus (Lee et al. use 50 BPE
+#: tokens at web scale; 6 fits the synthetic corpus' ~60-token docs)
+SUFFIX_MIN_REPEAT = 6
+#: window blocking key = first this-many tokens of the suffix.  Any two
+#: suffixes with LCP >= SUFFIX_BLOCK_TOKENS share the block by
+#: construction, so blocking is lossless for every LCP >= the (larger)
+#: SUFFIX_MIN_REPEAT threshold while turning the global suffix sort into
+#: a hash-partitioned window — no single-partition exchange.
+SUFFIX_BLOCK_TOKENS = 2
+
+
+def _lcp_expr(a: str, b: str):
+    """Token-LCP of two (capped) suffix arrays, loop-free: prefix
+    equality is monotone in k, so LCP = sum over k<=CAP of
+    [first k tokens equal], clamped by both lengths (a suffix equal to a
+    longer one's prefix matches at every k up to the cap — the clamp pins
+    LCP to the shorter length).  Unrolled to 2*CAP slice comparisons that
+    stay inside whole-stage codegen (module-header perf note: interpreted
+    higher-order aggregate() lambdas are the slow path)."""
+    terms = None
+    for k in range(1, SUFFIX_CAP + 1):
+        t = F.when(F.slice(F.col(a), 1, k) == F.slice(F.col(b), 1, k), 1).otherwise(0)
+        terms = t if terms is None else terms + t
+    return F.least(terms, F.size(a), F.size(b))
+
+
+def _suffix_lcp_oracle() -> str:
+    cap, mn, blk = SUFFIX_CAP, SUFFIX_MIN_REPEAT, SUFFIX_BLOCK_TOKENS
+    lcp = lambda other: " + ".join(  # noqa: E731
+        f"CASE WHEN list_slice(suffix,1,{k}) = list_slice({other},1,{k}) "
+        "THEN 1 ELSE 0 END"
+        for k in range(1, cap + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+suf AS (
+  SELECT doc_id, pos,
+         list_slice(w, pos, pos + {cap} - 1) AS suffix,
+         array_to_string(list_slice(w, pos, pos + {blk} - 1), ' ') AS blk,
+         array_to_string(list_slice(w, pos, pos + {cap} - 1), ' ') AS skey
+  FROM (SELECT doc_id, w, UNNEST(generate_series(1, len(w))) AS pos FROM toks)
+  WHERE len(w) - pos + 1 >= {mn}
+),
+nbr AS (
+  SELECT doc_id, pos, suffix,
+         lag(suffix)  OVER win AS prev_suf,
+         lead(suffix) OVER win AS next_suf
+  FROM suf
+  WINDOW win AS (PARTITION BY blk ORDER BY skey, doc_id, pos)
+),
+lcps AS (
+  SELECT doc_id,
+         GREATEST(
+           CASE WHEN prev_suf IS NULL THEN 0
+                ELSE LEAST({lcp("prev_suf")}, len(suffix), len(prev_suf)) END,
+           CASE WHEN next_suf IS NULL THEN 0
+                ELSE LEAST({lcp("next_suf")}, len(suffix), len(next_suf)) END
+         ) AS repeat_len
+  FROM nbr
+)
+SELECT doc_id,
+       COUNT(*) AS n_suffixes,
+       CAST(SUM(CASE WHEN repeat_len >= {mn} THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_positions,
+       CAST(MAX(repeat_len) AS INTEGER) AS max_repeat,
+       ROUND(SUM(CASE WHEN repeat_len >= {mn} THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) AS dup_frac
+FROM lcps
+GROUP BY doc_id
+HAVING SUM(CASE WHEN repeat_len >= {mn} THEN 1 ELSE 0 END) > 0
+"""
+
+
+@register("dedup_suffix_repeats", oracle=_suffix_lcp_oracle())
+def dedup_suffix_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring detection via the distributed suffix-array
+    surrogate: every token position contributes its (capped) suffix; one
+    corpus-wide suffix sort puts equal substrings adjacent; the token-LCP
+    with the sorted neighbors IS the length of the longest substring
+    starting at that position that occurs elsewhere in the corpus (suffix
+    arrays' fundamental LCP property — any two suffixes' LCP equals the
+    min of adjacent LCPs between them, so the max against *immediate*
+    neighbors is exact).  Per doc: how many positions start a >=
+    SUFFIX_MIN_REPEAT-token repeat, the longest repeat (capped at
+    SUFFIX_CAP), and the duplicated-position fraction — Lee et al.'s
+    ExactSubstr signal, which catches cross-document boilerplate that
+    paragraph/shingle dedup misses because it is not aligned to chunk
+    boundaries.
+
+    Scale (100 TB): suffix volume is O(total tokens) and the sort is ONE
+    exchange hash-partitioned by the SUFFIX_BLOCK_TOKENS-token block key
+    (lossless for the >= SUFFIX_MIN_REPEAT contract since MIN >= BLOCK;
+    proof in the constant's comment) — never a single-partition global
+    window.  The per-row payload is bounded by the SUFFIX_CAP token cap,
+    so shuffle bytes are CAP * tokens, and the LCP is 2*CAP codegen'd
+    slice-equality terms, no interpreted lambdas.  Suffixes shorter than
+    MIN tokens are excluded up front (they cannot reach the threshold;
+    dropping them only removes sub-threshold neighbor pairs).  Skewed
+    blocks (corpus-dominant bigrams) split under AQE like every other
+    hot key."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    suf = (
+        toks.select(
+            "doc_id",
+            "w",
+            F.size("w").alias("n"),
+            F.explode(F.sequence(F.lit(1), F.size("w"))).alias("pos"),
+        )
+        .filter(F.col("n") - F.col("pos") + 1 >= SUFFIX_MIN_REPEAT)
+        .select(
+            "doc_id",
+            "pos",
+            F.slice("w", F.col("pos"), SUFFIX_CAP).alias("suffix"),
+            F.array_join(F.slice("w", F.col("pos"), SUFFIX_BLOCK_TOKENS), " ").alias("blk"),
+            F.array_join(F.slice("w", F.col("pos"), SUFFIX_CAP), " ").alias("skey"),
+        )
+    )
+    win = Window.partitionBy("blk").orderBy("skey", "doc_id", "pos")
+    nbr = suf.select(
+        "doc_id",
+        "suffix",
+        F.lag("suffix").over(win).alias("prev_suf"),
+        F.lead("suffix").over(win).alias("next_suf"),
+    )
+    repeat_len = F.greatest(
+        F.when(F.col("prev_suf").isNull(), F.lit(0)).otherwise(_lcp_expr("suffix", "prev_suf")),
+        F.when(F.col("next_suf").isNull(), F.lit(0)).otherwise(_lcp_expr("suffix", "next_suf")),
+    )
+    dup = F.sum(F.when(F.col("repeat_len") >= SUFFIX_MIN_REPEAT, 1).otherwise(0))
+    return (
+        nbr.select("doc_id", repeat_len.alias("repeat_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_suffixes"),
+            dup.cast("long").alias("dup_positions"),
+            F.max("repeat_len").cast("int").alias("max_repeat"),
+            F.round(dup * F.lit(1.0) / F.count(F.lit(1)), 4).alias("dup_frac"),
+        )
+        .filter(F.col("dup_positions") > 0)
+    )

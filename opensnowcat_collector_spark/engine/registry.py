@@ -28,167 +28,23 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # subsystem; order past the window is rotation-staged (see tranche
 # comments below), then legacy order.
 #
-# r7 rotation (VERDICT r6 top item): tranches 2+3 — the 29 queries whose
-# only prior evidence was the local full-registry sweep — move into the
-# window, together with the r7-new collector_split_accounting gate.
-# After this round EVERY registered query has >=1 driver-green
-# CORRECTNESS row (cross-round union, see COVERAGE.md gate map).
+# r8 rotation (VERDICT r7 item 3): the window re-grades the STALEST
+# evidence.  Slot 1 is embed_quantize_int8 (r7's only driver-red row —
+# array-typed output, now flattened to a scalar codes string; the one
+# query that has never passed externally).  Slot 2 is the r8-new
+# suffix-array-style substring dedup (VERDICT r7 item 6).  Slots 3-35
+# are the 33 entries whose last driver grading is oldest: the 32 whose
+# only green rows are r1+r2 (gate-map slots 127-158 — the basic
+# join/window/setop/scalar/agg families, last externally graded before
+# the engine's r3-r7 rewrites) plus embed_norms (r3-only).  Slots 36-50
+# keep the standing keeps: every streaming gate (highest-variance
+# machinery), the skew/bucketed join pins, and the four flagships.
 _PRIORITY: list[str] = [
-    # ---- slots 1-19: r7 rotation tranche 2 (the 19 late-r5 additions,
-    # pre-staged contiguously since r6).
-    "dedup_bloom_incremental",
-    "dedup_prefix_contained",
-    "curate_temperature_mix",
+    # ---- slots 1-2: the r7 driver-red fix + the r8-new query.
     "embed_quantize_int8",
-    "sim_ann_filtered",
-    "streaming_latest_profile",
-    "sim_ann_pq",
-    "curate_chunk_overlap",
-    "sim_ann_ivfpq",
-    "curate_mix_apply",
-    "streaming_foreachbatch_sink",
-    "sim_ann_compacted",
-    "sim_bitext_mine",
-    "text_length_histogram",
-    "events_scd2_intervals",
-    "join_asof_forward_tolerance",
-    "dedup_lsh_quality",
-    "events_zorder_pruned",
-    "curate_snapshot_diff",
-    # ---- slots 20-29: r7 rotation tranche 3 (the 10 r6 additions).
-    # join_asof_nearest + text_langid_ngram_profiles also carry r7 fixes
-    # (exact-microsecond distance compare; length>=3 gram guard), and the
-    # two CMS queries carry the r7 scale-derived support threshold —
-    # fresh driver grading is exactly what those changes need.
-    "text_gopher_quality_gates",
-    "curate_global_shuffle",
-    "agg_countmin_heavy_hitters",
-    "events_max_concurrency_sweep",
-    "streaming_countmin_sketch",
-    "events_sliding_window_stats",
-    "join_asof_nearest",
-    "curate_importance_resample",
-    "text_langid_ngram_profiles",
-    "streaming_sliding_window",
-    # ---- slots 30-35: NEW in r7.  Slot 30 closes VERDICT r6 item 2
-    # (§2.4/F7/T10 split path under the external gate); 31-32 move T9 and
-    # F4/F5/T6 out of the pytest-only bucket; 33-35 widen the LLM-data
-    # families (directional containment dedup, cosine radius search,
-    # entropy quality gates).
-    "collector_split_accounting",
-    "collector_thrift_roundtrip",
-    "collector_redirect_origin_gates",
-    "dedup_shingle_containment",
-    "sim_radius_search",
-    "text_entropy_metrics",
-    # ---- slots 36-50: the 15 keeps.  All streaming gates stay windowed
-    # every round (highest-variance machinery, flake armor), plus the
-    # skew/bucketed join pins and the four flagships whose plans changed
-    # most recently.
-    "streaming_leftouter_join",
-    "streaming_session_timeout_flush",
-    "dedup_paragraph_exact",
-    "streaming_dedup_watermark",
-    "streaming_session_window",
-    "streaming_enrich_join",
-    "streaming_stream_stream_join",
-    "streaming_stateful_sessionize",
-    "streaming_document_curation",
-    "join_skew_salted",
-    "join_bucketed_colocated",
-    "dedup_minhash_lsh",
-    "sim_ann_lsh",
-    "corpus_curation_pipeline",
-    "mm_feature_extract",
-    # ---- slot 51+ below: NOT driver-graded this round.
-    # Displaced r6-window entries (tranche 1 of the r6 rotation, each
-    # driver-green in r6; the TPC-H subquery patterns + admission ops).
-    "q2_minprice_supplier",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_balance",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q20_excess_supply",
-    "q21_waiting_supplier",
-    "text_pii_scrub",
-    "curate_blocklist_filter",
-    "dedup_repeated_ngram_fraction",
-    "text_tfidf_topterms",
-    "agg_approx_percentile",
-    "dedup_url_canonical",
-    "events_transition_matrix",
-    "curate_dedup_apply",
-    "curate_train_val_split",
-    "agg_hll_partitioned_merge",
-    "events_burst_detection",
-    "sim_ann_delete",
-    # ---- displaced two-round (r5+r6) window entries.
-    "dedup_incremental_minhash",
-    "sim_ann_incremental",
-    "curate_tokenize_ids",
-    "events_funnel_steps",
-    "events_retention_cohorts",
-    "sim_ann_recall",
-    "text_vocab_stats",
-    "text_unigram_logprob",
-    "text_cooccurrence_ratio",
-    "curate_dataset_card",
-    "events_session_sequences",
-    # ---- displaced earlier (three driver-green rounds r3+r4+r5 each);
-    # still run by the full-registry pytest sweep.
-    "dedup_embedding_cosine",
-    "dedup_embedding_kmeans",
-    "dedup_cluster_components",
-    "dedup_incremental",
-    "sim_topk_bruteforce",
-    "sim_ann_multiprobe",
-    "sim_ann_ivf",
-    "sim_ann_ivf_kmeans",
-    "sim_ann_batch",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid",
-    "text_token_bpeish",
-    "text_repetition_score",
-    "curate_sample_stratified",
-    "curate_pack_sequences",
-    "curate_contamination",
-    "curate_domain_mix",
-    "curate_quality_quantile_filter",
-    "curate_source_quota",
-    "curate_token_budget_select",
-    "mm_decode_metadata",
-    "mm_resize_plan",
-    "mm_frame_sample",
-    # ---- legacy order: driver-confirmed green in earlier rounds (see
-    # COVERAGE.md gate map), pytest-covered by the full-registry sweep.
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "collector_enrich_events",
-    "collector_bridge_roundtrip",
-    "collector_bounce_events",
-    "streaming_hourly_rollup",
-    "agg_approx_distinct",
-    "join_asof_last_click",
-    "events_sessionize",
-    "q22_global_sales_opportunity",
-    "q19_disjunctive_revenue",
-    "q18_large_orders",
-    "join_range_price_bins",
-    "agg_rollup_region_nation",
-    "embed_norms",
-    "sim_bucket_histogram",
-    "text_fingerprint",
+    "dedup_suffix_repeats",
+    # ---- slots 3-34: the 32 r1+r2-only entries (oldest external
+    # evidence in the registry; full list = gate-map slots 127-158).
     "q7_volume_shipping",
     "agg_stats_percentiles",
     "q12_linestatus_priority",
@@ -221,6 +77,148 @@ _PRIORITY: list[str] = [
     "setop_except_inactive",
     "scalar_string_funcs",
     "scalar_datetime_funcs",
+    # ---- slot 35: oldest single-round entry after the r1+r2 block.
+    "embed_norms",
+    # ---- slots 36-50: the 15 standing keeps (same set as r7).
+    "streaming_leftouter_join",
+    "streaming_session_timeout_flush",
+    "dedup_paragraph_exact",
+    "streaming_dedup_watermark",
+    "streaming_session_window",
+    "streaming_enrich_join",
+    "streaming_stream_stream_join",
+    "streaming_stateful_sessionize",
+    "streaming_document_curation",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh",
+    "corpus_curation_pipeline",
+    "mm_feature_extract",
+    # ---- slot 51+ below: NOT driver-graded this round.
+    # Displaced r7-window entries (all driver-green in r7,
+    # CORRECTNESS_r07.json).
+    "dedup_bloom_incremental",
+    "dedup_prefix_contained",
+    "curate_temperature_mix",
+    "sim_ann_filtered",
+    "streaming_latest_profile",
+    "sim_ann_pq",
+    "curate_chunk_overlap",
+    "sim_ann_ivfpq",
+    "curate_mix_apply",
+    "streaming_foreachbatch_sink",
+    "sim_ann_compacted",
+    "sim_bitext_mine",
+    "text_length_histogram",
+    "events_scd2_intervals",
+    "join_asof_forward_tolerance",
+    "dedup_lsh_quality",
+    "events_zorder_pruned",
+    "curate_snapshot_diff",
+    "text_gopher_quality_gates",
+    "curate_global_shuffle",
+    "agg_countmin_heavy_hitters",
+    "events_max_concurrency_sweep",
+    "streaming_countmin_sketch",
+    "events_sliding_window_stats",
+    "join_asof_nearest",
+    "curate_importance_resample",
+    "text_langid_ngram_profiles",
+    "streaming_sliding_window",
+    "collector_split_accounting",
+    "collector_thrift_roundtrip",
+    "collector_redirect_origin_gates",
+    "dedup_shingle_containment",
+    "sim_radius_search",
+    "text_entropy_metrics",
+    # ---- r6-graded (tranche 1 of the r6 rotation).
+    "q2_minprice_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_balance",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_supply",
+    "q21_waiting_supplier",
+    "text_pii_scrub",
+    "curate_blocklist_filter",
+    "dedup_repeated_ngram_fraction",
+    "text_tfidf_topterms",
+    "agg_approx_percentile",
+    "dedup_url_canonical",
+    "events_transition_matrix",
+    "curate_dedup_apply",
+    "curate_train_val_split",
+    "agg_hll_partitioned_merge",
+    "events_burst_detection",
+    "sim_ann_delete",
+    # ---- r5+r6 / r5+r6+r7 two-plus-round entries.
+    "dedup_incremental_minhash",
+    "sim_ann_incremental",
+    "curate_tokenize_ids",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "sim_ann_recall",
+    "text_vocab_stats",
+    "text_unigram_logprob",
+    "text_cooccurrence_ratio",
+    "curate_dataset_card",
+    "events_session_sequences",
+    # ---- three-round r3+r4+r5 entries.
+    "dedup_embedding_cosine",
+    "dedup_embedding_kmeans",
+    "dedup_cluster_components",
+    "dedup_incremental",
+    "sim_topk_bruteforce",
+    "sim_ann_multiprobe",
+    "sim_ann_ivf",
+    "sim_ann_ivf_kmeans",
+    "sim_ann_batch",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_token_bpeish",
+    "text_repetition_score",
+    "curate_sample_stratified",
+    "curate_pack_sequences",
+    "curate_contamination",
+    "curate_domain_mix",
+    "curate_quality_quantile_filter",
+    "curate_source_quota",
+    "curate_token_budget_select",
+    "mm_decode_metadata",
+    "mm_resize_plan",
+    "mm_frame_sample",
+    # ---- legacy multi-round entries (r1-r4 unions; next-stalest after
+    # the windowed block — first candidates for the r9 rotation along
+    # with the r3-only pair sim_bucket_histogram / text_fingerprint and
+    # the r1+r2+r3 group below).
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "collector_enrich_events",
+    "collector_bridge_roundtrip",
+    "collector_bounce_events",
+    "streaming_hourly_rollup",
+    "agg_approx_distinct",
+    "join_asof_last_click",
+    "events_sessionize",
+    "q22_global_sales_opportunity",
+    "q19_disjunctive_revenue",
+    "q18_large_orders",
+    "join_range_price_bins",
+    "agg_rollup_region_nation",
+    "sim_bucket_histogram",
+    "text_fingerprint",
 ]
 
 
@@ -228,7 +226,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "q2_minprice_supplier"  # first entry past the window, r7
+_WINDOW_SENTINEL = "dedup_bloom_incremental"  # first entry past the window, r8
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

@@ -229,3 +229,88 @@ def test_langid_profiles_broadcast_scoring(spark, sf_dir):
     corpus-scaled gram side never sort-merges."""
     plan = _plan(spark, sf_dir, "text_langid_ngram_profiles")
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+# ---- r7/r8 additions (VERDICT r7 item 4) ----------------------------------
+
+
+def test_split_accounting_python_only_on_oversized(spark, sf_dir):
+    """The graded split-accounting query pays exactly one MapInPandas per
+    pipeline branch (good + bad), each restricted to the oversized
+    subset; the small-event routing stays JVM-side and the accounting
+    joins never degenerate to nested-loop shapes."""
+    plan = _plan(spark, sf_dir, "collector_split_accounting")
+    assert plan.count("MapInPandas") == 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_thrift_roundtrip_two_python_stages_no_shuffle(spark, sf_dir):
+    """Thrift encode (Arrow-batched scalar UDF) + decode (mapInPandas)
+    are the only Python stages and the roundtrip is a pure per-row map:
+    ZERO exchanges — byte fidelity must not cost a shuffle."""
+    plan = _plan(spark, sf_dir, "collector_thrift_roundtrip")
+    assert "Exchange" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_redirect_origin_gates_zero_exchange_codegen(spark, sf_dir):
+    """F4/F5/T6 gates are scan-stage projections: no shuffle, no Python,
+    whole-stage codegen'd — the allowlist checks must stay free at scale."""
+    plan = _plan(spark, sf_dir, "collector_redirect_origin_gates")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(1)" in plan
+
+
+def test_shingle_containment_merge_hints_hold(spark, sf_dir):
+    """Every corpus-scaled join in the containment query carries the
+    anti-broadcast merge hint (the 64x broadcast-OOM class from
+    BASELINE.md): the plan may contain ONLY sort-merge joins — a
+    BroadcastHashJoin here means a statistics-less corpus-scaled side
+    got broadcast and will OOM at scale."""
+    plan = _plan(spark, sf_dir, "dedup_shingle_containment")
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") >= 2, plan
+
+
+def test_radius_search_broadcasts_probes_never_corpus(spark, sf_dir):
+    """The radius BNLJ must build on the bounded probe set (modulo-
+    selected, caller-bounded in production), NEVER the corpus: the single
+    BroadcastExchange subtree must be the probe-side modulo filter, and
+    the Arrow pair-cosine (not row-at-a-time Python) evaluates the
+    predicate."""
+    from opensnowcat_collector_spark.engine.llmdata.similarity import RADIUS_MOD
+
+    plan = _plan(spark, sf_dir, "sim_radius_search")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    bx = plan.index("BroadcastExchange")
+    assert f"% {RADIUS_MOD}" in plan[bx : bx + 600], (
+        "broadcast side is not the modulo-filtered probe set:\n" + plan
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" in plan
+
+
+def test_entropy_metrics_partial_agg_no_python(spark, sf_dir):
+    """Char/word entropy: two explode->count streams, each map-side
+    combined, one doc_id join — no Python stage, no nested-loop shapes,
+    bounded exchange budget (2 per stream + join)."""
+    plan = _plan(spark, sf_dir, "text_entropy_metrics")
+    assert plan.count("Exchange") <= 5, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_suffix_repeats_blocked_window_no_global_sort(spark, sf_dir):
+    """The suffix sort must be the hash-partitioned blocked window —
+    never a single-partition global sort; LCP terms stay codegen'd (no
+    Python, no interpreted higher-order aggregate)."""
+    plan = _plan(spark, sf_dir, "dedup_suffix_repeats")
+    assert "SinglePartition" not in plan, plan
+    assert re.search(r"hashpartitioning\(blk", plan), plan
+    assert plan.count("Exchange") <= 3, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "aggregate(" not in plan  # no interpreted lambda LCP

@@ -44,54 +44,72 @@ def test_unlisted_extra_raises_then_allowed_with_flag():
         del relational.QUERIES[name]
 
 
-def test_never_driver_confirmed_queries_now_in_window():
-    """r7 rotation (VERDICT r6 top item): tranches 2+3 — every query whose
-    only prior evidence was the local sweep — plus the r7-new split gate
-    sit inside the graded window, and all streaming gates stay windowed."""
-    rotated_in = [
-        # tranche 2 (late-r5 additions)
-        "dedup_bloom_incremental",
-        "dedup_prefix_contained",
-        "curate_temperature_mix",
-        "embed_quantize_int8",
-        "sim_ann_filtered",
-        "streaming_latest_profile",
-        "sim_ann_pq",
-        "curate_chunk_overlap",
-        "sim_ann_ivfpq",
-        "curate_mix_apply",
-        "streaming_foreachbatch_sink",
-        "sim_ann_compacted",
-        "sim_bitext_mine",
-        "text_length_histogram",
-        "events_scd2_intervals",
-        "join_asof_forward_tolerance",
-        "dedup_lsh_quality",
-        "events_zorder_pruned",
-        "curate_snapshot_diff",
-        # tranche 3 (r6 additions)
-        "text_gopher_quality_gates",
-        "curate_global_shuffle",
-        "agg_countmin_heavy_hitters",
-        "events_max_concurrency_sweep",
-        "streaming_countmin_sketch",
-        "events_sliding_window_stats",
-        "join_asof_nearest",
-        "curate_importance_resample",
-        "text_langid_ngram_profiles",
-        "streaming_sliding_window",
-        # r7-new
-        "collector_split_accounting",
+def test_r8_window_regrades_stalest_evidence():
+    """r8 rotation (VERDICT r7 item 3): the window holds (a) the r7
+    driver-red fix embed_quantize_int8, (b) the r8-new suffix-array
+    substring dedup, (c) the 33 entries with the OLDEST external
+    evidence (the 32 r1+r2-only basics + embed_norms), and (d) the 15
+    standing keeps — streaming gates NOT kept this round rotate out
+    deliberately: all were driver-green r4-r7 and the flake-armor suite
+    replays them 5x locally every round."""
+    stalest = [
+        "q7_volume_shipping",
+        "agg_stats_percentiles",
+        "q12_linestatus_priority",
+        "q14_promo_effect",
+        "events_hourly_rollup",
+        "agg_cube_status_priority",
+        "agg_grouping_sets",
+        "agg_pivot_status",
+        "events_dedup_latest",
+        "events_tumbling_15min",
+        "events_type_matrix",
+        "agg_distinct_counts",
+        "scalar_url_map_funcs",
+        "scalar_hash_encode_funcs",
+        "topk_orders",
+        "json_props_extract",
+        "array_hof_embeddings",
+        "join_left_order_counts",
+        "join_semi_open_orders",
+        "join_anti_customers_without_orders",
+        "join_theta_quantity_over_size",
+        "join_full_outer_nation_activity",
+        "window_rank_acctbal",
+        "window_running_spend",
+        "window_analytics_distribution",
+        "window_value_picking",
+        "window_range_frame_spend",
+        "setop_union_segments",
+        "setop_intersect_active_auto",
+        "setop_except_inactive",
+        "scalar_string_funcs",
+        "scalar_datetime_funcs",
+        "embed_norms",
+    ]
+    keeps = [
+        "streaming_leftouter_join",
+        "streaming_session_timeout_flush",
+        "dedup_paragraph_exact",
+        "streaming_dedup_watermark",
+        "streaming_session_window",
+        "streaming_enrich_join",
+        "streaming_stream_stream_join",
+        "streaming_stateful_sessionize",
+        "streaming_document_curation",
+        "join_skew_salted",
+        "join_bucketed_colocated",
+        "dedup_minhash_lsh",
+        "sim_ann_lsh",
+        "corpus_curation_pipeline",
+        "mm_feature_extract",
     ]
     window = registry._PRIORITY[: registry.GRADED_WINDOW]
-    for name in rotated_in:
+    assert window[0] == "embed_quantize_int8"  # the only never-green query
+    assert window[1] == "dedup_suffix_repeats"  # r8-new, graded on arrival
+    for name in stalest + keeps:
         assert name in window, name
-    # flake armor: every streaming gate is driver-graded every round
-    streaming = [n for n in registry._PRIORITY if n.startswith("streaming_")]
-    for name in streaming:
-        if name == "streaming_hourly_rollup":  # legacy r1-r4 gate, displaced
-            continue
-        assert name in window, name
+    assert len(window) == 2 + len(stalest) + len(keeps) == 50
 
 
 def test_registered_query_outputs_are_scalar_only(spark, sf_dir):
