@@ -83,6 +83,9 @@ HEADLINE = [
     # r7: the §2.4 split/size-guard path (JVM thrift-size routing +
     # mapInPandas bin-packing on the oversized subset)
     "collector_split_accounting",
+    # r8: suffix-array-style substring dedup (one blocked-window suffix
+    # sort + codegen'd neighbor LCP)
+    "dedup_suffix_repeats",
 ]
 
 

@@ -1658,27 +1658,34 @@ SUFFIX_BLOCK_TOKENS = 2
 
 
 def _lcp_expr(a: str, b: str):
-    """Token-LCP of two (capped) suffix arrays, loop-free: prefix
-    equality is monotone in k, so LCP = sum over k<=CAP of
-    [first k tokens equal], clamped by both lengths (a suffix equal to a
-    longer one's prefix matches at every k up to the cap — the clamp pins
-    LCP to the shorter length).  Unrolled to 2*CAP slice comparisons that
-    stay inside whole-stage codegen (module-header perf note: interpreted
-    higher-order aggregate() lambdas are the slow path)."""
-    terms = None
-    for k in range(1, SUFFIX_CAP + 1):
-        t = F.when(F.slice(F.col(a), 1, k) == F.slice(F.col(b), 1, k), 1).otherwise(0)
-        terms = t if terms is None else terms + t
-    return F.least(terms, F.size(a), F.size(b))
+    """Token-LCP of two (capped) suffix arrays as one nested conditional:
+    LCP = CASE a[0]=b[0] THEN 1 + (CASE a[1]=b[1] THEN 1 + ... ) ELSE 0.
+    Element accesses allocate nothing (the first cut's 2*CAP ``slice``
+    comparisons copied 24 arrays per row and measured 8x slower at the
+    64x probe), stay inside whole-stage codegen, and clamp for free: an
+    out-of-range index yields NULL, NULL = NULL yields NULL, and CASE
+    treats NULL as false — so runs of equal short suffixes stop exactly
+    at their length with no LEAST(len, len) term."""
+    expr = F.lit(0)
+    for k in range(SUFFIX_CAP - 1, -1, -1):
+        # F.get, not getItem: ANSI mode makes [k] THROW out of bounds;
+        # get() returns the NULL the clamping trick relies on
+        expr = F.when(
+            F.get(F.col(a), k) == F.get(F.col(b), k), F.lit(1) + expr
+        ).otherwise(F.lit(0))
+    return expr
 
 
 def _suffix_lcp_oracle() -> str:
     cap, mn, blk = SUFFIX_CAP, SUFFIX_MIN_REPEAT, SUFFIX_BLOCK_TOKENS
-    lcp = lambda other: " + ".join(  # noqa: E731
-        f"CASE WHEN list_slice(suffix,1,{k}) = list_slice({other},1,{k}) "
-        "THEN 1 ELSE 0 END"
-        for k in range(1, cap + 1)
-    )
+
+    def lcp(other: str) -> str:
+        # same nested-conditional LCP as _lcp_expr (1-based list indexing;
+        # out-of-range -> NULL -> CASE else-branch, clamping for free)
+        expr = "0"
+        for k in range(cap, 0, -1):
+            expr = f"CASE WHEN suffix[{k}] = {other}[{k}] THEN 1 + ({expr}) ELSE 0 END"
+        return expr
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
@@ -1702,9 +1709,9 @@ lcps AS (
   SELECT doc_id,
          GREATEST(
            CASE WHEN prev_suf IS NULL THEN 0
-                ELSE LEAST({lcp("prev_suf")}, len(suffix), len(prev_suf)) END,
+                ELSE {lcp("prev_suf")} END,
            CASE WHEN next_suf IS NULL THEN 0
-                ELSE LEAST({lcp("next_suf")}, len(suffix), len(next_suf)) END
+                ELSE {lcp("next_suf")} END
          ) AS repeat_len
   FROM nbr
 )
