@@ -1676,45 +1676,54 @@ def _lcp_expr(a: str, b: str):
     return expr
 
 
-def _suffix_lcp_oracle() -> str:
-    cap, mn, blk = SUFFIX_CAP, SUFFIX_MIN_REPEAT, SUFFIX_BLOCK_TOKENS
+def _suffix_lcp_sql(other: str) -> str:
+    # same nested-conditional LCP as _lcp_expr (1-based list indexing;
+    # out-of-range -> NULL -> CASE else-branch, clamping for free)
+    expr = "0"
+    for k in range(SUFFIX_CAP, 0, -1):
+        expr = f"CASE WHEN suffix[{k}] = {other}[{k}] THEN 1 + ({expr}) ELSE 0 END"
+    return expr
 
-    def lcp(other: str) -> str:
-        # same nested-conditional LCP as _lcp_expr (1-based list indexing;
-        # out-of-range -> NULL -> CASE else-branch, clamping for free)
-        expr = "0"
-        for k in range(cap, 0, -1):
-            expr = f"CASE WHEN suffix[{k}] = {other}[{k}] THEN 1 + ({expr}) ELSE 0 END"
-        return expr
-    return f"""
-WITH toks AS (
+
+def _suffix_repeat_cte() -> str:
+    """Shared CTE chain ending in ``lcps(doc_id, pos, n_tokens,
+    repeat_len)`` — the oracle twin of ``_suffix_repeat_lens``."""
+    cap, mn, blk = SUFFIX_CAP, SUFFIX_MIN_REPEAT, SUFFIX_BLOCK_TOKENS
+    return f"""toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
 ),
 suf AS (
-  SELECT doc_id, pos,
+  SELECT doc_id, pos, n_tokens,
          list_slice(w, pos, pos + {cap} - 1) AS suffix,
          array_to_string(list_slice(w, pos, pos + {blk} - 1), ' ') AS blk,
          array_to_string(list_slice(w, pos, pos + {cap} - 1), ' ') AS skey
-  FROM (SELECT doc_id, w, UNNEST(generate_series(1, len(w))) AS pos FROM toks)
-  WHERE len(w) - pos + 1 >= {mn}
+  FROM (SELECT doc_id, w, len(w) AS n_tokens,
+               UNNEST(generate_series(1, len(w))) AS pos FROM toks)
+  WHERE n_tokens - pos + 1 >= {mn}
 ),
 nbr AS (
-  SELECT doc_id, pos, suffix,
+  SELECT doc_id, pos, n_tokens, suffix,
          lag(suffix)  OVER win AS prev_suf,
          lead(suffix) OVER win AS next_suf
   FROM suf
   WINDOW win AS (PARTITION BY blk ORDER BY skey, doc_id, pos)
 ),
 lcps AS (
-  SELECT doc_id,
+  SELECT doc_id, pos, n_tokens,
          GREATEST(
            CASE WHEN prev_suf IS NULL THEN 0
-                ELSE {lcp("prev_suf")} END,
+                ELSE {_suffix_lcp_sql("prev_suf")} END,
            CASE WHEN next_suf IS NULL THEN 0
-                ELSE {lcp("next_suf")} END
+                ELSE {_suffix_lcp_sql("next_suf")} END
          ) AS repeat_len
   FROM nbr
-)
+)"""
+
+
+def _suffix_lcp_oracle() -> str:
+    mn = SUFFIX_MIN_REPEAT
+    return f"""
+WITH {_suffix_repeat_cte()}
 SELECT doc_id,
        COUNT(*) AS n_suffixes,
        CAST(SUM(CASE WHEN repeat_len >= {mn} THEN 1 ELSE 0 END) AS BIGINT)
@@ -1726,6 +1735,47 @@ FROM lcps
 GROUP BY doc_id
 HAVING SUM(CASE WHEN repeat_len >= {mn} THEN 1 ELSE 0 END) > 0
 """
+
+
+def _suffix_repeat_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared suffix-sort subtree for the ExactSubstr pair: one row per
+    eligible token position with (doc_id, pos, n_tokens, repeat_len) —
+    repeat_len is the token-LCP against the sorted-order neighbors, i.e.
+    the length of the longest substring starting at pos that occurs
+    elsewhere in the corpus (capped at SUFFIX_CAP)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    suf = (
+        toks.select(
+            "doc_id",
+            "w",
+            F.size("w").alias("n_tokens"),
+            F.explode(F.sequence(F.lit(1), F.size("w"))).alias("pos"),
+        )
+        .filter(F.col("n_tokens") - F.col("pos") + 1 >= SUFFIX_MIN_REPEAT)
+        .select(
+            "doc_id",
+            "pos",
+            "n_tokens",
+            F.slice("w", F.col("pos"), SUFFIX_CAP).alias("suffix"),
+            F.array_join(F.slice("w", F.col("pos"), SUFFIX_BLOCK_TOKENS), " ").alias("blk"),
+            F.array_join(F.slice("w", F.col("pos"), SUFFIX_CAP), " ").alias("skey"),
+        )
+    )
+    win = Window.partitionBy("blk").orderBy("skey", "doc_id", "pos")
+    nbr = suf.select(
+        "doc_id",
+        "pos",
+        "n_tokens",
+        "suffix",
+        F.lag("suffix").over(win).alias("prev_suf"),
+        F.lead("suffix").over(win).alias("next_suf"),
+    )
+    repeat_len = F.greatest(
+        F.when(F.col("prev_suf").isNull(), F.lit(0)).otherwise(_lcp_expr("suffix", "prev_suf")),
+        F.when(F.col("next_suf").isNull(), F.lit(0)).otherwise(_lcp_expr("suffix", "next_suf")),
+    )
+    return nbr.select("doc_id", "pos", "n_tokens", repeat_len.alias("repeat_len"))
 
 
 @register("dedup_suffix_repeats", oracle=_suffix_lcp_oracle())
@@ -1755,38 +1805,10 @@ def dedup_suffix_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropping them only removes sub-threshold neighbor pairs).  Skewed
     blocks (corpus-dominant bigrams) split under AQE like every other
     hot key."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
-    suf = (
-        toks.select(
-            "doc_id",
-            "w",
-            F.size("w").alias("n"),
-            F.explode(F.sequence(F.lit(1), F.size("w"))).alias("pos"),
-        )
-        .filter(F.col("n") - F.col("pos") + 1 >= SUFFIX_MIN_REPEAT)
-        .select(
-            "doc_id",
-            "pos",
-            F.slice("w", F.col("pos"), SUFFIX_CAP).alias("suffix"),
-            F.array_join(F.slice("w", F.col("pos"), SUFFIX_BLOCK_TOKENS), " ").alias("blk"),
-            F.array_join(F.slice("w", F.col("pos"), SUFFIX_CAP), " ").alias("skey"),
-        )
-    )
-    win = Window.partitionBy("blk").orderBy("skey", "doc_id", "pos")
-    nbr = suf.select(
-        "doc_id",
-        "suffix",
-        F.lag("suffix").over(win).alias("prev_suf"),
-        F.lead("suffix").over(win).alias("next_suf"),
-    )
-    repeat_len = F.greatest(
-        F.when(F.col("prev_suf").isNull(), F.lit(0)).otherwise(_lcp_expr("suffix", "prev_suf")),
-        F.when(F.col("next_suf").isNull(), F.lit(0)).otherwise(_lcp_expr("suffix", "next_suf")),
-    )
     dup = F.sum(F.when(F.col("repeat_len") >= SUFFIX_MIN_REPEAT, 1).otherwise(0))
     return (
-        nbr.select("doc_id", repeat_len.alias("repeat_len"))
+        _suffix_repeat_lens(spark, sf_dir)
+        .select("doc_id", "repeat_len")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_suffixes"),
@@ -1795,4 +1817,74 @@ def dedup_suffix_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup * F.lit(1.0) / F.count(F.lit(1)), 4).alias("dup_frac"),
         )
         .filter(F.col("dup_positions") > 0)
+    )
+
+
+def _suffix_apply_oracle() -> str:
+    mn = SUFFIX_MIN_REPEAT
+    return f"""
+WITH {_suffix_repeat_cte()},
+iv AS (
+  SELECT doc_id, pos, n_tokens, pos + repeat_len AS iv_end,
+         MAX(pos + repeat_len) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM lcps WHERE repeat_len >= {mn}
+)
+SELECT doc_id, MAX(n_tokens) AS n_tokens,
+       CAST(SUM(GREATEST(0, iv_end - GREATEST(pos, COALESCE(prev_end, 0))))
+            AS BIGINT) AS removed_tokens,
+       ROUND(1.0 - SUM(GREATEST(0, iv_end - GREATEST(pos, COALESCE(prev_end, 0))))
+             * 1.0 / MAX(n_tokens), 4) AS keep_frac
+FROM iv
+GROUP BY doc_id
+"""
+
+
+@register("curate_suffix_dedup_apply", oracle=_suffix_apply_oracle())
+def curate_suffix_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL side of ExactSubstr (Lee et al. §4.1: every occurrence
+    of a repeated >= MIN-token substring is cut from the corpus — by
+    design ALL copies go, which is why fully-duplicated documents show
+    keep_frac ~0 here): per affected document, the exact number of tokens
+    covered by the union of repeat spans [pos, pos + repeat_len) and the
+    surviving fraction — the accounting a curation pipeline needs before
+    committing the cut.
+
+    Span-union without any per-doc array state: flagged intervals sorted
+    by start; each interval's NEW contribution is iv_end minus the
+    running max of all PRECEDING ends (clamped at its own start) — the
+    classic sweep expressed as one doc_id-partitioned running-max window
+    plus a sum, identical in both engines.
+
+    Scale: inherits the blocked suffix sort from ``_suffix_repeat_lens``
+    (one hash-partitioned exchange); the sweep adds one doc_id-keyed
+    window over only the FLAGGED positions (<= duplicated token count,
+    typically a small fraction of the corpus) and the final aggregate
+    reuses the same doc_id partitioning."""
+    mn = SUFFIX_MIN_REPEAT
+    flagged = _suffix_repeat_lens(spark, sf_dir).filter(F.col("repeat_len") >= mn)
+    sweep = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    iv = flagged.select(
+        "doc_id",
+        "pos",
+        "n_tokens",
+        (F.col("pos") + F.col("repeat_len")).alias("iv_end"),
+    ).withColumn("prev_end", F.max("iv_end").over(sweep))
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("iv_end") - F.greatest(F.col("pos"), F.coalesce(F.col("prev_end"), F.lit(0))),
+    )
+    return (
+        iv.select("doc_id", "n_tokens", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.sum("contrib").cast("long").alias("removed_tokens"),
+            F.round(
+                F.lit(1.0) - F.sum("contrib") * F.lit(1.0) / F.max("n_tokens"), 4
+            ).alias("keep_frac"),
+        )
     )

@@ -43,7 +43,8 @@ _PRIORITY: list[str] = [
     # ---- slots 1-2: the r7 driver-red fix + the r8-new query.
     "embed_quantize_int8",
     "dedup_suffix_repeats",
-    # ---- slots 3-34: the 32 r1+r2-only entries (oldest external
+    "curate_suffix_dedup_apply",
+    # ---- slots 4-35: the 32 r1+r2-only entries (oldest external
     # evidence in the registry; full list = gate-map slots 127-158).
     "q7_volume_shipping",
     "agg_stats_percentiles",
@@ -77,8 +78,6 @@ _PRIORITY: list[str] = [
     "setop_except_inactive",
     "scalar_string_funcs",
     "scalar_datetime_funcs",
-    # ---- slot 35: oldest single-round entry after the r1+r2 block.
-    "embed_norms",
     # ---- slots 36-50: the 15 standing keeps (same set as r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -217,6 +216,7 @@ _PRIORITY: list[str] = [
     "q18_large_orders",
     "join_range_price_bins",
     "agg_rollup_region_nation",
+    "embed_norms",
     "sim_bucket_histogram",
     "text_fingerprint",
 ]

@@ -42,3 +42,40 @@ def test_readme_registry_count_matches():
     m = re.search(r"# (\d+) registered", src)
     assert m, "README.md registry count comment missing"
     assert int(m.group(1)) == len(registry._PRIORITY)
+
+
+def test_rotation_keeps_evidence_fresh():
+    """Rotation discipline, self-enforcing (VERDICT r7 item 3 set the bar
+    'max evidence age <= 6 rounds'): every registered query must either
+    sit in the CURRENT graded window (fresh evidence arrives this round)
+    or have a fully-green driver row within the last 6 grading rounds.
+    When this fails, the fix is a deliberate _PRIORITY rotation, never a
+    threshold bump — with a 50-slot window over the full registry a
+    complete refresh cycle fits comfortably inside the budget."""
+    import glob
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from gen_gate_map import _driver_green
+
+    from opensnowcat_collector_spark.engine import registry
+
+    rounds = [
+        int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    current_round = max(rounds) + 1  # artifacts exist for completed rounds
+    green = _driver_green()
+    window = set(registry._PRIORITY[: registry.GRADED_WINDOW])
+    stale = {}
+    for name in registry._PRIORITY:
+        if name in window:
+            continue
+        last = max((int(r[1:]) for r in green.get(name, [])), default=None)
+        if last is None or current_round - last > 6:
+            stale[name] = last
+    assert stale == {}, (
+        f"queries with driver evidence older than 6 rounds and not "
+        f"re-windowed (rotate them into registry._PRIORITY's window): {stale}"
+    )

@@ -314,3 +314,13 @@ def test_suffix_repeats_blocked_window_no_global_sort(spark, sf_dir):
     assert plan.count("Exchange") <= 3, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "aggregate(" not in plan  # no interpreted lambda LCP
+
+
+def test_suffix_apply_sweep_reuses_doc_partitioning(spark, sf_dir):
+    """The span-union sweep adds ONE doc_id-keyed window over flagged
+    positions and the final aggregate reuses that partitioning: still no
+    SinglePartition anywhere, <= 2 exchanges total, zero Python."""
+    plan = _plan(spark, sf_dir, "curate_suffix_dedup_apply")
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

@@ -85,7 +85,6 @@ def test_r8_window_regrades_stalest_evidence():
         "setop_except_inactive",
         "scalar_string_funcs",
         "scalar_datetime_funcs",
-        "embed_norms",
     ]
     keeps = [
         "streaming_leftouter_join",
@@ -107,9 +106,10 @@ def test_r8_window_regrades_stalest_evidence():
     window = registry._PRIORITY[: registry.GRADED_WINDOW]
     assert window[0] == "embed_quantize_int8"  # the only never-green query
     assert window[1] == "dedup_suffix_repeats"  # r8-new, graded on arrival
+    assert window[2] == "curate_suffix_dedup_apply"  # its removal twin
     for name in stalest + keeps:
         assert name in window, name
-    assert len(window) == 2 + len(stalest) + len(keeps) == 50
+    assert len(window) == 3 + len(stalest) + len(keeps) == 50
 
 
 def test_registered_query_outputs_are_scalar_only(spark, sf_dir):
