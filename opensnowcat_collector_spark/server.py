@@ -33,6 +33,7 @@ from urllib.parse import parse_qsl, urlencode, urlsplit
 
 from .config import ZERO_UUID, CollectorConfig
 from .schema import PIXEL_GIF_BASE64
+from .transforms.privacy import _URL_HOST_RE
 
 PIXEL_GIF = base64.b64decode(PIXEL_GIF_BASE64)
 _EVENT_PATH_RE = re.compile(
@@ -312,14 +313,18 @@ def make_handler(cfg: CollectorConfig, writer: LandingWriter, sinks: tuple = ())
                 # F4/T6 redirect (allowlist + macro)
                 qs = dict(parse_qsl(split.query or "", keep_blank_values=True))
                 target = qs.get("u")
-                host = urlsplit(target or "").hostname
-                # exact host equality, matching the reference's Scala
-                # Option.contains (CollectorService.scala:394-395) and
-                # transforms/privacy.redirect_allowed
-                allowed = bool(target) and host is not None and (
-                    not cfg.redirect_domains
-                    or host in cfg.redirect_domains
-                )
+                # Mirrors the reference (CollectorService.scala:391-398)
+                # and transforms/privacy.redirect_allowed exactly: an
+                # EMPTY allowlist returns true before the URL is parsed;
+                # otherwise the host (case-PRESERVED — java.net.URL
+                # .getHost does not lowercase, so 'https://OK.org' does
+                # NOT match entry 'ok.org'; urlsplit().hostname would)
+                # must exactly equal an entry (Scala Option.contains).
+                if not cfg.redirect_domains:
+                    allowed = target is not None
+                else:
+                    m = re.match(_URL_HOST_RE, target or "")
+                    allowed = m is not None and m.group(1) in cfg.redirect_domains
                 if not allowed:
                     return self._respond(400, b"invalid redirect", "text/plain")
                 if cfg.redirect_macro.enabled:

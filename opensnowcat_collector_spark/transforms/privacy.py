@@ -136,14 +136,16 @@ def redirect_allowed(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
     ``config.redirectDomains.exists(url.contains)``: that is Scala
     ``Option.contains``, i.e. host == domain, NOT substring match (a
     substring match would admit ``ok.org.evil.com`` — an open-redirect
-    bypass).  Empty allowlist allows all; malformed target ->
-    disallowed, exactly the reference's MalformedURLException => false
-    branch."""
+    bypass).  An EMPTY allowlist short-circuits to true BEFORE the URL
+    is ever parsed (CollectorService.scala:391), so a present-but-
+    malformed target is still allowed in that mode; only the non-empty
+    path reaches the try block where MalformedURLException => false
+    (target unparseable -> disallowed)."""
     target = F.col("query_params")["u"]
-    host = F.nullif(F.regexp_extract(target, _URL_HOST_RE, 1), F.lit(""))
     if not cfg.redirect_domains:
-        allowed = target.isNotNull() & host.isNotNull()
+        allowed = target.isNotNull()
     else:
+        host = F.nullif(F.regexp_extract(target, _URL_HOST_RE, 1), F.lit(""))
         allowed = host.isNotNull() & host.isin(*cfg.redirect_domains)
     return df.withColumn("redirect_allowed", F.when(F.col("is_redirect"), allowed))
 

@@ -66,13 +66,16 @@ def test_rotation_keeps_evidence_fresh():
         for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
     ]
     current_round = max(rounds) + 1  # artifacts exist for completed rounds
-    green = _driver_green()
+    green, gen_round = _driver_green()
+    # the generator derives the same in-flight round; keep them locked
+    assert gen_round == current_round
     window = set(registry._PRIORITY[: registry.GRADED_WINDOW])
     stale = {}
     for name in registry._PRIORITY:
         if name in window:
             continue
-        last = max((int(r[1:]) for r in green.get(name, [])), default=None)
+        # labels are "rN" or "rN^" (rows-only); both count as evidence
+        last = max((int(r[1:].rstrip("^")) for r in green.get(name, [])), default=None)
         if last is None or current_round - last > 6:
             stale[name] = last
     assert stale == {}, (

@@ -287,3 +287,32 @@ def _mk_redirect_req(i, target):
     from .fixtures import _req
 
     return _req(i, path="/r/tp2", querystring=f"u={quote(target, safe='')}&e=pv")
+
+
+def test_redirect_empty_allowlist_skips_url_parse_and_host_case(spark):
+    """Two reference-parity edges (CollectorService.scala:390-398):
+    (a) an EMPTY allowlist returns true BEFORE the URL is parsed, so a
+    malformed or unknown-scheme target is still allowed in that mode
+    (the try/MalformedURLException branch is never reached); (b) host
+    comparison is case-SENSITIVE — java.net.URL.getHost preserves case
+    and Scala Option.contains is exact equality, so ``https://OK.org``
+    does NOT match allowlist entry ``ok.org``."""
+    empties = ["notaurl", "foo://ok.org/x", "https://anything.example/x"]
+    raw = spark.createDataFrame(
+        [_mk_redirect_req(i, t) for i, t in enumerate(empties)], RAW_REQUEST_SCHEMA
+    )
+    cfg = CollectorConfig(deterministic_now_ms=1705320000000)  # redirect_domains=()
+    enriched = {r["request_id"]: r.asDict() for r in pipeline.enrich(raw, cfg).collect()}
+    for i, t in enumerate(empties):
+        assert enriched[f"req-{i:04d}"]["redirect_allowed"] is True, t
+
+    cased = {"https://OK.org/x": False, "https://ok.org/x": True}
+    raw2 = spark.createDataFrame(
+        [_mk_redirect_req(i, t) for i, t in enumerate(cased)], RAW_REQUEST_SCHEMA
+    )
+    cfg2 = CollectorConfig(
+        deterministic_now_ms=1705320000000, redirect_domains=("ok.org",)
+    )
+    e2 = {r["request_id"]: r.asDict() for r in pipeline.enrich(raw2, cfg2).collect()}
+    for i, (t, want) in enumerate(cased.items()):
+        assert e2[f"req-{i:04d}"]["redirect_allowed"] is want, t

@@ -47,8 +47,10 @@ def test_unlisted_extra_raises_then_allowed_with_flag():
 def test_r8_window_regrades_stalest_evidence():
     """r8 rotation (VERDICT r7 item 3): the window holds (a) the r7
     driver-red fix embed_quantize_int8, (b) the r8-new suffix-array
-    substring dedup, (c) the 33 entries with the OLDEST external
-    evidence (the 32 r1+r2-only basics + embed_norms), and (d) the 15
+    substring dedup + its removal-accounting companion, (c) the 32
+    entries with the OLDEST external evidence (the r1+r2-only basics;
+    embed_norms, r3-only, is next-stalest and is the top r9 candidate
+    — asserted below), and (d) the 15
     standing keeps — streaming gates NOT kept this round rotate out
     deliberately: all were driver-green r4-r7 and the flake-armor suite
     replays them 5x locally every round."""
@@ -110,6 +112,11 @@ def test_r8_window_regrades_stalest_evidence():
     for name in stalest + keeps:
         assert name in window, name
     assert len(window) == 3 + len(stalest) + len(keeps) == 50
+    # embed_norms (r3-only) is the next-stalest entry and did NOT fit
+    # this window; the registry comments name it the top r9 candidate.
+    # Pin that claim so the r9 rotation can't silently skip it again.
+    assert "embed_norms" not in window
+    assert "embed_norms" in registry._PRIORITY[registry.GRADED_WINDOW :]
 
 
 def test_registered_query_outputs_are_scalar_only(spark, sf_dir):

@@ -340,6 +340,36 @@ def test_p3p_root_and_crossdomain_config(server, tmp_path):
         srv2.stop()
 
 
+def test_redirect_host_case_sensitive_and_empty_allowlist(server, tmp_path):
+    """Serve-path parity with CollectorService.scala:390-398 and
+    transforms/privacy.redirect_allowed: (a) host matching preserves
+    case (java.net.URL.getHost does not lowercase; Option.contains is
+    exact), so ``https://EXAMPLE.com`` is denied under allowlist entry
+    ``example.com``; (b) an EMPTY allowlist short-circuits to allowed
+    BEFORE the URL is parsed, so even a malformed target redirects."""
+    srv, _ = server
+    try:
+        _get(f"http://127.0.0.1:{srv.port}/r/tp2?u=https%3A%2F%2FEXAMPLE.com%2Fx")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+    open_cfg = CollectorConfig(
+        deterministic_now_ms=1705320000000, enable_default_redirect=True
+    )
+    srv2 = CollectorServer(open_cfg, str(tmp_path / "landing2"))
+    srv2.start()
+    try:
+        try:
+            _get(f"http://127.0.0.1:{srv2.port}/r/tp2?u=notaurl")
+            raise AssertionError("expected 302")
+        except urllib.error.HTTPError as e:
+            assert e.code == 302
+            assert e.headers["Location"] == "notaurl"
+    finally:
+        srv2.stop()
+
+
 def test_redirects_disabled_by_default(tmp_path):
     """CollectorRoute.scala:43-49: with the default
     enableDefaultRedirect=false, /r/* answers 404 'redirects disabled'

@@ -26,21 +26,29 @@ sys.path.insert(0, REPO)
 BEGIN = "## Registry gate map (generated)"
 
 
-def _driver_green() -> dict[str, list[str]]:
-    """query -> sorted list of round labels with a fully-green driver row."""
+def _driver_green() -> tuple[dict[str, list[str]], int]:
+    """(query -> sorted round labels with a green driver row, current round).
+
+    A label is plain ``rN`` for a fully-green row (rows+schema+hash) and
+    ``rN^`` for the driver's weaker rows-only check (hash_match None —
+    queries with no SQL-expressible oracle).  The CURRENT round is
+    derived as max(recorded round) + 1 — the artifacts are written at
+    the END of each round, so the in-flight round is always one past the
+    newest file (same derivation as
+    tests/test_registry.py::test_rotation_keeps_evidence_fresh)."""
     green: dict[str, list[str]] = {}
+    latest = 0
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path).group(1)
+        rnd = int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", path).group(1))
+        latest = max(latest, rnd)
         data = json.load(open(path))
         for name, row in data.items():
-            ok = (
-                row.get("rows_match") is True
-                and row.get("schema_match") is True
-                and row.get("hash_match") in (True, None)
-            )
-            if ok:
-                green.setdefault(name, []).append(f"r{rnd}")
-    return green
+            if row.get("rows_match") is True and row.get("schema_match") is True:
+                if row.get("hash_match") is True:
+                    green.setdefault(name, []).append(f"r{rnd}")
+                elif row.get("hash_match") is None:
+                    green.setdefault(name, []).append(f"r{rnd}^")
+    return green, latest + 1
 
 
 def gate_map_lines() -> list[str]:
@@ -48,7 +56,7 @@ def gate_map_lines() -> list[str]:
 
     names = registry._PRIORITY
     window = registry.GRADED_WINDOW
-    green = _driver_green()
+    green, cur = _driver_green()
     lines = [
         BEGIN,
         "",
@@ -57,7 +65,9 @@ def gate_map_lines() -> list[str]:
         "unlisted extras RAISE).  Every query also runs against its DuckDB",
         "oracle in `tests/test_relational_oracle.py` (full registry) and",
         "`tools/driver_mimic.py`.  The driver-confirmed column is computed by",
-        "`tools/gen_gate_map.py` from the CORRECTNESS_r*.json artifacts;",
+        "`tools/gen_gate_map.py` from the CORRECTNESS_r*.json artifacts",
+        "(`rN^` = the driver's weaker rows-only check: rows+schema matched,",
+        "no value-hash — queries with no SQL-expressible oracle);",
         "`tests/test_docs_consistency.py` fails if this section drifts from",
         "the registry.",
         "",
@@ -70,9 +80,9 @@ def gate_map_lines() -> list[str]:
             ev = "+".join(rounds)
         else:
             ev = "— (local sweep only"
-            ev += f"; windowed r8)" if i <= window else ")"
+            ev += f"; windowed r{cur})" if i <= window else ")"
         if i <= window and rounds:
-            ev += " (windowed r8)"
+            ev += f" (windowed r{cur})"
         lines.append(f"| {i} | {name} | {ev} |")
     return lines
 
@@ -81,9 +91,11 @@ def main() -> None:
     path = os.path.join(REPO, "COVERAGE.md")
     src = open(path).read()
     idx = src.index(BEGIN)
-    out = src[:idx] + "\n".join(gate_map_lines()) + "\n"
+    lines = gate_map_lines()
+    out = src[:idx] + "\n".join(lines) + "\n"
     open(path, "w").write(out)
-    print(f"wrote gate map ({len(gate_map_lines()) - 13} rows) to {path}")
+    n_rows = sum(1 for l in lines if l.startswith("| ") and not l.startswith("| slot"))
+    print(f"wrote gate map ({n_rows} rows) to {path}")
 
 
 if __name__ == "__main__":
