@@ -1902,3 +1902,140 @@ def curate_suffix_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_frac"),
         )
     )
+
+
+CASCADE_PREFIX_TOKENS = 16
+
+
+@register(
+    "dedup_cascade_accounting",
+    oracle=f"""
+WITH kk AS (
+  SELECT doc_id, md5(text) AS k1,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+),
+keys AS (
+  SELECT doc_id, k1, md5(norm) AS k2,
+         md5(array_to_string(string_split(norm, ' ')[1:{CASCADE_PREFIX_TOKENS}], ' ')) AS k3
+  FROM kk
+),
+f1 AS (
+  SELECT doc_id, k2, k3,
+         doc_id = MIN(doc_id) OVER (PARTITION BY k1) AS keep1
+  FROM keys
+),
+f2 AS (
+  SELECT doc_id, k3, keep1,
+         keep1 AND doc_id = MIN(CASE WHEN keep1 THEN doc_id END)
+                            OVER (PARTITION BY k2) AS keep2
+  FROM f1
+),
+f3 AS (
+  SELECT keep1, keep2,
+         keep2 AND doc_id = MIN(CASE WHEN keep2 THEN doc_id END)
+                            OVER (PARTITION BY k3) AS keep3
+  FROM f2
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN keep1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN keep2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN keep3 THEN 1 ELSE 0 END) AS BIGINT) AS s3
+  FROM f3
+)
+SELECT 1 AS stage_order, 'exact' AS stage, total AS examined,
+       total - s1 AS removed, s1 AS surviving FROM c
+UNION ALL
+SELECT 2, 'normalized', s1, s1 - s2, s2 FROM c
+UNION ALL
+SELECT 3, 'prefix{CASCADE_PREFIX_TOKENS}', s2, s2 - s3, s3 FROM c
+""",
+)
+def dedup_cascade_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stage dedup CASCADE with per-stage removal accounting — the
+    FineWeb/RefinedWeb-style sequential pipeline shape: each stage sees
+    only the previous stage's survivors, and the report is stage-level
+    (examined / removed / surviving), the artifact a curation run logs
+    before committing a cut.  Stages: (1) exact md5(text); (2) exact
+    hash of the punctuation-stripped, case/whitespace-folded text
+    (catches trivially reformatted copies); (3) first-{CASCADE_PREFIX_TOKENS}-token
+    fingerprint of the normalized text (catches shared-intro boilerplate
+    families).  Canonical = lowest doc_id among the stage's survivors,
+    so the cascade is deterministic and engine-portable.
+
+    Dataflow: all three keys are computed in ONE scan-stage projection;
+    the survivor flags are three chained hash-key windows (keep_n
+    references keep_{{n-1}} via a filtered window min — no joins, no
+    per-stage re-scan of the corpus); the stage report is a single
+    global aggregate unpivoted to 3 rows with ``stack``.
+
+    Scale (100 TB): three exchanges, one per stage key — the minimum for
+    sequential survivor semantics (each stage must co-locate by ITS key)
+    — each hash-partitioned on a 128-bit digest so skew is bounded by
+    true duplicate-family size; AQE splits pathological families.  The
+    final aggregate is 4 counters: partial-agg'd map-side, one
+    single-row reduce, no driver collect."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    keys = d.select(
+        "doc_id",
+        F.md5("text").alias("k1"),
+        F.md5(norm).alias("k2"),
+        F.md5(
+            F.array_join(F.slice(F.split(norm, " "), 1, CASCADE_PREFIX_TOKENS), " ")
+        ).alias("k3"),
+    )
+    f1 = keys.select(
+        "doc_id",
+        "k2",
+        "k3",
+        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("k1"))).alias(
+            "keep1"
+        ),
+    )
+    f2 = f1.select(
+        "doc_id",
+        "k3",
+        "keep1",
+        (
+            F.col("keep1")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("keep1"), F.col("doc_id"))).over(
+                    Window.partitionBy("k2")
+                )
+            )
+        ).alias("keep2"),
+    )
+    f3 = f2.select(
+        "keep1",
+        "keep2",
+        (
+            F.col("keep2")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("keep2"), F.col("doc_id"))).over(
+                    Window.partitionBy("k3")
+                )
+            )
+        ).alias("keep3"),
+    )
+    c = f3.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("keep1"), 1).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(F.col("keep2"), 1).otherwise(0)).cast("long").alias("s2"),
+        F.sum(F.when(F.col("keep3"), 1).otherwise(0)).cast("long").alias("s3"),
+    )
+    return c.selectExpr(
+        f"""stack(3,
+            1, 'exact',      total, total - s1, s1,
+            2, 'normalized', s1,    s1 - s2,    s2,
+            3, 'prefix{CASCADE_PREFIX_TOKENS}',   s2,    s2 - s3,    s3)
+           AS (stage_order, stage, examined, removed, surviving)"""
+    )

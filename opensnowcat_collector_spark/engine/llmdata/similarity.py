@@ -1775,3 +1775,52 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= RADIUS_TAU)
         .select("probe_id", "vec_id", "label", "cosine")
     )
+
+
+@register(
+    "embed_dim_stats",
+    oracle="""
+SELECT u.dim AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(u.v), 6) AS mean,
+       ROUND(AVG(u.v * u.v) - AVG(u.v) * AVG(u.v), 6) AS variance,
+       ROUND(MIN(u.v), 6) AS min_v,
+       ROUND(MAX(u.v), 6) AS max_v
+FROM (
+  SELECT UNNEST([{'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)}
+                 for i in generate_series(1, len(embedding))]) AS u
+  FROM embeddings
+)
+GROUP BY u.dim
+""",
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION statistics of the embedding corpus (mean, variance,
+    min, max per coordinate) — the whitening / PCA-prep / quantizer-
+    calibration pass every embedding pipeline runs before indexing:
+    ``embed_quantize_int8`` consumes exactly these per-dim ranges, and a
+    dead dimension (variance ~ 0) flags a broken encoder.
+
+    Variance uses the same explicit E[x^2] - E[x]^2 formula in both
+    engines (never each engine's builtin VAR_POP — they disagree in the
+    low decimals via Welford vs naive accumulation), with all arithmetic
+    in DOUBLE after a single cast from the stored float32.
+
+    Scale (100 TB): ``posexplode`` fans each vector to DIM rows, but the
+    aggregation is map-side partial — each task collapses its fan-out to
+    at most DIM (=64) rows before the exchange, so shuffle volume is
+    DIM x num_partitions regardless of corpus size, and the result is
+    DIM rows total.  One exchange, no joins, no driver collect."""
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("dim", "vf")).select(
+        "dim", F.col("vf").cast("double").alias("v")
+    )
+    return x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v"), 6).alias(
+            "variance"
+        ),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )

@@ -1036,3 +1036,85 @@ def text_entropy_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch.join(wd, "doc_id").select(
         "doc_id", "n_chars", "char_entropy", "n_words", "word_entropy", "ttr"
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+toks AS (
+  SELECT doc_id, UNNEST(w) AS w FROM ws
+),
+uni AS (
+  SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM toks GROUP BY w
+),
+bg AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+  FROM (
+    SELECT doc_id,
+           UNNEST([{'w1': w[i], 'w2': w[i+1]}
+                   for i in generate_series(1, len(w) - 1)]) AS u
+    FROM ws WHERE len(w) >= 2
+  )
+),
+bgf AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(LN(u.c1)) - AVG(LN(f.cb)), 6) AS neg_logprob
+FROM bg b JOIN bgf f USING (w1, w2) JOIN uni u USING (w1)
+GROUP BY b.doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative BIGRAM LM scoring — the conditional extension of
+    ``text_unigram_logprob``: each document's mean negative log
+    conditional probability under the corpus's own bigram MLE,
+    -avg ln(c(w1,w2)/c(w1)) = avg ln c(w1) - avg ln c(w1,w2), where
+    c(w1) is the corpus-wide unigram count (so P <= 1 always; no
+    smoothing — every observed bigram has nonzero corpus count by
+    construction).  High scores = locally surprising token transitions
+    (the stronger fluency signal unigram scoring misses: a bag of common
+    words in scrambled order scores low-unigram but high-bigram).  Docs
+    with fewer than 2 tokens have no bigrams and are absent by
+    definition.
+
+    Dataflow: the bigram stream is a flat codegen'd explode of position
+    indices (``sequence`` + ``element_at`` — no interpreted array
+    lambdas, the dedup-module discipline); one bigram groupBy, one
+    unigram groupBy, then two Zipf-small equi-joins back onto the stream
+    (AQE broadcasts both count tables when they fit) and one doc_id
+    aggregation.  Train and score live in the SAME declarative plan — at
+    100 TB the two count tables persist as artifacts and only the
+    joins+agg recur.  6-dp rounding absorbs summation-order float jitter
+    (embed_norms discipline)."""
+    d = table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    toks = ws.select("doc_id", F.explode("w").alias("w"))
+    uni = toks.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    bg = (
+        ws.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("w", F.col("i")).alias("w1"),
+            F.element_at("w", F.col("i") + 1).alias("w2"),
+        )
+    )
+    bgf = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    return (
+        bg.join(bgf, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log("c1")) - F.avg(F.log("cb")), 6).alias("neg_logprob"),
+        )
+    )

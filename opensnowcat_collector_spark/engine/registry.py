@@ -34,12 +34,14 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # query that has never passed externally).  Slot 2 is the r8-new
 # suffix-array-style substring dedup (VERDICT r7 item 6).  Slot 3 is
 # its r8-new removal-accounting companion curate_suffix_dedup_apply.
-# Slots 4-35 are the 32 entries whose last driver grading is oldest:
-# the ones whose only green rows are r1+r2 (gate-map slots 127-158 —
-# the basic join/window/setop/scalar/agg families, last externally
-# graded before the engine's r3-r7 rewrites).  embed_norms (r3-only,
-# next-stalest) did NOT fit this window and is the top r9 candidate
-# (see the r9 comment below).  Slots 36-50
+# Slots 4-32 are 29 of the 32 entries whose last driver grading is
+# oldest: the ones whose only green rows are r1+r2 (the basic
+# join/window/setop/scalar/agg families, last externally graded before
+# the engine's r3-r7 rewrites).  Slots 33-35 are the other three
+# r8-new queries (graded on arrival), displacing the three
+# least-risky stale entries (see the slot-33 comment).  embed_norms
+# (r3-only, next-stalest) did NOT fit this window and is the top r9
+# candidate (see the r9 comment below).  Slots 36-50
 # keep the standing keeps: every streaming gate (highest-variance
 # machinery), the skew/bucketed join pins, and the four flagships.
 _PRIORITY: list[str] = [
@@ -78,9 +80,15 @@ _PRIORITY: list[str] = [
     "window_range_frame_spend",
     "setop_union_segments",
     "setop_intersect_active_auto",
-    "setop_except_inactive",
-    "scalar_string_funcs",
-    "scalar_datetime_funcs",
+    # ---- slots 33-35: the other r8-new queries, graded on arrival
+    # (dedup cascade accounting, bigram LM scoring, per-dim embedding
+    # stats).  They displace setop_except_inactive / scalar_string_funcs
+    # / scalar_datetime_funcs from the stale-32 block — those three stay
+    # r2-only and MUST be in the r9 window (age 7 by then; the
+    # freshness test enforces it), alongside embed_norms.
+    "dedup_cascade_accounting",
+    "text_bigram_logprob",
+    "embed_dim_stats",
     # ---- slots 36-50: the 15 standing keeps (same set as r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -101,6 +109,11 @@ _PRIORITY: list[str] = [
     # Displaced r7-window entries (all driver-green in r7,
     # CORRECTNESS_r07.json).
     "dedup_bloom_incremental",
+    # Displaced by the r8-new trio above: still r2-only evidence, age 7
+    # at r9 — the freshness test forces them into the r9 window.
+    "setop_except_inactive",
+    "scalar_string_funcs",
+    "scalar_datetime_funcs",
     "dedup_prefix_contained",
     "curate_temperature_mix",
     "sim_ann_filtered",

@@ -324,3 +324,39 @@ def test_suffix_apply_sweep_reuses_doc_partitioning(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_cascade_accounting_three_key_windows_no_joins(spark, sf_dir):
+    """The dedup cascade is three chained hash-key windows (one exchange
+    per stage key — the minimum for sequential survivor semantics) plus
+    ONE single-row aggregate exchange: exactly 4 exchanges, 3 windows,
+    and NO join of any kind (a join here means a stage re-scanned the
+    corpus instead of threading survivor flags through the windows)."""
+    plan = _plan(spark, sf_dir, "dedup_cascade_accounting")
+    assert plan.count("Exchange") == 4, plan
+    assert plan.count("Window") == 3, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    for key in ("k1", "k2", "k3"):
+        assert re.search(rf"hashpartitioning\({key}", plan), (key, plan)
+
+
+def test_bigram_logprob_flat_explodes_no_lambdas(spark, sf_dir):
+    """Bigram stream is a flat codegen'd position explode (sequence +
+    element_at) — never an interpreted array lambda — and the two count
+    tables come back as equi-joins (no nested-loop shapes)."""
+    plan = _plan(spark, sf_dir, "text_bigram_logprob")
+    assert "transform(" not in plan and "aggregate(" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_embed_dim_stats_map_side_partial_single_exchange(spark, sf_dir):
+    """Per-dim stats must collapse the DIM-way fan-out map-side: partial
+    HashAggregate BEFORE the one and only exchange (shuffle volume =
+    DIM x partitions regardless of corpus size), no joins, no Python."""
+    plan = _plan(spark, sf_dir, "embed_dim_stats")
+    assert plan.count("Exchange") == 1, plan
+    assert re.search(r"partial_avg", plan), plan
+    assert plan.index("HashAggregate") < plan.index("Exchange"), plan
+    assert "Join" not in plan and "EvalPython" not in plan

@@ -47,10 +47,13 @@ def test_unlisted_extra_raises_then_allowed_with_flag():
 def test_r8_window_regrades_stalest_evidence():
     """r8 rotation (VERDICT r7 item 3): the window holds (a) the r7
     driver-red fix embed_quantize_int8, (b) the r8-new suffix-array
-    substring dedup + its removal-accounting companion, (c) the 32
-    entries with the OLDEST external evidence (the r1+r2-only basics;
-    embed_norms, r3-only, is next-stalest and is the top r9 candidate
-    — asserted below), and (d) the 15
+    substring dedup + its removal-accounting companion, (c) 29 of the
+    32 entries with the OLDEST external evidence (the r1+r2-only
+    basics; embed_norms, r3-only, is next-stalest and is the top r9
+    candidate — asserted below), (d) the other three r8-new queries
+    graded on arrival (cascade accounting / bigram logprob / dim
+    stats), displacing setop_except_inactive + scalar_string_funcs +
+    scalar_datetime_funcs into the r9 must-rotate set, and (e) the 15
     standing keeps — streaming gates NOT kept this round rotate out
     deliberately: all were driver-green r4-r7 and the flake-armor suite
     replays them 5x locally every round."""
@@ -84,9 +87,11 @@ def test_r8_window_regrades_stalest_evidence():
         "window_range_frame_spend",
         "setop_union_segments",
         "setop_intersect_active_auto",
-        "setop_except_inactive",
-        "scalar_string_funcs",
-        "scalar_datetime_funcs",
+    ]
+    new_r8 = [
+        "dedup_cascade_accounting",
+        "text_bigram_logprob",
+        "embed_dim_stats",
     ]
     keeps = [
         "streaming_leftouter_join",
@@ -109,14 +114,21 @@ def test_r8_window_regrades_stalest_evidence():
     assert window[0] == "embed_quantize_int8"  # the only never-green query
     assert window[1] == "dedup_suffix_repeats"  # r8-new, graded on arrival
     assert window[2] == "curate_suffix_dedup_apply"  # its removal twin
-    for name in stalest + keeps:
+    for name in stalest + new_r8 + keeps:
         assert name in window, name
-    assert len(window) == 3 + len(stalest) + len(keeps) == 50
+    assert len(window) == 3 + len(stalest) + len(new_r8) + len(keeps) == 50
     # embed_norms (r3-only) is the next-stalest entry and did NOT fit
-    # this window; the registry comments name it the top r9 candidate.
-    # Pin that claim so the r9 rotation can't silently skip it again.
-    assert "embed_norms" not in window
-    assert "embed_norms" in registry._PRIORITY[registry.GRADED_WINDOW :]
+    # this window; the registry comments name it the top r9 candidate
+    # alongside the three displaced r2-only entries.  Pin that claim so
+    # the r9 rotation can't silently skip them.
+    for name in (
+        "embed_norms",
+        "setop_except_inactive",
+        "scalar_string_funcs",
+        "scalar_datetime_funcs",
+    ):
+        assert name not in window, name
+        assert name in registry._PRIORITY[registry.GRADED_WINDOW :], name
 
 
 def test_registered_query_outputs_are_scalar_only(spark, sf_dir):
