@@ -1096,3 +1096,117 @@ def curate_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.sequence(F.lit(0), n_copies - 1)).alias("copy_idx"),
     )
+
+
+DSIR_BUCKET_HEX = 3  # 16^3 = 4096 hashed-feature buckets
+DSIR_BUCKETS = 16 ** DSIR_BUCKET_HEX
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "curate_dsir_weights",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, substr(md5(u.w1 || ' ' || u.w2), 1, {DSIR_BUCKET_HEX}) AS b
+  FROM (
+    SELECT doc_id, lang,
+           UNNEST([{{'w1': w[i], 'w2': w[i+1]}}
+                   for i in generate_series(1, len(w) - 1)]) AS u
+    FROM ws WHERE len(w) >= 2
+  )
+),
+bk AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_r,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+  FROM bg GROUP BY b
+),
+tot AS (SELECT SUM(cnt_r) AS r_tot, SUM(cnt_t) AS t_tot FROM bk),
+lr AS (
+  SELECT b, LN((cnt_t + 1.0) / (t_tot + {DSIR_BUCKETS})) -
+            LN((cnt_r + 1.0) / (r_tot + {DSIR_BUCKETS})) AS lw
+  FROM bk, tot
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       ROUND(AVG(l.lw), 6) AS log_weight
+FROM bg g JOIN lr l USING (b)
+GROUP BY g.doc_id
+""",
+)
+def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" -- public method):
+    per-document log importance weight under hashed-BIGRAM feature
+    distributions, log(p_target(f)/p_raw(f)) summed over the doc's
+    features, length-normalized to the mean (so the weight ranks style,
+    not length).  Target distribution here = the corpus's own
+    'en'-labeled slice (DSIR_TARGET_LANG); raw = the whole corpus; a
+    production run swaps in an external target corpus's bucket table.
+    Laplace +1 smoothing over 4096 md5-prefix buckets (engine-portable:
+    the bucket IS the first DSIR_BUCKET_HEX hex chars of md5(bigram),
+    no integer hashing).  Downstream, ``curate_importance_resample``
+    consumes exactly these weights as its sampling factors.
+
+    Dataflow: ONE flat bigram explode (sequence + element_at, the
+    codegen'd no-lambda shape), one bucket groupBy in which target and
+    raw counts ride the SAME aggregation (a CASE counter -- never two
+    passes), the bounded 4096-row bucket table broadcast back onto the
+    stream, one doc_id aggregation.
+
+    Scale (100 TB): the bucket table is CONSTANT-bounded (DSIR_BUCKETS
+    rows) regardless of corpus size -- the hashing trick's whole point
+    -- so the scoring join is always a broadcast; total cost is two
+    linear passes over the bigram stream plus one bounded broadcast.
+    The single-row totals crossJoin is a broadcast of one row."""
+    d = table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", "lang", F.split(F.lower("text"), " ").alias("w"))
+    bg = (
+        ws.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "w",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("w", F.col("i")),
+                        F.element_at("w", F.col("i") + 1),
+                    )
+                ),
+                1,
+                DSIR_BUCKET_HEX,
+            ).alias("b"),
+        )
+    )
+    bk = bg.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_t"),
+    )
+    tot = bk.agg(
+        F.sum("cnt_r").alias("r_tot"), F.sum("cnt_t").alias("t_tot")
+    )
+    lr = bk.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("cnt_t") + 1.0) / (F.col("t_tot") + DSIR_BUCKETS))
+            - F.log((F.col("cnt_r") + 1.0) / (F.col("r_tot") + DSIR_BUCKETS))
+        ).alias("lw"),
+    )
+    return (
+        bg.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg("lw"), 6).alias("log_weight"),
+        )
+    )

@@ -1118,3 +1118,65 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log("c1")) - F.avg(F.log("cb")), 6).alias("neg_logprob"),
         )
     )
+
+
+ZIPF_HEAD = 1000  # rank-frequency head the power law is fitted over
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+WITH toks AS (
+  SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents
+),
+freq AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY w
+),
+head AS (
+  SELECT n, w FROM freq ORDER BY n DESC, w LIMIT {ZIPF_HEAD}
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, w) AS r FROM head
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS head_size,
+       ROUND(regr_slope(LN(n), LN(r)), 6) AS zipf_slope,
+       ROUND(regr_intercept(LN(n), LN(r)), 6) AS zipf_intercept,
+       ROUND(regr_r2(LN(n), LN(r)), 6) AS zipf_r2
+FROM ranked
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus rank-frequency head: OLS of
+    ln(count) on ln(rank) over the top-ZIPF_HEAD token types (slope ~ -1
+    for natural language; a flat slope flags synthetic/templated text,
+    a cliff flags boilerplate domination) — the standard corpus-health
+    diagnostic before tokenizer training.  Both engines run the same
+    ``regr_slope/intercept/r2`` aggregates over the identically-ranked
+    head (ties broken by token text), 6-dp rounded.
+
+    Scale (100 TB): token counting is one map-side-combined groupBy;
+    the head selection is distributed partial top-k
+    (TakeOrderedAndProject — each partition keeps its own top
+    ZIPF_HEAD, never a global sort of the vocabulary), and only the
+    BOUNDED 1000-row head passes through the single-partition
+    row_number window — deliberate and constant-size, the same bounded
+    exception as the countmin sketch table.  The regression itself is
+    a single-row aggregate."""
+    toks = _words_flat(spark, sf_dir).select("w")
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    head = freq.orderBy(F.desc("n"), "w").limit(ZIPF_HEAD)
+    from pyspark.sql import Window
+
+    ranked = head.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), "w"))
+        .alias("r"),
+    )
+    lnn, lnr = F.log("n"), F.log("r")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("head_size"),
+        F.round(F.regr_slope(lnn, lnr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lnn, lnr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lnn, lnr), 6).alias("zipf_r2"),
+    )

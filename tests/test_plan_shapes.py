@@ -360,3 +360,28 @@ def test_embed_dim_stats_map_side_partial_single_exchange(spark, sf_dir):
     assert re.search(r"partial_avg", plan), plan
     assert plan.index("HashAggregate") < plan.index("Exchange"), plan
     assert "Join" not in plan and "EvalPython" not in plan
+
+
+def test_dsir_weights_bucket_table_always_broadcast(spark, sf_dir):
+    """The DSIR scoring join must broadcast the CONSTANT-bounded 4096-row
+    bucket table — never sort-merge the bigram stream against it; the
+    only SinglePartition structure is the bounded bucket-totals
+    aggregate (4096 rows -> 1), and the only BNLJ is the single-row
+    totals broadcast."""
+    plan = _plan(spark, sf_dir, "curate_dsir_weights")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("SinglePartition") == 1, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_zipf_fit_distributed_topk_never_global_vocab_sort(spark, sf_dir):
+    """The Zipf head must come from distributed partial top-k
+    (TakeOrderedAndProject) — a global Sort of the vocabulary here is
+    the scale killer; only the bounded 1000-row head reaches the
+    row_number window, and the whole query costs ONE exchange."""
+    plan = _plan(spark, sf_dir, "text_zipf_fit")
+    assert plan.count("TakeOrderedAndProject") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

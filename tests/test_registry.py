@@ -47,13 +47,14 @@ def test_unlisted_extra_raises_then_allowed_with_flag():
 def test_r8_window_regrades_stalest_evidence():
     """r8 rotation (VERDICT r7 item 3): the window holds (a) the r7
     driver-red fix embed_quantize_int8, (b) the r8-new suffix-array
-    substring dedup + its removal-accounting companion, (c) 29 of the
+    substring dedup + its removal-accounting companion, (c) 27 of the
     32 entries with the OLDEST external evidence (the r1+r2-only
     basics; embed_norms, r3-only, is next-stalest and is the top r9
-    candidate — asserted below), (d) the other three r8-new queries
+    candidate — asserted below), (d) the other five r8-new queries
     graded on arrival (cascade accounting / bigram logprob / dim
-    stats), displacing setop_except_inactive + scalar_string_funcs +
-    scalar_datetime_funcs into the r9 must-rotate set, and (e) the 15
+    stats / DSIR weights / Zipf fit), displacing five r2-only entries
+    into the r9 must-rotate set (each family keeps at least one
+    member graded this round), and (e) the 15
     standing keeps — streaming gates NOT kept this round rotate out
     deliberately: all were driver-green r4-r7 and the flake-armor suite
     replays them 5x locally every round."""
@@ -84,14 +85,14 @@ def test_r8_window_regrades_stalest_evidence():
         "window_running_spend",
         "window_analytics_distribution",
         "window_value_picking",
-        "window_range_frame_spend",
         "setop_union_segments",
-        "setop_intersect_active_auto",
     ]
     new_r8 = [
         "dedup_cascade_accounting",
         "text_bigram_logprob",
         "embed_dim_stats",
+        "curate_dsir_weights",
+        "text_zipf_fit",
     ]
     keeps = [
         "streaming_leftouter_join",
@@ -126,6 +127,8 @@ def test_r8_window_regrades_stalest_evidence():
         "setop_except_inactive",
         "scalar_string_funcs",
         "scalar_datetime_funcs",
+        "setop_intersect_active_auto",
+        "window_range_frame_spend",
     ):
         assert name not in window, name
         assert name in registry._PRIORITY[registry.GRADED_WINDOW :], name
