@@ -84,8 +84,11 @@ HEADLINE = [
     # mapInPandas bin-packing on the oversized subset)
     "collector_split_accounting",
     # r8: suffix-array-style substring dedup (one blocked-window suffix
-    # sort + codegen'd neighbor LCP)
+    # sort + codegen'd neighbor LCP), the join-free dedup cascade, and
+    # the constant-bucket-table DSIR scorer
     "dedup_suffix_repeats",
+    "dedup_cascade_accounting",
+    "curate_dsir_weights",
 ]
 
 

@@ -1210,3 +1210,87 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lw"), 6).alias("log_weight"),
         )
     )
+
+
+@register(
+    "curate_ccnet_buckets",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents
+),
+freq AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY w
+),
+tot AS (SELECT SUM(n) AS t FROM freq),
+scored AS (
+  SELECT t.doc_id, ROUND(LN(tot.t) - AVG(LN(f.n)), 6) AS neg_logprob
+  FROM toks t JOIN freq f USING (w), tot
+  GROUP BY t.doc_id, tot.t
+),
+ranked AS (
+  SELECT s.doc_id, d.lang, s.neg_logprob,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.neg_logprob, s.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY d.lang) AS nl
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, neg_logprob,
+       CASE (3 * (rn - 1)) // nl
+         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM ranked
+""",
+)
+def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020 — public
+    method): per-LANGUAGE terciles of the corpus-relative unigram LM
+    score (``text_unigram_logprob``'s statistic), labeling each doc
+    head / middle / tail — head = lowest perplexity proxy = the slice
+    CCNet keeps by default.  Bucket boundaries are INTEGER-exact:
+    bucket = (3*(rank-1)) div count over the per-language rank (ranking
+    on the 6-dp ROUNDED score with doc_id tie-break, so both engines
+    rank identically — never a float percent_rank threshold compare).
+
+    Dataflow: one token explode + vocab groupBy + Zipf-small freq join
+    (the unigram-logprob subtree), then ONE lang-keyed window computing
+    rank and per-lang count together.
+
+    Scale (100 TB): scoring is the proven unigram-logprob shape (vocab
+    persists as an artifact in production); bucketing adds a single
+    lang-partitioned exchange.  Languages are few and skewed (en
+    dominates) — the per-lang sort is the same bounded-key window as
+    every quantile gate (``curate_quality_quantile_filter``), AQE-split
+    on hot languages."""
+    from pyspark.sql import Window
+
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("t"))
+    scored = (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.first(F.log("t")) - F.avg(F.log("n")), 6).alias("neg_logprob")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("neg_logprob", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "neg_logprob",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("nl"),
+    )
+    bucket_idx = F.expr("(3 * (rn - 1)) div nl")
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "neg_logprob",
+        F.when(bucket_idx == 0, "head")
+        .when(bucket_idx == 1, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -34,12 +34,12 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # query that has never passed externally).  Slot 2 is the r8-new
 # suffix-array-style substring dedup (VERDICT r7 item 6).  Slot 3 is
 # its r8-new removal-accounting companion curate_suffix_dedup_apply.
-# Slots 4-30 are 27 of the 32 entries whose last driver grading is
+# Slots 4-29 are 26 of the 32 entries whose last driver grading is
 # oldest: the ones whose only green rows are r1+r2 (the basic
 # join/window/setop/scalar/agg families, last externally graded before
-# the engine's r3-r7 rewrites).  Slots 31-35 are the other five
-# r8-new queries (graded on arrival), displacing the five
-# least-risky stale entries (see the slot-31 comment).  embed_norms
+# the engine's r3-r7 rewrites).  Slots 30-35 are the other six
+# r8-new queries (graded on arrival), displacing the six
+# least-risky stale entries (see the slot-30 comment).  embed_norms
 # (r3-only, next-stalest) did NOT fit this window and is the top r9
 # candidate (see the r9 comment below).  Slots 36-50
 # keep the standing keeps: every streaming gate (highest-variance
@@ -76,15 +76,15 @@ _PRIORITY: list[str] = [
     "window_rank_acctbal",
     "window_running_spend",
     "window_analytics_distribution",
-    "window_value_picking",
     "setop_union_segments",
-    # ---- slots 31-35: the five other r8-new queries, graded on
+    # ---- slots 30-35: the six other r8-new queries, graded on
     # arrival (dedup cascade accounting, bigram LM scoring, per-dim
-    # embedding stats, DSIR importance weights, Zipf head fit).  They
-    # displace setop_except_inactive / scalar_string_funcs /
-    # scalar_datetime_funcs / setop_intersect_active_auto /
-    # window_range_frame_spend from the stale-32 block — those five
-    # stay r2-only and MUST be in the r9 window (age 7 by then; the
+    # embedding stats, DSIR importance weights, Zipf head fit, CCNet
+    # buckets).  They displace setop_except_inactive /
+    # scalar_string_funcs / scalar_datetime_funcs /
+    # setop_intersect_active_auto / window_range_frame_spend /
+    # window_value_picking from the stale-32 block — those six stay
+    # r2-only and MUST be in the r9 window (age 7 by then; the
     # freshness test enforces it), alongside embed_norms.  Each
     # displaced family keeps at least one member graded this round.
     "dedup_cascade_accounting",
@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "embed_dim_stats",
     "curate_dsir_weights",
     "text_zipf_fit",
+    "curate_ccnet_buckets",
     # ---- slots 36-50: the 15 standing keeps (same set as r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -120,6 +121,7 @@ _PRIORITY: list[str] = [
     "scalar_datetime_funcs",
     "setop_intersect_active_auto",
     "window_range_frame_spend",
+    "window_value_picking",
     "dedup_prefix_contained",
     "curate_temperature_mix",
     "sim_ann_filtered",

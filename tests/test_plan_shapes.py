@@ -385,3 +385,13 @@ def test_zipf_fit_distributed_topk_never_global_vocab_sort(spark, sf_dir):
     assert plan.count("TakeOrderedAndProject") == 1, plan
     assert plan.count("Exchange") == 1, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_ccnet_buckets_single_lang_exchange_shared_by_windows(spark, sf_dir):
+    """CCNet bucketing: the rank and per-lang count windows must SHARE
+    one lang-keyed exchange (never two); the only SinglePartition
+    structure is the single-row vocab total; no Python anywhere."""
+    plan = _plan(spark, sf_dir, "curate_ccnet_buckets")
+    assert len(re.findall(r"hashpartitioning\(lang", plan)) == 1, plan
+    assert plan.count("SinglePartition") == 1, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

@@ -50,11 +50,11 @@ def test_r8_window_regrades_stalest_evidence():
     substring dedup + its removal-accounting companion, (c) 27 of the
     32 entries with the OLDEST external evidence (the r1+r2-only
     basics; embed_norms, r3-only, is next-stalest and is the top r9
-    candidate — asserted below), (d) the other five r8-new queries
+    candidate — asserted below), (d) the other six r8-new queries
     graded on arrival (cascade accounting / bigram logprob / dim
-    stats / DSIR weights / Zipf fit), displacing five r2-only entries
-    into the r9 must-rotate set (each family keeps at least one
-    member graded this round), and (e) the 15
+    stats / DSIR weights / Zipf fit / CCNet buckets), displacing six
+    r2-only entries into the r9 must-rotate set (each family keeps at
+    least one member graded this round), and (e) the 15
     standing keeps — streaming gates NOT kept this round rotate out
     deliberately: all were driver-green r4-r7 and the flake-armor suite
     replays them 5x locally every round."""
@@ -84,7 +84,6 @@ def test_r8_window_regrades_stalest_evidence():
         "window_rank_acctbal",
         "window_running_spend",
         "window_analytics_distribution",
-        "window_value_picking",
         "setop_union_segments",
     ]
     new_r8 = [
@@ -93,6 +92,7 @@ def test_r8_window_regrades_stalest_evidence():
         "embed_dim_stats",
         "curate_dsir_weights",
         "text_zipf_fit",
+        "curate_ccnet_buckets",
     ]
     keeps = [
         "streaming_leftouter_join",
@@ -129,6 +129,7 @@ def test_r8_window_regrades_stalest_evidence():
         "scalar_datetime_funcs",
         "setop_intersect_active_auto",
         "window_range_frame_spend",
+        "window_value_picking",
     ):
         assert name not in window, name
         assert name in registry._PRIORITY[registry.GRADED_WINDOW :], name
