@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from ..relational import register
 from ..tables import table
 from .dedup import exploded_shingles
+from .text import bigram_stream_sql, flat_bigrams
 
 # Stratified sampling: md5(doc_id) is uniform on [0, 16^32); comparing the
 # hex string against a one-hex-digit prefix keeps a 1/16-granular slice.
@@ -1109,14 +1110,11 @@ DSIR_TARGET_LANG = "en"
 WITH ws AS (
   SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents
 ),
+pairs AS ({bigram_stream_sql("lang")}
+),
 bg AS (
-  SELECT doc_id, lang, substr(md5(u.w1 || ' ' || u.w2), 1, {DSIR_BUCKET_HEX}) AS b
-  FROM (
-    SELECT doc_id, lang,
-           UNNEST([{{'w1': w[i], 'w2': w[i+1]}}
-                   for i in generate_series(1, len(w) - 1)]) AS u
-    FROM ws WHERE len(w) >= 2
-  )
+  SELECT doc_id, lang, substr(md5(w1 || ' ' || w2), 1, {DSIR_BUCKET_HEX}) AS b
+  FROM pairs
 ),
 bk AS (
   SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_r,
@@ -1162,29 +1160,12 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     The single-row totals crossJoin is a broadcast of one row."""
     d = table(spark, sf_dir, "documents")
     ws = d.select("doc_id", "lang", F.split(F.lower("text"), " ").alias("w"))
-    bg = (
-        ws.filter(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            "lang",
-            "w",
-            F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.element_at("w", F.col("i")),
-                        F.element_at("w", F.col("i") + 1),
-                    )
-                ),
-                1,
-                DSIR_BUCKET_HEX,
-            ).alias("b"),
-        )
+    bg = flat_bigrams(ws, "lang").select(
+        "doc_id",
+        "lang",
+        F.substring(
+            F.md5(F.concat_ws(" ", "w1", "w2")), 1, DSIR_BUCKET_HEX
+        ).alias("b"),
     )
     bk = bg.groupBy("b").agg(
         F.count(F.lit(1)).alias("cnt_r"),

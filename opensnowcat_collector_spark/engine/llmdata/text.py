@@ -1038,9 +1038,51 @@ def text_entropy_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flat_bigrams(ws: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra_cols, w1, w2) — one row per ADJACENT token pair
+    of ws(doc_id, *extra_cols, w:array<string>), built with the flat
+    codegen'd position explode (``sequence`` + ``element_at`` — no
+    interpreted array lambdas, the dedup-module discipline).  The ONE
+    bigram-stream definition shared by ``text_bigram_logprob`` and
+    ``curate_dsir_weights`` (a tokenization change must not diverge the
+    two graded feature definitions); ``bigram_stream_sql`` below is its
+    DuckDB twin."""
+    return (
+        ws.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            *extra_cols,
+            "w",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            *extra_cols,
+            F.element_at("w", F.col("i")).alias("w1"),
+            F.element_at("w", F.col("i") + 1).alias("w2"),
+        )
+    )
+
+
+def bigram_stream_sql(*extra_cols: str) -> str:
+    """DuckDB CTE body mirroring ``flat_bigrams``: (doc_id,
+    *extra_cols, w1, w2) rows from a CTE ws(doc_id, *extra_cols,
+    w:list).  Kept next to the Spark twin so the two engines' bigram
+    definitions change together."""
+    cols = "".join(f"{c}, " for c in ("doc_id", *extra_cols))
+    return f"""
+  SELECT {cols}u.w1 AS w1, u.w2 AS w2
+  FROM (
+    SELECT {cols}
+           UNNEST([{{'w1': w[i], 'w2': w[i+1]}}
+                   for i in generate_series(1, len(w) - 1)]) AS u
+    FROM ws WHERE len(w) >= 2
+  )"""
+
+
 @register(
     "text_bigram_logprob",
-    oracle="""
+    oracle=f"""
 WITH ws AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
 ),
@@ -1050,14 +1092,7 @@ toks AS (
 uni AS (
   SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM toks GROUP BY w
 ),
-bg AS (
-  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
-  FROM (
-    SELECT doc_id,
-           UNNEST([{'w1': w[i], 'w2': w[i+1]}
-                   for i in generate_series(1, len(w) - 1)]) AS u
-    FROM ws WHERE len(w) >= 2
-  )
+bg AS ({bigram_stream_sql()}
 ),
 bgf AS (
   SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2
@@ -1095,19 +1130,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
     toks = ws.select("doc_id", F.explode("w").alias("w"))
     uni = toks.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
-    bg = (
-        ws.filter(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            "w",
-            F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
-        )
-        .select(
-            "doc_id",
-            F.element_at("w", F.col("i")).alias("w1"),
-            F.element_at("w", F.col("i") + 1).alias("w2"),
-        )
-    )
+    bg = flat_bigrams(ws)
     bgf = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     return (
         bg.join(bgf, ["w1", "w2"])

@@ -138,7 +138,8 @@ def redirect_allowed(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
     substring match would admit ``ok.org.evil.com`` — an open-redirect
     bypass).  An EMPTY allowlist short-circuits to true BEFORE the URL
     is ever parsed (CollectorService.scala:391), so a present-but-
-    malformed target is still allowed in that mode; only the non-empty
+    malformed target — including the blank ``u=``, which reaches the
+    match as Some("") — is still allowed in that mode; only the non-empty
     path reaches the try block where MalformedURLException => false
     (target unparseable -> disallowed)."""
     target = F.col("query_params")["u"]

@@ -263,6 +263,7 @@ def test_redirect_allowlist_exact_host_equality(spark):
         "https://evil.com/ok.org": False,  # domain in path only
         "foo://ok.org/x": False,  # unknown scheme -> MalformedURLException
         "notaurl": False,
+        "": False,  # blank u= present: URL("") throws under a non-empty allowlist
         "https://ok.org:8443/x": True,  # getHost excludes the port
     }
     reqs = [
@@ -297,7 +298,11 @@ def test_redirect_empty_allowlist_skips_url_parse_and_host_case(spark):
     comparison is case-SENSITIVE — java.net.URL.getHost preserves case
     and Scala Option.contains is exact equality, so ``https://OK.org``
     does NOT match allowlist entry ``ok.org``."""
-    empties = ["notaurl", "foo://ok.org/x", "https://anything.example/x"]
+    # "" = the blank `u=` param: present in the query map (Some("") in
+    # the reference, akka keeps blank values) so the empty-allowlist
+    # early-true still applies — but DENIED under a non-empty allowlist
+    # (new URL("") throws), asserted in the exact-host test below
+    empties = ["notaurl", "foo://ok.org/x", "https://anything.example/x", ""]
     raw = spark.createDataFrame(
         [_mk_redirect_req(i, t) for i, t in enumerate(empties)], RAW_REQUEST_SCHEMA
     )

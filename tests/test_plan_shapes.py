@@ -357,8 +357,10 @@ def test_embed_dim_stats_map_side_partial_single_exchange(spark, sf_dir):
     DIM x partitions regardless of corpus size), no joins, no Python."""
     plan = _plan(spark, sf_dir, "embed_dim_stats")
     assert plan.count("Exchange") == 1, plan
-    assert re.search(r"partial_avg", plan), plan
-    assert plan.index("HashAggregate") < plan.index("Exchange"), plan
+    # top-down plan string prints final agg / Exchange / PARTIAL agg —
+    # partial_avg after the exchange in the text means it runs map-side
+    # BEFORE the shuffle
+    assert plan.index("partial_avg") > plan.index("Exchange"), plan
     assert "Join" not in plan and "EvalPython" not in plan
 
 

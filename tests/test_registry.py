@@ -47,7 +47,7 @@ def test_unlisted_extra_raises_then_allowed_with_flag():
 def test_r8_window_regrades_stalest_evidence():
     """r8 rotation (VERDICT r7 item 3): the window holds (a) the r7
     driver-red fix embed_quantize_int8, (b) the r8-new suffix-array
-    substring dedup + its removal-accounting companion, (c) 27 of the
+    substring dedup + its removal-accounting companion, (c) 26 of the
     32 entries with the OLDEST external evidence (the r1+r2-only
     basics; embed_norms, r3-only, is next-stalest and is the top r9
     candidate — asserted below), (d) the other six r8-new queries

@@ -366,8 +366,23 @@ def test_redirect_host_case_sensitive_and_empty_allowlist(server, tmp_path):
         except urllib.error.HTTPError as e:
             assert e.code == 302
             assert e.headers["Location"] == "notaurl"
+        # blank-but-present u=: still Some("") -> allowed pre-parse in
+        # empty-allowlist mode (reference parity), Location empty
+        try:
+            _get(f"http://127.0.0.1:{srv2.port}/r/tp2?u=&e=pv")
+            raise AssertionError("expected 302")
+        except urllib.error.HTTPError as e:
+            assert e.code == 302
+            assert e.headers["Location"] == ""
     finally:
         srv2.stop()
+    # ...but under a NON-empty allowlist the blank target is denied
+    # (new URL("") throws MalformedURLException in the reference)
+    try:
+        _get(f"http://127.0.0.1:{srv.port}/r/tp2?u=&e=pv")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
 
 
 def test_redirects_disabled_by_default(tmp_path):

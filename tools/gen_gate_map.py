@@ -35,7 +35,8 @@ def _driver_green() -> tuple[dict[str, list[str]], int]:
     derived as max(recorded round) + 1 — the artifacts are written at
     the END of each round, so the in-flight round is always one past the
     newest file (same derivation as
-    tests/test_registry.py::test_rotation_keeps_evidence_fresh)."""
+    tests/test_docs_consistency.py::test_rotation_keeps_evidence_fresh,
+    which also asserts gen_round == its own computation)."""
     green: dict[str, list[str]] = {}
     latest = 0
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
