@@ -58,8 +58,34 @@ def main() -> None:
     prefix = qs["dedup_prefix_contained"](spark, sf_dir)
     print(f"prefix-contained (truncated re-crawls): {prefix.count()} flagged")
 
+    cascade = qs["dedup_cascade_accounting"](spark, sf_dir)
+    print("dedup cascade (exact -> normalized -> prefix16):")
+    for row in cascade.orderBy("stage_order").collect():
+        print(
+            f"   {row.stage}: examined={row.examined} removed={row.removed} "
+            f"surviving={row.surviving}"
+        )
+
+    suffix = qs["curate_suffix_dedup_apply"](spark, sf_dir)
+    s = suffix.agg({"removed_tokens": "sum"}).first()
+    print(f"ExactSubstr removal: {s['sum(removed_tokens)']} repeated tokens flagged")
+
     gate = qs["curate_quality_quantile_filter"](spark, sf_dir)
     print(f"quality gate survivors: {gate.count()}")
+
+    ccnet = qs["curate_ccnet_buckets"](spark, sf_dir)
+    heads = ccnet.filter("bucket = 'head'").count()
+    print(f"CCNet buckets: {heads}/{ccnet.count()} docs in the head tercile")
+
+    dsir = qs["curate_dsir_weights"](spark, sf_dir)
+    top = dsir.orderBy(dsir.log_weight.desc()).first()
+    print(f"DSIR weights: top doc {top.doc_id} log_weight={top.log_weight:.4f}")
+
+    zipf = qs["text_zipf_fit"](spark, sf_dir).first()
+    print(
+        f"zipf fit over top-{zipf.head_size} types: slope={zipf.zipf_slope:.3f} "
+        f"r2={zipf.zipf_r2:.3f}"
+    )
 
     mix = qs["curate_temperature_mix"](spark, sf_dir)
     print("temperature mix (T=2) boosts:")
