@@ -68,7 +68,8 @@ def main() -> None:
 
     suffix = qs["curate_suffix_dedup_apply"](spark, sf_dir)
     s = suffix.agg({"removed_tokens": "sum"}).first()
-    print(f"ExactSubstr removal: {s['sum(removed_tokens)']} repeated tokens flagged")
+    n_rm = s["sum(removed_tokens)"] or 0  # None when no doc has a repeat
+    print(f"ExactSubstr removal: {n_rm} repeated tokens flagged")
 
     gate = qs["curate_quality_quantile_filter"](spark, sf_dir)
     print(f"quality gate survivors: {gate.count()}")
@@ -79,7 +80,10 @@ def main() -> None:
 
     dsir = qs["curate_dsir_weights"](spark, sf_dir)
     top = dsir.orderBy(dsir.log_weight.desc()).first()
-    print(f"DSIR weights: top doc {top.doc_id} log_weight={top.log_weight:.4f}")
+    if top is None:  # corpus with no >=2-token docs has no bigram features
+        print("DSIR weights: no multi-token docs to score")
+    else:
+        print(f"DSIR weights: top doc {top.doc_id} log_weight={top.log_weight:.4f}")
 
     zipf = qs["text_zipf_fit"](spark, sf_dir).first()
     print(

@@ -360,6 +360,7 @@ def test_embed_dim_stats_map_side_partial_single_exchange(spark, sf_dir):
     # top-down plan string prints final agg / Exchange / PARTIAL agg —
     # partial_avg after the exchange in the text means it runs map-side
     # BEFORE the shuffle
+    assert "partial_avg" in plan, plan
     assert plan.index("partial_avg") > plan.index("Exchange"), plan
     assert "Join" not in plan and "EvalPython" not in plan
 
