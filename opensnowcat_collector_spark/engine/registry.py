@@ -34,12 +34,12 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # query that has never passed externally).  Slot 2 is the r8-new
 # suffix-array-style substring dedup (VERDICT r7 item 6).  Slot 3 is
 # its r8-new removal-accounting companion curate_suffix_dedup_apply.
-# Slots 4-29 are 26 of the 32 entries whose last driver grading is
+# Slots 4-28 are 25 of the 32 entries whose last driver grading is
 # oldest: the ones whose only green rows are r1+r2 (the basic
 # join/window/setop/scalar/agg families, last externally graded before
-# the engine's r3-r7 rewrites).  Slots 30-35 are the other six
-# r8-new queries (graded on arrival), displacing the six
-# least-risky stale entries (see the slot-30 comment).  embed_norms
+# the engine's r3-r7 rewrites).  Slots 29-35 are the other seven
+# r8-new queries (graded on arrival), displacing the seven
+# least-risky stale entries (see the slot-29 comment).  embed_norms
 # (r3-only, next-stalest) did NOT fit this window and is the top r9
 # candidate (see the r9 comment below).  Slots 36-50
 # keep the standing keeps: every streaming gate (highest-variance
@@ -49,8 +49,8 @@ _PRIORITY: list[str] = [
     "embed_quantize_int8",
     "dedup_suffix_repeats",
     "curate_suffix_dedup_apply",
-    # ---- slots 4-35: the 32 r1+r2-only entries (oldest external
-    # evidence in the registry; full list = gate-map slots 127-158).
+    # ---- slots 4-28: the windowed 25 of the 32 r1+r2-only entries
+    # (oldest external evidence in the registry).
     "q7_volume_shipping",
     "agg_stats_percentiles",
     "q12_linestatus_priority",
@@ -61,7 +61,6 @@ _PRIORITY: list[str] = [
     "agg_pivot_status",
     "events_dedup_latest",
     "events_tumbling_15min",
-    "events_type_matrix",
     "agg_distinct_counts",
     "scalar_url_map_funcs",
     "scalar_hash_encode_funcs",
@@ -77,13 +76,14 @@ _PRIORITY: list[str] = [
     "window_running_spend",
     "window_analytics_distribution",
     "setop_union_segments",
-    # ---- slots 30-35: the six other r8-new queries, graded on
+    # ---- slots 29-35: the seven other r8-new queries, graded on
     # arrival (dedup cascade accounting, bigram LM scoring, per-dim
-    # embedding stats, DSIR importance weights, Zipf head fit, CCNet
-    # buckets).  They displace setop_except_inactive /
-    # scalar_string_funcs / scalar_datetime_funcs /
-    # setop_intersect_active_auto / window_range_frame_spend /
-    # window_value_picking from the stale-32 block — those six stay
+    # embedding stats, DSIR importance weights + its streaming serving
+    # twin, Zipf head fit, CCNet buckets).  They displace
+    # setop_except_inactive / scalar_string_funcs /
+    # scalar_datetime_funcs / setop_intersect_active_auto /
+    # window_range_frame_spend / window_value_picking /
+    # events_type_matrix from the stale-32 block — those seven stay
     # r2-only and MUST be in the r9 window (age 7 by then; the
     # freshness test enforces it), alongside embed_norms.  Each
     # displaced family keeps at least one member graded this round.
@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "curate_dsir_weights",
     "text_zipf_fit",
     "curate_ccnet_buckets",
+    "streaming_dsir_scoring",
     # ---- slots 36-50: the 15 standing keeps (same set as r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -113,7 +114,7 @@ _PRIORITY: list[str] = [
     # Displaced r7-window entries (all driver-green in r7,
     # CORRECTNESS_r07.json).
     "dedup_bloom_incremental",
-    # Displaced by the five r8-new queries above: still r2-only
+    # Displaced by the seven r8-new queries above: still r2-only
     # evidence, age 7 at r9 — the freshness test forces them into the
     # r9 window.
     "setop_except_inactive",
@@ -122,6 +123,7 @@ _PRIORITY: list[str] = [
     "setop_intersect_active_auto",
     "window_range_frame_spend",
     "window_value_picking",
+    "events_type_matrix",
     "dedup_prefix_contained",
     "curate_temperature_mix",
     "sim_ann_filtered",

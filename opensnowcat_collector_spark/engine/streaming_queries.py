@@ -896,3 +896,155 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "value_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: incremental DSIR scoring — the serving half of curate_dsir_weights.
+# The bucket table is trained ONCE on the static corpus slice; every
+# incoming micro-batch is scored against it per-epoch via foreachBatch
+# (stateless — a doc's bigrams live in one row, so per-doc aggregation is
+# exact within its batch and no cross-batch state is ever needed).
+# ---------------------------------------------------------------------------
+
+from .llmdata.curation import (  # noqa: E402
+    DSIR_BUCKET_HEX,
+    DSIR_BUCKETS,
+    DSIR_TARGET_LANG,
+)
+from .llmdata.text import bigram_stream_sql, flat_bigrams  # noqa: E402
+
+
+@register(
+    "streaming_dsir_scoring",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents
+),
+pairs AS ({bigram_stream_sql("lang")}
+),
+bg AS (
+  SELECT doc_id, lang, substr(md5(w1 || ' ' || w2), 1, {DSIR_BUCKET_HEX}) AS b
+  FROM pairs
+),
+bk AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_r,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+  FROM bg WHERE doc_id < {CURATION_CORPUS_SPLIT} GROUP BY b
+),
+tot AS (SELECT SUM(cnt_r) AS r_tot, SUM(cnt_t) AS t_tot FROM bk),
+lr AS (
+  SELECT b, LN((cnt_t + 1.0) / (t_tot + {DSIR_BUCKETS})) -
+            LN((cnt_r + 1.0) / (r_tot + {DSIR_BUCKETS})) AS lw
+  FROM bk, tot
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       ROUND(AVG(COALESCE(l.lw,
+             LN(1.0 / (t.t_tot + {DSIR_BUCKETS})) -
+             LN(1.0 / (t.r_tot + {DSIR_BUCKETS})))), 6) AS log_weight
+FROM bg g LEFT JOIN lr l USING (b), tot t
+WHERE g.doc_id >= {CURATION_CORPUS_SPLIT}
+GROUP BY g.doc_id
+""",
+)
+def streaming_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR scoring under the gate — the production serving
+    shape of ``curate_dsir_weights``: the hashed-bigram bucket table is
+    trained ONCE on the static corpus slice (doc_id < split), and the
+    incoming crawl (doc_id >= split, streamed) is scored per micro-batch
+    through ``foreachBatch`` with the epoch-overwrite exactly-once
+    recipe.  Buckets never seen in training score the Laplace default
+    ln(1/(T+B)) - ln(1/(R+B)) via a LEFT join + coalesce — the unseen-
+    feature branch the within-corpus batch query can never exercise.
+
+    Stateless by construction: a document is one row, so its bigrams all
+    land in the same micro-batch and the per-doc aggregate is exact
+    batch-locally — no watermark, no cross-batch state store, and the
+    result is batching-invariant (equality with the batch oracle IS the
+    proof).
+
+    100-TB note: training cost is paid once (the table persists as a
+    production artifact; here it is localCheckpoint'd so epochs do not
+    retrain); each epoch pays only its own bigram explode + a broadcast
+    of the CONSTANT 4096-row table + one batch-local doc aggregation —
+    incremental work scales with the batch, never the corpus."""
+    import math
+    import shutil
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat_ws(" ", "w1", "w2")), 1, DSIR_BUCKET_HEX
+    ).alias("b")
+    ws_hist = docs.filter(F.col("doc_id") < CURATION_CORPUS_SPLIT).select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("w")
+    )
+    bk = (
+        flat_bigrams(ws_hist, "lang")
+        .select("lang", bucket)
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_r"),
+            F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_t"),
+        )
+    )
+    tot = bk.agg(F.sum("cnt_r"), F.sum("cnt_t")).first()  # bounded: ONE row
+    r_tot, t_tot = int(tot[0]), int(tot[1])
+    default_lw = math.log(1.0 / (t_tot + DSIR_BUCKETS)) - math.log(
+        1.0 / (r_tot + DSIR_BUCKETS)
+    )
+    lr = bk.select(
+        "b",
+        (
+            F.log((F.col("cnt_t") + 1.0) / F.lit(float(t_tot + DSIR_BUCKETS)))
+            - F.log((F.col("cnt_r") + 1.0) / F.lit(float(r_tot + DSIR_BUCKETS)))
+        ).alias("lw"),
+    ).localCheckpoint(eager=False)
+
+    stream = _stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= CURATION_CORPUS_SPLIT
+    )
+    target = tempfile.mkdtemp(prefix="dsir_stream_")
+    shutil.rmtree(target)  # foreachBatch creates it
+
+    def score_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        ws = batch_df.select(
+            "doc_id", "lang", F.split(F.lower("text"), " ").alias("w")
+        )
+        scored = (
+            flat_bigrams(ws, "lang")
+            .select("doc_id", bucket)
+            .join(F.broadcast(lr), "b", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_feats"),
+                F.round(
+                    F.avg(F.coalesce(F.col("lw"), F.lit(default_lw))), 6
+                ).alias("log_weight"),
+            )
+        )
+        scored.write.mode("overwrite").parquet(
+            os.path.join(target, f"epoch={epoch_id}")
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_dsir_")
+    q = None
+    try:
+        q = (
+            stream.writeStream.foreachBatch(score_epoch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        _await_drain(q, "streaming dsir scoring")
+        return (
+            spark.read.parquet(target)
+            .select("doc_id", "n_feats", "log_weight")
+            .localCheckpoint()
+        )
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(target, ignore_errors=True)

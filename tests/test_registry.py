@@ -47,14 +47,15 @@ def test_unlisted_extra_raises_then_allowed_with_flag():
 def test_r8_window_regrades_stalest_evidence():
     """r8 rotation (VERDICT r7 item 3): the window holds (a) the r7
     driver-red fix embed_quantize_int8, (b) the r8-new suffix-array
-    substring dedup + its removal-accounting companion, (c) 26 of the
+    substring dedup + its removal-accounting companion, (c) 25 of the
     32 entries with the OLDEST external evidence (the r1+r2-only
     basics; embed_norms, r3-only, is next-stalest and is the top r9
-    candidate — asserted below), (d) the other six r8-new queries
+    candidate — asserted below), (d) the other seven r8-new queries
     graded on arrival (cascade accounting / bigram logprob / dim
-    stats / DSIR weights / Zipf fit / CCNet buckets), displacing six
-    r2-only entries into the r9 must-rotate set (each family keeps at
-    least one member graded this round), and (e) the 15
+    stats / DSIR weights + streaming serving twin / Zipf fit / CCNet
+    buckets), displacing seven r2-only entries into the r9 must-rotate
+    set (each family keeps at least one member graded this round), and
+    (e) the 15
     standing keeps — streaming gates NOT kept this round rotate out
     deliberately: all were driver-green r4-r7 and the flake-armor suite
     replays them 5x locally every round."""
@@ -69,7 +70,6 @@ def test_r8_window_regrades_stalest_evidence():
         "agg_pivot_status",
         "events_dedup_latest",
         "events_tumbling_15min",
-        "events_type_matrix",
         "agg_distinct_counts",
         "scalar_url_map_funcs",
         "scalar_hash_encode_funcs",
@@ -93,6 +93,7 @@ def test_r8_window_regrades_stalest_evidence():
         "curate_dsir_weights",
         "text_zipf_fit",
         "curate_ccnet_buckets",
+        "streaming_dsir_scoring",
     ]
     keeps = [
         "streaming_leftouter_join",
@@ -130,6 +131,7 @@ def test_r8_window_regrades_stalest_evidence():
         "setop_intersect_active_auto",
         "window_range_frame_spend",
         "window_value_picking",
+        "events_type_matrix",
     ):
         assert name not in window, name
         assert name in registry._PRIORITY[registry.GRADED_WINDOW :], name
