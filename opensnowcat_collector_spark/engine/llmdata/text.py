@@ -1203,3 +1203,163 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lnn, lnr), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(lnn, lnr), 6).alias("zipf_r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: distributed BPE merge training (Sennrich et al. 2016, public method)
+# ---------------------------------------------------------------------------
+
+BPE_MERGE_STEPS = 3
+
+
+def _bpe_pairs_sql(v: str) -> str:
+    """DuckDB adjacent-symbol pair counts over vocab CTE ``v(sym, cnt)``
+    — the symbol-level twin of ``bigram_stream_sql``, weighted by word
+    count."""
+    return f"""
+  SELECT u.w1 AS w1, u.w2 AS w2, CAST(SUM(cnt) AS BIGINT) AS support
+  FROM (
+    SELECT cnt,
+           UNNEST([{{'w1': t[i], 'w2': t[i+1]}}
+                   for i in generate_series(1, len(t) - 1)]) AS u
+    FROM (SELECT cnt, string_split(sym, ' ') AS t FROM {v})
+    WHERE len(t) >= 2
+  )
+  GROUP BY 1, 2"""
+
+
+def _bpe_apply_sql(v: str, m: str) -> str:
+    """DuckDB merge application over vocab CTE ``v`` with the 1-row
+    argmax CTE ``m(w1, w2)`` — the double-space pad/replace/collapse
+    recipe (see the Spark twin's docstring for why it is exact)."""
+    return f"""
+  SELECT trim(replace(replace(
+           ' ' || replace(sym, ' ', '  ') || ' ',
+           ' ' || m.w1 || '  ' || m.w2 || ' ',
+           ' ' || m.w1 || m.w2 || ' '), '  ', ' ')) AS sym, cnt
+  FROM {v}, {m} m"""
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        """
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+  GROUP BY w
+),
+v0 AS (
+  SELECT regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS sym, cnt FROM words
+)"""
+    ]
+    for k in range(1, BPE_MERGE_STEPS + 1):
+        parts.append(f", p{k} AS ({_bpe_pairs_sql(f'v{k - 1}')}\n)")
+        parts.append(
+            f", m{k} AS (SELECT * FROM p{k} ORDER BY support DESC, w1, w2 LIMIT 1)"
+        )
+        if k < BPE_MERGE_STEPS:
+            parts.append(f", v{k} AS ({_bpe_apply_sql(f'v{k - 1}', f'm{k}')}\n)")
+    selects = [
+        f"SELECT CAST({k} AS BIGINT) AS step, w1, w2, w1 || w2 AS merged, support FROM m{k}"
+        for k in range(1, BPE_MERGE_STEPS + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register("text_bpe_merge_steps", oracle=_bpe_oracle())
+def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training — the first BPE_MERGE_STEPS merge
+    decisions of byte-pair-encoding tokenizer training (Sennrich et al.
+    2016, "Neural Machine Translation of Rare Words with Subword
+    Units"): each step counts adjacent-symbol pairs over the vocabulary
+    weighted by word frequency, picks the most frequent pair
+    (deterministic tie-break: support desc, then pair text), and merges
+    it into a single symbol everywhere before the next count.
+
+    The merge decision never leaves the cluster: the per-step argmax is
+    an ``orderBy().limit(1)`` single-row DataFrame (distributed partial
+    top-k) that feeds the apply step as a broadcast single-row join —
+    zero driver round-trips, unlike the collect-per-step loop a naive
+    port would write.  Merge application uses the double-space encoding:
+    pad every symbol boundary to two spaces, replace
+    ``' w1  w2 '`` -> ``' w1w2 '``, collapse doubles, trim.  Because
+    each occurrence keeps its own boundary spaces, consecutive
+    overlapping occurrences (``a a a a``) merge exactly as the greedy
+    left-to-right BPE scan does, and Spark's and DuckDB's ``replace``
+    share non-overlapping left-to-right semantics, so oracle equality
+    is byte-exact.
+
+    Scale (100 TB): the corpus is touched ONCE (the word-count groupBy,
+    map-side combined — the same linear floor as text_vocab_stats);
+    everything after operates on the VOCABULARY (|V| rows, ~1M at any
+    corpus size — the on-vocab formulation that makes BPE training
+    tractable, from the reference implementation).  Each step is one
+    vocab-sized flat pair explode (codegen'd sequence/element_at, no
+    interpreted lambdas) + one map-side-combined pair aggregation +
+    a TakeOrderedAndProject(1) argmax; lazy localCheckpoints bound the
+    lineage so step k never recomputes steps 1..k-1."""
+    toks = _words_flat(spark, sf_dir).select("w")
+    words = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = words.select(
+        F.concat(F.regexp_replace("w", "(.)", "$1 "), F.lit("</w>")).alias("sym"),
+        "cnt",
+    ).localCheckpoint(eager=False)
+    merges: DataFrame | None = None
+    for step in range(1, BPE_MERGE_STEPS + 1):
+        pairs = (
+            vocab.select("cnt", F.split("sym", " ").alias("t"))
+            .filter(F.size("t") >= 2)
+            .select(
+                "cnt",
+                "t",
+                F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+            )
+            .select(
+                "cnt",
+                F.element_at("t", F.col("i")).alias("w1"),
+                F.element_at("t", F.col("i") + 1).alias("w2"),
+            )
+            .groupBy("w1", "w2")
+            .agg(F.sum("cnt").alias("support"))
+        )
+        best = (
+            pairs.orderBy(F.desc("support"), "w1", "w2")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        mrow = best.select(
+            F.lit(step).cast("long").alias("step"),
+            "w1",
+            "w2",
+            F.concat("w1", "w2").alias("merged"),
+            "support",
+        )
+        merges = mrow if merges is None else merges.unionByName(mrow)
+        if step < BPE_MERGE_STEPS:
+            pad = F.concat(
+                F.lit(" "),
+                F.replace(F.col("sym"), F.lit(" "), F.lit("  ")),
+                F.lit(" "),
+            )
+            pat = F.concat(
+                F.lit(" "), F.col("bw1"), F.lit("  "), F.col("bw2"), F.lit(" ")
+            )
+            rep = F.concat(F.lit(" "), F.col("bw1"), F.col("bw2"), F.lit(" "))
+            vocab = (
+                vocab.crossJoin(
+                    F.broadcast(
+                        best.select(
+                            F.col("w1").alias("bw1"), F.col("w2").alias("bw2")
+                        )
+                    )
+                )
+                .select(
+                    F.trim(
+                        F.replace(F.replace(pad, pat, rep), F.lit("  "), F.lit(" "))
+                    ).alias("sym"),
+                    "cnt",
+                )
+                .localCheckpoint(eager=False)
+            )
+    assert merges is not None
+    return merges

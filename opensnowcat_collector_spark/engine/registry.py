@@ -34,12 +34,12 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # query that has never passed externally).  Slot 2 is the r8-new
 # suffix-array-style substring dedup (VERDICT r7 item 6).  Slot 3 is
 # its r8-new removal-accounting companion curate_suffix_dedup_apply.
-# Slots 4-28 are 25 of the 32 entries whose last driver grading is
+# Slots 4-27 are 24 of the 32 entries whose last driver grading is
 # oldest: the ones whose only green rows are r1+r2 (the basic
 # join/window/setop/scalar/agg families, last externally graded before
-# the engine's r3-r7 rewrites).  Slots 29-35 are the other seven
-# r8-new queries (graded on arrival), displacing the seven
-# least-risky stale entries (see the slot-29 comment).  embed_norms
+# the engine's r3-r7 rewrites).  Slots 28-35 are the other eight
+# r8-new queries (graded on arrival), displacing the eight
+# least-risky stale entries (see the slot-28 comment).  embed_norms
 # (r3-only, next-stalest) did NOT fit this window and is the top r9
 # candidate (see the r9 comment below).  Slots 36-50
 # keep the standing keeps: every streaming gate (highest-variance
@@ -49,7 +49,7 @@ _PRIORITY: list[str] = [
     "embed_quantize_int8",
     "dedup_suffix_repeats",
     "curate_suffix_dedup_apply",
-    # ---- slots 4-28: the windowed 25 of the 32 r1+r2-only entries
+    # ---- slots 4-27: the windowed 24 of the 32 r1+r2-only entries
     # (oldest external evidence in the registry).
     "q7_volume_shipping",
     "agg_stats_percentiles",
@@ -74,19 +74,20 @@ _PRIORITY: list[str] = [
     "join_full_outer_nation_activity",
     "window_rank_acctbal",
     "window_running_spend",
-    "window_analytics_distribution",
     "setop_union_segments",
-    # ---- slots 29-35: the seven other r8-new queries, graded on
+    # ---- slots 28-35: the eight other r8-new queries, graded on
     # arrival (dedup cascade accounting, bigram LM scoring, per-dim
     # embedding stats, DSIR importance weights + its streaming serving
-    # twin, Zipf head fit, CCNet buckets).  They displace
-    # setop_except_inactive / scalar_string_funcs /
+    # twin, Zipf head fit, CCNet buckets, BPE merge training).  They
+    # displace setop_except_inactive / scalar_string_funcs /
     # scalar_datetime_funcs / setop_intersect_active_auto /
     # window_range_frame_spend / window_value_picking /
-    # events_type_matrix from the stale-32 block — those seven stay
+    # events_type_matrix / window_analytics_distribution from the
+    # stale-32 block — those eight stay
     # r2-only and MUST be in the r9 window (age 7 by then; the
     # freshness test enforces it), alongside embed_norms.  Each
-    # displaced family keeps at least one member graded this round.
+    # displaced family keeps at least one member graded this round
+    # (window: rank_acctbal + running_spend stay windowed).
     "dedup_cascade_accounting",
     "text_bigram_logprob",
     "embed_dim_stats",
@@ -94,6 +95,7 @@ _PRIORITY: list[str] = [
     "text_zipf_fit",
     "curate_ccnet_buckets",
     "streaming_dsir_scoring",
+    "text_bpe_merge_steps",
     # ---- slots 36-50: the 15 standing keeps (same set as r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -114,7 +116,7 @@ _PRIORITY: list[str] = [
     # Displaced r7-window entries (all driver-green in r7,
     # CORRECTNESS_r07.json).
     "dedup_bloom_incremental",
-    # Displaced by the seven r8-new queries above: still r2-only
+    # Displaced by the eight r8-new queries above: still r2-only
     # evidence, age 7 at r9 — the freshness test forces them into the
     # r9 window.
     "setop_except_inactive",
@@ -124,6 +126,7 @@ _PRIORITY: list[str] = [
     "window_range_frame_spend",
     "window_value_picking",
     "events_type_matrix",
+    "window_analytics_distribution",
     "dedup_prefix_contained",
     "curate_temperature_mix",
     "sim_ann_filtered",

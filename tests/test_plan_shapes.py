@@ -398,3 +398,43 @@ def test_ccnet_buckets_single_lang_exchange_shared_by_windows(spark, sf_dir):
     assert len(re.findall(r"hashpartitioning\(lang", plan)) == 1, plan
     assert plan.count("SinglePartition") == 1, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bpe_merge_argmax_stays_distributed(spark, sf_dir, monkeypatch):
+    """BPE merge training (r8): with the lineage-bounding
+    localCheckpoints disabled (identity-patched) so the full plan is
+    visible, the query must show (a) one TakeOrderedAndProject(1) argmax
+    per merge step — the merge decision is distributed partial top-k,
+    never a global vocab sort or a driver collect; (b) merge application
+    as BroadcastNestedLoopJoin of the SINGLE-ROW argmax side only
+    (steps-1 applies); (c) zero sort-merge/shuffled-hash joins — nothing
+    corpus-scaled is ever joined; (d) no Python stages.  The production
+    path additionally checkpoints each stage boundary, which is pinned
+    separately: its executed plan must contain ONLY checkpoint /local
+    scans (bounded lineage — step k never recomputes steps 1..k-1)."""
+    # Spark 4: instances are the classic concrete class, not the
+    # pyspark.sql.DataFrame ABC — patch where the method resolves.
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from opensnowcat_collector_spark.engine.llmdata import text as T
+
+    # Production path: lineage is bounded — nothing but checkpoint scans.
+    prod_plan = _plan(spark, sf_dir, "text_bpe_merge_steps")
+    assert "Scan ExistingRDD" in prod_plan, prod_plan
+    assert "Exchange" not in prod_plan, prod_plan
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    full_plan = _plan(spark, sf_dir, "text_bpe_merge_steps")
+    n = T.BPE_MERGE_STEPS
+    # With checkpoints identity-patched the shared step-k subtrees are
+    # DUPLICATED down every later step's lineage (the blow-up the
+    # checkpoints exist to prevent), so counts are lower bounds, not
+    # equalities.
+    assert full_plan.count("TakeOrderedAndProject") >= n, full_plan
+    assert full_plan.count("BroadcastNestedLoopJoin") >= n - 1, full_plan
+    assert "SortMergeJoin" not in full_plan, full_plan
+    assert "ShuffledHashJoin" not in full_plan, full_plan
+    assert "BroadcastHashJoin" not in full_plan, full_plan
+    assert "EvalPython" not in full_plan and "MapInPandas" not in full_plan

@@ -47,15 +47,15 @@ def test_unlisted_extra_raises_then_allowed_with_flag():
 def test_r8_window_regrades_stalest_evidence():
     """r8 rotation (VERDICT r7 item 3): the window holds (a) the r7
     driver-red fix embed_quantize_int8, (b) the r8-new suffix-array
-    substring dedup + its removal-accounting companion, (c) 25 of the
+    substring dedup + its removal-accounting companion, (c) 24 of the
     32 entries with the OLDEST external evidence (the r1+r2-only
     basics; embed_norms, r3-only, is next-stalest and is the top r9
-    candidate — asserted below), (d) the other seven r8-new queries
+    candidate — asserted below), (d) the other eight r8-new queries
     graded on arrival (cascade accounting / bigram logprob / dim
     stats / DSIR weights + streaming serving twin / Zipf fit / CCNet
-    buckets), displacing seven r2-only entries into the r9 must-rotate
-    set (each family keeps at least one member graded this round), and
-    (e) the 15
+    buckets / BPE merge training), displacing eight r2-only entries
+    into the r9 must-rotate set (each family keeps at least one member
+    graded this round), and (e) the 15
     standing keeps — streaming gates NOT kept this round rotate out
     deliberately: all were driver-green r4-r7 and the flake-armor suite
     replays them 5x locally every round."""
@@ -83,7 +83,6 @@ def test_r8_window_regrades_stalest_evidence():
         "join_full_outer_nation_activity",
         "window_rank_acctbal",
         "window_running_spend",
-        "window_analytics_distribution",
         "setop_union_segments",
     ]
     new_r8 = [
@@ -94,6 +93,7 @@ def test_r8_window_regrades_stalest_evidence():
         "text_zipf_fit",
         "curate_ccnet_buckets",
         "streaming_dsir_scoring",
+        "text_bpe_merge_steps",
     ]
     keeps = [
         "streaming_leftouter_join",
@@ -132,6 +132,7 @@ def test_r8_window_regrades_stalest_evidence():
         "window_range_frame_spend",
         "window_value_picking",
         "events_type_matrix",
+        "window_analytics_distribution",
     ):
         assert name not in window, name
         assert name in registry._PRIORITY[registry.GRADED_WINDOW :], name
