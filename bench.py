@@ -89,6 +89,9 @@ HEADLINE = [
     "dedup_suffix_repeats",
     "dedup_cascade_accounting",
     "curate_dsir_weights",
+    # r8: distributed BPE merge training — iterative in-plan argmax
+    # (TakeOrderedAndProject + broadcast single-row apply per step)
+    "text_bpe_merge_steps",
 ]
 
 
