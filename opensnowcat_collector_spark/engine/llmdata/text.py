@@ -1231,16 +1231,23 @@ def _bpe_pairs_sql(v: str) -> str:
 def _bpe_apply_sql(v: str, m: str) -> str:
     """DuckDB merge application over vocab CTE ``v`` with the 1-row
     argmax CTE ``m(w1, w2)`` — the double-space pad/replace/collapse
-    recipe (see the Spark twin's docstring for why it is exact)."""
+    recipe (see the Spark twin's docstring for why it is exact).  The
+    word key ``w`` rides along so the segmenter can map tokens back."""
     return f"""
-  SELECT trim(replace(replace(
+  SELECT w, trim(replace(replace(
            ' ' || replace(sym, ' ', '  ') || ' ',
            ' ' || m.w1 || '  ' || m.w2 || ' ',
            ' ' || m.w1 || m.w2 || ' '), '  ', ' ')) AS sym, cnt
   FROM {v}, {m} m"""
 
 
-def _bpe_oracle() -> str:
+def _bpe_chain_sql(apply_final: bool) -> str:
+    """The shared DuckDB WITH-chain for BPE training: word counts ->
+    char-split vocab v0 -> (pair counts p_k, argmax m_k, applied
+    vocab v_k) per merge step.  ``apply_final`` additionally emits
+    v{BPE_MERGE_STEPS} (the fully-merged vocab the segmenter reads);
+    the training query stops at the last argmax.  ONE chain definition
+    feeds both graded queries so train and apply cannot diverge."""
     parts = [
         """
 WITH words AS (
@@ -1249,7 +1256,7 @@ WITH words AS (
   GROUP BY w
 ),
 v0 AS (
-  SELECT regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS sym, cnt FROM words
+  SELECT w, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS sym, cnt FROM words
 )"""
     ]
     for k in range(1, BPE_MERGE_STEPS + 1):
@@ -1257,13 +1264,17 @@ v0 AS (
         parts.append(
             f", m{k} AS (SELECT * FROM p{k} ORDER BY support DESC, w1, w2 LIMIT 1)"
         )
-        if k < BPE_MERGE_STEPS:
+        if k < BPE_MERGE_STEPS or apply_final:
             parts.append(f", v{k} AS ({_bpe_apply_sql(f'v{k - 1}', f'm{k}')}\n)")
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
     selects = [
         f"SELECT CAST({k} AS BIGINT) AS step, w1, w2, w1 || w2 AS merged, support FROM m{k}"
         for k in range(1, BPE_MERGE_STEPS + 1)
     ]
-    return "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+    return _bpe_chain_sql(apply_final=False) + "\n" + "\nUNION ALL ".join(selects)
 
 
 @register("text_bpe_merge_steps", oracle=_bpe_oracle())
@@ -1298,9 +1309,22 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted lambdas) + one map-side-combined pair aggregation +
     a TakeOrderedAndProject(1) argmax; lazy localCheckpoints bound the
     lineage so step k never recomputes steps 1..k-1."""
+    merges, _vocab = _bpe_merge_loop(spark, sf_dir, apply_final=False)
+    return merges
+
+
+def _bpe_merge_loop(
+    spark: SparkSession, sf_dir: str, *, apply_final: bool
+) -> tuple[DataFrame, DataFrame]:
+    """The ONE Spark BPE chain shared by the trainer and the segmenter
+    (mirrors ``_bpe_chain_sql``): returns (merge decisions, vocab).
+    ``apply_final`` also applies the last merge so the returned vocab is
+    the fully-merged ``v{BPE_MERGE_STEPS}`` segmentation table keyed by
+    word; the trainer stops at the last argmax and ignores the vocab."""
     toks = _words_flat(spark, sf_dir).select("w")
     words = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = words.select(
+        "w",
         F.concat(F.regexp_replace("w", "(.)", "$1 "), F.lit("</w>")).alias("sym"),
         "cnt",
     ).localCheckpoint(eager=False)
@@ -1335,7 +1359,7 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support",
         )
         merges = mrow if merges is None else merges.unionByName(mrow)
-        if step < BPE_MERGE_STEPS:
+        if step < BPE_MERGE_STEPS or apply_final:
             pad = F.concat(
                 F.lit(" "),
                 F.replace(F.col("sym"), F.lit(" "), F.lit("  ")),
@@ -1354,6 +1378,7 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
                 .select(
+                    "w",
                     F.trim(
                         F.replace(F.replace(pad, pat, rep), F.lit("  "), F.lit(" "))
                     ).alias("sym"),
@@ -1362,4 +1387,58 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=False)
             )
     assert merges is not None
-    return merges
+    return merges, vocab
+
+
+@register(
+    "text_bpe_segment_counts",
+    oracle=_bpe_chain_sql(apply_final=True)
+    + f"""
+, segs AS (
+  SELECT w, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sub
+  FROM v{BPE_MERGE_STEPS}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords,
+       ROUND(CAST(SUM(s.n_sub) AS DOUBLE) / COUNT(*), 6) AS avg_subwords
+FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w
+      FROM documents) t
+JOIN segs s USING (w)
+GROUP BY t.doc_id
+""",
+)
+def text_bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY — the serving half of ``text_bpe_merge_steps``:
+    segment every document with the trained merge table and report
+    per-document subword counts (the length statistics a sequence-packing
+    stage consumes).  The fully-merged vocabulary (same
+    ``_bpe_merge_loop`` chain as the trainer — one definition, the two
+    graded queries cannot diverge) maps each word to its symbol count
+    (char symbols + the ``</w>`` terminal, minus one per applied merge
+    occurrence); the corpus token stream joins that mapping and
+    aggregates per doc.
+
+    Scale (100 TB): training cost is the trainer's (vocab-sized steps,
+    corpus touched once for word counts); segmentation adds ONE
+    broadcast join of the |V|-row word->n_sub mapping against the token
+    stream (the langid-profiles broadcast-scoring shape) + one
+    map-side-combined doc aggregation.  In production the merge table
+    is a persisted artifact and only the broadcast-join half runs per
+    batch."""
+    _merges, vocab = _bpe_merge_loop(spark, sf_dir, apply_final=True)
+    segs = vocab.select(
+        "w", F.size(F.split("sym", " ")).cast("long").alias("n_sub")
+    )
+    toks = _words_flat(spark, sf_dir).select("doc_id", "w")
+    return (
+        toks.join(F.broadcast(segs), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.round(
+                F.sum("n_sub").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_subwords"),
+        )
+    )

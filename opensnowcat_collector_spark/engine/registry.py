@@ -34,12 +34,14 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # query that has never passed externally).  Slot 2 is the r8-new
 # suffix-array-style substring dedup (VERDICT r7 item 6).  Slot 3 is
 # its r8-new removal-accounting companion curate_suffix_dedup_apply.
-# Slots 4-27 are 24 of the 32 entries whose last driver grading is
+# Slots 4-26 are 23 of the 32 entries whose last driver grading is
 # oldest: the ones whose only green rows are r1+r2 (the basic
 # join/window/setop/scalar/agg families, last externally graded before
-# the engine's r3-r7 rewrites).  Slots 28-35 are the other eight
-# r8-new queries (graded on arrival), displacing the eight
-# least-risky stale entries (see the slot-28 comment).  embed_norms
+# the engine's r3-r7 rewrites).  Slots 27-35 are the other nine
+# r8-new queries (graded on arrival — the evidence-freshness test
+# codifies that new entries get external grading immediately),
+# displacing the nine least-risky stale entries (see the slot-27
+# comment).  embed_norms
 # (r3-only, next-stalest) did NOT fit this window and is the top r9
 # candidate (see the r9 comment below).  Slots 36-50
 # keep the standing keeps: every streaming gate (highest-variance
@@ -49,7 +51,7 @@ _PRIORITY: list[str] = [
     "embed_quantize_int8",
     "dedup_suffix_repeats",
     "curate_suffix_dedup_apply",
-    # ---- slots 4-27: the windowed 24 of the 32 r1+r2-only entries
+    # ---- slots 4-26: the windowed 23 of the 32 r1+r2-only entries
     # (oldest external evidence in the registry).
     "q7_volume_shipping",
     "agg_stats_percentiles",
@@ -58,7 +60,6 @@ _PRIORITY: list[str] = [
     "events_hourly_rollup",
     "agg_cube_status_priority",
     "agg_grouping_sets",
-    "agg_pivot_status",
     "events_dedup_latest",
     "events_tumbling_15min",
     "agg_distinct_counts",
@@ -75,19 +76,21 @@ _PRIORITY: list[str] = [
     "window_rank_acctbal",
     "window_running_spend",
     "setop_union_segments",
-    # ---- slots 28-35: the eight other r8-new queries, graded on
+    # ---- slots 27-35: the nine other r8-new queries, graded on
     # arrival (dedup cascade accounting, bigram LM scoring, per-dim
     # embedding stats, DSIR importance weights + its streaming serving
-    # twin, Zipf head fit, CCNet buckets, BPE merge training).  They
-    # displace setop_except_inactive / scalar_string_funcs /
-    # scalar_datetime_funcs / setop_intersect_active_auto /
-    # window_range_frame_spend / window_value_picking /
-    # events_type_matrix / window_analytics_distribution from the
-    # stale-32 block — those eight stay
+    # twin, Zipf head fit, CCNet buckets, BPE merge training + its
+    # segmenter apply half).  They displace setop_except_inactive /
+    # scalar_string_funcs / scalar_datetime_funcs /
+    # setop_intersect_active_auto / window_range_frame_spend /
+    # window_value_picking / events_type_matrix /
+    # window_analytics_distribution / agg_pivot_status from the
+    # stale-32 block — those nine stay
     # r2-only and MUST be in the r9 window (age 7 by then; the
     # freshness test enforces it), alongside embed_norms.  Each
     # displaced family keeps at least one member graded this round
-    # (window: rank_acctbal + running_spend stay windowed).
+    # (window: rank_acctbal + running_spend; agg: percentiles, cube,
+    # grouping sets, distinct counts all stay windowed).
     "dedup_cascade_accounting",
     "text_bigram_logprob",
     "embed_dim_stats",
@@ -96,6 +99,7 @@ _PRIORITY: list[str] = [
     "curate_ccnet_buckets",
     "streaming_dsir_scoring",
     "text_bpe_merge_steps",
+    "text_bpe_segment_counts",
     # ---- slots 36-50: the 15 standing keeps (same set as r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -127,6 +131,7 @@ _PRIORITY: list[str] = [
     "window_value_picking",
     "events_type_matrix",
     "window_analytics_distribution",
+    "agg_pivot_status",
     "dedup_prefix_contained",
     "curate_temperature_mix",
     "sim_ann_filtered",

@@ -438,3 +438,19 @@ def test_bpe_merge_argmax_stays_distributed(spark, sf_dir, monkeypatch):
     assert "ShuffledHashJoin" not in full_plan, full_plan
     assert "BroadcastHashJoin" not in full_plan, full_plan
     assert "EvalPython" not in full_plan and "MapInPandas" not in full_plan
+
+
+def test_bpe_segment_counts_broadcast_scoring_single_exchange(spark, sf_dir):
+    """BPE apply (r8): the token stream must meet the |V|-row word->n_sub
+    mapping as a BROADCAST hash join (the langid-profiles scoring shape)
+    — never a sort-merge that shuffles the corpus on word — and the doc
+    aggregation must partial-combine map-side so the ONLY corpus-scale
+    exchange is the doc_id hash (vocab-chain checkpoints contribute
+    none).  No Python stages."""
+    plan = _plan(spark, sf_dir, "text_bpe_segment_counts")
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(doc_id", plan)) == 1, plan
+    assert "partial_count" in plan, plan
+    assert plan.index("partial_count") > plan.index("Exchange hashpartitioning"), plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

@@ -47,15 +47,15 @@ def test_unlisted_extra_raises_then_allowed_with_flag():
 def test_r8_window_regrades_stalest_evidence():
     """r8 rotation (VERDICT r7 item 3): the window holds (a) the r7
     driver-red fix embed_quantize_int8, (b) the r8-new suffix-array
-    substring dedup + its removal-accounting companion, (c) 24 of the
+    substring dedup + its removal-accounting companion, (c) 23 of the
     32 entries with the OLDEST external evidence (the r1+r2-only
     basics; embed_norms, r3-only, is next-stalest and is the top r9
-    candidate — asserted below), (d) the other eight r8-new queries
+    candidate — asserted below), (d) the other nine r8-new queries
     graded on arrival (cascade accounting / bigram logprob / dim
     stats / DSIR weights + streaming serving twin / Zipf fit / CCNet
-    buckets / BPE merge training), displacing eight r2-only entries
-    into the r9 must-rotate set (each family keeps at least one member
-    graded this round), and (e) the 15
+    buckets / BPE merge training + segmenter), displacing nine r2-only
+    entries into the r9 must-rotate set (each family keeps at least one
+    member graded this round), and (e) the 15
     standing keeps — streaming gates NOT kept this round rotate out
     deliberately: all were driver-green r4-r7 and the flake-armor suite
     replays them 5x locally every round."""
@@ -67,7 +67,6 @@ def test_r8_window_regrades_stalest_evidence():
         "events_hourly_rollup",
         "agg_cube_status_priority",
         "agg_grouping_sets",
-        "agg_pivot_status",
         "events_dedup_latest",
         "events_tumbling_15min",
         "agg_distinct_counts",
@@ -94,6 +93,7 @@ def test_r8_window_regrades_stalest_evidence():
         "curate_ccnet_buckets",
         "streaming_dsir_scoring",
         "text_bpe_merge_steps",
+        "text_bpe_segment_counts",
     ]
     keeps = [
         "streaming_leftouter_join",
@@ -133,6 +133,7 @@ def test_r8_window_regrades_stalest_evidence():
         "window_value_picking",
         "events_type_matrix",
         "window_analytics_distribution",
+        "agg_pivot_status",
     ):
         assert name not in window, name
         assert name in registry._PRIORITY[registry.GRADED_WINDOW :], name
