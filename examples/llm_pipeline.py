@@ -91,6 +91,17 @@ def main() -> None:
         f"r2={zipf.zipf_r2:.3f}"
     )
 
+    merges = qs["text_bpe_merge_steps"](spark, sf_dir)
+    print("BPE merge training (first steps):")
+    for row in merges.orderBy("step").collect():
+        print(f"   step {row.step}: '{row.w1}' + '{row.w2}' -> '{row.merged}' (x{row.support})")
+
+    seg = qs["text_bpe_segment_counts"](spark, sf_dir)
+    st = seg.agg({"n_words": "sum", "n_subwords": "sum"}).first()
+    print(
+        f"BPE apply: {st['sum(n_words)']} words -> {st['sum(n_subwords)']} subword tokens"
+    )
+
     mix = qs["curate_temperature_mix"](spark, sf_dir)
     print("temperature mix (T=2) boosts:")
     for row in mix.orderBy("source").collect()[:5]:
