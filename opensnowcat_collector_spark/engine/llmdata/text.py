@@ -1360,15 +1360,6 @@ def _bpe_merge_loop(
         )
         merges = mrow if merges is None else merges.unionByName(mrow)
         if step < BPE_MERGE_STEPS or apply_final:
-            pad = F.concat(
-                F.lit(" "),
-                F.replace(F.col("sym"), F.lit(" "), F.lit("  ")),
-                F.lit(" "),
-            )
-            pat = F.concat(
-                F.lit(" "), F.col("bw1"), F.lit("  "), F.col("bw2"), F.lit(" ")
-            )
-            rep = F.concat(F.lit(" "), F.col("bw1"), F.col("bw2"), F.lit(" "))
             vocab = (
                 vocab.crossJoin(
                     F.broadcast(
@@ -1379,8 +1370,8 @@ def _bpe_merge_loop(
                 )
                 .select(
                     "w",
-                    F.trim(
-                        F.replace(F.replace(pad, pat, rep), F.lit("  "), F.lit(" "))
+                    _bpe_apply_expr(
+                        F.col("sym"), F.col("bw1"), F.col("bw2")
                     ).alias("sym"),
                     "cnt",
                 )
@@ -1388,6 +1379,25 @@ def _bpe_merge_loop(
             )
     assert merges is not None
     return merges, vocab
+
+
+def _bpe_apply_expr(sym, w1, w2):
+    """One BPE merge applied to a space-separated symbol string, as a
+    codegen'd Column expression (the Spark twin of ``_bpe_apply_sql``).
+
+    Double-space encoding: padding every boundary to two spaces gives
+    each symbol its OWN spaces on both sides, so replacing
+    ``' w1  w2 '`` with ``' w1w2 '`` consumes one boundary space from
+    each neighbour and non-overlapping left-to-right ``replace``
+    reproduces exactly the greedy BPE scan — including consecutive
+    overlapping occurrences (``a a a a`` -> ``aa aa``), which the naive
+    single-space recipe gets wrong (it would leave ``aa a a``).  Pinned
+    against a pure-Python greedy reference in
+    tests/test_curation.py::test_bpe_apply_expr_matches_greedy_scan."""
+    pad = F.concat(F.lit(" "), F.replace(sym, F.lit(" "), F.lit("  ")), F.lit(" "))
+    pat = F.concat(F.lit(" "), w1, F.lit("  "), w2, F.lit(" "))
+    rep = F.concat(F.lit(" "), w1, w2, F.lit(" "))
+    return F.trim(F.replace(F.replace(pad, pat, rep), F.lit("  "), F.lit(" ")))
 
 
 @register(

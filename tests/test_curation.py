@@ -373,3 +373,47 @@ def test_incremental_minhash_agrees_with_full_lsh(spark, sf_dir):
         for r in _run(spark, sf_dir, "dedup_incremental_minhash")
     }
     assert got == best
+
+
+def test_bpe_apply_expr_matches_greedy_scan(spark):
+    """The double-space merge-apply recipe must reproduce the greedy
+    left-to-right non-overlapping BPE merge scan exactly — including the
+    consecutive-overlap case ('a a a a' with merge (a,a) -> 'aa aa')
+    that a naive single-space replace gets wrong, and the
+    symbol-boundary case ('xa b' with (a,b)) that an unanchored replace
+    would corrupt.  The reference below IS the Sennrich per-pass merge
+    semantics on a symbol list."""
+    from pyspark.sql import functions as F
+
+    from opensnowcat_collector_spark.engine.llmdata.text import _bpe_apply_expr
+
+    def greedy(sym: str, w1: str, w2: str) -> str:
+        toks, out, i = sym.split(" "), [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == w1 and toks[i + 1] == w2:
+                out.append(w1 + w2)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return " ".join(out)
+
+    cases = [
+        ("a a a a", "a", "a"),      # consecutive overlap: -> 'aa aa'
+        ("a a a", "a", "a"),        # odd run: -> 'aa a'
+        ("x a b y", "a", "b"),      # interior merge
+        ("a b", "a", "b"),          # whole word
+        ("xa b", "a", "b"),         # w1 is a SUFFIX of another symbol: no-op
+        ("a bx", "a", "b"),         # w2 is a PREFIX of another symbol: no-op
+        ("a b a b", "a", "b"),      # repeated non-adjacent: both merge
+        ("b a a b", "a", "a"),      # merge in the middle
+        ("ab c ab c x", "ab", "c"), # multi-char symbols from earlier merges
+        ("q", "a", "b"),            # single symbol: no pairs
+        ("e r </w>", "e", "r"),     # terminal symbol untouched
+    ]
+    df = spark.createDataFrame(cases, "sym string, w1 string, w2 string")
+    got = df.select(
+        "sym", "w1", "w2", _bpe_apply_expr(F.col("sym"), F.col("w1"), F.col("w2")).alias("out")
+    ).collect()
+    for r in got:
+        assert r.out == greedy(r.sym, r.w1, r.w2), (r.sym, r.w1, r.w2, r.out)
