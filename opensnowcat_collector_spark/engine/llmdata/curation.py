@@ -32,7 +32,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..relational import register
@@ -1104,10 +1104,47 @@ DSIR_BUCKETS = 16 ** DSIR_BUCKET_HEX
 DSIR_TARGET_LANG = "en"
 
 
-@register(
-    "curate_dsir_weights",
-    oracle=f"""
-WITH ws AS (
+def dsir_bigram_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b) hashed-bigram feature stream — the ONE feature
+    definition shared by the batch twin (``curate_dsir_weights``) and the
+    streaming serving twin (``streaming_dsir_scoring``), so the trained
+    table and the scored batches can never use divergent features."""
+    ws = docs.select("doc_id", "lang", F.split(F.lower("text"), " ").alias("w"))
+    return flat_bigrams(ws, "lang").select(
+        "doc_id",
+        "lang",
+        F.substring(
+            F.md5(F.concat_ws(" ", "w1", "w2")), 1, DSIR_BUCKET_HEX
+        ).alias("b"),
+    )
+
+
+def dsir_bucket_counts(bg: DataFrame) -> DataFrame:
+    """CONSTANT-bounded (<= DSIR_BUCKETS rows) per-bucket count table;
+    target and raw counts ride the SAME aggregation (a CASE counter --
+    never two passes).  Shared by both DSIR twins."""
+    return bg.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_t"),
+    )
+
+
+def dsir_log_ratio(cnt_t: Column, cnt_r: Column, t_tot: Column, r_tot: Column) -> Column:
+    """Laplace-smoothed log(p_target(b)/p_raw(b)) — one formula for both
+    twins (the batch twin passes in-plan total columns, the streaming twin
+    driver-collected literals)."""
+    return F.log((cnt_t + 1.0) / (t_tot + DSIR_BUCKETS)) - F.log(
+        (cnt_r + 1.0) / (r_tot + DSIR_BUCKETS)
+    )
+
+
+def dsir_bucket_cte(train_where: str = "") -> str:
+    """ws/pairs/bg/bk/tot/lr oracle CTE chain shared by both DSIR twins;
+    ``train_where`` restricts the training slice (the streaming twin
+    trains on the historical half only)."""
+    return f"""ws AS (
   SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents
 ),
 pairs AS ({bigram_stream_sql("lang")}
@@ -1119,14 +1156,20 @@ bg AS (
 bk AS (
   SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_r,
          CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
-  FROM bg GROUP BY b
+  FROM bg {train_where} GROUP BY b
 ),
 tot AS (SELECT SUM(cnt_r) AS r_tot, SUM(cnt_t) AS t_tot FROM bk),
 lr AS (
   SELECT b, LN((cnt_t + 1.0) / (t_tot + {DSIR_BUCKETS})) -
             LN((cnt_r + 1.0) / (r_tot + {DSIR_BUCKETS})) AS lw
   FROM bk, tot
-)
+)"""
+
+
+@register(
+    "curate_dsir_weights",
+    oracle=f"""
+WITH {dsir_bucket_cte()}
 SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
        ROUND(AVG(l.lw), 6) AS log_weight
 FROM bg g JOIN lr l USING (b)
@@ -1159,28 +1202,15 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear passes over the bigram stream plus one bounded broadcast.
     The single-row totals crossJoin is a broadcast of one row."""
     d = table(spark, sf_dir, "documents")
-    ws = d.select("doc_id", "lang", F.split(F.lower("text"), " ").alias("w"))
-    bg = flat_bigrams(ws, "lang").select(
-        "doc_id",
-        "lang",
-        F.substring(
-            F.md5(F.concat_ws(" ", "w1", "w2")), 1, DSIR_BUCKET_HEX
-        ).alias("b"),
-    )
-    bk = bg.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cnt_r"),
-        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0))
-        .cast("long")
-        .alias("cnt_t"),
-    )
+    bg = dsir_bigram_buckets(d)
+    bk = dsir_bucket_counts(bg)
     tot = bk.agg(
         F.sum("cnt_r").alias("r_tot"), F.sum("cnt_t").alias("t_tot")
     )
     lr = bk.crossJoin(F.broadcast(tot)).select(
         "b",
-        (
-            F.log((F.col("cnt_t") + 1.0) / (F.col("t_tot") + DSIR_BUCKETS))
-            - F.log((F.col("cnt_r") + 1.0) / (F.col("r_tot") + DSIR_BUCKETS))
+        dsir_log_ratio(
+            F.col("cnt_t"), F.col("cnt_r"), F.col("t_tot"), F.col("r_tot")
         ).alias("lw"),
     )
     return (

@@ -120,7 +120,7 @@ _PRIORITY: list[str] = [
     # Displaced r7-window entries (all driver-green in r7,
     # CORRECTNESS_r07.json).
     "dedup_bloom_incremental",
-    # Displaced by the eight r8-new queries above: still r2-only
+    # Displaced by the nine r8-new queries above: still r2-only
     # evidence, age 7 at r9 — the freshness test forces them into the
     # r9 window.
     "setop_except_inactive",

@@ -758,6 +758,51 @@ def streaming_latest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(latest, "update", require_single_batch=True)
 
 
+def _drain_foreachbatch(stream, transform, cols, what: str, prefix: str) -> DataFrame:
+    """Run ``stream`` through ``foreachBatch`` with the epoch-overwrite
+    exactly-once recipe and return what actually landed: each micro-batch
+    is passed through ``transform`` and written to a parquet target
+    partitioned by ``epoch=<id>`` with per-epoch ``overwrite`` (a replayed
+    epoch after a crash overwrites its own directory instead of
+    duplicating rows; Spark guarantees the same epoch_id re-presents the
+    same data under availableNow + checkpoint).
+
+    Shared by every foreachBatch gate so the recipe's invariants (rmtree
+    before start, stop the stream before deleting its checkpoint, eager
+    localCheckpoint of the read-back before the target vanishes) live in
+    exactly one place."""
+    import shutil
+
+    spark = stream.sparkSession
+    target = tempfile.mkdtemp(prefix=prefix)
+    shutil.rmtree(target)  # foreachBatch creates it
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        transform(batch_df).write.mode("overwrite").parquet(
+            os.path.join(target, f"epoch={epoch_id}")
+        )
+
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_gate_{prefix}")
+    q = None
+    try:
+        q = (
+            stream.writeStream.foreachBatch(write_epoch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        _await_drain(q, what)
+        return spark.read.parquet(target).select(*cols).localCheckpoint()
+    finally:
+        # Stop before deleting the checkpoint: a non-timeout exception
+        # between start() and drain (interrupt, read-back failure) must
+        # not leave a live stream whose checkpoint just vanished.
+        if q is not None and q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(target, ignore_errors=True)
+
+
 @register(
     "streaming_foreachbatch_sink",
     oracle="""
@@ -782,42 +827,16 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     provider is pinned like every other gate: this query is stateless
     today, but the pin keeps a future stateful foreachBatch gate built
     from this template on the production backend."""
-    import shutil
-
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     s = _events_stream(spark, sf_dir)
     proj = s.select("event_id", "event_type", (F.col("value") > 0).alias("is_positive"))
-    target = tempfile.mkdtemp(prefix="fb_sink_")
-    shutil.rmtree(target)  # foreachBatch creates it
-
-    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(target, f"epoch={epoch_id}")
-        )
-
-    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_fb_")
-    q = None
-    try:
-        q = (
-            proj.writeStream.foreachBatch(write_epoch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        _await_drain(q, "foreachBatch gate")
-        return (
-            spark.read.parquet(target)
-            .select("event_id", "event_type", "is_positive")
-            .localCheckpoint()
-        )
-    finally:
-        # Stop before deleting the checkpoint: a non-timeout exception
-        # between start() and drain (interrupt, read-back failure) must
-        # not leave a live stream whose checkpoint just vanished.
-        if q is not None and q.isActive:
-            q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
-        shutil.rmtree(target, ignore_errors=True)
+    return _drain_foreachbatch(
+        proj,
+        lambda batch_df: batch_df,
+        ["event_id", "event_type", "is_positive"],
+        "foreachBatch gate",
+        "fb_sink_",
+    )
 
 
 @register("streaming_countmin_sketch", oracle=relational.CMS_ORACLE)
@@ -907,36 +926,18 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from .llmdata.curation import (  # noqa: E402
-    DSIR_BUCKET_HEX,
     DSIR_BUCKETS,
-    DSIR_TARGET_LANG,
+    dsir_bigram_buckets,
+    dsir_bucket_counts,
+    dsir_bucket_cte,
+    dsir_log_ratio,
 )
-from .llmdata.text import bigram_stream_sql, flat_bigrams  # noqa: E402
 
 
 @register(
     "streaming_dsir_scoring",
     oracle=f"""
-WITH ws AS (
-  SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents
-),
-pairs AS ({bigram_stream_sql("lang")}
-),
-bg AS (
-  SELECT doc_id, lang, substr(md5(w1 || ' ' || w2), 1, {DSIR_BUCKET_HEX}) AS b
-  FROM pairs
-),
-bk AS (
-  SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_r,
-         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
-  FROM bg WHERE doc_id < {CURATION_CORPUS_SPLIT} GROUP BY b
-),
-tot AS (SELECT SUM(cnt_r) AS r_tot, SUM(cnt_t) AS t_tot FROM bk),
-lr AS (
-  SELECT b, LN((cnt_t + 1.0) / (t_tot + {DSIR_BUCKETS})) -
-            LN((cnt_r + 1.0) / (r_tot + {DSIR_BUCKETS})) AS lw
-  FROM bk, tot
-)
+WITH {dsir_bucket_cte(f"WHERE doc_id < {CURATION_CORPUS_SPLIT}")}
 SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
        ROUND(AVG(COALESCE(l.lw,
              LN(1.0 / (t.t_tot + {DSIR_BUCKETS})) -
@@ -963,58 +964,50 @@ def streaming_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof).
 
     100-TB note: training cost is paid once (the table persists as a
-    production artifact; here it is localCheckpoint'd so epochs do not
-    retrain); each epoch pays only its own bigram explode + a broadcast
-    of the CONSTANT 4096-row table + one batch-local doc aggregation —
-    incremental work scales with the batch, never the corpus."""
+    production artifact; here the bucket table itself is
+    localCheckpoint'd, so the totals read and every epoch's broadcast
+    replay its checkpoint instead of re-running the historical explode);
+    each epoch pays only its own bigram explode + a broadcast of the
+    CONSTANT 4096-row table + one batch-local doc aggregation —
+    incremental work scales with the batch, never the corpus.
+
+    Feature/formula definitions are shared with the batch twin
+    (``dsir_bigram_buckets`` / ``dsir_bucket_counts`` /
+    ``dsir_log_ratio`` / ``dsir_bucket_cte``) so training and serving
+    cannot silently diverge."""
     import math
-    import shutil
 
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     docs = table(spark, sf_dir, "documents")
-    bucket = F.substring(
-        F.md5(F.concat_ws(" ", "w1", "w2")), 1, DSIR_BUCKET_HEX
-    ).alias("b")
-    ws_hist = docs.filter(F.col("doc_id") < CURATION_CORPUS_SPLIT).select(
-        "doc_id", "lang", F.split(F.lower("text"), " ").alias("w")
-    )
-    bk = (
-        flat_bigrams(ws_hist, "lang")
-        .select("lang", bucket)
-        .groupBy("b")
-        .agg(
-            F.count(F.lit(1)).alias("cnt_r"),
-            F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0))
-            .cast("long")
-            .alias("cnt_t"),
+    bk = dsir_bucket_counts(
+        dsir_bigram_buckets(docs.filter(F.col("doc_id") < CURATION_CORPUS_SPLIT))
+    ).localCheckpoint(eager=False)
+    # Bounded: ONE row. This action also materializes bk's checkpoint.
+    tot = bk.agg(F.sum("cnt_r"), F.sum("cnt_t")).first()
+    if tot[0] is None:
+        raise ValueError(
+            "no training bigrams below the corpus split — the documents "
+            "table does not look like the documented testdata"
         )
-    )
-    tot = bk.agg(F.sum("cnt_r"), F.sum("cnt_t")).first()  # bounded: ONE row
     r_tot, t_tot = int(tot[0]), int(tot[1])
     default_lw = math.log(1.0 / (t_tot + DSIR_BUCKETS)) - math.log(
         1.0 / (r_tot + DSIR_BUCKETS)
     )
     lr = bk.select(
         "b",
-        (
-            F.log((F.col("cnt_t") + 1.0) / F.lit(float(t_tot + DSIR_BUCKETS)))
-            - F.log((F.col("cnt_r") + 1.0) / F.lit(float(r_tot + DSIR_BUCKETS)))
+        dsir_log_ratio(
+            F.col("cnt_t"), F.col("cnt_r"), F.lit(t_tot), F.lit(r_tot)
         ).alias("lw"),
-    ).localCheckpoint(eager=False)
+    )
 
     stream = _stream_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") >= CURATION_CORPUS_SPLIT
     )
-    target = tempfile.mkdtemp(prefix="dsir_stream_")
-    shutil.rmtree(target)  # foreachBatch creates it
 
-    def score_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        ws = batch_df.select(
-            "doc_id", "lang", F.split(F.lower("text"), " ").alias("w")
-        )
-        scored = (
-            flat_bigrams(ws, "lang")
-            .select("doc_id", bucket)
+    def score_batch(batch_df: DataFrame) -> DataFrame:
+        return (
+            dsir_bigram_buckets(batch_df)
+            .select("doc_id", "b")
             .join(F.broadcast(lr), "b", "left")
             .groupBy("doc_id")
             .agg(
@@ -1024,27 +1017,11 @@ def streaming_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("log_weight"),
             )
         )
-        scored.write.mode("overwrite").parquet(
-            os.path.join(target, f"epoch={epoch_id}")
-        )
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_dsir_")
-    q = None
-    try:
-        q = (
-            stream.writeStream.foreachBatch(score_epoch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        _await_drain(q, "streaming dsir scoring")
-        return (
-            spark.read.parquet(target)
-            .select("doc_id", "n_feats", "log_weight")
-            .localCheckpoint()
-        )
-    finally:
-        if q is not None and q.isActive:
-            q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
-        shutil.rmtree(target, ignore_errors=True)
+    return _drain_foreachbatch(
+        stream,
+        score_batch,
+        ["doc_id", "n_feats", "log_weight"],
+        "streaming dsir scoring",
+        "dsir_stream_",
+    )
