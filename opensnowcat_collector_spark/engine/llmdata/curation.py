@@ -387,6 +387,74 @@ def curate_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sample size for the Efraimidis-Spirakis weighted draw
+WEIGHTED_SAMPLE_K = 50
+#: md5-uniform resolution: first 8 hex digits -> integer in [0, 16^8)
+ES_HEX_DIGITS = 8
+ES_HEX_SPAN = 16 ** ES_HEX_DIGITS
+
+
+@register(
+    "curate_weighted_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         LN((CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, {ES_HEX_DIGITS}) AS BIGINT) + 1.0)
+            / {ES_HEX_SPAN + 1}.0) / n_chars AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, rank FROM (
+  SELECT doc_id, weight,
+         CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS rank
+  FROM keyed
+) WHERE rank <= {WEIGHTED_SAMPLE_K}
+""",
+)
+def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement in one pass (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir" — public
+    method, the standard way to draw a weight-proportional subset of a
+    distributed corpus without ever centralizing it): each doc gets key
+    u^(1/w) — equivalently ln(u)/w, the monotone form used here — with
+    w = n_chars (sample mass proportional to content size) and u a
+    DETERMINISTIC md5-uniform (first {ES_HEX_DIGITS} hex digits of
+    md5('ws:'||doc_id), shifted into (0,1)), and the K largest keys ARE
+    the sample.  Deterministic u makes the draw reproducible across
+    engines and re-runs — the same trick as ``curate_sample_stratified``.
+
+    Scale (100 TB): key computation is codegen'd in the scan stage and
+    the selection is a TakeOrderedAndProject — every partition keeps its
+    local top-{WEIGHTED_SAMPLE_K}, the driver merges bounded candidate
+    lists; NO global sort, NO shuffle of the corpus.  The final
+    row_number runs on the already-selected {WEIGHTED_SAMPLE_K} rows
+    (bounded single-partition window, not a corpus-wide one)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+            1,
+            ES_HEX_DIGITS,
+        ),
+        16,
+        10,
+    ).cast("long")
+    es_key = (
+        F.log((h + 1).cast("double") / F.lit(float(ES_HEX_SPAN + 1)))
+        / F.col("n_chars")
+    )
+    keyed = d.select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight"), es_key.alias("es_key")
+    )
+    top = keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(WEIGHTED_SAMPLE_K)
+    w = Window.orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "weight", "rank")
+    )
+
+
 @register(
     "curate_token_budget_select",
     oracle=f"""

@@ -829,6 +829,119 @@ def text_gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MassiveText duplicate-line repetition fractions (r8)
+# ---------------------------------------------------------------------------
+
+#: fixed-width "line" for the synthetic corpus (no newline structure —
+#: same documented substitution as dedup_paragraph_exact's chunks; on
+#: real data the splitter is split(text, '\n') with an identical plan).
+#: Deliberately much narrower than PARA_CHUNK_WORDS=20: lines are the
+#: finer-grained repetition unit in the MassiveText rules, and width 2
+#: is the widest chunk at which the synthetic corpus actually contains
+#: within-doc repeats (~36% of sf0.01 docs), so the dup-counting path is
+#: genuinely exercised by the external gate.
+LINE_CHUNK_WORDS = 2
+#: MassiveText (Rae et al. 2021, App. A1.1) drop thresholds,
+#: integer-rationalized: duplicate-line fraction > 0.30 and
+#: duplicate-line CHARACTER fraction > 0.20.
+DUP_LINE_NUM, DUP_LINE_DEN = 3, 10
+DUP_CHAR_NUM, DUP_CHAR_DEN = 1, 5
+
+
+@register(
+    "text_dup_line_fractions",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+lines AS (
+  SELECT doc_id, UNNEST(ls) AS line
+  FROM (
+    SELECT doc_id,
+           [array_to_string(w[(i*{LINE_CHUNK_WORDS}+1):((i+1)*{LINE_CHUNK_WORDS})], ' ')
+            for i in generate_series(0, CAST(CEIL(LEN(w)/{LINE_CHUNK_WORDS}.0) AS INT) - 1)] AS ls
+    FROM ws
+  )
+),
+grp AS (
+  SELECT doc_id, line, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(LENGTH(line) AS BIGINT) AS ln
+  FROM lines GROUP BY doc_id, line
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_lines,
+       CAST(SUM(c - 1) AS BIGINT) AS n_dup_lines,
+       CAST(SUM((c - 1) * ln) AS BIGINT) AS n_dup_chars,
+       ROUND(CAST(SUM(c - 1) AS DOUBLE) / SUM(c), 6) AS dup_line_frac,
+       ROUND(CAST(SUM((c - 1) * ln) AS DOUBLE) / NULLIF(SUM(c * ln), 0), 6) AS dup_char_frac,
+       {DUP_LINE_DEN} * SUM(c - 1) > {DUP_LINE_NUM} * SUM(c) AS rep_lines_gate,
+       {DUP_CHAR_DEN} * SUM((c - 1) * ln) > {DUP_CHAR_NUM} * SUM(c * ln) AS rep_chars_gate
+FROM grp GROUP BY doc_id
+""",
+)
+def text_dup_line_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText duplicate-line repetition signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", App. A1.1 — public method):
+    per document, the fraction of line OCCURRENCES that repeat an
+    identical earlier line in the same document (occurrences beyond each
+    line's first), and the same fraction weighted by characters.  These
+    are the per-line half of the repetition family — the within-doc
+    complement of ``text_repetition_score``'s top-bigram fraction — and
+    the drop gates use Gopher's published thresholds (0.30 line / 0.20
+    char), integer-rationalized so the booleans never cross the engine
+    boundary as floats; the emitted fractions are ratios of exact
+    integers (IEEE division is exact-per-spec, engine-identical).
+
+    Scale (100 TB): one explode (line rows ~ corpus words /
+    {LINE_CHUNK_WORDS}), one groupBy keyed by (doc_id, line) — the key
+    embeds doc_id, so hot lines CANNOT skew a partition the way the
+    corpus-wide paragraph shuffle can — then a map-side-combinable
+    doc_id rollup.  No self-join, no window, no Python."""
+    return dup_line_fractions(table(spark, sf_dir, "documents"))
+
+
+def dup_line_fractions(d: DataFrame) -> DataFrame:
+    """Core of ``text_dup_line_fractions`` over any (doc_id, text) frame
+    — factored out so the gate-firing branch (which the too-diverse
+    synthetic corpus never reaches at Gopher's published thresholds) is
+    unit-testable on a constructed repetitive document."""
+    w = F.split(F.lower(F.col("text")), " ")
+    n_chunks = F.ceil(F.size(w) / F.lit(float(LINE_CHUNK_WORDS))).cast("int")
+    lines = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, i * LINE_CHUNK_WORDS + 1, LINE_CHUNK_WORDS)
+                ),
+            )
+        ).alias("line"),
+    )
+    grp = lines.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("c"))
+    per = grp.select(
+        "doc_id", "c", F.length("line").cast("long").alias("ln")
+    )
+    dup = F.sum(F.col("c") - 1)
+    tot = F.sum("c")
+    dup_chars = F.sum((F.col("c") - 1) * F.col("ln"))
+    tot_chars = F.sum(F.col("c") * F.col("ln"))
+    return per.groupBy("doc_id").agg(
+        tot.cast("long").alias("n_lines"),
+        dup.cast("long").alias("n_dup_lines"),
+        dup_chars.cast("long").alias("n_dup_chars"),
+        F.round(dup.cast("double") / tot, 6).alias("dup_line_frac"),
+        F.round(
+            dup_chars.cast("double") / F.nullif(tot_chars, F.lit(0)), 6
+        ).alias("dup_char_frac"),
+        (DUP_LINE_DEN * dup > DUP_LINE_NUM * tot).alias("rep_lines_gate"),
+        (DUP_CHAR_DEN * dup_chars > DUP_CHAR_NUM * tot_chars).alias(
+            "rep_chars_gate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus-trained char-ngram language ID (r6)
 # ---------------------------------------------------------------------------
 

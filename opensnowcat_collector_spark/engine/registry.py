@@ -34,13 +34,13 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # query that has never passed externally).  Slot 2 is the r8-new
 # suffix-array-style substring dedup (VERDICT r7 item 6).  Slot 3 is
 # its r8-new removal-accounting companion curate_suffix_dedup_apply.
-# Slots 4-26 are 23 of the 32 entries whose last driver grading is
+# Slots 4-24 are 21 of the 32 entries whose last driver grading is
 # oldest: the ones whose only green rows are r1+r2 (the basic
 # join/window/setop/scalar/agg families, last externally graded before
-# the engine's r3-r7 rewrites).  Slots 27-35 are the other nine
+# the engine's r3-r7 rewrites).  Slots 25-35 are the other eleven
 # r8-new queries (graded on arrival — the evidence-freshness test
 # codifies that new entries get external grading immediately),
-# displacing the nine least-risky stale entries (see the slot-27
+# displacing the eleven least-risky stale entries (see the slot-25
 # comment).  embed_norms
 # (r3-only, next-stalest) did NOT fit this window and is the top r9
 # candidate (see the r9 comment below).  Slots 36-50
@@ -51,7 +51,7 @@ _PRIORITY: list[str] = [
     "embed_quantize_int8",
     "dedup_suffix_repeats",
     "curate_suffix_dedup_apply",
-    # ---- slots 4-26: the windowed 23 of the 32 r1+r2-only entries
+    # ---- slots 4-24: the windowed 21 of the 32 r1+r2-only entries
     # (oldest external evidence in the registry).
     "q7_volume_shipping",
     "agg_stats_percentiles",
@@ -71,26 +71,27 @@ _PRIORITY: list[str] = [
     "join_left_order_counts",
     "join_semi_open_orders",
     "join_anti_customers_without_orders",
-    "join_theta_quantity_over_size",
-    "join_full_outer_nation_activity",
     "window_rank_acctbal",
     "window_running_spend",
     "setop_union_segments",
-    # ---- slots 27-35: the nine other r8-new queries, graded on
+    # ---- slots 25-35: the eleven other r8-new queries, graded on
     # arrival (dedup cascade accounting, bigram LM scoring, per-dim
     # embedding stats, DSIR importance weights + its streaming serving
     # twin, Zipf head fit, CCNet buckets, BPE merge training + its
-    # segmenter apply half).  They displace setop_except_inactive /
-    # scalar_string_funcs / scalar_datetime_funcs /
-    # setop_intersect_active_auto / window_range_frame_spend /
-    # window_value_picking / events_type_matrix /
-    # window_analytics_distribution / agg_pivot_status from the
-    # stale-32 block — those nine stay
-    # r2-only and MUST be in the r9 window (age 7 by then; the
-    # freshness test enforces it), alongside embed_norms.  Each
+    # segmenter apply half, MassiveText duplicate-line fractions,
+    # Efraimidis-Spirakis weighted sample).  They displace
+    # setop_except_inactive / scalar_string_funcs /
+    # scalar_datetime_funcs / setop_intersect_active_auto /
+    # window_range_frame_spend / window_value_picking /
+    # events_type_matrix / window_analytics_distribution /
+    # agg_pivot_status / join_theta_quantity_over_size /
+    # join_full_outer_nation_activity from the stale-32 block — those
+    # eleven stay r2-only and MUST be in the r9 window (age 7 by then;
+    # the freshness test enforces it), alongside embed_norms.  Each
     # displaced family keeps at least one member graded this round
     # (window: rank_acctbal + running_spend; agg: percentiles, cube,
-    # grouping sets, distinct counts all stay windowed).
+    # grouping sets, distinct counts; join: left/semi/anti + the
+    # skew/bucketed keeps all stay windowed).
     "dedup_cascade_accounting",
     "text_bigram_logprob",
     "embed_dim_stats",
@@ -100,6 +101,8 @@ _PRIORITY: list[str] = [
     "streaming_dsir_scoring",
     "text_bpe_merge_steps",
     "text_bpe_segment_counts",
+    "text_dup_line_fractions",
+    "curate_weighted_sample",
     # ---- slots 36-50: the 15 standing keeps (same set as r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -120,9 +123,11 @@ _PRIORITY: list[str] = [
     # Displaced r7-window entries (all driver-green in r7,
     # CORRECTNESS_r07.json).
     "dedup_bloom_incremental",
-    # Displaced by the nine r8-new queries above: still r2-only
+    # Displaced by the eleven r8-new queries above: still r2-only
     # evidence, age 7 at r9 — the freshness test forces them into the
     # r9 window.
+    "join_theta_quantity_over_size",
+    "join_full_outer_nation_activity",
     "setop_except_inactive",
     "scalar_string_funcs",
     "scalar_datetime_funcs",

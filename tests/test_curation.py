@@ -417,3 +417,33 @@ def test_bpe_apply_expr_matches_greedy_scan(spark):
     ).collect()
     for r in got:
         assert r.out == greedy(r.sym, r.w1, r.w2), (r.sym, r.w1, r.w2, r.out)
+
+
+def test_dup_line_gates_fire_on_repetitive_doc(spark):
+    """The synthetic corpus never crosses Gopher's published 0.30/0.20
+    repetition thresholds (every sf0.01 gate is False), so the firing
+    branch is pinned here on constructed docs: one doc that is one
+    2-word line stamped 10 times (90% duplicate occurrences -> both
+    gates fire), one doc with zero repeats (both stay False), and one
+    borderline doc at exactly 3/10 (strict > means the gate must NOT
+    fire)."""
+    from opensnowcat_collector_spark.engine.llmdata.text import dup_line_fractions
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["spam ham"] * 10)),      # 10 identical lines
+            (2, "a b c d e f g h"),                 # 4 distinct lines
+            # 10 lines, 3 duplicates (xx yy appears 4x): 3/10 == 0.30,
+            # NOT > 0.30
+            (3, " ".join(["xx yy"] * 4 + ["k%d v%d" % (i, i) for i in range(6)])),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dup_line_fractions(docs).collect()}
+    assert got[1].n_lines == 10 and got[1].n_dup_lines == 9
+    assert got[1].rep_lines_gate and got[1].rep_chars_gate
+    assert got[1].dup_line_frac == 0.9
+    assert got[2].n_dup_lines == 0
+    assert not got[2].rep_lines_gate and not got[2].rep_chars_gate
+    assert got[3].n_lines == 10 and got[3].n_dup_lines == 3
+    assert not got[3].rep_lines_gate  # strict inequality at the threshold

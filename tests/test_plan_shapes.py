@@ -454,3 +454,32 @@ def test_bpe_segment_counts_broadcast_scoring_single_exchange(spark, sf_dir):
     assert "partial_count" in plan, plan
     assert plan.index("partial_count") > plan.index("Exchange hashpartitioning"), plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_dup_line_fractions_two_combined_exchanges_no_python(spark, sf_dir):
+    """MassiveText duplicate-line fractions (r8): exactly two exchanges —
+    (doc_id, line) for the occurrence counts, then doc_id for the rollup
+    — both fed by map-side partial aggregates; the (doc_id, line) key
+    embeds doc_id, so a corpus-hot line can never skew one partition.
+    Single explode, no join, no window, no Python."""
+    plan = _plan(spark, sf_dir, "text_dup_line_fractions")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Generate explode") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_weighted_sample_takeordered_no_corpus_exchange(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample (r8): selection must be a
+    TakeOrderedAndProject (per-partition local top-K, bounded driver
+    merge) with ZERO exchanges — never a global sort or corpus-wide
+    window.  The row_number window runs strictly AFTER the K-row
+    selection, and the scan reads only (doc_id, n_chars) with the
+    n_chars>0 filter pushed down."""
+    plan = _plan(spark, sf_dir, "curate_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan  # toString nests top-down
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(n_chars,0\)", plan), plan
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,n_chars:bigint>", plan), plan

@@ -47,13 +47,14 @@ def test_unlisted_extra_raises_then_allowed_with_flag():
 def test_r8_window_regrades_stalest_evidence():
     """r8 rotation (VERDICT r7 item 3): the window holds (a) the r7
     driver-red fix embed_quantize_int8, (b) the r8-new suffix-array
-    substring dedup + its removal-accounting companion, (c) 23 of the
+    substring dedup + its removal-accounting companion, (c) 21 of the
     32 entries with the OLDEST external evidence (the r1+r2-only
     basics; embed_norms, r3-only, is next-stalest and is the top r9
-    candidate — asserted below), (d) the other nine r8-new queries
+    candidate — asserted below), (d) the other eleven r8-new queries
     graded on arrival (cascade accounting / bigram logprob / dim
     stats / DSIR weights + streaming serving twin / Zipf fit / CCNet
-    buckets / BPE merge training + segmenter), displacing nine r2-only
+    buckets / BPE merge training + segmenter / duplicate-line
+    fractions / weighted sample), displacing eleven r2-only
     entries into the r9 must-rotate set (each family keeps at least one
     member graded this round), and (e) the 15
     standing keeps — streaming gates NOT kept this round rotate out
@@ -78,8 +79,6 @@ def test_r8_window_regrades_stalest_evidence():
         "join_left_order_counts",
         "join_semi_open_orders",
         "join_anti_customers_without_orders",
-        "join_theta_quantity_over_size",
-        "join_full_outer_nation_activity",
         "window_rank_acctbal",
         "window_running_spend",
         "setop_union_segments",
@@ -94,6 +93,8 @@ def test_r8_window_regrades_stalest_evidence():
         "streaming_dsir_scoring",
         "text_bpe_merge_steps",
         "text_bpe_segment_counts",
+        "text_dup_line_fractions",
+        "curate_weighted_sample",
     ]
     keeps = [
         "streaming_leftouter_join",
@@ -121,7 +122,7 @@ def test_r8_window_regrades_stalest_evidence():
     assert len(window) == 3 + len(stalest) + len(new_r8) + len(keeps) == 50
     # embed_norms (r3-only) is the next-stalest entry and did NOT fit
     # this window; the registry comments name it the top r9 candidate
-    # alongside the three displaced r2-only entries.  Pin that claim so
+    # alongside the eleven displaced r2-only entries.  Pin that claim so
     # the r9 rotation can't silently skip them.
     for name in (
         "embed_norms",
@@ -134,6 +135,8 @@ def test_r8_window_regrades_stalest_evidence():
         "events_type_matrix",
         "window_analytics_distribution",
         "agg_pivot_status",
+        "join_theta_quantity_over_size",
+        "join_full_outer_nation_activity",
     ):
         assert name not in window, name
         assert name in registry._PRIORITY[registry.GRADED_WINDOW :], name
