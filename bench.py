@@ -92,6 +92,10 @@ HEADLINE = [
     # r8: distributed BPE merge training — iterative in-plan argmax
     # (TakeOrderedAndProject + broadcast single-row apply per step)
     "text_bpe_merge_steps",
+    # r8: MassiveText duplicate-line fractions (two map-side-combined
+    # exchanges) and the zero-exchange Efraimidis-Spirakis weighted draw
+    "text_dup_line_fractions",
+    "curate_weighted_sample",
 ]
 
 

@@ -71,6 +71,14 @@ def main() -> None:
     n_rm = s["sum(removed_tokens)"] or 0  # None when no doc has a repeat
     print(f"ExactSubstr removal: {n_rm} repeated tokens flagged")
 
+    rep = qs["text_dup_line_fractions"](spark, sf_dir)
+    n_rep = rep.filter("rep_lines_gate OR rep_chars_gate").count()
+    n_any = rep.filter("n_dup_lines > 0").count()
+    print(
+        f"line repetition (MassiveText): {n_any} docs with repeated lines, "
+        f"{n_rep} over the drop thresholds"
+    )
+
     gate = qs["curate_quality_quantile_filter"](spark, sf_dir)
     print(f"quality gate survivors: {gate.count()}")
 
@@ -106,6 +114,13 @@ def main() -> None:
     print("temperature mix (T=2) boosts:")
     for row in mix.orderBy("source").collect()[:5]:
         print(f"   {row.source}: prob={row.mix_prob:.4f} boost={row.boost:.2f}")
+
+    ws = qs["curate_weighted_sample"](spark, sf_dir)
+    w = ws.agg({"weight": "sum", "rank": "count"}).first()
+    print(
+        f"weighted sample (Efraimidis-Spirakis): {w['count(rank)']} docs drawn, "
+        f"{w['sum(weight)']} chars of sample mass"
+    )
 
     packs = qs["curate_pack_sequences"](spark, sf_dir)
     print(f"packed sequences: {packs.count()}")
