@@ -72,11 +72,13 @@ def main() -> None:
     print(f"ExactSubstr removal: {n_rm} repeated tokens flagged")
 
     rep = qs["text_dup_line_fractions"](spark, sf_dir)
-    n_rep = rep.filter("rep_lines_gate OR rep_chars_gate").count()
-    n_any = rep.filter("n_dup_lines > 0").count()
+    r = rep.selectExpr(
+        "sum(CASE WHEN n_dup_lines > 0 THEN 1 ELSE 0 END) AS n_any",
+        "sum(CASE WHEN rep_lines_gate OR rep_chars_gate THEN 1 ELSE 0 END) AS n_rep",
+    ).first()
     print(
-        f"line repetition (MassiveText): {n_any} docs with repeated lines, "
-        f"{n_rep} over the drop thresholds"
+        f"line repetition (MassiveText): {r.n_any} docs with repeated lines, "
+        f"{r.n_rep} over the drop thresholds"
     )
 
     gate = qs["curate_quality_quantile_filter"](spark, sf_dir)

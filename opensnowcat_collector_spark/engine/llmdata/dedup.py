@@ -29,7 +29,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..relational import register
@@ -118,6 +118,34 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARA_CHUNK_WORDS = 20
 
 
+def word_chunk_array(w: Column, width: int) -> Column:
+    """Array of fixed-`width`-word chunk strings over a words array —
+    the ONE chunking recipe (the synthetic corpus has no newline
+    structure; on real data the splitter is split(text, '\\n'/'\\n\\n')
+    with an identical downstream plan) shared by
+    ``dedup_paragraph_exact`` (width=PARA_CHUNK_WORDS) and
+    ``text_dup_line_fractions`` (width=LINE_CHUNK_WORDS), so the
+    substitution cannot drift between its users."""
+    n = F.ceil(F.size(w) / F.lit(float(width))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * width + 1, width)),
+    )
+
+
+def word_chunks_sql(width: int, with_idx: bool = False) -> str:
+    """DuckDB list-comprehension twin of ``word_chunk_array`` over an
+    array column ``w``; ``with_idx`` wraps each chunk in a
+    {'idx', 'chunk'} struct for position-aware consumers."""
+    inner = f"array_to_string(w[(i*{width}+1):((i+1)*{width})], ' ')"
+    body = f"{{'idx': i, 'chunk': {inner}}}" if with_idx else inner
+    return (
+        f"[{body}\n"
+        f"          for i in generate_series(0, "
+        f"CAST(CEIL(LEN(w)/{width}.0) AS INT) - 1)]"
+    )
+
+
 @register(
     "dedup_paragraph_exact",
     oracle=f"""
@@ -126,9 +154,7 @@ WITH ws AS (
 ),
 pairs AS (
   SELECT doc_id,
-         [{{'idx': i,
-            'chunk': array_to_string(w[(i*{PARA_CHUNK_WORDS}+1):((i+1)*{PARA_CHUNK_WORDS})], ' ')}}
-          for i in generate_series(0, CAST(CEIL(LEN(w)/{PARA_CHUNK_WORDS}.0) AS INT) - 1)] AS ps
+         {word_chunks_sql(PARA_CHUNK_WORDS, with_idx=True)} AS ps
   FROM ws
 ),
 chunks AS (
@@ -166,19 +192,9 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list is bounded by the document's own length."""
     d = table(spark, sf_dir, "documents")
     w = F.split(F.lower(F.col("text")), " ")
-    n_chunks = F.ceil(F.size(w) / F.lit(float(PARA_CHUNK_WORDS))).cast("int")
-    chunks = (
-        d.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_chunks - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(w, i * PARA_CHUNK_WORDS + 1, PARA_CHUNK_WORDS)
-                    ),
-                )
-            ).alias("idx", "chunk"),
-        )
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(word_chunk_array(w, PARA_CHUNK_WORDS)).alias("idx", "chunk"),
     )
     win = Window.partitionBy("chunk").orderBy("doc_id", "idx")
     ranked = chunks.withColumn("rn", F.row_number().over(win))

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..relational import register
 from ..tables import table
+from .dedup import word_chunk_array, word_chunks_sql
 
 # Marker stopwords per language for the marker-word language-ID heuristic.
 # (Deterministic toy dictionaries — the point is the distributed scoring
@@ -857,9 +858,7 @@ WITH ws AS (
 lines AS (
   SELECT doc_id, UNNEST(ls) AS line
   FROM (
-    SELECT doc_id,
-           [array_to_string(w[(i*{LINE_CHUNK_WORDS}+1):((i+1)*{LINE_CHUNK_WORDS})], ' ')
-            for i in generate_series(0, CAST(CEIL(LEN(w)/{LINE_CHUNK_WORDS}.0) AS INT) - 1)] AS ls
+    SELECT doc_id, {word_chunks_sql(LINE_CHUNK_WORDS)} AS ls
     FROM ws
   )
 ),
@@ -906,17 +905,9 @@ def dup_line_fractions(d: DataFrame) -> DataFrame:
     synthetic corpus never reaches at Gopher's published thresholds) is
     unit-testable on a constructed repetitive document."""
     w = F.split(F.lower(F.col("text")), " ")
-    n_chunks = F.ceil(F.size(w) / F.lit(float(LINE_CHUNK_WORDS))).cast("int")
     lines = d.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice(w, i * LINE_CHUNK_WORDS + 1, LINE_CHUNK_WORDS)
-                ),
-            )
-        ).alias("line"),
+        F.explode(word_chunk_array(w, LINE_CHUNK_WORDS)).alias("line"),
     )
     grp = lines.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("c"))
     per = grp.select(
