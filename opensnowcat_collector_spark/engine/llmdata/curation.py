@@ -393,10 +393,10 @@ WEIGHTED_SAMPLE_K = 50
 ES_HEX_DIGITS = 8
 ES_HEX_SPAN = 16 ** ES_HEX_DIGITS
 
-
-@register(
-    "curate_weighted_sample",
-    oracle=f"""
+#: ONE oracle for the batch draw and its streaming reservoir twin — the
+#: deterministic keys make the stream's result batching-invariant, so
+#: equality with this same SQL IS the reservoir-correctness proof.
+WEIGHTED_SAMPLE_ORACLE = f"""
 WITH keyed AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
          LN((CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, {ES_HEX_DIGITS}) AS BIGINT) + 1.0)
@@ -408,7 +408,50 @@ SELECT doc_id, weight, rank FROM (
          CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS rank
   FROM keyed
 ) WHERE rank <= {WEIGHTED_SAMPLE_K}
-""",
+"""
+
+
+def weighted_sample_keys(d: DataFrame) -> DataFrame:
+    """(doc_id, weight, es_key) Efraimidis-Spirakis keys over any
+    documents frame — the ONE key definition shared by the batch draw
+    (``curate_weighted_sample``) and the streaming reservoir twin
+    (``streaming_weighted_sample``), so the two can never rank by
+    divergent keys.  u is the deterministic md5-uniform shifted into
+    (0,1); key = ln(u)/w ranks identically to u^(1/w)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+            1,
+            ES_HEX_DIGITS,
+        ),
+        16,
+        10,
+    ).cast("long")
+    es_key = (
+        F.log((h + 1).cast("double") / F.lit(float(ES_HEX_SPAN + 1)))
+        / F.col("n_chars")
+    )
+    return d.filter(F.col("n_chars") > 0).select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight"), es_key.alias("es_key")
+    )
+
+
+def rank_weighted_sample(top: DataFrame) -> DataFrame:
+    """row_number the ALREADY-SELECTED K rows (bounded single-partition
+    window, never a corpus-wide one) — shared output shaping for both
+    weighted-sample twins."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "weight", "rank")
+    )
+
+
+@register(
+    "curate_weighted_sample",
+    oracle=WEIGHTED_SAMPLE_ORACLE,
 )
 def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement in one pass (Efraimidis &
@@ -428,31 +471,9 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists; NO global sort, NO shuffle of the corpus.  The final
     row_number runs on the already-selected {WEIGHTED_SAMPLE_K} rows
     (bounded single-partition window, not a corpus-wide one)."""
-    from pyspark.sql import Window
-
-    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
-            1,
-            ES_HEX_DIGITS,
-        ),
-        16,
-        10,
-    ).cast("long")
-    es_key = (
-        F.log((h + 1).cast("double") / F.lit(float(ES_HEX_SPAN + 1)))
-        / F.col("n_chars")
-    )
-    keyed = d.select(
-        "doc_id", F.col("n_chars").cast("long").alias("weight"), es_key.alias("es_key")
-    )
+    keyed = weighted_sample_keys(table(spark, sf_dir, "documents"))
     top = keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(WEIGHTED_SAMPLE_K)
-    w = Window.orderBy(F.col("es_key").desc(), "doc_id")
-    return (
-        top.withColumn("rank", F.row_number().over(w).cast("long"))
-        .select("doc_id", "weight", "rank")
-    )
+    return rank_weighted_sample(top)
 
 
 @register(

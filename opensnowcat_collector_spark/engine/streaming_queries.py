@@ -927,10 +927,14 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .llmdata.curation import (  # noqa: E402
     DSIR_BUCKETS,
+    WEIGHTED_SAMPLE_K,
+    WEIGHTED_SAMPLE_ORACLE,
     dsir_bigram_buckets,
     dsir_bucket_counts,
     dsir_bucket_cte,
     dsir_log_ratio,
+    rank_weighted_sample,
+    weighted_sample_keys,
 )
 
 
@@ -1025,3 +1029,63 @@ def streaming_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streaming dsir scoring",
         "dsir_stream_",
     )
+
+
+@register("streaming_weighted_sample", oracle=WEIGHTED_SAMPLE_ORACLE)
+def streaming_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted RESERVOIR sampling under the gate — Efraimidis-Spirakis'
+    actual setting (their 2006 paper is titled "Weighted random sampling
+    with a reservoir"): the stream of documents flows through
+    ``foreachBatch`` and a K-row reservoir is maintained as merge(prev
+    reservoir, batch keys) -> top-K.  State is EXACTLY K rows no matter
+    how long the stream runs — the reservoir property — so each epoch
+    pays its own batch scan plus a K-row union and a bounded top-K.
+
+    Exactly-once without epoch partitioning: the merge is IDEMPOTENT
+    (dropDuplicates(doc_id) before the top-K means a replayed epoch
+    re-merging the same batch reproduces the identical reservoir), so a
+    crash-replay overwrite is safe.  The new reservoir is EAGERLY
+    localCheckpoint'd (bounded: K rows) before the overwrite — the same
+    read-then-overwrite invariant the drain helper documents — because
+    lazily overwriting the directory being read would corrupt the merge.
+
+    Key definition and oracle are shared verbatim with the batch twin
+    (``weighted_sample_keys`` / ``WEIGHTED_SAMPLE_ORACLE``): the
+    deterministic md5-uniform makes the draw batching-invariant, so
+    equality with the batch SQL on any micro-batch split IS the
+    reservoir-correctness proof."""
+    import shutil
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    stream = _stream_table(spark, sf_dir, "documents")
+    reservoir = tempfile.mkdtemp(prefix="ws_reservoir_")
+    shutil.rmtree(reservoir)  # first epoch creates it
+
+    def merge_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        cand = weighted_sample_keys(batch_df)
+        if os.path.isdir(reservoir):
+            cand = spark.read.parquet(reservoir).unionByName(cand)
+        new = (
+            cand.dropDuplicates(["doc_id"])
+            .orderBy(F.col("es_key").desc(), "doc_id")
+            .limit(WEIGHTED_SAMPLE_K)
+            .localCheckpoint()  # eager: materialize BEFORE overwriting the source dir
+        )
+        new.write.mode("overwrite").parquet(reservoir)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_ws_")
+    q = None
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_epoch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        _await_drain(q, "streaming weighted sample")
+        return rank_weighted_sample(spark.read.parquet(reservoir)).localCheckpoint()
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(reservoir, ignore_errors=True)

@@ -47,14 +47,15 @@ def test_unlisted_extra_raises_then_allowed_with_flag():
 def test_r8_window_regrades_stalest_evidence():
     """r8 rotation (VERDICT r7 item 3): the window holds (a) the r7
     driver-red fix embed_quantize_int8, (b) the r8-new suffix-array
-    substring dedup + its removal-accounting companion, (c) 21 of the
+    substring dedup + its removal-accounting companion, (c) 20 of the
     32 entries with the OLDEST external evidence (the r1+r2-only
     basics; embed_norms, r3-only, is next-stalest and is the top r9
-    candidate — asserted below), (d) the other eleven r8-new queries
+    candidate — asserted below), (d) the other twelve r8-new queries
     graded on arrival (cascade accounting / bigram logprob / dim
     stats / DSIR weights + streaming serving twin / Zipf fit / CCNet
     buckets / BPE merge training + segmenter / duplicate-line
-    fractions / weighted sample), displacing eleven r2-only
+    fractions / weighted sample + its streaming reservoir twin),
+    displacing twelve r2-only
     entries into the r9 must-rotate set (each family keeps at least one
     member graded this round), and (e) the 15
     standing keeps — streaming gates NOT kept this round rotate out
@@ -64,7 +65,6 @@ def test_r8_window_regrades_stalest_evidence():
         "q7_volume_shipping",
         "agg_stats_percentiles",
         "q12_linestatus_priority",
-        "q14_promo_effect",
         "events_hourly_rollup",
         "agg_cube_status_priority",
         "agg_grouping_sets",
@@ -95,6 +95,7 @@ def test_r8_window_regrades_stalest_evidence():
         "text_bpe_segment_counts",
         "text_dup_line_fractions",
         "curate_weighted_sample",
+        "streaming_weighted_sample",
     ]
     keeps = [
         "streaming_leftouter_join",
@@ -122,7 +123,7 @@ def test_r8_window_regrades_stalest_evidence():
     assert len(window) == 3 + len(stalest) + len(new_r8) + len(keeps) == 50
     # embed_norms (r3-only) is the next-stalest entry and did NOT fit
     # this window; the registry comments name it the top r9 candidate
-    # alongside the eleven displaced r2-only entries.  Pin that claim so
+    # alongside the twelve displaced r2-only entries.  Pin that claim so
     # the r9 rotation can't silently skip them.
     for name in (
         "embed_norms",
@@ -137,6 +138,7 @@ def test_r8_window_regrades_stalest_evidence():
         "agg_pivot_status",
         "join_theta_quantity_over_size",
         "join_full_outer_nation_activity",
+        "q14_promo_effect",
     ):
         assert name not in window, name
         assert name in registry._PRIORITY[registry.GRADED_WINDOW :], name
