@@ -758,7 +758,9 @@ def streaming_latest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(latest, "update", require_single_batch=True)
 
 
-def _drain_foreachbatch(stream, transform, cols, what: str, prefix: str) -> DataFrame:
+def _drain_foreachbatch(
+    stream, transform, cols, what: str, prefix: str, *, merge_latest: bool = False
+) -> DataFrame:
     """Run ``stream`` through ``foreachBatch`` with the epoch-overwrite
     exactly-once recipe and return what actually landed: each micro-batch
     is passed through ``transform`` and written to a parquet target
@@ -766,6 +768,17 @@ def _drain_foreachbatch(stream, transform, cols, what: str, prefix: str) -> Data
     epoch after a crash overwrites its own directory instead of
     duplicating rows; Spark guarantees the same epoch_id re-presents the
     same data under availableNow + checkpoint).
+
+    ``merge_latest=False`` (default): ``transform(batch_df)`` and the
+    read-back unions ALL epoch directories — the per-record sink shape.
+
+    ``merge_latest=True``: the STATEFUL snapshot-chain shape.
+    ``transform(batch_df, prev)`` also receives the previous epoch's
+    snapshot frame (None on the first epoch), and the read-back returns
+    only the LATEST snapshot.  Crash-safe by construction: a replayed
+    epoch k reads the newest snapshot with id < k, so a partial write of
+    epoch k itself is never consumed — it is simply overwritten whole.
+    Superseded snapshots are bounded breadcrumbs removed with the target.
 
     Shared by every foreachBatch gate so the recipe's invariants (rmtree
     before start, stop the stream before deleting its checkpoint, eager
@@ -777,8 +790,24 @@ def _drain_foreachbatch(stream, transform, cols, what: str, prefix: str) -> Data
     target = tempfile.mkdtemp(prefix=prefix)
     shutil.rmtree(target)  # foreachBatch creates it
 
+    def _snapshot_dir(before_epoch: float) -> str | None:
+        if not os.path.isdir(target):
+            return None
+        ids = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(target)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < before_epoch
+        ]
+        return os.path.join(target, f"epoch={max(ids)}") if ids else None
+
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        transform(batch_df).write.mode("overwrite").parquet(
+        if merge_latest:
+            prev_dir = _snapshot_dir(epoch_id)
+            prev = spark.read.parquet(prev_dir) if prev_dir else None
+            out = transform(batch_df, prev)
+        else:
+            out = transform(batch_df)
+        out.write.mode("overwrite").parquet(
             os.path.join(target, f"epoch={epoch_id}")
         )
 
@@ -792,7 +821,8 @@ def _drain_foreachbatch(stream, transform, cols, what: str, prefix: str) -> Data
             .start()
         )
         _await_drain(q, what)
-        return spark.read.parquet(target).select(*cols).localCheckpoint()
+        src = _snapshot_dir(float("inf")) if merge_latest else target
+        return spark.read.parquet(src).select(*cols).localCheckpoint()
     finally:
         # Stop before deleting the checkpoint: a non-timeout exception
         # between start() and drain (interrupt, read-back failure) must
@@ -1037,55 +1067,41 @@ def streaming_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual setting (their 2006 paper is titled "Weighted random sampling
     with a reservoir"): the stream of documents flows through
     ``foreachBatch`` and a K-row reservoir is maintained as merge(prev
-    reservoir, batch keys) -> top-K.  State is EXACTLY K rows no matter
+    snapshot, batch keys) -> top-K.  State is EXACTLY K rows no matter
     how long the stream runs — the reservoir property — so each epoch
     pays its own batch scan plus a K-row union and a bounded top-K.
 
-    Exactly-once without epoch partitioning: the merge is IDEMPOTENT
-    (dropDuplicates(doc_id) before the top-K means a replayed epoch
-    re-merging the same batch reproduces the identical reservoir), so a
-    crash-replay overwrite is safe.  The new reservoir is EAGERLY
-    localCheckpoint'd (bounded: K rows) before the overwrite — the same
-    read-then-overwrite invariant the drain helper documents — because
-    lazily overwriting the directory being read would corrupt the merge.
+    Crash safety comes from the snapshot CHAIN (the drain helper's
+    ``merge_latest`` shape): epoch k writes its reservoir to its own
+    ``epoch=k`` directory and a replayed epoch k re-reads the newest
+    snapshot with id < k, so a torn partial write of epoch k is never
+    consumed — it is overwritten whole.  No idempotence caveats: a doc_id
+    duplicated in the corpus ranks twice here exactly as it does in the
+    batch twin and the shared oracle.
 
     Key definition and oracle are shared verbatim with the batch twin
     (``weighted_sample_keys`` / ``WEIGHTED_SAMPLE_ORACLE``): the
     deterministic md5-uniform makes the draw batching-invariant, so
     equality with the batch SQL on any micro-batch split IS the
     reservoir-correctness proof."""
-    import shutil
-
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     stream = _stream_table(spark, sf_dir, "documents")
-    reservoir = tempfile.mkdtemp(prefix="ws_reservoir_")
-    shutil.rmtree(reservoir)  # first epoch creates it
 
-    def merge_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+    def merge_reservoir(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
         cand = weighted_sample_keys(batch_df)
-        if os.path.isdir(reservoir):
-            cand = spark.read.parquet(reservoir).unionByName(cand)
-        new = (
-            cand.dropDuplicates(["doc_id"])
-            .orderBy(F.col("es_key").desc(), "doc_id")
+        if prev is not None:
+            cand = prev.unionByName(cand)
+        return (
+            cand.orderBy(F.col("es_key").desc(), "doc_id")
             .limit(WEIGHTED_SAMPLE_K)
-            .localCheckpoint()  # eager: materialize BEFORE overwriting the source dir
         )
-        new.write.mode("overwrite").parquet(reservoir)
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_ws_")
-    q = None
-    try:
-        q = (
-            stream.writeStream.foreachBatch(merge_epoch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        _await_drain(q, "streaming weighted sample")
-        return rank_weighted_sample(spark.read.parquet(reservoir)).localCheckpoint()
-    finally:
-        if q is not None and q.isActive:
-            q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
-        shutil.rmtree(reservoir, ignore_errors=True)
+    final = _drain_foreachbatch(
+        stream,
+        merge_reservoir,
+        ["doc_id", "weight", "es_key"],
+        "streaming weighted sample",
+        "ws_reservoir_",
+        merge_latest=True,
+    )
+    return rank_weighted_sample(final)
