@@ -1922,19 +1922,47 @@ def curate_suffix_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CASCADE_PREFIX_TOKENS = 16
 
+#: ONE normalization + prefix-fingerprint definition (Spark and SQL
+#: twins) shared by the cascade and the source provenance matrix, so the
+#: two can never key on divergent fingerprints.
+NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+K3_SQL = (
+    f"md5(array_to_string(string_split(norm, ' ')[1:{CASCADE_PREFIX_TOKENS}], ' '))"
+)
+
+
+def normalized_text() -> Column:
+    """Punctuation-stripped, case/whitespace-folded text — the cascade's
+    stage-2 normalization (SQL twin: ``NORM_SQL``)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+
+
+def prefix_fingerprint(norm: Column) -> Column:
+    """First-{CASCADE_PREFIX_TOKENS}-token md5 fingerprint of the
+    normalized text — the cascade's stage-3 key (SQL twin: ``K3_SQL``)."""
+    return F.md5(
+        F.array_join(F.slice(F.split(norm, " "), 1, CASCADE_PREFIX_TOKENS), " ")
+    )
+
 
 @register(
     "dedup_cascade_accounting",
     oracle=f"""
 WITH kk AS (
   SELECT doc_id, md5(text) AS k1,
-         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                             ' +', ' ', 'g')) AS norm
+         {NORM_SQL} AS norm
   FROM documents
 ),
 keys AS (
   SELECT doc_id, k1, md5(norm) AS k2,
-         md5(array_to_string(string_split(norm, ' ')[1:{CASCADE_PREFIX_TOKENS}], ' ')) AS k3
+         {K3_SQL} AS k3
   FROM kk
 ),
 f1 AS (
@@ -1994,18 +2022,12 @@ def dedup_cascade_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     final aggregate is 4 counters: partial-agg'd map-side, one
     single-row reduce, no driver collect."""
     d = table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
+    norm = normalized_text()
     keys = d.select(
         "doc_id",
         F.md5("text").alias("k1"),
         F.md5(norm).alias("k2"),
-        F.md5(
-            F.array_join(F.slice(F.split(norm, " "), 1, CASCADE_PREFIX_TOKENS), " ")
-        ).alias("k3"),
+        prefix_fingerprint(norm).alias("k3"),
     )
     f1 = keys.select(
         "doc_id",
@@ -2054,4 +2076,81 @@ def dedup_cascade_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             2, 'normalized', s1,    s1 - s2,    s2,
             3, 'prefix{CASCADE_PREFIX_TOKENS}',   s2,    s2 - s3,    s3)
            AS (stage_order, stage, examined, removed, surviving)"""
+    )
+
+
+@register(
+    "dedup_source_matrix",
+    oracle=f"""
+WITH kk AS (
+  SELECT source, {NORM_SQL} AS norm FROM documents
+),
+keys AS (SELECT source, {K3_SQL} AS k3 FROM kk),
+cnt AS (
+  SELECT k3, source, CAST(COUNT(*) AS BIGINT) AS c FROM keys GROUP BY k3, source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(CASE WHEN a.source = b.source
+                     THEN a.c * (a.c - 1) // 2 ELSE a.c * b.c END) AS BIGINT)
+         AS n_dup_pairs,
+       CAST(SUM(CASE WHEN (CASE WHEN a.source = b.source
+                                THEN a.c * (a.c - 1) // 2
+                                ELSE a.c * b.c END) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_keys
+FROM cnt a JOIN cnt b ON a.k3 = b.k3 AND a.source <= b.source
+GROUP BY a.source, b.source
+HAVING SUM(CASE WHEN a.source = b.source
+                THEN a.c * (a.c - 1) // 2 ELSE a.c * b.c END) > 0
+""",
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate PROVENANCE matrix: for every (unordered) source pair,
+    how many duplicate document pairs share a prefix fingerprint — the
+    "who copies from whom" diagnostic a curation run consults before
+    deciding per-source dedup order or down-weighting a mirror-heavy
+    source.  The key is the cascade's stage-3 fingerprint, shared
+    verbatim (``normalized_text`` / ``prefix_fingerprint`` and their SQL
+    twins), so matrix counts reconcile exactly with the cascade's
+    prefix-stage removals.  Within-source cells count C(c,2) pairs;
+    cross-source cells c_a*c_b — computed from per-(key, source) COUNTS,
+    never by joining documents against documents.
+
+    Scale (100 TB): one (k3, source) count shuffle (map-side combined),
+    then a self-join of the COUNT table keyed on the 128-bit fingerprint
+    — per-key fan-out is bounded by the number of SOURCES carrying the
+    key (a catalog-scale constant, not corpus-scale), and both sides
+    carry the anti-broadcast merge hint (the count table scales with
+    distinct fingerprints ~ corpus).  The final (source_a, source_b)
+    aggregate is at most |sources|^2 rows."""
+    d = table(spark, sf_dir, "documents")
+    keys = d.select(
+        "source", prefix_fingerprint(normalized_text()).alias("k3")
+    )
+    cnt = keys.groupBy("k3", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a, b = cnt.alias("a").hint("merge"), cnt.alias("b").hint("merge")
+    pair_cnt = F.when(
+        F.col("a.source") == F.col("b.source"),
+        (F.col("a.c") * (F.col("a.c") - 1) / 2).cast("long"),
+    ).otherwise(F.col("a.c") * F.col("b.c"))
+    joined = a.join(
+        b,
+        (F.col("a.k3") == F.col("b.k3"))
+        & (F.col("a.source") <= F.col("b.source")),
+    )
+    return (
+        joined.select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            pair_cnt.alias("pc"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("pc").cast("long").alias("n_dup_pairs"),
+            F.sum(F.when(F.col("pc") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_keys"),
+        )
+        .filter(F.col("n_dup_pairs") > 0)
     )

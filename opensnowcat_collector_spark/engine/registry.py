@@ -34,13 +34,13 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # query that has never passed externally).  Slot 2 is the r8-new
 # suffix-array-style substring dedup (VERDICT r7 item 6).  Slot 3 is
 # its r8-new removal-accounting companion curate_suffix_dedup_apply.
-# Slots 4-23 are 20 of the 32 entries whose last driver grading is
+# Slots 4-22 are 19 of the 32 entries whose last driver grading is
 # oldest: the ones whose only green rows are r1+r2 (the basic
 # join/window/setop/scalar/agg families, last externally graded before
-# the engine's r3-r7 rewrites).  Slots 24-35 are the other twelve
+# the engine's r3-r7 rewrites).  Slots 23-35 are the other thirteen
 # r8-new queries (graded on arrival — the evidence-freshness test
 # codifies that new entries get external grading immediately),
-# displacing the twelve least-risky stale entries (see the slot-24
+# displacing the thirteen least-risky stale entries (see the slot-23
 # comment).  embed_norms
 # (r3-only, next-stalest) did NOT fit this window and is the top r9
 # candidate (see the r9 comment below).  Slots 36-50
@@ -51,7 +51,7 @@ _PRIORITY: list[str] = [
     "embed_quantize_int8",
     "dedup_suffix_repeats",
     "curate_suffix_dedup_apply",
-    # ---- slots 4-23: the windowed 20 of the 32 r1+r2-only entries
+    # ---- slots 4-22: the windowed 19 of the 32 r1+r2-only entries
     # (oldest external evidence in the registry).
     "q7_volume_shipping",
     "agg_stats_percentiles",
@@ -59,7 +59,6 @@ _PRIORITY: list[str] = [
     "events_hourly_rollup",
     "agg_cube_status_priority",
     "agg_grouping_sets",
-    "events_dedup_latest",
     "events_tumbling_15min",
     "agg_distinct_counts",
     "scalar_url_map_funcs",
@@ -73,25 +72,27 @@ _PRIORITY: list[str] = [
     "window_rank_acctbal",
     "window_running_spend",
     "setop_union_segments",
-    # ---- slots 24-35: the twelve other r8-new queries, graded on
+    # ---- slots 23-35: the thirteen other r8-new queries, graded on
     # arrival (dedup cascade accounting, bigram LM scoring, per-dim
     # embedding stats, DSIR importance weights + its streaming serving
     # twin, Zipf head fit, CCNet buckets, BPE merge training + its
     # segmenter apply half, MassiveText duplicate-line fractions,
     # Efraimidis-Spirakis weighted sample + its streaming reservoir
-    # twin).  They displace setop_except_inactive / scalar_string_funcs /
+    # twin, the source provenance matrix).  They displace
+    # setop_except_inactive / scalar_string_funcs /
     # scalar_datetime_funcs / setop_intersect_active_auto /
     # window_range_frame_spend / window_value_picking /
     # events_type_matrix / window_analytics_distribution /
     # agg_pivot_status / join_theta_quantity_over_size /
-    # join_full_outer_nation_activity / q14_promo_effect from the
-    # stale-32 block — those
-    # twelve stay r2-only and MUST be in the r9 window (age 7 by then;
+    # join_full_outer_nation_activity / q14_promo_effect /
+    # events_dedup_latest from the stale-32 block — those
+    # thirteen stay r2-only and MUST be in the r9 window (age 7 by then;
     # the freshness test enforces it), alongside embed_norms.  Each
     # displaced family keeps at least one member graded this round
     # (window: rank_acctbal + running_spend; agg: percentiles, cube,
     # grouping sets, distinct counts; join: left/semi/anti + the
-    # skew/bucketed keeps; tpch: q7 + q12 all stay windowed).
+    # skew/bucketed keeps; tpch: q7 + q12; events: hourly_rollup +
+    # tumbling_15min all stay windowed).
     "dedup_cascade_accounting",
     "text_bigram_logprob",
     "embed_dim_stats",
@@ -104,6 +105,7 @@ _PRIORITY: list[str] = [
     "text_dup_line_fractions",
     "curate_weighted_sample",
     "streaming_weighted_sample",
+    "dedup_source_matrix",
     # ---- slots 36-50: the 15 standing keeps (same set as r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -124,12 +126,13 @@ _PRIORITY: list[str] = [
     # Displaced r7-window entries (all driver-green in r7,
     # CORRECTNESS_r07.json).
     "dedup_bloom_incremental",
-    # Displaced by the twelve r8-new queries above: still r2-only
+    # Displaced by the thirteen r8-new queries above: still r2-only
     # evidence, age 7 at r9 — the freshness test forces them into the
     # r9 window.
     "join_theta_quantity_over_size",
     "join_full_outer_nation_activity",
     "q14_promo_effect",
+    "events_dedup_latest",
     "setop_except_inactive",
     "scalar_string_funcs",
     "scalar_datetime_funcs",

@@ -483,3 +483,17 @@ def test_weighted_sample_takeordered_no_corpus_exchange(spark, sf_dir):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan  # toString nests top-down
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(n_chars,0\)", plan), plan
     assert re.search(r"ReadSchema: struct<doc_id:bigint,n_chars:bigint>", plan), plan
+
+
+def test_source_matrix_joins_counts_never_documents(spark, sf_dir):
+    """Provenance matrix (r8): the self-join must run over the (k3,
+    source) COUNT table — one map-side-combined count aggregation per
+    side feeding a SortMergeJoin on the fingerprint — never a
+    documents-vs-documents join, and never a broadcast of the
+    corpus-scaled count table (the 64x broadcast-OOM class)."""
+    plan = _plan(spark, sf_dir, "dedup_source_matrix")
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("partial_count") == 2, plan  # count table built per side
+    assert plan.index("SortMergeJoin") > plan.index("HashAggregate"), plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

@@ -47,15 +47,15 @@ def test_unlisted_extra_raises_then_allowed_with_flag():
 def test_r8_window_regrades_stalest_evidence():
     """r8 rotation (VERDICT r7 item 3): the window holds (a) the r7
     driver-red fix embed_quantize_int8, (b) the r8-new suffix-array
-    substring dedup + its removal-accounting companion, (c) 20 of the
+    substring dedup + its removal-accounting companion, (c) 19 of the
     32 entries with the OLDEST external evidence (the r1+r2-only
     basics; embed_norms, r3-only, is next-stalest and is the top r9
-    candidate — asserted below), (d) the other twelve r8-new queries
+    candidate — asserted below), (d) the other thirteen r8-new queries
     graded on arrival (cascade accounting / bigram logprob / dim
     stats / DSIR weights + streaming serving twin / Zipf fit / CCNet
     buckets / BPE merge training + segmenter / duplicate-line
-    fractions / weighted sample + its streaming reservoir twin),
-    displacing twelve r2-only
+    fractions / weighted sample + its streaming reservoir twin /
+    source provenance matrix), displacing thirteen r2-only
     entries into the r9 must-rotate set (each family keeps at least one
     member graded this round), and (e) the 15
     standing keeps — streaming gates NOT kept this round rotate out
@@ -68,7 +68,6 @@ def test_r8_window_regrades_stalest_evidence():
         "events_hourly_rollup",
         "agg_cube_status_priority",
         "agg_grouping_sets",
-        "events_dedup_latest",
         "events_tumbling_15min",
         "agg_distinct_counts",
         "scalar_url_map_funcs",
@@ -96,6 +95,7 @@ def test_r8_window_regrades_stalest_evidence():
         "text_dup_line_fractions",
         "curate_weighted_sample",
         "streaming_weighted_sample",
+        "dedup_source_matrix",
     ]
     keeps = [
         "streaming_leftouter_join",
@@ -123,8 +123,8 @@ def test_r8_window_regrades_stalest_evidence():
     assert len(window) == 3 + len(stalest) + len(new_r8) + len(keeps) == 50
     # embed_norms (r3-only) is the next-stalest entry and did NOT fit
     # this window; the registry comments name it the top r9 candidate
-    # alongside the twelve displaced r2-only entries.  Pin that claim so
-    # the r9 rotation can't silently skip them.
+    # alongside the thirteen displaced r2-only entries.  Pin that claim
+    # so the r9 rotation can't silently skip them.
     for name in (
         "embed_norms",
         "setop_except_inactive",
@@ -139,6 +139,7 @@ def test_r8_window_regrades_stalest_evidence():
         "join_theta_quantity_over_size",
         "join_full_outer_nation_activity",
         "q14_promo_effect",
+        "events_dedup_latest",
     ):
         assert name not in window, name
         assert name in registry._PRIORITY[registry.GRADED_WINDOW :], name
