@@ -2115,24 +2115,30 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-source cells c_a*c_b — computed from per-(key, source) COUNTS,
     never by joining documents against documents.
 
-    Scale (100 TB): one (k3, source) count shuffle (map-side combined),
-    then a self-join of the COUNT table keyed on the 128-bit fingerprint
-    — per-key fan-out is bounded by the number of SOURCES carrying the
-    key (a catalog-scale constant, not corpus-scale), and both sides
-    carry the anti-broadcast merge hint (the count table scales with
-    distinct fingerprints ~ corpus).  The final (source_a, source_b)
-    aggregate is at most |sources|^2 rows."""
+    Scale (100 TB): ONE documents scan and ONE (k3, source) count
+    shuffle (map-side combined) — the count table is localCheckpoint'd
+    so both join sides read the materialized table instead of each
+    re-running the scan+count subtree — then a self-join keyed on the
+    128-bit fingerprint: per-key fan-out is bounded by the number of
+    SOURCES carrying the key (a catalog-scale constant, not
+    corpus-scale), and both sides carry the anti-broadcast merge hint
+    (the count table scales with distinct fingerprints ~ corpus).  The
+    final (source_a, source_b) aggregate is at most |sources|^2 rows.
+    Within-source C(c,2) uses shiftright, never a double divide — exact
+    integers end to end."""
     d = table(spark, sf_dir, "documents")
     keys = d.select(
         "source", prefix_fingerprint(normalized_text()).alias("k3")
     )
-    cnt = keys.groupBy("k3", "source").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    cnt = (
+        keys.groupBy("k3", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     a, b = cnt.alias("a").hint("merge"), cnt.alias("b").hint("merge")
     pair_cnt = F.when(
         F.col("a.source") == F.col("b.source"),
-        (F.col("a.c") * (F.col("a.c") - 1) / 2).cast("long"),
+        F.shiftright(F.col("a.c") * (F.col("a.c") - 1), 1),
     ).otherwise(F.col("a.c") * F.col("b.c"))
     joined = a.join(
         b,

@@ -487,13 +487,16 @@ def test_weighted_sample_takeordered_no_corpus_exchange(spark, sf_dir):
 
 def test_source_matrix_joins_counts_never_documents(spark, sf_dir):
     """Provenance matrix (r8): the self-join must run over the (k3,
-    source) COUNT table — one map-side-combined count aggregation per
-    side feeding a SortMergeJoin on the fingerprint — never a
-    documents-vs-documents join, and never a broadcast of the
-    corpus-scaled count table (the 64x broadcast-OOM class)."""
+    source) COUNT table — localCheckpoint'd once, so the documents scan
+    and the count shuffle are NOT duplicated per join side — feeding a
+    SortMergeJoin on the fingerprint: never a documents-vs-documents
+    join, never a broadcast of the corpus-scaled count table (the 64x
+    broadcast-OOM class), never a parquet re-scan inside the join."""
     plan = _plan(spark, sf_dir, "dedup_source_matrix")
     assert plan.count("SortMergeJoin") == 1, plan
     assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
-    assert plan.count("partial_count") == 2, plan  # count table built per side
-    assert plan.index("SortMergeJoin") > plan.index("HashAggregate"), plan
+    # both sides read the checkpointed count table: no parquet scan and
+    # no count aggregation may appear inside the join plan itself
+    assert "Scan parquet" not in plan, plan
+    assert "partial_count" not in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
