@@ -93,9 +93,11 @@ HEADLINE = [
     # (TakeOrderedAndProject + broadcast single-row apply per step)
     "text_bpe_merge_steps",
     # r8: MassiveText duplicate-line fractions (two map-side-combined
-    # exchanges) and the zero-exchange Efraimidis-Spirakis weighted draw
+    # exchanges), the zero-exchange Efraimidis-Spirakis weighted draw,
+    # and the count-table-join duplicate-provenance matrix
     "text_dup_line_fractions",
     "curate_weighted_sample",
+    "dedup_source_matrix",
 ]
 
 

@@ -66,6 +66,16 @@ def main() -> None:
             f"surviving={row.surviving}"
         )
 
+    matrix = qs["dedup_source_matrix"](spark, sf_dir)
+    m = matrix.selectExpr(
+        "sum(n_dup_pairs) AS pairs",
+        "sum(CASE WHEN source_a <> source_b THEN 1 ELSE 0 END) AS cross_cells",
+    ).first()
+    print(
+        f"duplicate provenance: {m.pairs or 0} fingerprint-dup pairs across "
+        f"{m.cross_cells or 0} cross-source cells"
+    )
+
     suffix = qs["curate_suffix_dedup_apply"](spark, sf_dir)
     s = suffix.agg({"removed_tokens": "sum"}).first()
     n_rm = s["sum(removed_tokens)"] or 0  # None when no doc has a repeat
