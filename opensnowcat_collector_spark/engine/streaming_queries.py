@@ -1086,22 +1086,24 @@ def streaming_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reservoir-correctness proof."""
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     stream = _stream_table(spark, sf_dir, "documents")
-
-    def merge_reservoir(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
-        cand = weighted_sample_keys(batch_df)
-        if prev is not None:
-            cand = prev.unionByName(cand)
-        return (
-            cand.orderBy(F.col("es_key").desc(), "doc_id")
-            .limit(WEIGHTED_SAMPLE_K)
-        )
-
     final = _drain_foreachbatch(
         stream,
-        merge_reservoir,
+        _ws_merge_reservoir,
         ["doc_id", "weight", "es_key"],
         "streaming weighted sample",
         "ws_reservoir_",
         merge_latest=True,
     )
     return rank_weighted_sample(final)
+
+
+def _ws_merge_reservoir(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+    """One reservoir step: key the batch, merge the previous snapshot,
+    keep the top K.  Module-level so the multi-epoch unit test
+    (tests/test_streaming.py) can drive it with a maxFilesPerTrigger=1
+    stream — the gate's single-file source drains in ONE micro-batch, so
+    the prev-merge branch is exercised there, not here."""
+    cand = weighted_sample_keys(batch_df)
+    if prev is not None:
+        cand = prev.unionByName(cand)
+    return cand.orderBy(F.col("es_key").desc(), "doc_id").limit(WEIGHTED_SAMPLE_K)

@@ -579,3 +579,58 @@ def test_streaming_leftouter_join_gate_matches_batch(spark, sf_dir):
     key = lambda r: (r["click_id"], r["purchase_id"])
     assert sorted(map(key, rows)) == sorted(map(key, expected))
     assert any(r["purchase_id"] is None for r in rows)  # outer rows flushed
+
+
+def test_weighted_reservoir_multi_epoch_merge_matches_batch(spark, sf_dir, tmp_path):
+    """The gate's single-file documents source drains in ONE micro-batch,
+    so the reservoir's prev-merge branch never runs there.  Force a
+    multi-epoch drain (3 part files, maxFilesPerTrigger=1) and assert
+    (a) the prev-merge branch actually executed, and (b) the chained
+    reservoir equals the global batch top-K — the batching-invariance
+    claim under real multi-batch conditions."""
+    from opensnowcat_collector_spark.engine.llmdata.curation import (
+        WEIGHTED_SAMPLE_K,
+        rank_weighted_sample,
+        weighted_sample_keys,
+    )
+    from opensnowcat_collector_spark.engine.streaming_queries import (
+        _drain_foreachbatch,
+        _ws_merge_reservoir,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = str(tmp_path / "docs_parts")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    epochs = []
+
+    def merge(batch_df, prev):
+        epochs.append(prev is not None)
+        return _ws_merge_reservoir(batch_df, prev)
+
+    final = _drain_foreachbatch(
+        stream,
+        merge,
+        ["doc_id", "weight", "es_key"],
+        "multi-epoch reservoir test",
+        "ws_test_",
+        merge_latest=True,
+    )
+    got = {r.doc_id: r.rank for r in rank_weighted_sample(final).collect()}
+
+    assert len(epochs) >= 3 and epochs[0] is False and any(epochs[1:]), epochs
+    keyed = weighted_sample_keys(docs)
+    expected = {
+        r.doc_id: i + 1
+        for i, r in enumerate(
+            keyed.orderBy(F.col("es_key").desc(), "doc_id")
+            .limit(WEIGHTED_SAMPLE_K)
+            .collect()
+        )
+    }
+    assert got == expected
