@@ -106,10 +106,13 @@ def main() -> None:
         print(f"DSIR weights: top doc {top.doc_id} log_weight={top.log_weight:.4f}")
 
     zipf = qs["text_zipf_fit"](spark, sf_dir).first()
-    print(
-        f"zipf fit over top-{zipf.head_size} types: slope={zipf.zipf_slope:.3f} "
-        f"r2={zipf.zipf_r2:.3f}"
-    )
+    if zipf.zipf_slope is None:  # <2 head token types: regr_slope is NULL
+        print("zipf fit: too few token types to fit")
+    else:
+        print(
+            f"zipf fit over top-{zipf.head_size} types: slope={zipf.zipf_slope:.3f} "
+            f"r2={zipf.zipf_r2:.3f}"
+        )
 
     merges = qs["text_bpe_merge_steps"](spark, sf_dir)
     print("BPE merge training (first steps):")

@@ -28,31 +28,113 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # subsystem; order past the window is rotation-staged (see tranche
 # comments below), then legacy order.
 #
-# r8 rotation (VERDICT r7 item 3): the window re-grades the STALEST
-# evidence.  Slot 1 is embed_quantize_int8 (r7's only driver-red row —
-# array-typed output, now flattened to a scalar codes string; the one
-# query that has never passed externally).  Slot 2 is the r8-new
-# suffix-array-style substring dedup (VERDICT r7 item 6).  Slot 3 is
-# its r8-new removal-accounting companion curate_suffix_dedup_apply.
-# Slots 4-22 are 19 of the 32 entries whose last driver grading is
-# oldest: the ones whose only green rows are r1+r2 (the basic
-# join/window/setop/scalar/agg families, last externally graded before
-# the engine's r3-r7 rewrites).  Slots 23-35 are the other thirteen
-# r8-new queries (graded on arrival — the evidence-freshness test
-# codifies that new entries get external grading immediately),
-# displacing the thirteen least-risky stale entries (see the slot-23
-# comment).  embed_norms
-# (r3-only, next-stalest) did NOT fit this window and is the top r9
-# candidate (see the r9 comment below).  Slots 36-50
-# keep the standing keeps: every streaming gate (highest-variance
-# machinery), the skew/bucketed join pins, and the four flagships.
+# r9 rotation (VERDICT r8 item 1): the window re-grades the STALEST
+# evidence, exhaustively.  Slots 1-13 are the thirteen r2-only entries
+# (age 7 this round — the freshness test forces them in).  Slots 14-22
+# are the complete r3-only tranche (age 6 — they would force the r10
+# window otherwise).  Slots 23-35 are the complete r4 tranche (age 5 —
+# windowing them now clears the ENTIRE pre-r5 backlog in one round, so
+# no tranche is ever windowed under freshness pressure again).
+# Slots 36-50 keep the standing keeps: every streaming gate
+# (highest-variance machinery), the skew/bucketed join pins, and the
+# flagships.  r9-NEW queries displace r4-tranche entries from the
+# BOTTOM of slots 23-35 (r4 evidence stays fresh through r10); each
+# displaced entry moves to the head of the staged block at slot 51+.
 _PRIORITY: list[str] = [
-    # ---- slots 1-2: the r7 driver-red fix + the r8-new query.
+    # ---- slots 1-13: the r2-only entries (oldest evidence; mandatory).
+    "join_theta_quantity_over_size",
+    "join_full_outer_nation_activity",
+    "q14_promo_effect",
+    "events_dedup_latest",
+    "setop_except_inactive",
+    "scalar_string_funcs",
+    "scalar_datetime_funcs",
+    "setop_intersect_active_auto",
+    "window_range_frame_spend",
+    "window_value_picking",
+    "events_type_matrix",
+    "window_analytics_distribution",
+    "agg_pivot_status",
+    # ---- slots 14-22: the complete r3-only tranche.
+    "embed_norms",
+    "sim_bucket_histogram",
+    "text_fingerprint",
+    "events_sessionize",
+    "q22_global_sales_opportunity",
+    "q19_disjunctive_revenue",
+    "q18_large_orders",
+    "join_range_price_bins",
+    "agg_rollup_region_nation",
+    # ---- slots 23-35: the complete r4 tranche (+ r9-new queries, which
+    # displace from the bottom of this block).
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "collector_enrich_events",
+    "collector_bridge_roundtrip",
+    "collector_bounce_events",
+    "streaming_hourly_rollup",
+    "agg_approx_distinct",
+    "join_asof_last_click",
+    # ---- slots 36-50: the 15 standing keeps (same set as r7/r8).
+    "streaming_leftouter_join",
+    "streaming_session_timeout_flush",
+    "dedup_paragraph_exact",
+    "streaming_dedup_watermark",
+    "streaming_session_window",
+    "streaming_enrich_join",
+    "streaming_stream_stream_join",
+    "streaming_stateful_sessionize",
+    "streaming_document_curation",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh",
+    "corpus_curation_pipeline",
+    "mm_feature_extract",
+    # ---- slot 51+ below: NOT driver-graded this round.
+    # r10 PLAN (VERDICT r8 item 2, made executable in
+    # tests/test_registry.py::test_r10_rotation_horizon): after r9
+    # grades slots 1-50 above, the stalest remaining evidence is the
+    # r5-latest tranche (24 entries, age 5 at r10) staged immediately
+    # below, followed by any r4-tranche entries displaced by r9-new
+    # queries (age 6 at r10 — the LAST round they can wait for).  The
+    # r10 window = those displaced r4 entries + the r5 tranche + the
+    # standing keeps + r10-new queries; the r6 block (35 entries) then
+    # fills r11.  Nothing ages past 6 under this schedule.
+    # ---- r5-latest tranche (24 entries; r10 window material).
+    "dedup_embedding_cosine",
+    "dedup_embedding_kmeans",
+    "dedup_cluster_components",
+    "dedup_incremental",
+    "sim_topk_bruteforce",
+    "sim_ann_multiprobe",
+    "sim_ann_ivf",
+    "sim_ann_ivf_kmeans",
+    "sim_ann_batch",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_token_bpeish",
+    "text_repetition_score",
+    "curate_sample_stratified",
+    "curate_pack_sequences",
+    "curate_contamination",
+    "curate_domain_mix",
+    "curate_quality_quantile_filter",
+    "curate_source_quota",
+    "curate_token_budget_select",
+    "mm_decode_metadata",
+    "mm_resize_plan",
+    "mm_frame_sample",
+    # ---- displaced r8-window entries (all r8-green, fresh until r14).
     "embed_quantize_int8",
     "dedup_suffix_repeats",
     "curate_suffix_dedup_apply",
-    # ---- slots 4-22: the windowed 19 of the 32 r1+r2-only entries
-    # (oldest external evidence in the registry).
     "q7_volume_shipping",
     "agg_stats_percentiles",
     "q12_linestatus_priority",
@@ -72,27 +154,6 @@ _PRIORITY: list[str] = [
     "window_rank_acctbal",
     "window_running_spend",
     "setop_union_segments",
-    # ---- slots 23-35: the thirteen other r8-new queries, graded on
-    # arrival (dedup cascade accounting, bigram LM scoring, per-dim
-    # embedding stats, DSIR importance weights + its streaming serving
-    # twin, Zipf head fit, CCNet buckets, BPE merge training + its
-    # segmenter apply half, MassiveText duplicate-line fractions,
-    # Efraimidis-Spirakis weighted sample + its streaming reservoir
-    # twin, the source provenance matrix).  They displace
-    # setop_except_inactive / scalar_string_funcs /
-    # scalar_datetime_funcs / setop_intersect_active_auto /
-    # window_range_frame_spend / window_value_picking /
-    # events_type_matrix / window_analytics_distribution /
-    # agg_pivot_status / join_theta_quantity_over_size /
-    # join_full_outer_nation_activity / q14_promo_effect /
-    # events_dedup_latest from the stale-32 block — those
-    # thirteen stay r2-only and MUST be in the r9 window (age 7 by then;
-    # the freshness test enforces it), alongside embed_norms.  Each
-    # displaced family keeps at least one member graded this round
-    # (window: rank_acctbal + running_spend; agg: percentiles, cube,
-    # grouping sets, distinct counts; join: left/semi/anti + the
-    # skew/bucketed keeps; tpch: q7 + q12; events: hourly_rollup +
-    # tumbling_15min all stay windowed).
     "dedup_cascade_accounting",
     "text_bigram_logprob",
     "embed_dim_stats",
@@ -106,42 +167,8 @@ _PRIORITY: list[str] = [
     "curate_weighted_sample",
     "streaming_weighted_sample",
     "dedup_source_matrix",
-    # ---- slots 36-50: the 15 standing keeps (same set as r7).
-    "streaming_leftouter_join",
-    "streaming_session_timeout_flush",
-    "dedup_paragraph_exact",
-    "streaming_dedup_watermark",
-    "streaming_session_window",
-    "streaming_enrich_join",
-    "streaming_stream_stream_join",
-    "streaming_stateful_sessionize",
-    "streaming_document_curation",
-    "join_skew_salted",
-    "join_bucketed_colocated",
-    "dedup_minhash_lsh",
-    "sim_ann_lsh",
-    "corpus_curation_pipeline",
-    "mm_feature_extract",
-    # ---- slot 51+ below: NOT driver-graded this round.
-    # Displaced r7-window entries (all driver-green in r7,
-    # CORRECTNESS_r07.json).
+    # ---- r7-graded entries.
     "dedup_bloom_incremental",
-    # Displaced by the thirteen r8-new queries above: still r2-only
-    # evidence, age 7 at r9 — the freshness test forces them into the
-    # r9 window.
-    "join_theta_quantity_over_size",
-    "join_full_outer_nation_activity",
-    "q14_promo_effect",
-    "events_dedup_latest",
-    "setop_except_inactive",
-    "scalar_string_funcs",
-    "scalar_datetime_funcs",
-    "setop_intersect_active_auto",
-    "window_range_frame_spend",
-    "window_value_picking",
-    "events_type_matrix",
-    "window_analytics_distribution",
-    "agg_pivot_status",
     "dedup_prefix_contained",
     "curate_temperature_mix",
     "sim_ann_filtered",
@@ -200,7 +227,7 @@ _PRIORITY: list[str] = [
     "agg_hll_partitioned_merge",
     "events_burst_detection",
     "sim_ann_delete",
-    # ---- r5+r6 / r5+r6+r7 two-plus-round entries.
+    # ---- r6-latest entries (graded r5+r6 unions).
     "dedup_incremental_minhash",
     "sim_ann_incremental",
     "curate_tokenize_ids",
@@ -212,59 +239,6 @@ _PRIORITY: list[str] = [
     "text_cooccurrence_ratio",
     "curate_dataset_card",
     "events_session_sequences",
-    # ---- three-round r3+r4+r5 entries.
-    "dedup_embedding_cosine",
-    "dedup_embedding_kmeans",
-    "dedup_cluster_components",
-    "dedup_incremental",
-    "sim_topk_bruteforce",
-    "sim_ann_multiprobe",
-    "sim_ann_ivf",
-    "sim_ann_ivf_kmeans",
-    "sim_ann_batch",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid",
-    "text_token_bpeish",
-    "text_repetition_score",
-    "curate_sample_stratified",
-    "curate_pack_sequences",
-    "curate_contamination",
-    "curate_domain_mix",
-    "curate_quality_quantile_filter",
-    "curate_source_quota",
-    "curate_token_budget_select",
-    "mm_decode_metadata",
-    "mm_resize_plan",
-    "mm_frame_sample",
-    # ---- legacy multi-round entries (r1-r4 unions; next-stalest after
-    # the windowed block — first candidates for the r9 rotation along
-    # with the r3-only trio embed_norms (stalest single entry, MUST go
-    # in the r9 window to keep max evidence age <=6 rounds) /
-    # sim_bucket_histogram / text_fingerprint and
-    # the r1+r2+r3 group below).
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "collector_enrich_events",
-    "collector_bridge_roundtrip",
-    "collector_bounce_events",
-    "streaming_hourly_rollup",
-    "agg_approx_distinct",
-    "join_asof_last_click",
-    "events_sessionize",
-    "q22_global_sales_opportunity",
-    "q19_disjunctive_revenue",
-    "q18_large_orders",
-    "join_range_price_bins",
-    "agg_rollup_region_nation",
-    "embed_norms",
-    "sim_bucket_histogram",
-    "text_fingerprint",
 ]
 
 
@@ -272,7 +246,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "dedup_bloom_incremental"  # first entry past the window, r8
+_WINDOW_SENTINEL = "dedup_embedding_cosine"  # first entry past the window, r9
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

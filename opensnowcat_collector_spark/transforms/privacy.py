@@ -125,8 +125,12 @@ def set_cookie_struct(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
 # The scheme alternation mirrors java.net.URL's built-in protocol
 # handlers (case-insensitive, like the JDK): an unknown scheme such as
 # ``foo://h/x`` throws MalformedURLException in the reference and must
-# yield a null host (=> denied) here, not a parsed one.
-_URL_HOST_RE = r"^(?i:https?|ftp|file|jar|netdoc)://(?:[^/?#@]*@)?([^/?#:]+)"
+# yield a null host (=> denied) here, not a parsed one.  The host
+# capture's first alternative keeps bracketed IPv6 literals whole —
+# java.net.URL.getHost returns '[::1]' (brackets INCLUDED) for
+# 'https://[::1]/x', so an allowlist entry '[::1]' must match; without
+# it the [^/?#:]+ class stops at the first ':' inside the literal.
+_URL_HOST_RE = r"^(?i:https?|ftp|file|jar|netdoc)://(?:[^/?#@]*@)?(\[[^/?#\]]+\]|[^/?#:]+)"
 
 
 def redirect_allowed(df: DataFrame, cfg: CollectorConfig) -> DataFrame:

@@ -290,6 +290,30 @@ def _mk_redirect_req(i, target):
     return _req(i, path="/r/tp2", querystring=f"u={quote(target, safe='')}&e=pv")
 
 
+def test_redirect_allowlist_ipv6_bracket_host(spark):
+    """java.net.URL.getHost returns the BRACKETED IPv6 literal —
+    ``new URL("https://[::1]/x").getHost()`` is ``[::1]`` — so an
+    allowlist entry ``[::1]`` must match it (ADVICE r8: the previous
+    host class ``[^/?#:]+`` truncated the literal at the first ':' and
+    such entries could never match).  Ports after the bracket are
+    excluded like any other port."""
+    cases = {
+        "https://[::1]/x": True,
+        "https://[::1]:8443/x": True,  # port excluded, bracket kept whole
+        "https://[2001:db8::2]/x": False,  # different literal
+        "https://::1/x": False,  # unbracketed: not how URL hosts spell IPv6
+    }
+    raw = spark.createDataFrame(
+        [_mk_redirect_req(i, t) for i, t in enumerate(cases)], RAW_REQUEST_SCHEMA
+    )
+    cfg = CollectorConfig(
+        deterministic_now_ms=1705320000000, redirect_domains=("[::1]", "ok.org")
+    )
+    enriched = {r["request_id"]: r.asDict() for r in pipeline.enrich(raw, cfg).collect()}
+    for i, (t, want) in enumerate(cases.items()):
+        assert enriched[f"req-{i:04d}"]["redirect_allowed"] is want, t
+
+
 def test_redirect_empty_allowlist_skips_url_parse_and_host_case(spark):
     """Two reference-parity edges (CollectorService.scala:390-398):
     (a) an EMPTY allowlist returns true BEFORE the URL is parsed, so a

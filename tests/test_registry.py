@@ -44,105 +44,146 @@ def test_unlisted_extra_raises_then_allowed_with_flag():
         del relational.QUERIES[name]
 
 
-def test_r8_window_regrades_stalest_evidence():
-    """r8 rotation (VERDICT r7 item 3): the window holds (a) the r7
-    driver-red fix embed_quantize_int8, (b) the r8-new suffix-array
-    substring dedup + its removal-accounting companion, (c) 19 of the
-    32 entries with the OLDEST external evidence (the r1+r2-only
-    basics; embed_norms, r3-only, is next-stalest and is the top r9
-    candidate — asserted below), (d) the other thirteen r8-new queries
-    graded on arrival (cascade accounting / bigram logprob / dim
-    stats / DSIR weights + streaming serving twin / Zipf fit / CCNet
-    buckets / BPE merge training + segmenter / duplicate-line
-    fractions / weighted sample + its streaming reservoir twin /
-    source provenance matrix), displacing thirteen r2-only
-    entries into the r9 must-rotate set (each family keeps at least one
-    member graded this round), and (e) the 15
-    standing keeps — streaming gates NOT kept this round rotate out
-    deliberately: all were driver-green r4-r7 and the flake-armor suite
-    replays them 5x locally every round."""
-    stalest = [
-        "q7_volume_shipping",
-        "agg_stats_percentiles",
-        "q12_linestatus_priority",
-        "events_hourly_rollup",
-        "agg_cube_status_priority",
-        "agg_grouping_sets",
-        "events_tumbling_15min",
-        "agg_distinct_counts",
-        "scalar_url_map_funcs",
-        "scalar_hash_encode_funcs",
-        "topk_orders",
-        "json_props_extract",
-        "array_hof_embeddings",
-        "join_left_order_counts",
-        "join_semi_open_orders",
-        "join_anti_customers_without_orders",
-        "window_rank_acctbal",
-        "window_running_spend",
-        "setop_union_segments",
-    ]
-    new_r8 = [
-        "dedup_cascade_accounting",
-        "text_bigram_logprob",
-        "embed_dim_stats",
-        "curate_dsir_weights",
-        "text_zipf_fit",
-        "curate_ccnet_buckets",
-        "streaming_dsir_scoring",
-        "text_bpe_merge_steps",
-        "text_bpe_segment_counts",
-        "text_dup_line_fractions",
-        "curate_weighted_sample",
-        "streaming_weighted_sample",
-        "dedup_source_matrix",
-    ]
-    keeps = [
-        "streaming_leftouter_join",
-        "streaming_session_timeout_flush",
-        "dedup_paragraph_exact",
-        "streaming_dedup_watermark",
-        "streaming_session_window",
-        "streaming_enrich_join",
-        "streaming_stream_stream_join",
-        "streaming_stateful_sessionize",
-        "streaming_document_curation",
-        "join_skew_salted",
-        "join_bucketed_colocated",
-        "dedup_minhash_lsh",
-        "sim_ann_lsh",
-        "corpus_curation_pipeline",
-        "mm_feature_extract",
-    ]
+_R9_R2_STALE = [
+    "join_theta_quantity_over_size",
+    "join_full_outer_nation_activity",
+    "q14_promo_effect",
+    "events_dedup_latest",
+    "setop_except_inactive",
+    "scalar_string_funcs",
+    "scalar_datetime_funcs",
+    "setop_intersect_active_auto",
+    "window_range_frame_spend",
+    "window_value_picking",
+    "events_type_matrix",
+    "window_analytics_distribution",
+    "agg_pivot_status",
+]
+
+_R9_R3_TRANCHE = [
+    "embed_norms",
+    "sim_bucket_histogram",
+    "text_fingerprint",
+    "events_sessionize",
+    "q22_global_sales_opportunity",
+    "q19_disjunctive_revenue",
+    "q18_large_orders",
+    "join_range_price_bins",
+    "agg_rollup_region_nation",
+]
+
+_R9_R4_TRANCHE = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "collector_enrich_events",
+    "collector_bridge_roundtrip",
+    "collector_bounce_events",
+    "streaming_hourly_rollup",
+    "agg_approx_distinct",
+    "join_asof_last_click",
+]
+
+_STANDING_KEEPS = [
+    "streaming_leftouter_join",
+    "streaming_session_timeout_flush",
+    "dedup_paragraph_exact",
+    "streaming_dedup_watermark",
+    "streaming_session_window",
+    "streaming_enrich_join",
+    "streaming_stream_stream_join",
+    "streaming_stateful_sessionize",
+    "streaming_document_curation",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh",
+    "corpus_curation_pipeline",
+    "mm_feature_extract",
+]
+
+
+def test_r9_window_regrades_stalest_evidence():
+    """r9 rotation (VERDICT r8 items 1/2): the window holds (a) the
+    thirteen r2-only entries (age 7 this round — the freshness test
+    forces them), (b) the complete r3-only tranche (age 6, would force
+    the r10 window otherwise), (c) the r4 tranche — windowing it now
+    clears the entire pre-r5 backlog, so no future tranche is windowed
+    under freshness pressure — minus any members displaced from the
+    BOTTOM of the block by r9-new queries (displaced members carry r4
+    evidence, fresh through r10, and sit at the head of the staged
+    block), and (d) the 15 standing keeps (streaming gates, skew/
+    bucketed join pins, flagships)."""
     window = registry._PRIORITY[: registry.GRADED_WINDOW]
-    assert window[0] == "embed_quantize_int8"  # the only never-green query
-    assert window[1] == "dedup_suffix_repeats"  # r8-new, graded on arrival
-    assert window[2] == "curate_suffix_dedup_apply"  # its removal twin
-    for name in stalest + new_r8 + keeps:
+    for name in _R9_R2_STALE + _R9_R3_TRANCHE + _STANDING_KEEPS:
         assert name in window, name
-    assert len(window) == 3 + len(stalest) + len(new_r8) + len(keeps) == 50
-    # embed_norms (r3-only) is the next-stalest entry and did NOT fit
-    # this window; the registry comments name it the top r9 candidate
-    # alongside the thirteen displaced r2-only entries.  Pin that claim
-    # so the r9 rotation can't silently skip them.
-    for name in (
-        "embed_norms",
-        "setop_except_inactive",
-        "scalar_string_funcs",
-        "scalar_datetime_funcs",
-        "setop_intersect_active_auto",
-        "window_range_frame_spend",
-        "window_value_picking",
-        "events_type_matrix",
-        "window_analytics_distribution",
-        "agg_pivot_status",
-        "join_theta_quantity_over_size",
-        "join_full_outer_nation_activity",
-        "q14_promo_effect",
-        "events_dedup_latest",
-    ):
-        assert name not in window, name
-        assert name in registry._PRIORITY[registry.GRADED_WINDOW :], name
+    # r4-tranche members are either windowed or displaced to the head
+    # of the staged block (still fresh through r10).
+    staged = registry._PRIORITY[registry.GRADED_WINDOW :]
+    for name in _R9_R4_TRANCHE:
+        assert name in window or name in staged[: len(_R9_R4_TRANCHE)], name
+    # every window slot belongs to one of the four groups or is r9-new
+    # (no prior CORRECTNESS row) — nothing fresh sneaks in and burns a slot
+    known = set(_R9_R2_STALE + _R9_R3_TRANCHE + _R9_R4_TRANCHE + _STANDING_KEEPS)
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded_before = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        graded_before.update(json.load(open(path)).keys())
+    for name in window:
+        assert name in known or name not in graded_before, name
+    assert len(window) == 50
+
+
+def test_r10_rotation_horizon():
+    """VERDICT r8 item 2, made executable: verify from the artifacts on
+    disk that the r9 window composition leaves NO query that ages past
+    the 6-round freshness bar at r10, given only that (a) the r9 window
+    gets r9 evidence and (b) the r10 window re-windows the staged head
+    (displaced r4 entries + the r5-latest tranche + standing keeps).
+    This is the horizon math for the plan recorded in registry.py's
+    'r10 PLAN' comment."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest_green: dict[str, int] = {}
+    rounds = []
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", path).group(1))
+        rounds.append(rnd)
+        for name, row in json.load(open(path)).items():
+            if row.get("rows_match") is True and row.get("schema_match") is True:
+                if row.get("hash_match") in (True, None):
+                    latest_green[name] = max(latest_green.get(name, 0), rnd)
+    r10 = max(rounds) + 2  # artifacts exist through the completed round
+    window = set(registry._PRIORITY[: registry.GRADED_WINDOW])
+    # simulate: everything in the r9 window gets r9 evidence
+    simulated = dict(latest_green)
+    for name in window:
+        simulated[name] = r10 - 1
+    # the r10 window per the plan: staged head (displaced r4 + r5
+    # tranche) + standing keeps fits in 50 slots with room for new work
+    staged = registry._PRIORITY[registry.GRADED_WINDOW :]
+    must_window_r10 = [
+        n for n in registry._PRIORITY if r10 - simulated.get(n, -100) > 6
+    ]
+    plan_r10 = set(staged[: 50 - len(_STANDING_KEEPS)]) | set(_STANDING_KEEPS)
+    for name in must_window_r10:
+        assert name in plan_r10, (
+            f"{name} ages out at r10 but is not in the staged r10 window head"
+        )
+    # and the mandatory set is comfortably smaller than the window
+    assert len(must_window_r10) <= 50 - len(_STANDING_KEEPS)
 
 
 def test_registered_query_outputs_are_scalar_only(spark, sf_dir):
