@@ -1394,3 +1394,215 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (r9): CCNet/fastText-style logistic
+# regression over hashed bag-of-words features (Wenzek et al. 2020;
+# Joulin et al. 2017 — public methods).  GPT-3/CCNet-class pipelines
+# gate documents with a TRAINED linear quality model, not only
+# heuristic gates; this is that operator, trained end-to-end inside
+# the engine with zero driver round-trips (the BPE-trainer pattern:
+# iterative training expressed as bounded-size aggregations chained
+# through lazy localCheckpoints).
+# ---------------------------------------------------------------------------
+
+QC_BUCKET_HEX = 2  # 16^2 = 256 hashed bag-of-words feature buckets
+QC_BUCKETS = 16**QC_BUCKET_HEX
+QC_STEPS = 3  # fixed full-batch gradient steps (deterministic unroll)
+QC_ETA = 2.0  # learning rate
+QC_BIAS = "__bias__"  # synthetic always-on feature: uniform bias handling
+
+
+def qc_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, b, x) hashed bag-of-words feature stream: x is the
+    bucket's share of the doc's tokens (mean bag, like fastText's
+    averaged input layer), plus one synthetic always-1 ``__bias__``
+    feature per doc so the bias weight trains through the exact same
+    join/aggregate path as every other weight (no special cases in
+    either engine)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).select("doc_id", F.substring(F.md5("w"), 1, QC_BUCKET_HEX).alias("b"))
+    from pyspark.sql import Window
+
+    cnt = toks.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    x = cnt.select(
+        "doc_id",
+        "b",
+        (F.col("c").cast("double") / F.sum("c").over(Window.partitionBy("doc_id"))).alias("x"),
+    )
+    bias = docs.select("doc_id", F.lit(QC_BIAS).alias("b"), F.lit(1.0).alias("x"))
+    return x.unionByName(bias)
+
+
+def qc_labels(docs: DataFrame) -> DataFrame:
+    """Deterministic seed labels: lang == 'en' is the positive class —
+    a stand-in for the curated-positive corpus (WebText/Wikipedia in
+    GPT-3's classifier; the target-domain sample in CCNet).  A
+    production run swaps in real curated positives; the training
+    dataflow is label-agnostic."""
+    return docs.select(
+        "doc_id",
+        F.when(F.col("lang") == DSIR_TARGET_LANG, 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def qc_train(docs: DataFrame) -> DataFrame:
+    """Train the logistic model: QC_STEPS full-batch gradient-descent
+    steps from zero init.  Returns the (b, wt) weight table —
+    CONSTANT-bounded at QC_BUCKETS+1 rows regardless of corpus size.
+
+    Per step: one broadcast join of the weight table onto the feature
+    stream + doc_id margin aggregation, a sigmoid residual against the
+    labels, then one bucket-keyed gradient aggregation (map-side
+    combined to <= QC_BUCKETS+1 partial rows per task).  The feature
+    stream is localCheckpoint'd once so the corpus scan runs once, and
+    each step's weight table is lazily localCheckpoint'd so the plan
+    stays flat across steps (no exponential lineage; no .collect() —
+    the BPE-trainer discipline).
+
+    Scale (100 TB): each step is two map-side-combinable exchanges of
+    the feature stream (doc margin, bucket gradient) plus broadcasts of
+    the constant weight table and the single-row doc count.  In
+    production the classifier trains on a bounded SAMPLE (fastText
+    quality models train on ~millions of docs — feed this from
+    curate_weighted_sample); the corpus-scale half is scoring, which is
+    a single broadcast join (see curate_quality_classifier_score)."""
+    return qc_gradient_descent(
+        qc_features(docs).localCheckpoint(eager=False), docs
+    )
+
+
+def qc_gradient_descent(feats: DataFrame, docs: DataFrame) -> DataFrame:
+    """The gradient loop over an (already checkpointed) feature stream —
+    split out so the score twin trains and scores over ONE materialized
+    feature table instead of exploding the corpus twice."""
+    labels = qc_labels(docs)
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    weights = feats.select("b").distinct().withColumn("wt", F.lit(0.0))
+    for _ in range(QC_STEPS):
+        margin = (
+            feats.join(F.broadcast(weights), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("wt")).alias("m"))
+        )
+        resid = margin.join(labels, "doc_id").select(
+            "doc_id",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y")).alias("r"),
+        )
+        grad = (
+            feats.join(resid, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+        )
+        weights = (
+            weights.join(grad, "b")
+            .crossJoin(F.broadcast(nd))
+            .select("b", (F.col("wt") - QC_ETA * F.col("g") / F.col("nd")).alias("wt"))
+            .localCheckpoint(eager=False)
+        )
+    return weights
+
+
+def qc_train_cte() -> str:
+    """Oracle CTE chain replaying qc_train: the same fixed-step unroll
+    in SQL (step k's weight table derives from step k-1's), shared by
+    the train and score twins."""
+    parts = [
+        f"""qc_toks AS (
+  SELECT doc_id, substr(md5(w), 1, {QC_BUCKET_HEX}) AS b
+  FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+),
+qc_feats AS (
+  SELECT doc_id, b,
+         CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS x
+  FROM qc_toks GROUP BY doc_id, b
+  UNION ALL
+  SELECT doc_id, '{QC_BIAS}', 1.0 FROM documents
+),
+qc_lab AS (
+  SELECT doc_id, CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+qc_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+qc_w0 AS (SELECT DISTINCT b, 0.0 AS wt FROM qc_feats)"""
+    ]
+    for i in range(1, QC_STEPS + 1):
+        parts.append(
+            f"""qc_m{i} AS (
+  SELECT f.doc_id, SUM(f.x * w.wt) AS m
+  FROM qc_feats f JOIN qc_w{i - 1} w USING (b) GROUP BY f.doc_id
+),
+qc_r{i} AS (
+  SELECT m.doc_id, 1.0 / (1.0 + EXP(-m.m)) - l.y AS r
+  FROM qc_m{i} m JOIN qc_lab l USING (doc_id)
+),
+qc_w{i} AS (
+  SELECT f.b, ANY_VALUE(w.wt) - {QC_ETA} * SUM(r.r * f.x) / ANY_VALUE(n.nd) AS wt
+  FROM qc_feats f
+  JOIN qc_r{i} r USING (doc_id)
+  JOIN qc_w{i - 1} w ON f.b = w.b, qc_n n
+  GROUP BY f.b
+)"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "curate_quality_classifier",
+    oracle=f"""
+WITH {qc_train_cte()}
+SELECT b AS bucket, ROUND(wt, 6) AS weight FROM qc_w{QC_STEPS}
+""",
+)
+def curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the fastText/CCNet-style quality classifier and emit the
+    weight table (bucket, weight) — at most QC_BUCKETS+1 rows.  The
+    DuckDB oracle replays the identical fixed-step gradient descent as
+    an unrolled CTE chain, so the trained weights are graded
+    value-exact (6 dp), not just shape-checked."""
+    w = qc_train(table(spark, sf_dir, "documents"))
+    return w.select(F.col("b").alias("bucket"), F.round("wt", 6).alias("weight"))
+
+
+@register(
+    "curate_quality_classifier_score",
+    oracle=f"""
+WITH {qc_train_cte()},
+qc_score AS (
+  SELECT f.doc_id, 1.0 / (1.0 + EXP(-SUM(f.x * w.wt))) AS p
+  FROM qc_feats f JOIN qc_w{QC_STEPS} w USING (b) GROUP BY f.doc_id
+)
+SELECT s.doc_id, d.lang, ROUND(s.p, 6) AS quality_p,
+       ROUND(s.p, 6) >= 0.5 AS keep
+FROM qc_score s JOIN documents d USING (doc_id)
+""",
+)
+def curate_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the trained classifier: sigmoid of the
+    broadcast-weight dot product, and the keep/drop gate at p >= 0.5
+    (on the 6-dp ROUNDED p so both engines gate the same value).  This
+    is the corpus-scale half: ONE broadcast join of the constant weight
+    table onto the feature stream + one doc_id aggregation — scoring
+    100 TB is a single linear pass, exactly like the DSIR scoring
+    join."""
+    docs = table(spark, sf_dir, "documents")
+    feats = qc_features(docs).localCheckpoint(eager=False)
+    w = qc_gradient_descent(feats, docs)
+    scored = (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.sum(F.col("x") * F.col("wt"))))
+            ).alias("p")
+        )
+    )
+    return scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.round("p", 6).alias("quality_p"),
+        (F.round("p", 6) >= 0.5).alias("keep"),
+    )

@@ -78,8 +78,10 @@ _PRIORITY: list[str] = [
     "collector_bridge_roundtrip",
     "collector_bounce_events",
     "streaming_hourly_rollup",
-    "agg_approx_distinct",
-    "join_asof_last_click",
+    # ---- r9-new queries (graded on arrival; each displaced one
+    # r4-tranche entry to the head of the staged block).
+    "curate_quality_classifier",
+    "curate_quality_classifier_score",
     # ---- slots 36-50: the 15 standing keeps (same set as r7/r8).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -106,6 +108,10 @@ _PRIORITY: list[str] = [
     # r10 window = those displaced r4 entries + the r5 tranche + the
     # standing keeps + r10-new queries; the r6 block (35 entries) then
     # fills r11.  Nothing ages past 6 under this schedule.
+    # ---- r4-tranche entries displaced by r9-new queries (r4 evidence,
+    # fresh through r10 — MUST be in the r10 window).
+    "agg_approx_distinct",
+    "join_asof_last_click",
     # ---- r5-latest tranche (24 entries; r10 window material).
     "dedup_embedding_cosine",
     "dedup_embedding_kmeans",
@@ -246,7 +252,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "dedup_embedding_cosine"  # first entry past the window, r9
+_WINDOW_SENTINEL = "agg_approx_distinct"  # first entry past the window, r9
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

@@ -500,3 +500,49 @@ def test_source_matrix_joins_counts_never_documents(spark, sf_dir):
     assert "Scan parquet" not in plan, plan
     assert "partial_count" not in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_quality_classifier_train_distributed(spark, sf_dir, monkeypatch):
+    """Trained quality classifier (r9): the production plan is bounded
+    by checkpoints (final weights read back as a flat scan — step k
+    never recomputes steps 1..k-1); with the checkpoints
+    identity-patched so the full lineage is visible, every weight-table
+    join onto the feature stream must be a BROADCAST hash join (the
+    weight table is CONSTANT-bounded at QC_BUCKETS+1 rows), the
+    single-row doc-count crossJoin is the only nested-loop shape, the
+    gradient aggregation partial-combines map-side, and no Python stage
+    appears anywhere (the gradient stays distributed — the BPE-trainer
+    discipline)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from opensnowcat_collector_spark.engine.llmdata import curation as C
+
+    prod_plan = _plan(spark, sf_dir, "curate_quality_classifier")
+    assert "Scan ExistingRDD" in prod_plan, prod_plan
+    assert "Exchange" not in prod_plan, prod_plan
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", lambda self, eager=True: self)
+    full_plan = _plan(spark, sf_dir, "curate_quality_classifier")
+    n = C.QC_STEPS
+    # checkpoint-patched subtrees are duplicated down later steps'
+    # lineage, so counts are lower bounds, not equalities
+    assert full_plan.count("BroadcastHashJoin") >= n, full_plan
+    assert full_plan.count("BroadcastNestedLoopJoin") >= n, full_plan
+    assert "CartesianProduct" not in full_plan, full_plan
+    assert "partial_sum" in full_plan, full_plan
+    assert "EvalPython" not in full_plan and "MapInPandas" not in full_plan
+
+
+def test_quality_classifier_score_broadcast_single_pass(spark, sf_dir):
+    """Classifier scoring (r9): the corpus-scale half must be ONE linear
+    pass — the trained weight table arrives as a checkpointed flat scan
+    (training is NOT re-run inline) and meets the feature stream as a
+    BROADCAST hash join; the margin aggregation partial-combines before
+    its doc_id exchange; no Python stages."""
+    plan = _plan(spark, sf_dir, "curate_quality_classifier_score")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
