@@ -98,6 +98,12 @@ HEADLINE = [
     "text_dup_line_fractions",
     "curate_weighted_sample",
     "dedup_source_matrix",
+    # r9: the trained quality classifier (fixed-step logistic GD with
+    # constant-bounded broadcast weights) + its corpus-scale scoring
+    # pass, and the greedy dedup-order planner over the bounded matrix
+    "curate_quality_classifier",
+    "curate_quality_classifier_score",
+    "dedup_source_order_plan",
 ]
 
 

@@ -1588,9 +1588,22 @@ def curate_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFra
     100 TB is a single linear pass, exactly like the DSIR scoring
     join."""
     docs = table(spark, sf_dir, "documents")
+    return qc_scores(docs).join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.round("p", 6).alias("quality_p"),
+        (F.round("p", 6) >= 0.5).alias("keep"),
+    )
+
+
+def qc_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, p) sigmoid scores under the trained weights, sharing ONE
+    checkpointed feature stream between training and scoring — the
+    subtree both the score twin and the threshold-sweep evaluation
+    consume."""
     feats = qc_features(docs).localCheckpoint(eager=False)
     w = qc_gradient_descent(feats, docs)
-    scored = (
+    return (
         feats.join(F.broadcast(w), "b")
         .groupBy("doc_id")
         .agg(
@@ -1600,9 +1613,117 @@ def curate_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("p")
         )
     )
-    return scored.join(docs.select("doc_id", "lang"), "doc_id").select(
-        "doc_id",
-        "lang",
-        F.round("p", 6).alias("quality_p"),
-        (F.round("p", 6) >= 0.5).alias("keep"),
+
+
+#: evaluation threshold sweep (inclusive deciles): the PR curve is read
+#: off the same 9 operating points in both engines
+QC_EVAL_THRESHOLDS = [round((i + 1) / 10, 1) for i in range(9)]
+
+
+def _qc_eval_oracle() -> str:
+    taus = QC_EVAL_THRESHOLDS
+    sums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN rp >= {t} AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp{i},\n"
+        f"         CAST(SUM(CASE WHEN rp >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS pp{i}"
+        for i, t in enumerate(taus)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {t} AS threshold, tp{i} AS tp, pp{i} - tp{i} AS fp,
+       pos - tp{i} AS fn, n - pp{i} - pos + tp{i} AS tn,
+       CASE WHEN pp{i} = 0 THEN NULL
+            ELSE ROUND(CAST(tp{i} AS DOUBLE) / pp{i}, 6) END AS precision_,
+       CASE WHEN pos = 0 THEN NULL
+            ELSE ROUND(CAST(tp{i} AS DOUBLE) / pos, 6) END AS recall_,
+       CASE WHEN pp{i} + pos = 0 THEN NULL
+            ELSE ROUND(2.0 * tp{i} / (pp{i} + pos), 6) END AS f1
+FROM qc_tot"""
+        for i, t in enumerate(taus)
+    )
+    return f"""
+WITH {qc_train_cte()},
+qc_score AS (
+  SELECT f.doc_id, 1.0 / (1.0 + EXP(-SUM(f.x * w.wt))) AS p
+  FROM qc_feats f JOIN qc_w{QC_STEPS} w USING (b) GROUP BY f.doc_id
+),
+qc_rp AS (
+  SELECT s.doc_id, ROUND(s.p, 6) AS rp, l.y
+  FROM qc_score s JOIN qc_lab l USING (doc_id)
+),
+qc_tot AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS n,
+         {sums}
+  FROM qc_rp
+)
+{rows}
+"""
+
+
+@register("curate_classifier_eval", oracle=_qc_eval_oracle())
+def curate_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep evaluation of the trained quality classifier —
+    the PR curve a curation run reads before choosing the gate: at each
+    decile threshold, the confusion counts (tp/fp/fn/tn against the
+    seed labels) plus 6-dp precision / recall / F1 (F1 in its
+    2*tp/(pp+pos) single-division form so both engines divide once).
+    Thresholding uses the 6-dp ROUNDED score, like the score twin's
+    keep gate, so both engines gate identical values.
+
+    Dataflow: per-doc (rounded score, label) rows collapse in ONE
+    global aggregate carrying two counters per threshold (tp, predicted
+    -positive) plus the shared (pos, n) pair — 20 map-side-combined
+    sums, no join, no fan-out — then the single row stacks to the 9
+    operating points and the derived cells (fp = pp-tp, fn = pos-tp,
+    tn = n-pp-pos+tp) are pure projections.
+
+    Scale (100 TB): the sweep adds nothing to the scoring pass — the
+    eval is one single-row aggregate over the scored stream (the
+    9-threshold fan-out happens AFTER the reduction, on one row)."""
+    docs = table(spark, sf_dir, "documents")
+    rp = (
+        qc_scores(docs)
+        .join(qc_labels(docs), "doc_id")
+        .select(F.round("p", 6).alias("rp"), "y")
+    )
+    aggs = [
+        F.sum("y").cast("long").alias("pos"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    for i, t in enumerate(QC_EVAL_THRESHOLDS):
+        aggs.append(
+            F.sum(F.when((F.col("rp") >= t) & (F.col("y") == 1.0), 1).otherwise(0))
+            .cast("long")
+            .alias(f"tp{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("rp") >= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"pp{i}")
+        )
+    tot = rp.agg(*aggs)
+    stack_args = ", ".join(
+        f"{t}d, tp{i}, pp{i}" for i, t in enumerate(QC_EVAL_THRESHOLDS)
+    )
+    stacked = tot.selectExpr(
+        f"stack({len(QC_EVAL_THRESHOLDS)}, {stack_args}) AS (threshold, tp, pp)",
+        "pos",
+        "n",
+    )
+    prec = F.when(F.col("pp") == 0, None).otherwise(
+        F.round(F.col("tp").cast("double") / F.col("pp"), 6)
+    )
+    rec = F.when(F.col("pos") == 0, None).otherwise(
+        F.round(F.col("tp").cast("double") / F.col("pos"), 6)
+    )
+    f1 = F.when(F.col("pp") + F.col("pos") == 0, None).otherwise(
+        F.round(F.lit(2.0) * F.col("tp") / (F.col("pp") + F.col("pos")), 6)
+    )
+    return stacked.select(
+        "threshold",
+        "tp",
+        (F.col("pp") - F.col("tp")).alias("fp"),
+        (F.col("pos") - F.col("tp")).alias("fn"),
+        (F.col("n") - F.col("pp") - F.col("pos") + F.col("tp")).alias("tn"),
+        prec.alias("precision_"),
+        rec.alias("recall_"),
+        f1.alias("f1"),
     )

@@ -11,8 +11,13 @@ Replication preserves semantics instead of inflating join fan-out:
 - embedding labels shift by replica*10, keeping cosine blocks intra-replica.
 
 Usage: python tools/scale_probe.py [K ...] [--queries a,b,c]
+                                   [--tables t1,t2] [--no-artifacts]
 (default K: 1 4 8; default queries: PROBE_QUERIES).  At K>=32 run a
-subset — replica build time dominates otherwise.
+subset — replica build time dominates otherwise.  --tables restricts
+K-fold replication to the listed tables (the rest copy at 1x: a 128x
+documents probe must not pay a 76.8M-row lineitem build it never
+reads); --no-artifacts skips the ANN index / bucketed layout builds for
+probe sets that touch neither.
 Writes one JSON line per K; paste the summary into BASELINE.md.
 """
 
@@ -69,16 +74,20 @@ COPY_TABLES = ["region", "nation", "supplier", "part"]
 _VOWS = "aeiou"
 
 
-def build(spark, k: int) -> str:
+def build(spark, k: int, tables: list[str] | None = None) -> str:
     from pyspark.sql import functions as F
 
-    out = f"{WORK}/x{k}"
+    replicate = dict(KEY_SHIFTS) if tables is None else {
+        t: KEY_SHIFTS[t] for t in tables
+    }
+    suffix = "" if tables is None else "-" + "-".join(sorted(replicate))
+    out = f"{WORK}/x{k}{suffix}"
     if os.path.exists(out):
         return out
     os.makedirs(out, exist_ok=True)
-    for t in COPY_TABLES:
+    for t in COPY_TABLES + [t for t in KEY_SHIFTS if t not in replicate]:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
-    for t, shifts in KEY_SHIFTS.items():
+    for t, shifts in replicate.items():
         base = spark.read.parquet(f"{SRC}/{t}.parquet")
         parts = []
         for r in range(k):
@@ -99,14 +108,24 @@ def build(spark, k: int) -> str:
 def main() -> None:
     args = sys.argv[1:]
     probe = PROBE_QUERIES
-    if "--queries" in args:
-        i = args.index("--queries")
-        if i + 1 >= len(args):
-            raise SystemExit(
-                "usage: scale_probe.py [K ...] [--queries name1,name2,...]"
-            )
-        probe = args[i + 1].split(",")
-        args = args[:i] + args[i + 2 :]
+    tables = None
+    artifacts = True
+    if "--no-artifacts" in args:
+        artifacts = False
+        args.remove("--no-artifacts")
+    for flag in ("--queries", "--tables"):
+        if flag in args:
+            i = args.index(flag)
+            if i + 1 >= len(args):
+                raise SystemExit(
+                    "usage: scale_probe.py [K ...] [--queries n1,n2,...]"
+                    " [--tables t1,t2] [--no-artifacts]"
+                )
+            if flag == "--queries":
+                probe = args[i + 1].split(",")
+            else:
+                tables = args[i + 1].split(",")
+            args = args[:i] + args[i + 2 :]
     ks = [int(a) for a in args] or [1, 4, 8]
     from opensnowcat_collector_spark.engine import registry
     from opensnowcat_collector_spark.session import get_spark
@@ -117,16 +136,17 @@ def main() -> None:
     qs["topk_orders"](spark, SRC).count()  # warm
 
     for k in ks:
-        sf_dir = build(spark, k)
-        # pay-once artifacts are infrastructure, not recurring query cost
-        # (mirrors bench.py): build them outside the timed region
-        from opensnowcat_collector_spark.engine.layout import build_bucketed_layout
-        from opensnowcat_collector_spark.engine.llmdata.similarity import (
-            build_ann_index,
-        )
+        sf_dir = build(spark, k, tables)
+        if artifacts:
+            # pay-once artifacts are infrastructure, not recurring query
+            # cost (mirrors bench.py): build them outside the timed region
+            from opensnowcat_collector_spark.engine.layout import build_bucketed_layout
+            from opensnowcat_collector_spark.engine.llmdata.similarity import (
+                build_ann_index,
+            )
 
-        build_ann_index(spark, sf_dir)
-        build_bucketed_layout(spark, sf_dir)
+            build_ann_index(spark, sf_dir)
+            build_bucketed_layout(spark, sf_dir)
         timings = {}
         for name in probe:
             t0 = time.perf_counter()
