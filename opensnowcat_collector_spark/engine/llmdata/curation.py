@@ -1505,27 +1505,30 @@ def qc_gradient_descent(feats: DataFrame, docs: DataFrame) -> DataFrame:
     return weights
 
 
-def qc_train_cte() -> str:
+def qc_train_cte(train_where: str = "") -> str:
     """Oracle CTE chain replaying qc_train: the same fixed-step unroll
     in SQL (step k's weight table derives from step k-1's), shared by
-    the train and score twins."""
+    the train / score / eval twins.  ``train_where`` restricts the
+    training slice (the streaming serving twin trains on the historical
+    half only, like the DSIR twin)."""
     parts = [
         f"""qc_toks AS (
   SELECT doc_id, substr(md5(w), 1, {QC_BUCKET_HEX}) AS b
-  FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+  FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w
+        FROM documents {train_where})
 ),
 qc_feats AS (
   SELECT doc_id, b,
          CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS x
   FROM qc_toks GROUP BY doc_id, b
   UNION ALL
-  SELECT doc_id, '{QC_BIAS}', 1.0 FROM documents
+  SELECT doc_id, '{QC_BIAS}', 1.0 FROM documents {train_where}
 ),
 qc_lab AS (
   SELECT doc_id, CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1.0 ELSE 0.0 END AS y
-  FROM documents
+  FROM documents {train_where}
 ),
-qc_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+qc_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents {train_where}),
 qc_w0 AS (SELECT DISTINCT b, 0.0 AS wt FROM qc_feats)"""
     ]
     for i in range(1, QC_STEPS + 1):

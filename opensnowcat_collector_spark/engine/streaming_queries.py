@@ -1107,3 +1107,110 @@ def _ws_merge_reservoir(batch_df: DataFrame, prev: DataFrame | None) -> DataFram
     if prev is not None:
         cand = prev.unionByName(cand)
     return cand.orderBy(F.col("es_key").desc(), "doc_id").limit(WEIGHTED_SAMPLE_K)
+
+
+# ---------------------------------------------------------------------------
+# r9: incremental quality-classifier scoring — the serving half of
+# curate_quality_classifier (the streaming_dsir_scoring shape for a
+# TRAINED model): the weight table is trained ONCE on the static corpus
+# slice; every incoming micro-batch is scored against its broadcast.
+# ---------------------------------------------------------------------------
+
+from .llmdata.curation import (  # noqa: E402
+    QC_BIAS,
+    QC_BUCKET_HEX,
+    QC_STEPS,
+    qc_features,
+    qc_gradient_descent,
+    qc_train_cte,
+)
+
+
+@register(
+    "streaming_quality_scoring",
+    oracle=f"""
+WITH {qc_train_cte(f"WHERE doc_id < {CURATION_CORPUS_SPLIT}")},
+sc_toks AS (
+  SELECT doc_id, substr(md5(w), 1, {QC_BUCKET_HEX}) AS b
+  FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE doc_id >= {CURATION_CORPUS_SPLIT})
+),
+sc_feats AS (
+  SELECT doc_id, b,
+         CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS x
+  FROM sc_toks GROUP BY doc_id, b
+  UNION ALL
+  SELECT doc_id, '{QC_BIAS}', 1.0 FROM documents
+  WHERE doc_id >= {CURATION_CORPUS_SPLIT}
+),
+sc AS (
+  SELECT f.doc_id, 1.0 / (1.0 + EXP(-SUM(f.x * COALESCE(w.wt, 0.0)))) AS p
+  FROM sc_feats f LEFT JOIN qc_w{QC_STEPS} w USING (b)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, ROUND(p, 6) AS quality_p, ROUND(p, 6) >= 0.5 AS keep FROM sc
+""",
+)
+def streaming_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental quality-classifier scoring under the gate — the
+    production serving shape of ``curate_quality_classifier``: the
+    logistic weight table is trained ONCE on the static labeled slice
+    (doc_id < split) and the incoming crawl (doc_id >= split, streamed)
+    is scored per micro-batch through ``foreachBatch`` with the
+    epoch-overwrite exactly-once recipe.  Hashed buckets never seen in
+    training carry weight 0 via a LEFT join + coalesce — the logistic
+    model's natural unseen-feature default, and a branch the
+    within-corpus batch twins can never exercise.
+
+    Stateless by construction: a document is one row, so its features
+    all land in the same micro-batch and the per-doc sigmoid is exact
+    batch-locally — no watermark, no cross-batch state, and equality
+    with the batch oracle proves batching-invariance.
+
+    100-TB note: training is paid once (the weight table is a
+    localCheckpoint'd production artifact, CONSTANT-bounded at
+    QC_BUCKETS+1 rows); each epoch pays only its own token explode +
+    the constant broadcast + one batch-local doc aggregation —
+    incremental work scales with the batch, never the corpus.  Feature
+    and step definitions are shared verbatim with the batch twins
+    (``qc_features`` / ``qc_gradient_descent`` / ``qc_train_cte``)."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    hist = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < CURATION_CORPUS_SPLIT
+    )
+    w = qc_gradient_descent(
+        qc_features(hist).localCheckpoint(eager=False), hist
+    ).localCheckpoint(eager=False)
+
+    stream = _stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= CURATION_CORPUS_SPLIT
+    )
+
+    def score_batch(batch_df: DataFrame) -> DataFrame:
+        p = (
+            qc_features(batch_df)
+            .join(F.broadcast(w), "b", "left")
+            .groupBy("doc_id")
+            .agg(
+                (
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(-F.sum(F.col("x") * F.coalesce(F.col("wt"), F.lit(0.0))))
+                    )
+                ).alias("p")
+            )
+        )
+        return p.select(
+            "doc_id",
+            F.round("p", 6).alias("quality_p"),
+            (F.round("p", 6) >= 0.5).alias("keep"),
+        )
+
+    return _drain_foreachbatch(
+        stream,
+        score_batch,
+        ["doc_id", "quality_p", "keep"],
+        "streaming quality scoring",
+        "qc_stream_",
+    )

@@ -6,8 +6,14 @@ Replication preserves semantics instead of inflating join fan-out:
 - fact/dim keys shift by replica (orderkey/custkey/event_id/user_id/
   doc_id/vec_id), so per-replica join cardinalities are preserved and
   totals scale linearly;
-- document text is `translate`d per replica (vowel rotation) so
-  cross-replica shingles don't collide (no artificial N^2 near-dup pairs);
+- document text is `translate`d per replica — letters rotated r%26 AND
+  digits rotated r%10, period lcm(26,10)=130 — so cross-replica
+  shingles don't collide through K=129 (no artificial N^2 near-dup
+  pairs).  The r1-r8 probes rotated only vowels (period 5): replicas r
+  and r+5 carried IDENTICAL text, so at K=128 every doc had ~25 exact
+  cross-replica copies and duplicate mass grew QUADRATICALLY in K —
+  doc-table rows measured with that generator overstate scaling cost
+  (caught by the r9 128x probe; see BASELINE.md);
 - embedding labels shift by replica*10, keeping cosine blocks intra-replica.
 
 Usage: python tools/scale_probe.py [K ...] [--queries a,b,c]
@@ -33,7 +39,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SRC = "/root/testdata/sf0.1"
-WORK = "/tmp/scale_probe"
+# v2: letters+digits rotation (period 130) replaced the aliasing vowel
+# rotation — the path is versioned so stale replicas can't serve silently
+WORK = "/tmp/scale_probe_v2"
 
 PROBE_QUERIES = [
     "q1_pricing_summary",
@@ -71,7 +79,8 @@ KEY_SHIFTS = {
 }
 COPY_TABLES = ["region", "nation", "supplier", "part"]
 
-_VOWS = "aeiou"
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+_DIGITS = "0123456789"
 
 
 def build(spark, k: int, tables: list[str] | None = None) -> str:
@@ -95,8 +104,15 @@ def build(spark, k: int, tables: list[str] | None = None) -> str:
             for col, off in shifts.items():
                 df = df.withColumn(col, F.col(col) + F.lit(r * off))
             if t == "documents" and r > 0:
-                rot = _VOWS[r % 5:] + _VOWS[: r % 5]
-                df = df.withColumn("text", F.translate("text", _VOWS, rot))
+                rot = (
+                    _LETTERS[r % 26 :]
+                    + _LETTERS[: r % 26]
+                    + _DIGITS[r % 10 :]
+                    + _DIGITS[: r % 10]
+                )
+                df = df.withColumn(
+                    "text", F.translate("text", _LETTERS + _DIGITS, rot)
+                )
             parts.append(df)
         u = parts[0]
         for p in parts[1:]:
