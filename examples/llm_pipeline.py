@@ -94,6 +94,25 @@ def main() -> None:
     gate = qs["curate_quality_quantile_filter"](spark, sf_dir)
     print(f"quality gate survivors: {gate.count()}")
 
+    plan = qs["dedup_source_order_plan"](spark, sf_dir)
+    print("dedup order (greedy marginal duplicate mass):")
+    for row in plan.orderBy("step").collect()[:5]:
+        print(f"   {row.step}. {row.source} ({row.marginal} dup pairs attributed)")
+
+    scored = qs["curate_quality_classifier_score"](spark, sf_dir)
+    kept = scored.filter("keep").count()
+    print(f"trained quality classifier: keeps {kept}/{scored.count()} docs at p>=0.5")
+
+    ev = qs["curate_classifier_eval"](spark, sf_dir)
+    half = ev.filter("threshold = 0.5").first()
+    if half.precision_ is None:  # no predicted positives at this gate
+        print("classifier eval @0.5: no docs above the gate")
+    else:
+        print(
+            f"classifier eval @0.5: precision={half.precision_:.3f} "
+            f"recall={half.recall_:.3f} f1={half.f1:.3f}"
+        )
+
     ccnet = qs["curate_ccnet_buckets"](spark, sf_dir)
     heads = ccnet.filter("bucket = 'head'").count()
     print(f"CCNet buckets: {heads}/{ccnet.count()} docs in the head tercile")

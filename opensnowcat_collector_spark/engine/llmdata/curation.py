@@ -1409,18 +1409,34 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QC_BUCKET_HEX = 2  # 16^2 = 256 hashed bag-of-words feature buckets
 QC_BUCKETS = 16**QC_BUCKET_HEX
-QC_STEPS = 3  # fixed full-batch gradient steps (deterministic unroll)
+QC_STEPS = 10  # fixed full-batch gradient steps (deterministic unroll)
 QC_ETA = 2.0  # learning rate
 QC_BIAS = "__bias__"  # synthetic always-on feature: uniform bias handling
+#: term-share features are O(1/doc_tokens) — far too small for fixed-step
+#: GD (the margin after step 1 grows as eta * x^2); the scale constant
+#: lifts them to O(1) so ten steps separate.  Tuned on the sf0.01 slice:
+#: scale 8 / 10 steps / eta 2 measures precision 0.87 at recall 0.53
+#: against a 0.47 base rate; scale 64 oscillates (p swings 0 -> 1), and
+#: unscaled shares barely move p at all (pos/neg means differ by 5e-4).
+QC_TF_SCALE = 8.0
+#: seed-keyword bootstrap labels: y=1 when the doc mentions the seed
+#: term at least QC_SEED_MIN times — the standard way to seed a domain
+#: classifier when no curated positive set exists (keyword-matched
+#: positives; a production run swaps in curated labels).  lang-based
+#: labels are UNLEARNABLE here by construction: the synthetic corpus
+#: draws text from one vocabulary for every lang, and the measured
+#: pos/neg mean scores differed by 1e-4.
+QC_SEED_TERM = "spark"
+QC_SEED_MIN = 2
 
 
 def qc_features(docs: DataFrame) -> DataFrame:
     """(doc_id, b, x) hashed bag-of-words feature stream: x is the
     bucket's share of the doc's tokens (mean bag, like fastText's
-    averaged input layer), plus one synthetic always-1 ``__bias__``
-    feature per doc so the bias weight trains through the exact same
-    join/aggregate path as every other weight (no special cases in
-    either engine)."""
+    averaged input layer) lifted by QC_TF_SCALE so fixed-step GD moves,
+    plus one synthetic always-1 ``__bias__`` feature per doc so the
+    bias weight trains through the exact same join/aggregate path as
+    every other weight (no special cases in either engine)."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
     ).select("doc_id", F.substring(F.md5("w"), 1, QC_BUCKET_HEX).alias("b"))
@@ -1430,21 +1446,29 @@ def qc_features(docs: DataFrame) -> DataFrame:
     x = cnt.select(
         "doc_id",
         "b",
-        (F.col("c").cast("double") / F.sum("c").over(Window.partitionBy("doc_id"))).alias("x"),
+        (
+            F.lit(QC_TF_SCALE)
+            * F.col("c")
+            / F.sum("c").over(Window.partitionBy("doc_id"))
+        ).alias("x"),
     )
     bias = docs.select("doc_id", F.lit(QC_BIAS).alias("b"), F.lit(1.0).alias("x"))
     return x.unionByName(bias)
 
 
 def qc_labels(docs: DataFrame) -> DataFrame:
-    """Deterministic seed labels: lang == 'en' is the positive class —
-    a stand-in for the curated-positive corpus (WebText/Wikipedia in
-    GPT-3's classifier; the target-domain sample in CCNet).  A
-    production run swaps in real curated positives; the training
-    dataflow is label-agnostic."""
+    """Deterministic seed-keyword bootstrap labels (see QC_SEED_TERM):
+    y = 1 when the doc mentions the seed term >= QC_SEED_MIN times —
+    a keyword-matched stand-in for the curated-positive corpus
+    (WebText/Wikipedia in GPT-3's classifier; the target-domain sample
+    in CCNet).  A production run swaps in real curated positives; the
+    training dataflow is label-agnostic."""
+    n_seed = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda w: w == QC_SEED_TERM)
+    )
     return docs.select(
         "doc_id",
-        F.when(F.col("lang") == DSIR_TARGET_LANG, 1.0).otherwise(0.0).alias("y"),
+        F.when(n_seed >= QC_SEED_MIN, 1.0).otherwise(0.0).alias("y"),
     )
 
 
@@ -1517,19 +1541,22 @@ def qc_train_cte(train_where: str = "") -> str:
   FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w
         FROM documents {train_where})
 ),
-qc_feats AS (
+qc_feats AS MATERIALIZED (
   SELECT doc_id, b,
-         CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS x
+         {QC_TF_SCALE} * COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS x
   FROM qc_toks GROUP BY doc_id, b
   UNION ALL
   SELECT doc_id, '{QC_BIAS}', 1.0 FROM documents {train_where}
 ),
-qc_lab AS (
-  SELECT doc_id, CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1.0 ELSE 0.0 END AS y
+qc_lab AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                   w -> w = '{QC_SEED_TERM}')) >= {QC_SEED_MIN}
+              THEN 1.0 ELSE 0.0 END AS y
   FROM documents {train_where}
 ),
 qc_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents {train_where}),
-qc_w0 AS (SELECT DISTINCT b, 0.0 AS wt FROM qc_feats)"""
+qc_w0 AS MATERIALIZED (SELECT DISTINCT b, 0.0 AS wt FROM qc_feats)"""
     ]
     for i in range(1, QC_STEPS + 1):
         parts.append(
@@ -1541,7 +1568,7 @@ qc_r{i} AS (
   SELECT m.doc_id, 1.0 / (1.0 + EXP(-m.m)) - l.y AS r
   FROM qc_m{i} m JOIN qc_lab l USING (doc_id)
 ),
-qc_w{i} AS (
+qc_w{i} AS MATERIALIZED (
   SELECT f.b, ANY_VALUE(w.wt) - {QC_ETA} * SUM(r.r * f.x) / ANY_VALUE(n.nd) AS wt
   FROM qc_feats f
   JOIN qc_r{i} r USING (doc_id)

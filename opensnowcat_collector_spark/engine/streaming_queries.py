@@ -1120,6 +1120,7 @@ from .llmdata.curation import (  # noqa: E402
     QC_BIAS,
     QC_BUCKET_HEX,
     QC_STEPS,
+    QC_TF_SCALE,
     qc_features,
     qc_gradient_descent,
     qc_train_cte,
@@ -1137,7 +1138,7 @@ sc_toks AS (
 ),
 sc_feats AS (
   SELECT doc_id, b,
-         CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS x
+         {QC_TF_SCALE} * COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS x
   FROM sc_toks GROUP BY doc_id, b
   UNION ALL
   SELECT doc_id, '{QC_BIAS}', 1.0 FROM documents

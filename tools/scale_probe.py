@@ -6,14 +6,17 @@ Replication preserves semantics instead of inflating join fan-out:
 - fact/dim keys shift by replica (orderkey/custkey/event_id/user_id/
   doc_id/vec_id), so per-replica join cardinalities are preserved and
   totals scale linearly;
-- document text is `translate`d per replica — letters rotated r%26 AND
-  digits rotated r%10, period lcm(26,10)=130 — so cross-replica
-  shingles don't collide through K=129 (no artificial N^2 near-dup
-  pairs).  The r1-r8 probes rotated only vowels (period 5): replicas r
-  and r+5 carried IDENTICAL text, so at K=128 every doc had ~25 exact
-  cross-replica copies and duplicate mass grew QUADRATICALLY in K —
-  doc-table rows measured with that generator overstate scaling cost
-  (caught by the r9 128x probe; see BASELINE.md);
+- document text is `translate`d per replica through an AFFINE letter
+  permutation (letter i -> s*i + t mod 26, stride s coprime to 26 and
+  offset t both derived from the replica id: 12 strides x 26 offsets =
+  312 distinct maps), so cross-replica shingles don't collide through
+  K=311 (no artificial N^2 near-dup pairs).  Two earlier generators
+  failed this: the r1-r8 vowel rotation had period 5 (~25 exact copies
+  per doc at K=128), and the first r9 letters+digits rotation relied on
+  digits the corpus doesn't contain, so its effective period was 26
+  (~5 copies at K=128, still quadratic pair mass) — doc-table rows
+  measured with those generators overstate scaling cost (caught by the
+  r9 128x probe; see BASELINE.md);
 - embedding labels shift by replica*10, keeping cosine blocks intra-replica.
 
 Usage: python tools/scale_probe.py [K ...] [--queries a,b,c]
@@ -39,9 +42,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SRC = "/root/testdata/sf0.1"
-# v2: letters+digits rotation (period 130) replaced the aliasing vowel
-# rotation — the path is versioned so stale replicas can't serve silently
-WORK = "/tmp/scale_probe_v2"
+# v3: affine letter permutation (312 distinct maps) replaced two aliasing
+# generators — the path is versioned so stale replicas can't serve silently
+WORK = "/tmp/scale_probe_v3"
 
 PROBE_QUERIES = [
     "q1_pricing_summary",
@@ -80,7 +83,17 @@ KEY_SHIFTS = {
 COPY_TABLES = ["region", "nation", "supplier", "part"]
 
 _LETTERS = "abcdefghijklmnopqrstuvwxyz"
-_DIGITS = "0123456789"
+# multiplicative strides coprime to 26 (excluding 1 only at index 0 so
+# replica 0 keeps the identity map)
+_STRIDES = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
+def _affine_map(r: int) -> str:
+    """The replica-r image of _LETTERS under letter i -> s*i + t (mod 26):
+    s = _STRIDES[r // 26 % 12], t = r % 26.  Distinct for r < 312, and
+    r=0 is the identity."""
+    s, t = _STRIDES[(r // 26) % len(_STRIDES)], r % 26
+    return "".join(_LETTERS[(s * i + t) % 26] for i in range(26))
 
 
 def build(spark, k: int, tables: list[str] | None = None) -> str:
@@ -104,14 +117,8 @@ def build(spark, k: int, tables: list[str] | None = None) -> str:
             for col, off in shifts.items():
                 df = df.withColumn(col, F.col(col) + F.lit(r * off))
             if t == "documents" and r > 0:
-                rot = (
-                    _LETTERS[r % 26 :]
-                    + _LETTERS[: r % 26]
-                    + _DIGITS[r % 10 :]
-                    + _DIGITS[: r % 10]
-                )
                 df = df.withColumn(
-                    "text", F.translate("text", _LETTERS + _DIGITS, rot)
+                    "text", F.translate("text", _LETTERS, _affine_map(r))
                 )
             parts.append(df)
         u = parts[0]
