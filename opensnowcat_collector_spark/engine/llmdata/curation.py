@@ -1483,8 +1483,8 @@ def qc_train(docs: DataFrame) -> DataFrame:
     combined to <= QC_BUCKETS+1 partial rows per task).  The feature
     stream is localCheckpoint'd once so the corpus scan runs once, and
     each step's weight table is lazily localCheckpoint'd so the plan
-    stays flat across steps (no exponential lineage; no .collect() —
-    the BPE-trainer discipline).
+    stays flat across steps (no exponential lineage; nothing pulled to
+    the driver — the BPE-trainer discipline).
 
     Scale (100 TB): each step is two map-side-combinable exchanges of
     the feature stream (doc margin, bucket gradient) plus broadcasts of
@@ -1658,7 +1658,7 @@ def _qc_eval_oracle() -> str:
         for i, t in enumerate(taus)
     )
     rows = "\nUNION ALL\n".join(
-        f"""SELECT {t} AS threshold, tp{i} AS tp, pp{i} - tp{i} AS fp,
+        f"""SELECT CAST({t} AS DOUBLE) AS threshold, tp{i} AS tp, pp{i} - tp{i} AS fp,
        pos - tp{i} AS fn, n - pp{i} - pos + tp{i} AS tn,
        CASE WHEN pp{i} = 0 THEN NULL
             ELSE ROUND(CAST(tp{i} AS DOUBLE) / pp{i}, 6) END AS precision_,
