@@ -82,3 +82,23 @@ def test_rotation_keeps_evidence_fresh():
         f"queries with driver evidence older than 6 rounds and not "
         f"re-windowed (rotate them into registry._PRIORITY's window): {stale}"
     )
+
+
+def test_scale_probe_replica_maps_never_alias():
+    """The probe generator burned two rounds on aliasing text transforms
+    (vowel rotation period 5; letters+digits rotation with effective
+    period 26 on a digit-free corpus) — each made duplicate pair mass
+    quadratic in K and misread as engine scale knees (BASELINE.md r9
+    section).  Pin the v3 contract: the affine letter permutations are
+    pairwise DISTINCT for every replica id the probe can reach (312),
+    each is a bijection of the alphabet, and replica 0 is the identity
+    so the K=1 corpus is byte-identical to sf0.1."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from scale_probe import _LETTERS, _affine_map
+
+    maps = [_affine_map(r) for r in range(312)]
+    assert maps[0] == _LETTERS
+    assert len(set(maps)) == 312
+    assert all(sorted(m) == sorted(_LETTERS) for m in maps)
