@@ -104,6 +104,9 @@ HEADLINE = [
     "curate_quality_classifier",
     "curate_quality_classifier_score",
     "dedup_source_order_plan",
+    # r9: rare-shingle-blocked + JVM-levenshtein-verified fuzzy
+    # benchmark decontamination
+    "curate_fuzzy_contamination",
 ]
 
 

@@ -94,6 +94,17 @@ def main() -> None:
     gate = qs["curate_quality_quantile_filter"](spark, sf_dir)
     print(f"quality gate survivors: {gate.count()}")
 
+    fz = qs["curate_fuzzy_contamination"](spark, sf_dir)
+    closest = fz.orderBy("min_rel_edit").first()
+    if closest is None:
+        print("fuzzy decontamination: no train doc shares a rare shingle with the benchmark")
+    else:
+        print(
+            f"fuzzy decontamination: {fz.count()} candidate docs, "
+            f"{fz.filter('fuzzy_contaminated').count()} flagged; closest is "
+            f"doc {closest.doc_id} at rel edit {closest.min_rel_edit:.3f}"
+        )
+
     plan = qs["dedup_source_order_plan"](spark, sf_dir)
     print("dedup order (greedy marginal duplicate mass):")
     for row in plan.orderBy("step").collect()[:5]:

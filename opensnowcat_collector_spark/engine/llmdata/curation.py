@@ -1766,3 +1766,117 @@ def curate_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec.alias("recall_"),
         f1.alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy benchmark decontamination (r9): edit-distance verification on top
+# of shingle blocking — the near-duplicate leak class exact n-gram overlap
+# misses (a benchmark item lightly paraphrased or reformatted in the
+# training set).  Candidates block on RARE shared shingles; verification
+# is Spark's JVM levenshtein (whole-stage codegen, no Python).
+# ---------------------------------------------------------------------------
+
+#: candidate blocking: only shingles shared by <= this many docs pair a
+#: train doc with a benchmark doc (boilerplate shingles pair everything)
+FUZZY_BLOCK_DF = 8
+#: flag when min(levenshtein / max(len)) over the doc's benchmark
+#: candidates is at or under this (0 = identical, 1 = fully different)
+FUZZY_CONTAM_MAX_REL = 0.2
+
+
+@register(
+    "curate_fuzzy_contamination",
+    oracle=f"""
+WITH shingled AS (
+  SELECT doc_id,
+         list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                        for i in generate_series(1, greatest(len(ws)-2, 1))]) AS shingles
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+),
+exploded AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM shingled),
+sdf AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM exploded GROUP BY shingle),
+rare AS (SELECT shingle FROM sdf WHERE df <= {FUZZY_BLOCK_DF}),
+tr AS (SELECT doc_id, shingle FROM exploded WHERE doc_id % {BENCH_MOD} <> 0),
+be AS (SELECT doc_id, shingle FROM exploded WHERE doc_id % {BENCH_MOD} = 0),
+pairs AS (
+  SELECT DISTINCT t.doc_id AS t_doc, b.doc_id AS b_doc
+  FROM tr t JOIN rare USING (shingle) JOIN be b USING (shingle)
+),
+scored AS (
+  SELECT p.t_doc,
+         ROUND(CAST(levenshtein(lower(dt.text), lower(db.text)) AS DOUBLE)
+               / GREATEST(LENGTH(dt.text), LENGTH(db.text)), 6) AS rel
+  FROM pairs p
+  JOIN documents dt ON dt.doc_id = p.t_doc
+  JOIN documents db ON db.doc_id = p.b_doc
+)
+SELECT t_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_candidates,
+       MIN(rel) AS min_rel_edit,
+       MIN(rel) <= {FUZZY_CONTAM_MAX_REL} AS fuzzy_contaminated
+FROM scored GROUP BY t_doc
+""",
+)
+def curate_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: for every training doc sharing a
+    RARE 3-shingle with a held-out benchmark doc (doc_id % BENCH_MOD —
+    the same benchmark convention as ``curate_contamination``), verify
+    with full-text relative edit distance — levenshtein / max(length),
+    6-dp rounded — and flag near-duplicates at <= FUZZY_CONTAM_MAX_REL.
+    This catches the paraphrase/reformat leak class that exact n-gram
+    overlap misses; GPT-3-style 13-gram decontamination is the recall
+    floor, edit-distance verification the precision pass.
+
+    Dataflow: one shingle DF count (map-side combined) gates blocking to
+    rare shingles; the benchmark shingle/text sides are tiny by
+    construction (eval sets, 1/BENCH_MOD of the corpus here) and
+    BROADCAST, so candidate
+    pairing adds no train-side shuffle beyond the doc_id text join;
+    verification is Spark's built-in JVM ``levenshtein`` inside
+    whole-stage codegen — no Python, no UDF.
+
+    Scale (100 TB): the train side is never self-joined; per-train-doc
+    fan-out is bounded by FUZZY_BLOCK_DF x |benchmark|; the only
+    corpus-keyed exchanges are the shingle DF count and the final
+    doc_id aggregation.  The O(len^2) edit-distance DP runs only on the
+    blocked candidates — the standard verify-after-block economics."""
+    from .dedup import exploded_shingles
+
+    sh = exploded_shingles(spark, sf_dir)
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sdf.filter(F.col("df") <= FUZZY_BLOCK_DF).select("shingle")
+    is_bench = (F.col("doc_id") % BENCH_MOD) == 0
+    tr = sh.filter(~is_bench).join(rare.hint("merge"), "shingle")
+    be = sh.filter(is_bench).select(
+        F.col("doc_id").alias("b_doc"), "shingle"
+    )
+    pairs = (
+        tr.join(F.broadcast(be), "shingle")
+        .select(F.col("doc_id").alias("t_doc"), "b_doc")
+        .distinct()
+    )
+    d = table(spark, sf_dir, "documents")
+    tt = d.select(
+        F.col("doc_id").alias("t_doc"),
+        F.lower("text").alias("t_text"),
+        F.length("text").alias("t_len"),
+    )
+    bt = d.filter(is_bench).select(
+        F.col("doc_id").alias("b_doc"),
+        F.lower("text").alias("b_text"),
+        F.length("text").alias("b_len"),
+    )
+    rel = F.round(
+        F.levenshtein("t_text", "b_text").cast("double")
+        / F.greatest("t_len", "b_len"),
+        6,
+    )
+    scored = (
+        pairs.join(tt, "t_doc")
+        .join(F.broadcast(bt), "b_doc")
+        .select("t_doc", rel.alias("rel"))
+    )
+    return scored.groupBy(F.col("t_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_bench_candidates"),
+        F.min("rel").alias("min_rel_edit"),
+        (F.min("rel") <= FUZZY_CONTAM_MAX_REL).alias("fuzzy_contaminated"),
+    )

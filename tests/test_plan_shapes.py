@@ -573,3 +573,19 @@ def test_source_order_plan_bounded_pull_and_contiguous_steps(spark, sf_dir, monk
     monkeypatch.setattr(D, "SOURCE_ORDER_BOUND", 1)
     with pytest.raises(ValueError, match="SOURCE_ORDER_BOUND"):
         registry.all_queries()["dedup_source_order_plan"](spark, sf_dir)
+
+
+def test_fuzzy_contamination_jvm_levenshtein_broadcast_bench(spark, sf_dir):
+    """Fuzzy decontamination (r9): the edit-distance verify must be
+    Spark's built-in JVM levenshtein (never a Python stage), the
+    benchmark sides (shingles and texts — tiny by construction) must
+    BROADCAST so the train side never shuffles for them, the rare-
+    shingle gate joins the corpus-scaled DF table as a SortMergeJoin
+    (never a broadcast of a corpus-scaled side), and the train side is
+    never self-joined (no nested-loop/cartesian shapes)."""
+    plan = _plan(spark, sf_dir, "curate_fuzzy_contamination")
+    assert "levenshtein" in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
