@@ -1510,7 +1510,11 @@ def qc_gradient_descent(feats: DataFrame, docs: DataFrame) -> DataFrame:
     and (b) the same hash-agg with the label widening every checkpointed
     feature row instead of joining per step (also slower: the label
     table is a cheap narrow build, the widened stream is materialized
-    once but re-read twice per step)."""
+    once but re-read twice per step).  (c) Checkpointing every Nth step
+    instead of every step also loses: stride 2 is a wash (4.2 s) and
+    stride 5 doubles the cost (8.2 s) — each un-checkpointed step's
+    subtree is referenced twice by the next and exchange reuse does not
+    recover the recompute."""
     labels = qc_labels(docs)
     nd = docs.agg(F.count(F.lit(1)).cast("double").alias("nd"))
     weights = feats.select("b").distinct().withColumn("wt", F.lit(0.0))
