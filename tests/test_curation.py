@@ -447,3 +447,37 @@ def test_dup_line_gates_fire_on_repetitive_doc(spark):
     assert not got[2].rep_lines_gate and not got[2].rep_chars_gate
     assert got[3].n_lines == 10 and got[3].n_dup_lines == 3
     assert not got[3].rep_lines_gate  # strict inequality at the threshold
+
+
+def test_quality_classifier_actually_learns(spark, sf_dir):
+    """The trained classifier must SEPARATE, not just run: precision at
+    the 0.5 gate must clear the positive base rate by a real margin, and
+    recall must be non-trivial (r9 tuning measured precision 0.87 /
+    recall 0.53 against a 0.47 base rate at sf0.01 — before the
+    QC_TF_SCALE fix the pos/neg mean scores differed by 5e-4 and the
+    gate kept nothing).  Loose bounds so corpus regeneration noise
+    passes but a silent hyperparameter/feature regression fails."""
+    from pyspark.sql import functions as F
+
+    from opensnowcat_collector_spark.engine import registry
+    from opensnowcat_collector_spark.engine.llmdata.curation import qc_labels
+    from opensnowcat_collector_spark.engine.tables import table
+
+    scored = registry.all_queries()["curate_quality_classifier_score"](spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    r = (
+        scored.join(qc_labels(docs), "doc_id")
+        .agg(
+            F.sum(F.when(F.col("keep") & (F.col("y") == 1.0), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(F.col("keep") & (F.col("y") == 0.0), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("pos"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    base = r.pos / r.n
+    assert r.tp + r.fp > 0, "the 0.5 gate keeps nothing — the model did not move"
+    precision = r.tp / (r.tp + r.fp)
+    recall = r.tp / r.pos
+    assert precision >= base + 0.15, (precision, base)
+    assert recall >= 0.25, recall
