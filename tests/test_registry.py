@@ -117,7 +117,24 @@ def test_r9_window_regrades_stalest_evidence():
     BOTTOM of the block by r9-new queries (displaced members carry r4
     evidence, fresh through r10, and sit at the head of the staged
     block), and (d) the 15 standing keeps (streaming gates, skew/
-    bucketed join pins, flagships)."""
+    bucketed join pins, flagships).
+
+    SELF-RETIRING: this pins the round-9 composition only.  Once the r9
+    CORRECTNESS artifact lands (current round >= 10) the pin skips —
+    its r8 predecessor instead failed the suite at the r9 handoff and
+    had to be rewritten before anything else could be done; the r10
+    rotation writes its own pin."""
+    import glob
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    ]
+    if max(rounds) + 1 != 9:
+        pytest.skip("window-composition pin for round 9; rotate + re-pin")
     window = registry._PRIORITY[: registry.GRADED_WINDOW]
     for name in _R9_R2_STALE + _R9_R3_TRANCHE + _STANDING_KEEPS:
         assert name in window, name
