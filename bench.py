@@ -105,8 +105,10 @@ HEADLINE = [
     "curate_quality_classifier_score",
     "dedup_source_order_plan",
     # r9: rare-shingle-blocked + JVM-levenshtein-verified fuzzy
-    # benchmark decontamination
+    # benchmark decontamination, and the C4-style corpus-wide line
+    # dedup apply (map-side-combined line stats, never a line window)
     "curate_fuzzy_contamination",
+    "curate_line_dedup_apply",
 ]
 
 

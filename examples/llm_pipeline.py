@@ -94,6 +94,13 @@ def main() -> None:
     gate = qs["curate_quality_quantile_filter"](spark, sf_dir)
     print(f"quality gate survivors: {gate.count()}")
 
+    ld = qs["curate_line_dedup_apply"](spark, sf_dir)
+    lsum = ld.agg({"n_lines": "sum", "n_removed": "sum"}).first()
+    print(
+        f"C4 line dedup: removed {lsum['sum(n_removed)']}/{lsum['sum(n_lines)']} "
+        f"corpus-duplicated lines (keep-earliest)"
+    )
+
     fz = qs["curate_fuzzy_contamination"](spark, sf_dir)
     closest = fz.orderBy("min_rel_edit").first()
     if closest is None:

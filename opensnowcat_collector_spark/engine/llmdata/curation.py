@@ -1884,3 +1884,116 @@ def curate_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rel").alias("min_rel_edit"),
         (F.min("rel") <= FUZZY_CONTAM_MAX_REL).alias("fuzzy_contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus-wide line dedup APPLY (r9): text_dup_line_fractions is
+# the within-doc diagnostic; this is the cross-document cleaner — C4
+# (Raffel et al. 2020) discards every repeated occurrence of a line
+# (three-sentence span there), keeping exactly one.
+# ---------------------------------------------------------------------------
+
+#: the cleaner's line unit: 10-word chunks (the corpus has no newline
+#: structure — same substitution as word_chunk_array's other users; on
+#: real data the splitter is split(text, '\n') with an identical plan).
+#: Wider than LINE_CHUNK_WORDS=2 deliberately: 2-word lines over this
+#: corpus's ~40-word vocabulary are boilerplate-by-construction (every
+#: line duplicated ~15x and the cleaner degenerates to keep-almost-
+#: nothing); 10-word lines duplicate only through real text duplication.
+C4_LINE_WORDS = 10
+#: a (doc_id, idx) site collapses into one ordering key; idx must stay
+#: below this (a 10^9-line document is out of contract)
+_SITE_IDX_BOUND = 1_000_000_000
+
+from .dedup import word_chunks_sql as _word_chunks_sql  # noqa: E402
+
+
+@register(
+    "curate_line_dedup_apply",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+sites AS (
+  SELECT doc_id, s['idx'] AS idx, s['chunk'] AS line
+  FROM (SELECT doc_id,
+               UNNEST({{chunks}}) AS s
+        FROM ws)
+),
+lstats AS (
+  SELECT line, CAST(COUNT(*) AS BIGINT) AS cnt,
+         MIN(doc_id * {_SITE_IDX_BOUND} + idx) AS first_site
+  FROM sites GROUP BY line
+),
+flags AS (
+  SELECT s.doc_id, s.idx, s.line,
+         (l.cnt < 2 OR s.doc_id * {_SITE_IDX_BOUND} + s.idx = l.first_site)
+           AS keep
+  FROM sites s JOIN lstats l USING (line)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN line END, ' '
+                               ORDER BY idx), '')) AS cleaned_md5
+FROM flags GROUP BY doc_id
+""".replace("{chunks}", _word_chunks_sql(C4_LINE_WORDS, with_idx=True)),
+)
+def curate_line_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup, applied: every line occurring
+    more than once ACROSS the corpus keeps exactly its earliest site
+    (min (doc_id, position)) and is removed everywhere else — C4's
+    repeated-span discard with a deterministic keep-one rule.  Emits
+    per-doc line/removal counts plus the md5 of the cleaned
+    (kept-lines-in-order) text, so the driver grades the exact
+    reconstruction, not just the accounting.
+
+    Dataflow: one posexplode into (doc_id, idx, line) sites; per-line
+    occurrence count and earliest site come from a map-side-combined
+    groupBy(line) — deliberately NOT a line-partitioned window: a
+    corpus-hot boilerplate line (the cookie banner in 10^9 docs) would
+    funnel one window partition, while partial aggregation collapses it
+    to one row per task before the exchange.  The line-stats table
+    joins back by line (merge hint: it scales with distinct lines ~
+    corpus, never broadcast), then one doc_id aggregation rebuilds the
+    cleaned text (array_sort over the doc's own bounded line structs).
+
+    Scale (100 TB): two map-side-combined corpus exchanges (line stats,
+    doc rebuild) + one line-keyed join — the same exchange budget as
+    ``text_dup_line_fractions`` plus the join the apply semantics
+    require.  The (doc_id, idx) site key packs into one BIGINT; idx is
+    bounded by _SITE_IDX_BOUND (a 10^9-line document is out of
+    contract, enforced nowhere cheaper than the multiply)."""
+    d = table(spark, sf_dir, "documents")
+    from .dedup import word_chunk_array
+
+    w = F.split(F.lower("text"), " ")
+    sites = d.select(
+        "doc_id",
+        F.posexplode(word_chunk_array(w, C4_LINE_WORDS)).alias("idx", "line"),
+    ).localCheckpoint(eager=False)  # both consumers read ONE explode
+    lstats = sites.groupBy("line").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.col("doc_id") * _SITE_IDX_BOUND + F.col("idx")).alias("first_site"),
+    )
+    keep = (F.col("cnt") < 2) | (
+        F.col("doc_id") * _SITE_IDX_BOUND + F.col("idx") == F.col("first_site")
+    )
+    flags = sites.join(lstats.hint("merge"), "line").select(
+        "doc_id", "idx", "line", keep.alias("keep")
+    )
+    cleaned = F.md5(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("idx", "line")))
+                ),
+                lambda s: s.line,
+            ),
+        )
+    )
+    return flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_removed"),
+        cleaned.alias("cleaned_md5"),
+    )

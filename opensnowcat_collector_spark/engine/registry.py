@@ -73,7 +73,6 @@ _PRIORITY: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q10_returned_items",
     # ---- r9-new queries (graded on arrival; each displaced one
     # r4-tranche entry to the head of the staged block).
     "curate_quality_classifier",
@@ -81,6 +80,7 @@ _PRIORITY: list[str] = [
     "curate_classifier_eval",
     "streaming_quality_scoring",
     "curate_fuzzy_contamination",
+    "curate_line_dedup_apply",
     "dedup_source_order_plan",
     # ---- slots 36-50: the 15 standing keeps (same set as r7/r8).
     "streaming_leftouter_join",
@@ -110,6 +110,7 @@ _PRIORITY: list[str] = [
     # fills r11.  Nothing ages past 6 under this schedule.
     # ---- r4-tranche entries displaced by r9-new queries (r4 evidence,
     # fresh through r10 — MUST be in the r10 window).
+    "q10_returned_items",
     "collector_enrich_events",
     "collector_bridge_roundtrip",
     "collector_bounce_events",
@@ -256,7 +257,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "collector_enrich_events"  # first entry past the window, r9
+_WINDOW_SENTINEL = "q10_returned_items"  # first entry past the window, r9
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

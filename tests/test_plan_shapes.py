@@ -589,3 +589,21 @@ def test_fuzzy_contamination_jvm_levenshtein_broadcast_bench(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert plan.count("SortMergeJoin") == 1, plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_line_dedup_apply_combined_stats_no_window(spark, sf_dir):
+    """C4 line-dedup apply (r9): per-line occurrence stats must come
+    from a map-side-COMBINED groupBy (partial aggregation collapses a
+    corpus-hot boilerplate line to one row per task) — never a
+    line-partitioned window, which funnels the hot line through one
+    task; the stats table joins back as a SortMergeJoin (corpus-scaled,
+    never broadcast); the sites explode is checkpointed so both
+    consumers read ONE Generate; no Python stages."""
+    plan = _plan(spark, sf_dir, "curate_line_dedup_apply")
+    assert "Window" not in plan, plan
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert plan.count("Generate") == 0, plan  # behind the checkpoint
+    assert "Scan ExistingRDD" in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
