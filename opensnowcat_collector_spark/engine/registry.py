@@ -28,88 +28,16 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # subsystem; order past the window is rotation-staged (see tranche
 # comments below), then legacy order.
 #
-# r9 rotation (VERDICT r8 item 1): the window re-grades the STALEST
-# evidence, exhaustively.  Slots 1-13 are the thirteen r2-only entries
-# (age 7 this round — the freshness test forces them in).  Slots 14-22
-# are the complete r3-only tranche (age 6 — they would force the r10
-# window otherwise).  Slots 23-35 are the complete r4 tranche (age 5 —
-# windowing them now clears the ENTIRE pre-r5 backlog in one round, so
-# no tranche is ever windowed under freshness pressure again).
-# Slots 36-50 keep the standing keeps: every streaming gate
-# (highest-variance machinery), the skew/bucketed join pins, and the
-# flagships.  r9-NEW queries displace r4-tranche entries from the
-# BOTTOM of slots 23-35 (r4 evidence stays fresh through r10); each
-# displaced entry moves to the head of the staged block at slot 51+.
+# r10 rotation (VERDICT r9 item 1; plan recorded in the r9 registry's
+# "r10 PLAN" comment and enforced by the r9 horizon test): slots 1-7
+# are the r4-tranche entries displaced by r9-new queries (age 6 at
+# r10 — last legal round).  Slots 8-31 are the complete r5-latest
+# tranche (age 5).  Slots 32-46 keep the standing keeps.  Slots 47-50
+# hold r10-new queries (r6-head fillers until they land).
 _PRIORITY: list[str] = [
-    # ---- slots 1-13: the r2-only entries (oldest evidence; mandatory).
-    "join_theta_quantity_over_size",
-    "join_full_outer_nation_activity",
-    "q14_promo_effect",
-    "events_dedup_latest",
-    "setop_except_inactive",
-    "scalar_string_funcs",
-    "scalar_datetime_funcs",
-    "setop_intersect_active_auto",
-    "window_range_frame_spend",
-    "window_value_picking",
-    "events_type_matrix",
-    "window_analytics_distribution",
-    "agg_pivot_status",
-    # ---- slots 14-22: the complete r3-only tranche.
-    "embed_norms",
-    "sim_bucket_histogram",
-    "text_fingerprint",
-    "events_sessionize",
-    "q22_global_sales_opportunity",
-    "q19_disjunctive_revenue",
-    "q18_large_orders",
-    "join_range_price_bins",
-    "agg_rollup_region_nation",
-    # ---- slots 23-35: the complete r4 tranche (+ r9-new queries, which
-    # displace from the bottom of this block).
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    # ---- r9-new queries (graded on arrival; each displaced one
-    # r4-tranche entry to the head of the staged block).
-    "curate_quality_classifier",
-    "curate_quality_classifier_score",
-    "curate_classifier_eval",
-    "streaming_quality_scoring",
-    "curate_fuzzy_contamination",
-    "curate_line_dedup_apply",
-    "dedup_source_order_plan",
-    # ---- slots 36-50: the 15 standing keeps (same set as r7/r8).
-    "streaming_leftouter_join",
-    "streaming_session_timeout_flush",
-    "dedup_paragraph_exact",
-    "streaming_dedup_watermark",
-    "streaming_session_window",
-    "streaming_enrich_join",
-    "streaming_stream_stream_join",
-    "streaming_stateful_sessionize",
-    "streaming_document_curation",
-    "join_skew_salted",
-    "join_bucketed_colocated",
-    "dedup_minhash_lsh",
-    "sim_ann_lsh",
-    "corpus_curation_pipeline",
-    "mm_feature_extract",
-    # ---- slot 51+ below: NOT driver-graded this round.
-    # r10 PLAN (VERDICT r8 item 2, made executable in
-    # tests/test_registry.py::test_r10_rotation_horizon): after r9
-    # grades slots 1-50 above, the stalest remaining evidence is the
-    # r5-latest tranche (24 entries, age 5 at r10) staged immediately
-    # below, followed by any r4-tranche entries displaced by r9-new
-    # queries (age 6 at r10 — the LAST round they can wait for).  The
-    # r10 window = those displaced r4 entries + the r5 tranche + the
-    # standing keeps + r10-new queries; the r6 block (35 entries) then
-    # fills r11.  Nothing ages past 6 under this schedule.
-    # ---- r4-tranche entries displaced by r9-new queries (r4 evidence,
-    # fresh through r10 — MUST be in the r10 window).
+    # ---- slots 1-7: the r4-tranche entries displaced from the r9
+    # window by r9-new queries (r4 evidence, age 6 at r10 — the LAST
+    # round they can wait; mandatory per the freshness bar).
     "q10_returned_items",
     "collector_enrich_events",
     "collector_bridge_roundtrip",
@@ -117,7 +45,9 @@ _PRIORITY: list[str] = [
     "streaming_hourly_rollup",
     "agg_approx_distinct",
     "join_asof_last_click",
-    # ---- r5-latest tranche (24 entries; r10 window material).
+    # ---- slots 8-31: the complete r5-latest tranche (24 entries,
+    # age 5 at r10 — windowing the whole tranche now keeps the
+    # clear-the-backlog-in-one-round discipline from r9).
     "dedup_embedding_cosine",
     "dedup_embedding_kmeans",
     "dedup_cluster_components",
@@ -142,6 +72,109 @@ _PRIORITY: list[str] = [
     "mm_decode_metadata",
     "mm_resize_plan",
     "mm_frame_sample",
+    # ---- slots 32-46: the 15 standing keeps (same set as r7/r8/r9).
+    "streaming_leftouter_join",
+    "streaming_session_timeout_flush",
+    "dedup_paragraph_exact",
+    "streaming_dedup_watermark",
+    "streaming_session_window",
+    "streaming_enrich_join",
+    "streaming_stream_stream_join",
+    "streaming_stateful_sessionize",
+    "streaming_document_curation",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh",
+    "corpus_curation_pipeline",
+    "mm_feature_extract",
+    # ---- slots 47-50: r10-new queries.  Until they land these hold
+    # the head of the r6 block (r6 evidence, fresh through r12); each
+    # r10-new query displaces one back to the head of the staged block.
+    "q2_minprice_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    # ---- slot 51+ below: NOT driver-graded this round.
+    # r11 PLAN (VERDICT r9 item 6, made executable in
+    # tests/test_registry.py::test_r11_rotation_horizon): after r10
+    # grades slots 1-50 above, the stalest remaining evidence is the
+    # r6 block staged immediately below (age 5 at r11).  The r11
+    # window = the r6 block + the standing keeps (= 50 exactly when
+    # the four fillers above are displaced by r10-new queries);
+    # r11-new queries then displace r6 entries from the BOTTOM to r12
+    # (age 6 at r12 — exactly at the bar, still legal).  The r7 block
+    # (34 entries) then fills r12, the r8 block r13/r14, and the
+    # entries freshly graded in r9/r10 are fresh through r15/r16.
+    # Nothing ages past 6 under this schedule.
+    # ---- r6-graded remainder (r11 window material).
+    "q9_product_profit",
+    "q11_important_balance",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_supply",
+    "q21_waiting_supplier",
+    "text_pii_scrub",
+    "curate_blocklist_filter",
+    "dedup_repeated_ngram_fraction",
+    "text_tfidf_topterms",
+    "agg_approx_percentile",
+    "dedup_url_canonical",
+    "events_transition_matrix",
+    "curate_dedup_apply",
+    "curate_train_val_split",
+    "agg_hll_partitioned_merge",
+    "events_burst_detection",
+    "sim_ann_delete",
+    # ---- r6-latest entries (graded r5+r6 unions; r11 window material).
+    "dedup_incremental_minhash",
+    "sim_ann_incremental",
+    "curate_tokenize_ids",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "sim_ann_recall",
+    "text_vocab_stats",
+    "text_unigram_logprob",
+    "text_cooccurrence_ratio",
+    "curate_dataset_card",
+    "events_session_sequences",
+    # ---- r7-graded entries (fresh until r13; r12 window material).
+    "dedup_bloom_incremental",
+    "dedup_prefix_contained",
+    "curate_temperature_mix",
+    "sim_ann_filtered",
+    "streaming_latest_profile",
+    "sim_ann_pq",
+    "curate_chunk_overlap",
+    "sim_ann_ivfpq",
+    "curate_mix_apply",
+    "streaming_foreachbatch_sink",
+    "sim_ann_compacted",
+    "sim_bitext_mine",
+    "text_length_histogram",
+    "events_scd2_intervals",
+    "join_asof_forward_tolerance",
+    "dedup_lsh_quality",
+    "events_zorder_pruned",
+    "curate_snapshot_diff",
+    "text_gopher_quality_gates",
+    "curate_global_shuffle",
+    "agg_countmin_heavy_hitters",
+    "events_max_concurrency_sweep",
+    "streaming_countmin_sketch",
+    "events_sliding_window_stats",
+    "join_asof_nearest",
+    "curate_importance_resample",
+    "text_langid_ngram_profiles",
+    "streaming_sliding_window",
+    "collector_split_accounting",
+    "collector_thrift_roundtrip",
+    "collector_redirect_origin_gates",
+    "dedup_shingle_containment",
+    "sim_radius_search",
+    "text_entropy_metrics",
     # ---- displaced r8-window entries (all r8-green, fresh until r14).
     "embed_quantize_int8",
     "dedup_suffix_repeats",
@@ -178,78 +211,43 @@ _PRIORITY: list[str] = [
     "curate_weighted_sample",
     "streaming_weighted_sample",
     "dedup_source_matrix",
-    # ---- r7-graded entries.
-    "dedup_bloom_incremental",
-    "dedup_prefix_contained",
-    "curate_temperature_mix",
-    "sim_ann_filtered",
-    "streaming_latest_profile",
-    "sim_ann_pq",
-    "curate_chunk_overlap",
-    "sim_ann_ivfpq",
-    "curate_mix_apply",
-    "streaming_foreachbatch_sink",
-    "sim_ann_compacted",
-    "sim_bitext_mine",
-    "text_length_histogram",
-    "events_scd2_intervals",
-    "join_asof_forward_tolerance",
-    "dedup_lsh_quality",
-    "events_zorder_pruned",
-    "curate_snapshot_diff",
-    "text_gopher_quality_gates",
-    "curate_global_shuffle",
-    "agg_countmin_heavy_hitters",
-    "events_max_concurrency_sweep",
-    "streaming_countmin_sketch",
-    "events_sliding_window_stats",
-    "join_asof_nearest",
-    "curate_importance_resample",
-    "text_langid_ngram_profiles",
-    "streaming_sliding_window",
-    "collector_split_accounting",
-    "collector_thrift_roundtrip",
-    "collector_redirect_origin_gates",
-    "dedup_shingle_containment",
-    "sim_radius_search",
-    "text_entropy_metrics",
-    # ---- r6-graded (tranche 1 of the r6 rotation).
-    "q2_minprice_supplier",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_balance",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q20_excess_supply",
-    "q21_waiting_supplier",
-    "text_pii_scrub",
-    "curate_blocklist_filter",
-    "dedup_repeated_ngram_fraction",
-    "text_tfidf_topterms",
-    "agg_approx_percentile",
-    "dedup_url_canonical",
-    "events_transition_matrix",
-    "curate_dedup_apply",
-    "curate_train_val_split",
-    "agg_hll_partitioned_merge",
-    "events_burst_detection",
-    "sim_ann_delete",
-    # ---- r6-latest entries (graded r5+r6 unions).
-    "dedup_incremental_minhash",
-    "sim_ann_incremental",
-    "curate_tokenize_ids",
-    "events_funnel_steps",
-    "events_retention_cohorts",
-    "sim_ann_recall",
-    "text_vocab_stats",
-    "text_unigram_logprob",
-    "text_cooccurrence_ratio",
-    "curate_dataset_card",
-    "events_session_sequences",
+    # ---- freshly r9-graded: the r2/r3/r4 tranches cleared by the r9
+    # window plus the r9-new queries (fresh until r15).
+    "join_theta_quantity_over_size",
+    "join_full_outer_nation_activity",
+    "q14_promo_effect",
+    "events_dedup_latest",
+    "setop_except_inactive",
+    "scalar_string_funcs",
+    "scalar_datetime_funcs",
+    "setop_intersect_active_auto",
+    "window_range_frame_spend",
+    "window_value_picking",
+    "events_type_matrix",
+    "window_analytics_distribution",
+    "agg_pivot_status",
+    "embed_norms",
+    "sim_bucket_histogram",
+    "text_fingerprint",
+    "events_sessionize",
+    "q22_global_sales_opportunity",
+    "q19_disjunctive_revenue",
+    "q18_large_orders",
+    "join_range_price_bins",
+    "agg_rollup_region_nation",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "curate_quality_classifier",
+    "curate_quality_classifier_score",
+    "curate_classifier_eval",
+    "streaming_quality_scoring",
+    "curate_fuzzy_contamination",
+    "curate_line_dedup_apply",
+    "dedup_source_order_plan",
 ]
 
 
@@ -257,7 +255,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "q10_returned_items"  # first entry past the window, r9
+_WINDOW_SENTINEL = "q9_product_profit"  # first entry past the window, r10
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY
