@@ -555,7 +555,10 @@ def test_source_order_plan_bounded_pull_and_contiguous_steps(spark, sf_dir, monk
     an in-plan sequential loop was measured at ~150 ms of pure job-
     launch overhead per step).  The bound is enforced loudly: a catalog
     wider than SOURCE_ORDER_BOUND raises instead of flooding the
-    driver.  Output steps are contiguous from 1 and strictly
+    driver — and since r10 the guard fires BEFORE the driver transfer
+    (the pull is ``.limit(SOURCE_ORDER_BOUND**2 + 1)``-capped, so the
+    bound=1 case below moves at most 2 rows, never the full matrix).
+    Output steps are contiguous from 1 and strictly
     mass-nonincreasing."""
     from opensnowcat_collector_spark.engine.llmdata import dedup as D
 

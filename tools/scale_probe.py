@@ -9,8 +9,18 @@ Replication preserves semantics instead of inflating join fan-out:
 - document text is `translate`d per replica through an AFFINE letter
   permutation (letter i -> s*i + t mod 26, stride s coprime to 26 and
   offset t both derived from the replica id: 12 strides x 26 offsets =
-  312 distinct maps), so cross-replica shingles don't collide through
-  K=311 (no artificial N^2 near-dup pairs).  Two earlier generators
+  312 distinct maps), so cross-replica MULTI-LETTER words never collide
+  through K=311 (no artificial N^2 near-dup pairs).  The exact residual
+  is pinned empirically over the real corpus vocabulary in
+  tests/test_docs_consistency.py::
+  test_scale_probe_replica_vocab_collisions_bounded_and_harmless: the
+  single-letter word 'a' still aliases across same-offset replicas
+  (structural for ANY letter bijection once K>26 — pigeonhole on one
+  letter's image), but the corpus has no all-'a' doc/paragraph/line and
+  the all-'a' shingle fraction is far below JACCARD_THRESHOLD, so
+  exact/paragraph/line duplicate counts and minhash/jaccard VERIFIED
+  pair counts carry zero alias mass (the residue is bounded candidate
+  noise only).  Two earlier generators
   failed this: the r1-r8 vowel rotation had period 5 (~25 exact copies
   per doc at K=128), and the first r9 letters+digits rotation relied on
   digits the corpus doesn't contain, so its effective period was 26
