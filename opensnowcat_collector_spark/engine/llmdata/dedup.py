@@ -641,6 +641,139 @@ def dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked.groupBy("cell").applyInPandas(cell_survivors, out_schema)
 
 
+#: SemDeDup epsilon-ball similarity bar: pairs at cosine >= SEMDEDUP_TAU
+#: (= 1 - epsilon) within a k-means cell are semantic duplicates.  A
+#: literal (not computed as 1 - eps) so both engines compare against the
+#: exact same double.
+SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_oracle() -> str:
+    from .similarity import (
+        _DUCK_KMEANS_FLAT,
+        KMEANS_ASSIGN,
+        KMEANS_FINAL_CENT,
+        _duck_cos,
+        _kmeans_ctes,
+    )
+
+    ctes = ",\n".join(_kmeans_ctes(_DUCK_KMEANS_FLAT))
+    cos = _duck_cos("ei.embedding", "ej.embedding")
+    return f"""
+WITH {ctes},
+ccos AS (
+  SELECT f.vec_id, a.cid,
+         ROUND(SUM(f.x * c.c) / (SQRT(SUM(f.x * f.x)) * SQRT(SUM(c.c * c.c))), 6) AS ccos
+  FROM flat f
+  JOIN {KMEANS_ASSIGN} a ON a.vec_id = f.vec_id
+  JOIN {KMEANS_FINAL_CENT} c ON c.cid = a.cid AND c.i = f.i
+  GROUP BY f.vec_id, a.cid
+),
+dropped AS (
+  SELECT DISTINCT j.vec_id
+  FROM ccos i
+  JOIN ccos j ON i.cid = j.cid
+    AND (i.ccos < j.ccos OR (i.ccos = j.ccos AND i.vec_id < j.vec_id))
+  JOIN embeddings ei ON ei.vec_id = i.vec_id
+  JOIN embeddings ej ON ej.vec_id = j.vec_id
+  WHERE {cos} >= {SEMDEDUP_TAU}
+)
+SELECT e.vec_id, e.label, c.cid AS cell, c.ccos AS centroid_cos
+FROM embeddings e
+JOIN ccos c ON c.vec_id = e.vec_id
+ANTI JOIN dropped d ON d.vec_id = e.vec_id
+"""
+
+
+@register("dedup_semdedup", oracle=_semdedup_oracle())
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540
+    — public method): cluster embeddings with the TRAINED k-means coarse
+    quantizer, then within each cluster drop every member that lies in
+    the epsilon-ball (cosine >= SEMDEDUP_TAU = 1 - eps) of a member that
+    ranks EARLIER in ascending similarity-to-centroid order — so from
+    each duplicate ball the kept example is the one with the LOWEST
+    cosine to the cluster centroid (the paper's "keep hard / most
+    unique" policy; its released code exposes the same choice as
+    ``which_to_keep``).  The drop rule is order-dependent but not
+    sequential — j drops iff SOME earlier i is within tau, whether or
+    not i itself drops — exactly the paper's upper-triangular
+    max-per-column formulation, which is why the oracle can express it
+    as a plain EXISTS-style pair join, no recursion.
+
+    Composition of two existing pieces (VERDICT r9 item 2): the
+    persisted IVF index (``similarity.build_ivf_index`` — quantizer
+    trains ONCE; the cell-partitioned layout makes each block a
+    partition-local read) and the blocked gram-matrix pattern of
+    ``dedup_embedding_kmeans``.  Ordering ties break on vec_id, and
+    both the centroid cosine and the pairwise cosine are rounded to
+    6 dp on both engines before any comparison, so reduction-order
+    ulps cannot flip a drop or a rank (the measured-margin discipline
+    of tests/test_curation.py::test_classifier_grading_margin...).
+
+    Scale (100 TB): per-cell work is O(block^2) vectorized BLAS in one
+    Arrow batch — bounded by quantizer balance exactly as IVF search
+    is; no cross-cell pair is ever formed (pinned in
+    tests/test_plan_shapes.py).  The only driver pull is the constant
+    K*DIM centroid table (the established bounded-catalog pattern)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .similarity import build_ivf_index
+
+    idx = build_ivf_index(spark, sf_dir)
+    blocked = spark.read.parquet(os.path.join(idx, "vectors"))
+    cent_pd = (
+        spark.read.parquet(os.path.join(idx, "centroids"))
+        .orderBy("cid", "i")
+        .toPandas()
+    )  # K*DIM rows — bounded catalog-scale pull, like query_cell's
+    cmap = {
+        int(cid): grp.sort_values("i")["c"].to_numpy(dtype=np.float64)
+        for cid, grp in cent_pd.groupby("cid", sort=True)
+    }
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("label", IntegerType()),
+            StructField("cell", IntegerType()),
+            StructField("centroid_cos", DoubleType()),
+        ]
+    )
+    tau = SEMDEDUP_TAU
+
+    def cell_semdedup(key, pdf):  # (key, pdf) form: no hints, or pyspark warns
+        c = cmap[int(key[0])]
+        ids = pdf["vec_id"].to_numpy()
+        v = np.stack(pdf["embedding"].values).astype(np.float64)
+        norms = np.sqrt((v * v).sum(axis=1))
+        ccos = np.round((v @ c) / (norms * np.sqrt((c * c).sum())), 6)
+        order = np.lexsort((ids, ccos))  # ccos asc, vec_id tiebreak
+        g = np.round((v @ v.T) / np.outer(norms, norms), 6)[order][:, order]
+        dup = np.triu(g >= tau, k=1).any(axis=0)
+        keep = order[~dup]
+        return pd.DataFrame(
+            {
+                "vec_id": ids[keep],
+                "label": pdf["label"].to_numpy()[keep],
+                "cell": np.full(len(keep), int(key[0]), dtype=np.int32),
+                "centroid_cos": ccos[keep],
+            }
+        )
+
+    return blocked.groupBy("cell").applyInPandas(cell_semdedup, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-cluster connected components + incremental (new-batch) dedup
 # ---------------------------------------------------------------------------

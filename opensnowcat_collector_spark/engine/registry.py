@@ -91,7 +91,7 @@ _PRIORITY: list[str] = [
     # ---- slots 47-50: r10-new queries.  Until they land these hold
     # the head of the r6 block (r6 evidence, fresh through r12); each
     # r10-new query displaces one back to the head of the staged block.
-    "q2_minprice_supplier",
+    "dedup_semdedup",
     "q4_priority_exists",
     "q6_forecast_revenue",
     "q8_market_share",
@@ -107,7 +107,9 @@ _PRIORITY: list[str] = [
     # (34 entries) then fills r12, the r8 block r13/r14, and the
     # entries freshly graded in r9/r10 are fresh through r15/r16.
     # Nothing ages past 6 under this schedule.
-    # ---- r6-graded remainder (r11 window material).
+    # ---- r6-graded remainder (r11 window material; head entries
+    # displaced from the filler slots by r10-new queries).
+    "q2_minprice_supplier",
     "q9_product_profit",
     "q11_important_balance",
     "q13_order_count_distribution",
@@ -255,7 +257,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "q9_product_profit"  # first entry past the window, r10
+_WINDOW_SENTINEL = "q2_minprice_supplier"  # first entry past the window, r10
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

@@ -113,6 +113,20 @@ def test_dedup_kmeans_reads_ivf_artifact(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
 
 
+def test_semdedup_no_cross_cluster_pairs(spark, sf_dir):
+    """dedup_semdedup (r10): the epsilon-ball pass is per-CELL inside
+    one applyInPandas over the persisted IVF layout — the plan must
+    contain no join at all (no corpus self-join, no cartesian product:
+    the only way a cross-cluster pair could form), no training subtree,
+    and at most the single groupBy(cell) exchange."""
+    plan = _plan(spark, sf_dir, "dedup_semdedup")
+    assert plan.count("Exchange") <= 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    for node in ("CartesianProduct", "SortMergeJoin", "ShuffledHashJoin",
+                 "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert node not in plan, (node, plan)
+
+
 def test_bucketed_join_zero_exchanges(spark, sf_dir):
     """Both sides of join_bucketed_colocated read the materialized
     bucketed layout, so the join and the per-order aggregation must plan

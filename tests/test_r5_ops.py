@@ -595,3 +595,41 @@ def test_snapshot_diff_classes_partition_the_union(spark, sf_dir):
     assert by_class.get("unchanged") == {
         d for d in docs if d % 10 != 9 and d % 3 != 0
     }
+
+
+def test_semdedup_keep_hard_policy(spark, sf_dir):
+    """dedup_semdedup (r10) keep policy: the epsilon-ball winner is the
+    member with the LOWEST similarity to the cluster centroid (ascending
+    (centroid_cos, vec_id) order; a later member drops iff some earlier
+    member is within tau).  Independent recomputation from the raw IVF
+    layout: every cell's minimal-(centroid_cos, vec_id) member is first
+    in the order, so it can NEVER be dropped — assert it survives in
+    every cell; and the pass must actually drop something at this
+    corpus/tau (otherwise the query degenerates to identity and grades
+    nothing)."""
+    import os
+
+    import numpy as np
+
+    from opensnowcat_collector_spark.engine import registry
+    from opensnowcat_collector_spark.engine.llmdata.similarity import build_ivf_index
+
+    survivors = registry.all_queries()["dedup_semdedup"](spark, sf_dir).collect()
+    kept_ids = {r["vec_id"] for r in survivors}
+
+    idx = build_ivf_index(spark, sf_dir)
+    blocked = spark.read.parquet(os.path.join(idx, "vectors")).toPandas()
+    cent = (
+        spark.read.parquet(os.path.join(idx, "centroids"))
+        .orderBy("cid", "i")
+        .toPandas()
+    )
+    assert 0 < len(survivors) < len(blocked), (len(survivors), len(blocked))
+    for cid, grp in blocked.groupby("cell"):
+        c = cent[cent["cid"] == cid].sort_values("i")["c"].to_numpy(dtype=np.float64)
+        v = np.stack(grp["embedding"].values).astype(np.float64)
+        norms = np.sqrt((v * v).sum(axis=1))
+        ccos = np.round((v @ c) / (norms * np.sqrt((c * c).sum())), 6)
+        ids = grp["vec_id"].to_numpy()
+        first = min(zip(ccos, ids))
+        assert first[1] in kept_ids, (cid, first)
