@@ -92,8 +92,8 @@ _PRIORITY: list[str] = [
     # the head of the r6 block (r6 evidence, fresh through r12); each
     # r10-new query displaces one back to the head of the staged block.
     "dedup_semdedup",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
+    "text_unigram_lm_train",
+    "text_unigram_lm_segment",
     "q8_market_share",
     # ---- slot 51+ below: NOT driver-graded this round.
     # r11 PLAN (VERDICT r9 item 6, made executable in
@@ -110,6 +110,8 @@ _PRIORITY: list[str] = [
     # ---- r6-graded remainder (r11 window material; head entries
     # displaced from the filler slots by r10-new queries).
     "q2_minprice_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
     "q9_product_profit",
     "q11_important_balance",
     "q13_order_count_distribution",

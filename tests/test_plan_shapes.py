@@ -624,3 +624,34 @@ def test_line_dedup_apply_combined_stats_no_window(spark, sf_dir):
     assert plan.count("Generate") == 0, plan  # behind the checkpoint
     assert "Scan ExistingRDD" in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_unigram_train_reads_artifact_no_em_subtree(spark, sf_dir):
+    """text_unigram_lm_train (r10) must read the PERSISTED piece table
+    (the build_ivf_index pay-once pattern): the consumer plan is a
+    parquet scan of the artifact + the single-row total broadcast —
+    no EM subtree (which would show dozens of exchanges), no Python
+    stages, and no corpus scan."""
+    from opensnowcat_collector_spark.engine.llmdata.text import build_unigram_lm
+
+    build_unigram_lm(spark, sf_dir)  # ensure the artifact exists
+    plan = _plan(spark, sf_dir, "text_unigram_lm_train")
+    assert plan.count("Exchange") <= 2, plan
+    assert "pieces" in plan, plan  # artifact scan
+    assert "documents" not in plan, plan  # corpus never touched
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_unigram_segment_broadcasts_mapping(spark, sf_dir):
+    """text_unigram_lm_segment: the word -> piece-count mapping joins the
+    corpus token stream as a BROADCAST (never a shuffled self-join of
+    the corpus), the doc aggregation is map-side combined, and the
+    whole serving path stays JVM-side."""
+    from opensnowcat_collector_spark.engine.llmdata.text import build_unigram_lm
+
+    build_unigram_lm(spark, sf_dir)
+    plan = _plan(spark, sf_dir, "text_unigram_lm_segment")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan, plan
