@@ -94,7 +94,7 @@ _PRIORITY: list[str] = [
     "dedup_semdedup",
     "text_unigram_lm_train",
     "text_unigram_lm_segment",
-    "q8_market_share",
+    "streaming_line_dedup",
     # ---- slot 51+ below: NOT driver-graded this round.
     # r11 PLAN (VERDICT r9 item 6, made executable in
     # tests/test_registry.py::test_r11_rotation_horizon): after r10
@@ -112,6 +112,7 @@ _PRIORITY: list[str] = [
     "q2_minprice_supplier",
     "q4_priority_exists",
     "q6_forecast_revenue",
+    "q8_market_share",
     "q9_product_profit",
     "q11_important_balance",
     "q13_order_count_distribution",

@@ -1215,3 +1215,121 @@ def streaming_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streaming quality scoring",
         "qc_stream_",
     )
+
+
+from .llmdata.curation import C4_LINE_WORDS, _SITE_IDX_BOUND  # noqa: E402,F401
+from .llmdata.dedup import word_chunk_array, word_chunks_sql  # noqa: E402
+
+
+def _line_dedup_oracle() -> str:
+    chunks = word_chunks_sql(C4_LINE_WORDS, with_idx=True)
+    return f"""
+WITH hist_ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  WHERE doc_id < {CURATION_CORPUS_SPLIT}
+),
+hist_lines AS (
+  SELECT DISTINCT s['chunk'] AS line
+  FROM (SELECT doc_id, UNNEST({chunks}) AS s FROM hist_ws)
+),
+s_ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  WHERE doc_id >= {CURATION_CORPUS_SPLIT}
+),
+s_sites AS (
+  SELECT doc_id, s['idx'] AS idx, s['chunk'] AS line
+  FROM (SELECT doc_id, UNNEST({chunks}) AS s FROM s_ws)
+),
+flags AS (
+  SELECT st.doc_id, st.idx, st.line, h.line IS NULL AS keep
+  FROM s_sites st LEFT JOIN hist_lines h USING (line)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN line END, ' '
+                               ORDER BY idx), '')) AS cleaned_md5
+FROM flags GROUP BY doc_id
+"""
+
+
+@register("streaming_line_dedup", oracle=_line_dedup_oracle())
+def streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus-wide line dedup under the gate — the serving
+    twin of ``curate_line_dedup_apply`` (VERDICT r9 item 5): the
+    line table is built ONCE from the static corpus slice
+    (doc_id < split — the ``streaming_quality_scoring`` weight-table
+    pattern), and every incoming crawl document is cleaned against it:
+    a line already present ANYWHERE in history is a duplicate whose
+    earliest site lives on the historical side, so the streamed
+    occurrence is removed — keep-earliest with the tie always resolving
+    to history.  Lines new to the corpus pass through even if repeated
+    within the stream slice; they enter the line table at the next
+    stats refresh (the production cadence for C4-style cleaners, where
+    the dedup table is a periodically rebuilt artifact).  Emits the
+    batch twin's exact per-doc shape: line/removal counts + md5 of the
+    reconstructed cleaned text.
+
+    Stateless by construction (a document is one row, its lines land in
+    one micro-batch; membership against a FIXED table needs no
+    cross-batch state), so equality with the split-corpus batch oracle
+    proves batching-invariance — no watermark, no state store.
+
+    100-TB note: the historical line table scales with distinct corpus
+    lines, so the broadcast here is corpus-permitting; at scale the
+    same plan swaps the broadcast for a line-keyed stream-static join
+    (or a bloom pre-filter in front of it) without touching the
+    per-batch semantics.  Each epoch pays one explode + one membership
+    join + one batch-local doc aggregation — incremental work scales
+    with the batch, never the corpus."""
+    d = table(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") < CURATION_CORPUS_SPLIT)
+    w = F.split(F.lower("text"), " ")
+    hist_lines = (
+        hist.select(F.explode(word_chunk_array(w, C4_LINE_WORDS)).alias("line"))
+        .distinct()
+        .withColumn("_hist", F.lit(True))
+        .localCheckpoint(eager=False)
+    )
+
+    stream = _stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= CURATION_CORPUS_SPLIT
+    )
+
+    def clean_batch(batch_df: DataFrame) -> DataFrame:
+        sites = batch_df.select(
+            "doc_id",
+            F.posexplode(
+                word_chunk_array(F.split(F.lower("text"), " "), C4_LINE_WORDS)
+            ).alias("idx", "line"),
+        )
+        flags = sites.join(F.broadcast(hist_lines), "line", "left").select(
+            "doc_id", "idx", "line", F.col("_hist").isNull().alias("keep")
+        )
+        cleaned = F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("idx", "line"))
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+            )
+        )
+        return flags.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_removed"),
+            cleaned.alias("cleaned_md5"),
+        )
+
+    return _drain_foreachbatch(
+        stream,
+        clean_batch,
+        ["doc_id", "n_lines", "n_removed", "cleaned_md5"],
+        "streaming line dedup",
+        "line_dedup_stream_",
+    )
