@@ -109,6 +109,13 @@ HEADLINE = [
     # dedup apply (map-side-combined line stats, never a line window)
     "curate_fuzzy_contamination",
     "curate_line_dedup_apply",
+    # r10: SemDeDup epsilon-ball semantic dedup over the persisted IVF
+    # cells (blocked gram matrix, keep-hard policy), the unigram-LM
+    # tokenizer trainer (artifact read after the pay-once cold build)
+    # and its Viterbi serving twin
+    "dedup_semdedup",
+    "text_unigram_lm_train",
+    "text_unigram_lm_segment",
 ]
 
 

@@ -176,9 +176,11 @@ def main() -> None:
             from opensnowcat_collector_spark.engine.layout import build_bucketed_layout
             from opensnowcat_collector_spark.engine.llmdata.similarity import (
                 build_ann_index,
+                build_ivf_index,
             )
 
             build_ann_index(spark, sf_dir)
+            build_ivf_index(spark, sf_dir)
             build_bucketed_layout(spark, sf_dir)
         timings = {}
         for name in probe:
