@@ -759,8 +759,27 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         norms = np.sqrt((v * v).sum(axis=1))
         ccos = np.round((v @ c) / (norms * np.sqrt((c * c).sum())), 6)
         order = np.lexsort((ids, ccos))  # ccos asc, vec_id tiebreak
-        g = np.round((v @ v.T) / np.outer(norms, norms), 6)[order][:, order]
-        dup = np.triu(g >= tau, k=1).any(axis=0)
+        vo = v[order]
+        no = norms[order]
+        n = len(vo)
+        # chunked upper-triangular pass: j drops iff ANY earlier i has
+        # cos >= tau.  Memory is O(CHUNK * cell) instead of O(cell^2);
+        # FLOPs stay O(cell^2) — inherent to the within-cell epsilon
+        # ball (production bounds CELL WIDTH via the cluster count, it
+        # does not shrink this pass).
+        chunk = 2048
+        dup = np.zeros(n, dtype=bool)
+        for s in range(1, n, chunk):
+            e = min(s + chunk, n)
+            # same FP shape as the oracle: dot / (|a| * |b|), then round
+            g = np.round(
+                (vo[s:e] @ vo[:e].T) / np.outer(no[s:e], no[:e]), 6
+            )  # rows s..e vs ALL i < e
+            ge = g >= tau
+            # mask self and later-or-equal pairs within the chunk block
+            for r in range(e - s):
+                ge[r, s + r :] = False
+            dup[s:e] = ge.any(axis=1)
         keep = order[~dup]
         return pd.DataFrame(
             {
