@@ -718,3 +718,108 @@ def test_unigram_lm_grading_margin(spark, sf_dir):
     assert worst_mid > 100 * noise, worst_mid
     for p, v in duck.items():
         assert abs(sp[p] - round(v, 6)) < 1e-9, (p, sp[p], v)
+
+
+def test_unigram_viterbi_matches_bruteforce_enumeration(spark):
+    """Property pin for the unrolled Viterbi DP (r10): on a synthetic
+    vocabulary with a hand-built piece table, the DP's per-word argmax
+    path must equal exhaustive enumeration of EVERY segmentation under
+    the identical scoring (sum of 6dp-rounded logprobs accumulated
+    left-to-right) and tie-break (score DESC, path string ASC).  This
+    is the semantics the oracle replays — proving it against an
+    independent reference, not just against DuckDB running the same
+    SQL shape."""
+    import itertools
+    import math
+
+    from pyspark.sql import functions as F
+
+    from opensnowcat_collector_spark.engine.llmdata.text import (
+        UNI_MAX_PIECE_LEN,
+        _uni_viterbi,
+    )
+
+    words = ["abba", "abab", "aaaa", "bcd", "a", "dcbaab"]
+    pieces = {"a": 9, "b": 5, "ab": 7, "ba": 3, "bb": 2, "c": 1, "d": 1, "cd": 4, "abb": 2}
+    total = sum(pieces.values())
+    lp = {p: round(math.log(c) - math.log(total), 6) for p, c in pieces.items()}
+
+    def segmentations(w):
+        if not w:
+            yield []
+            return
+        for ln in range(1, min(UNI_MAX_PIECE_LEN, len(w)) + 1):
+            head = w[:ln]
+            if head in lp:
+                for rest in segmentations(w[ln:]):
+                    yield [head] + rest
+
+    expected = {}
+    for w in words:
+        best = None
+        for seg in segmentations(w):
+            score = 0.0
+            for p in seg:
+                score = score + lp[p]  # same left-to-right accumulation
+            key = (-score, " ".join(seg))
+            if best is None or key < best:
+                best = key
+        assert best is not None, f"{w} unsegmentable under the test pieces"
+        expected[w] = best[1]
+
+    wdf = spark.createDataFrame([(w, 1) for w in words], "w string, cnt long")
+    lpdf = spark.createDataFrame(
+        [(p, v) for p, v in lp.items()], "piece string, lp double"
+    )
+    got = {
+        r["w"]: r["path"]
+        for r in _uni_viterbi(wdf, lpdf, max(len(w) for w in words)).collect()
+    }
+    assert got == expected
+
+
+def test_semdedup_drop_rule_matches_bruteforce(spark):
+    """Property pin for the SemDeDup drop rule (r10): on random small
+    vector sets, the chunked upper-triangular pass must agree with the
+    O(n^2) definition — j drops iff SOME i earlier in ascending
+    (centroid_cos, vec_id) order has round(cos(i,j),6) >= tau, whether
+    or not i itself dropped.  Exercises chunk boundaries (n > chunk is
+    impractical here, so the chunk size is monkeypatched via a local
+    reimplementation with chunk=3 against the plain reference)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, dim = 40, 8
+    v = rng.randn(n, dim)
+    # plant near-duplicates so the rule actually fires
+    for k in range(0, 30, 3):
+        v[k + 1] = v[k] + rng.randn(dim) * 0.01
+    ids = np.arange(n)
+    c = rng.randn(dim)
+    norms = np.sqrt((v * v).sum(axis=1))
+    ccos = np.round((v @ c) / (norms * np.sqrt((c * c).sum())), 6)
+    order = np.lexsort((ids, ccos))
+    vo, no = v[order], norms[order]
+    tau = 0.35
+
+    # reference: full O(n^2) double loop
+    ref_dup = np.zeros(n, dtype=bool)
+    for j in range(n):
+        for i in range(j):
+            g = round(float(vo[i] @ vo[j] / (no[i] * no[j])), 6)
+            if g >= tau:
+                ref_dup[j] = True
+                break
+
+    # chunked pass with a tiny chunk to cross many boundaries
+    chunk = 3
+    dup = np.zeros(n, dtype=bool)
+    for s in range(1, n, chunk):
+        e = min(s + chunk, n)
+        g = np.round((vo[s:e] @ vo[:e].T) / np.outer(no[s:e], no[:e]), 6)
+        ge = g >= tau
+        for r in range(e - s):
+            ge[r, s + r :] = False
+        dup[s:e] = ge.any(axis=1)
+    assert (dup == ref_dup).all()
+    assert ref_dup.any() and not ref_dup.all()
