@@ -1333,3 +1333,157 @@ def streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streaming line dedup",
         "line_dedup_stream_",
     )
+
+
+from .llmdata.dedup import SEMDEDUP_TAU  # noqa: E402
+from .llmdata.similarity import (  # noqa: E402
+    _DUCK_KMEANS_FLAT,
+    _SPARK_KMEANS_FLAT,
+    KMEANS_ASSIGN,
+    KMEANS_FINAL_CENT,
+    _duck_cos,
+    _kmeans_ctes,
+    _spark_cos,
+)
+
+#: embeddings with vec_id < split = the existing corpus (trains the
+#: quantizer and supplies the duplicate-membership set); the rest
+#: stream in.  The k-means seeds (vec_ids 1..K) all sit inside the
+#: static slice, so the history-trained quantizer is well-defined.
+EMB_STREAM_SPLIT = 100
+
+
+def _streaming_semdedup_oracle() -> str:
+    ctes = ",\n".join(
+        _kmeans_ctes(f"{_DUCK_KMEANS_FLAT} WHERE vec_id < {EMB_STREAM_SPLIT}")
+    )
+    cos = _duck_cos("es.embedding", "eh.embedding")
+    return f"""
+WITH {ctes},
+sfl AS (
+  SELECT * FROM ({_DUCK_KMEANS_FLAT}) sflat WHERE vec_id >= {EMB_STREAM_SPLIT}
+),
+sd AS (
+  SELECT f.vec_id, c.cid, ROUND(SUM((f.x - c.c) * (f.x - c.c)), 6) AS d2
+  FROM sfl f JOIN {KMEANS_FINAL_CENT} c ON c.i = f.i
+  GROUP BY f.vec_id, c.cid
+),
+sa AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM sd
+  ) r WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT s.vec_id
+  FROM sa s
+  JOIN {KMEANS_ASSIGN} h ON h.cid = s.cid
+  JOIN embeddings es ON es.vec_id = s.vec_id
+  JOIN embeddings eh ON eh.vec_id = h.vec_id
+  WHERE {cos} >= {SEMDEDUP_TAU}
+)
+SELECT e.vec_id, e.label, s.cid AS cell
+FROM embeddings e
+JOIN sa s ON s.vec_id = e.vec_id
+ANTI JOIN dropped d ON d.vec_id = e.vec_id
+"""
+
+
+@register("streaming_semdedup", oracle=_streaming_semdedup_oracle())
+def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup under the gate — the serving twin of
+    ``dedup_semdedup`` (the ``streaming_line_dedup`` contract applied
+    to the semantic family): the k-means quantizer trains ONCE on the
+    static embedding slice (vec_id < split) and each incoming vector is
+    (a) assigned to its nearest historical centroid — the identical
+    6-dp-rounded-distance, (d2, cid)-tie-break argmin the batch oracle
+    replays — and (b) dropped iff it lies in the epsilon-ball
+    (cosine >= SEMDEDUP_TAU) of ANY historical member of that cell:
+    keep-earliest with the tie always resolving to history.  Vectors
+    novel to the corpus pass through even if the stream later repeats
+    them; they join the membership set at the next index refresh (the
+    incremental-ANN cadence, ``update_ann_index``).
+
+    Stateless by construction — membership against a FIXED historical
+    set needs no cross-batch state — so equality with the split-corpus
+    batch oracle proves batching-invariance.
+
+    Scale (100 TB): per epoch, assignment is one posexplode +
+    broadcast-centroid join (K*DIM constant) + a min-struct argmax;
+    the membership check is a cell-keyed join against the historical
+    member table — batch x cell-width fan-out, the same bound as the
+    batch pass, with the cosine a codegen'd 64-term sum (no Python).
+    The historical side scales with the corpus, so it joins as a
+    normal (never broadcast) table; a production deployment puts the
+    bloom/sketch prefilter of ``dedup_bloom_incremental`` in front of
+    it — the per-batch semantics are unchanged."""
+    e = table(spark, sf_dir, "embeddings")
+    e.createOrReplaceTempView("embeddings")
+    ctes = "WITH " + ",\n".join(
+        _kmeans_ctes(f"{_SPARK_KMEANS_FLAT} WHERE vec_id < {EMB_STREAM_SPLIT}")
+    )
+    cent = spark.sql(
+        f"{ctes}\nSELECT cid, i, c FROM {KMEANS_FINAL_CENT}"
+    ).localCheckpoint(eager=False)
+    hist_mem = (
+        e.filter(F.col("vec_id") < EMB_STREAM_SPLIT)
+        .join(
+            spark.sql(f"{ctes}\nSELECT vec_id, cid FROM {KMEANS_ASSIGN}"),
+            "vec_id",
+        )
+        .select(
+            F.col("vec_id").alias("h_vec_id"),
+            F.col("embedding").alias("h_embedding"),
+            F.col("cid").alias("cell"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    stream = _stream_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") >= EMB_STREAM_SPLIT
+    )
+    cos_expr = _spark_cos("embedding", "h_embedding")
+
+    def clean_batch(batch_df: DataFrame) -> DataFrame:
+        flat = batch_df.select(
+            "vec_id",
+            F.posexplode("embedding").alias("pos", "x0"),
+        ).select(
+            "vec_id",
+            (F.col("pos") + 1).alias("i"),
+            F.col("x0").cast("double").alias("x"),
+        )
+        d2 = (
+            flat.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.round(
+                    F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))),
+                    6,
+                ).alias("d2")
+            )
+        )
+        assign = (
+            d2.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cell"))
+        )
+        withcell = batch_df.join(assign, "vec_id")
+        dropped = (
+            withcell.join(hist_mem, "cell")
+            .filter(F.expr(cos_expr) >= SEMDEDUP_TAU)
+            .select("vec_id")
+            .distinct()
+        )
+        return withcell.join(dropped, "vec_id", "left_anti").select(
+            "vec_id", "label", "cell"
+        )
+
+    return _drain_foreachbatch(
+        stream,
+        clean_batch,
+        ["vec_id", "label", "cell"],
+        "streaming semdedup",
+        "semdedup_stream_",
+    )
