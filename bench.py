@@ -116,6 +116,8 @@ HEADLINE = [
     "dedup_semdedup",
     "text_unigram_lm_train",
     "text_unigram_lm_segment",
+    # r10: Group-DRO domain reweighting over the classifier machinery
+    "curate_doremi_weights",
 ]
 
 

@@ -2007,3 +2007,232 @@ def curate_line_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_removed"),
         cleaned.alias("cleaned_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+# Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+# arXiv:2305.10429 — public method).  Fixed-step full-batch variant of
+# the Group-DRO minimax: a REFERENCE model trains unweighted; each
+# outer round trains a PROXY under the current domain weights and the
+# weights move by exponentiated gradient on the per-domain EXCESS loss
+# (proxy - reference, floored at 0); the final mixture is the average
+# of the per-round weights — exactly the paper's output, with the
+# per-minibatch loop collapsed to deterministic full-batch rounds so
+# the DuckDB oracle can replay it value-exact.
+# ---------------------------------------------------------------------------
+
+DOREMI_OUTER = 3  # exponentiated-gradient rounds
+DOREMI_INNER = 4  # proxy GD steps per round (rough separation suffices)
+DOREMI_ETA_ALPHA = 1.0  # EG step size on domain weights
+
+
+def _doremi_oracle() -> str:
+    parts = [qc_train_cte()]
+    parts.append(f"""dr_dom AS (SELECT doc_id, source FROM documents),
+dr_size AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_d FROM documents GROUP BY source
+),
+dr_k AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM dr_size),
+dr_rm AS (
+  SELECT f.doc_id, SUM(f.x * w.wt) AS m
+  FROM qc_feats f JOIN qc_w{QC_STEPS} w USING (b) GROUP BY f.doc_id
+),
+dr_rl AS (
+  SELECT m.doc_id, LN(1.0 + EXP(m.m)) - l.y * m.m AS loss
+  FROM dr_rm m JOIN qc_lab l USING (doc_id)
+),
+dr_ref AS MATERIALIZED (
+  SELECT d.source, AVG(r.loss) AS L
+  FROM dr_rl r JOIN dr_dom d USING (doc_id) GROUP BY d.source
+),
+dr_a0 AS MATERIALIZED (
+  SELECT source, 1.0 / (SELECT k FROM dr_k) AS a FROM dr_size
+)""")
+    for t in range(1, DOREMI_OUTER + 1):
+        parts.append(f"""dr_u{t} AS MATERIALIZED (
+  SELECT d.doc_id, a.a / s.n_d AS u
+  FROM dr_dom d JOIN dr_a{t - 1} a USING (source) JOIN dr_size s USING (source)
+),
+dr_pw{t}_0 AS (SELECT DISTINCT b, 0.0 AS wt FROM qc_feats)""")
+        for i in range(1, DOREMI_INNER + 1):
+            parts.append(f"""dr_pm{t}_{i} AS (
+  SELECT f.doc_id, SUM(f.x * w.wt) AS m
+  FROM qc_feats f JOIN dr_pw{t}_{i - 1} w USING (b) GROUP BY f.doc_id
+),
+dr_pr{t}_{i} AS (
+  SELECT m.doc_id, 1.0 / (1.0 + EXP(-m.m)) - l.y AS r
+  FROM dr_pm{t}_{i} m JOIN qc_lab l USING (doc_id)
+),
+dr_pw{t}_{i} AS MATERIALIZED (
+  SELECT f.b, ANY_VALUE(w.wt) - {QC_ETA} * SUM(r.r * f.x * u.u) AS wt
+  FROM qc_feats f
+  JOIN dr_pr{t}_{i} r USING (doc_id)
+  JOIN dr_u{t} u USING (doc_id)
+  JOIN dr_pw{t}_{i - 1} w ON f.b = w.b
+  GROUP BY f.b
+)""")
+        parts.append(f"""dr_plm{t} AS (
+  SELECT f.doc_id, SUM(f.x * w.wt) AS m
+  FROM qc_feats f JOIN dr_pw{t}_{DOREMI_INNER} w USING (b) GROUP BY f.doc_id
+),
+dr_pll{t} AS (
+  SELECT m.doc_id, LN(1.0 + EXP(m.m)) - l.y * m.m AS loss
+  FROM dr_plm{t} m JOIN qc_lab l USING (doc_id)
+),
+dr_pld{t} AS (
+  SELECT d.source, AVG(p.loss) AS L
+  FROM dr_pll{t} p JOIN dr_dom d USING (doc_id) GROUP BY d.source
+),
+dr_ex{t} AS (
+  SELECT r.source, GREATEST(0.0, p.L - r.L) AS e
+  FROM dr_ref r JOIN dr_pld{t} p USING (source)
+),
+dr_araw{t} AS (
+  SELECT a.source, a.a * EXP({DOREMI_ETA_ALPHA} * e.e) AS a
+  FROM dr_a{t - 1} a JOIN dr_ex{t} e USING (source)
+),
+dr_a{t} AS MATERIALIZED (
+  SELECT source, a / (SELECT SUM(a) FROM dr_araw{t}) AS a FROM dr_araw{t}
+)""")
+    joins = " ".join(
+        f"JOIN dr_a{t} USING (source)" for t in range(2, DOREMI_OUTER + 1)
+    )
+    avg = " + ".join(f"dr_a{t}.a" for t in range(1, DOREMI_OUTER + 1))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT source, ROUND(({avg}) / {DOREMI_OUTER}.0, 6) AS mix_weight
+FROM dr_a1 {joins}
+"""
+    )
+
+
+def _doremi_domain_loss(
+    w: DataFrame, feats: DataFrame, labels: DataFrame, dom: DataFrame
+) -> DataFrame:
+    """(source, L) per-domain average logloss under weight table ``w``.
+    loss = LN(1+EXP(m)) - y*m — the overflow-free logloss form, written
+    identically in both engines so the doubles match bit-for-bit."""
+    m = (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("wt")).alias("m"))
+    )
+    loss = m.join(labels, "doc_id").select(
+        "doc_id",
+        (F.log(F.lit(1.0) + F.exp("m")) - F.col("y") * F.col("m")).alias("loss"),
+    )
+    return loss.join(dom, "doc_id").groupBy("source").agg(
+        F.avg("loss").alias("L")
+    )
+
+
+@register("curate_doremi_weights", oracle=_doremi_oracle())
+def curate_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture weights (Xie et al. 2023 — public):
+    train the REFERENCE classifier unweighted (the exact
+    ``curate_quality_classifier`` chain), then DOREMI_OUTER rounds of
+    Group DRO — train a PROXY under per-doc weights u = alpha_d / n_d
+    for DOREMI_INNER gradient steps, measure each domain's EXCESS loss
+    over the reference (floored at 0: only domains the current mixture
+    under-serves get boosted), move the domain weights by exponentiated
+    gradient, renormalize — and emit the round-averaged mixture, the
+    paper's final output.  Domains = the ``source`` column (the same
+    bounded key the provenance matrix and the source-order planner
+    use).
+
+    The DuckDB oracle replays the identical unroll: the reference chain
+    is ``qc_train_cte`` VERBATIM (the two graded queries share one
+    definition), and each proxy step's gradient is the same
+    sum(r*x*u) — u carries the 1/n_d normalization, so sum(u) = 1 and
+    the proxy's effective step scale matches the reference's 1/N on a
+    balanced corpus.
+
+    Scale (100 TB): everything the corpus touches is the classifier
+    family's machinery — the feature stream localCheckpoint'd ONCE and
+    re-read by reference + DOREMI_OUTER x DOREMI_INNER proxy steps,
+    each one broadcast of a CONSTANT-bounded table (weights: <=
+    QC_BUCKETS+1 rows; alpha/dsize: |domains| rows) + two map-side-
+    combined exchanges; the EG update itself is |domains|-sized
+    arithmetic, fully in-plan, zero driver round-trips.  In production
+    the proxy trains on a bounded sample (the paper's proxy is 280M
+    params against a 8B target for the same reason)."""
+    docs = table(spark, sf_dir, "documents")
+    feats = qc_features(docs).localCheckpoint(eager=False)
+    labels = qc_labels(docs).localCheckpoint(eager=False)
+    dom = docs.select("doc_id", "source").localCheckpoint(eager=False)
+    dsize = dom.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_d")
+    ).localCheckpoint(eager=False)
+    k = dsize.agg(F.count(F.lit(1)).cast("double").alias("k"))
+
+    wref = qc_gradient_descent(feats, docs)
+    ref = _doremi_domain_loss(wref, feats, labels, dom).localCheckpoint(
+        eager=False
+    )
+
+    alpha = dsize.crossJoin(F.broadcast(k)).select(
+        "source", (F.lit(1.0) / F.col("k")).alias("a")
+    ).localCheckpoint(eager=False)
+    zeros = feats.select("b").distinct().withColumn("wt", F.lit(0.0))
+    alphas = []
+    for _t in range(DOREMI_OUTER):
+        u = (
+            dom.join(F.broadcast(alpha), "source")
+            .join(F.broadcast(dsize), "source")
+            .select("doc_id", (F.col("a") / F.col("n_d")).alias("u"))
+        )
+        fw = feats.join(u, "doc_id").localCheckpoint(eager=False)
+        w = zeros
+        for _i in range(DOREMI_INNER):
+            margin = (
+                feats.join(F.broadcast(w), "b")
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("x") * F.col("wt")).alias("m"))
+            )
+            resid = margin.join(labels, "doc_id").select(
+                "doc_id",
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y")
+                ).alias("r"),
+            )
+            grad = (
+                fw.join(resid, "doc_id")
+                .groupBy("b")
+                .agg(F.sum(F.col("r") * F.col("x") * F.col("u")).alias("g"))
+            )
+            w = (
+                w.join(grad, "b")
+                .select("b", (F.col("wt") - QC_ETA * F.col("g")).alias("wt"))
+                .localCheckpoint(eager=False)
+            )
+        proxy = _doremi_domain_loss(w, feats, labels, dom)
+        excess = ref.join(proxy.withColumnRenamed("L", "pL"), "source").select(
+            "source",
+            F.greatest(F.lit(0.0), F.col("pL") - F.col("L")).alias("e"),
+        )
+        araw = alpha.join(excess, "source").select(
+            "source",
+            (F.col("a") * F.exp(F.lit(DOREMI_ETA_ALPHA) * F.col("e"))).alias("a"),
+        )
+        tot = araw.agg(F.sum("a").alias("s"))
+        alpha = (
+            araw.crossJoin(F.broadcast(tot))
+            .select("source", (F.col("a") / F.col("s")).alias("a"))
+            .localCheckpoint(eager=False)
+        )
+        alphas.append(alpha)
+
+    out = alphas[0].select("source", F.col("a").alias("a1"))
+    for j, a in enumerate(alphas[1:], start=2):
+        out = out.join(a.select("source", F.col("a").alias(f"a{j}")), "source")
+    avg = sum(
+        (F.col(f"a{j}") for j in range(2, DOREMI_OUTER + 1)),
+        F.col("a1"),
+    )
+    return out.select(
+        "source",
+        F.round(avg / F.lit(float(DOREMI_OUTER)), 6).alias("mix_weight"),
+    )

@@ -70,12 +70,13 @@ _PRIORITY: list[str] = [
     "curate_source_quota",
     "curate_token_budget_select",
     "mm_decode_metadata",
-    "mm_resize_plan",
-    # ---- slot 31: streaming_semdedup landed after the four r10-new
-    # slots were taken; it displaces the BOTTOM r5-tranche entry
-    # (mm_frame_sample, r5 evidence fresh through r11) to the staged
-    # head — the same graded-on-arrival rule the r9 rotation used.
+    # ---- slots 30-31: streaming_semdedup and curate_doremi_weights
+    # landed after the four r10-new slots were taken; each displaces
+    # one BOTTOM r5-tranche entry (mm_resize_plan / mm_frame_sample,
+    # r5 evidence fresh through r11) to the staged head — the same
+    # graded-on-arrival rule the r9 rotation used.
     "streaming_semdedup",
+    "curate_doremi_weights",
     # ---- slots 32-46: the 15 standing keeps (same set as r7/r8/r9).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -111,9 +112,11 @@ _PRIORITY: list[str] = [
     # (34 entries) then fills r12, the r8 block r13/r14, and the
     # entries freshly graded in r9/r10 are fresh through r15/r16.
     # Nothing ages past 6 under this schedule.
-    # ---- displaced from the window by streaming_semdedup (r5
-    # evidence, age 6 at r11 — MUST head the r11 window; the bottom r6
-    # entry it displaces there waits for r12, age 6, still at the bar).
+    # ---- displaced from the window by the two late r10-new queries
+    # (r5 evidence, age 6 at r11 — MUST head the r11 window; the two
+    # bottom r6 entries they displace there wait for r12, age 6,
+    # still at the bar).
+    "mm_resize_plan",
     "mm_frame_sample",
     # ---- r6-graded remainder (r11 window material; head entries
     # displaced from the filler slots by r10-new queries).
@@ -268,7 +271,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "mm_frame_sample"  # first entry past the window, r10
+_WINDOW_SENTINEL = "mm_resize_plan"  # first entry past the window, r10
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

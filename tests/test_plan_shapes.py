@@ -655,3 +655,17 @@ def test_unigram_segment_broadcasts_mapping(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_doremi_weights_distributed_constant_broadcasts(spark, sf_dir):
+    """DoReMi reweighting (r10): the production plan is bounded by
+    checkpoints (the final |domains|-sized mixture reads back as flat
+    scans joined on source — EG rounds never recompute), with no Python
+    stage, no cartesian product, and no corpus-scaled broadcast: every
+    broadcast input is constant-bounded (weight table, alpha, domain
+    sizes, single-row totals)."""
+    plan = _plan(spark, sf_dir, "curate_doremi_weights")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan parquet" not in plan, plan  # corpus never re-scanned here

@@ -77,10 +77,10 @@ _R10_R5_TRANCHE = [
     "curate_source_quota",
     "curate_token_budget_select",
     "mm_decode_metadata",
-    "mm_resize_plan",
-    # mm_frame_sample: displaced from the window bottom by the
-    # graded-on-arrival streaming_semdedup (r5 evidence fresh through
-    # r11; heads the r11 window)
+    # mm_resize_plan / mm_frame_sample: displaced from the window
+    # bottom by the graded-on-arrival streaming_semdedup and
+    # curate_doremi_weights (r5 evidence fresh through r11; they head
+    # the r11 window)
 ]
 
 _STANDING_KEEPS = [
