@@ -162,6 +162,26 @@ def main() -> None:
         f"BPE apply: {st['sum(n_words)']} words -> {st['sum(n_subwords)']} subword tokens"
     )
 
+    sem = qs["dedup_semdedup"](spark, sf_dir)
+    print(f"SemDeDup (eps-ball in trained IVF cells): {sem.count()} survivors")
+
+    uni = qs["text_unigram_lm_train"](spark, sf_dir)
+    top = uni.orderBy(uni.cnt.desc()).collect()[:5]
+    print("unigram-LM pieces (top by count):", [r.piece for r in top])
+    useg = qs["text_unigram_lm_segment"](spark, sf_dir)
+    us = useg.agg({"n_words": "sum", "n_pieces": "sum"}).first()
+    print(
+        f"unigram-LM apply: {us['sum(n_words)']} words -> "
+        f"{us['sum(n_pieces)']} pieces"
+    )
+
+    dor = qs["curate_doremi_weights"](spark, sf_dir)
+    boosted = dor.orderBy(dor.mix_weight.desc()).collect()[:3]
+    print(
+        "DoReMi mixture (top boosted domains):",
+        [(r.source, round(r.mix_weight, 4)) for r in boosted],
+    )
+
     mix = qs["curate_temperature_mix"](spark, sf_dir)
     print("temperature mix (T=2) boosts:")
     for row in mix.orderBy("source").collect()[:5]:
