@@ -2209,11 +2209,13 @@ def curate_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=False)
             )
         proxy = _doremi_domain_loss(w, feats, labels, dom)
-        excess = ref.join(proxy.withColumnRenamed("L", "pL"), "source").select(
+        excess = ref.join(
+            F.broadcast(proxy.withColumnRenamed("L", "pL")), "source"
+        ).select(
             "source",
             F.greatest(F.lit(0.0), F.col("pL") - F.col("L")).alias("e"),
         )
-        araw = alpha.join(excess, "source").select(
+        araw = alpha.join(F.broadcast(excess), "source").select(
             "source",
             (F.col("a") * F.exp(F.lit(DOREMI_ETA_ALPHA) * F.col("e"))).alias("a"),
         )
@@ -2227,7 +2229,9 @@ def curate_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = alphas[0].select("source", F.col("a").alias("a1"))
     for j, a in enumerate(alphas[1:], start=2):
-        out = out.join(a.select("source", F.col("a").alias(f"a{j}")), "source")
+        out = out.join(
+            F.broadcast(a.select("source", F.col("a").alias(f"a{j}"))), "source"
+        )
     avg = sum(
         (F.col(f"a{j}") for j in range(2, DOREMI_OUTER + 1)),
         F.col("a1"),
