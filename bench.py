@@ -116,8 +116,10 @@ HEADLINE = [
     "dedup_semdedup",
     "text_unigram_lm_train",
     "text_unigram_lm_segment",
-    # r10: Group-DRO domain reweighting over the classifier machinery
+    # r10: Group-DRO domain reweighting over the classifier machinery,
+    # and token-level RHO-1-style selection (vocab-broadcast scoring)
     "curate_doremi_weights",
+    "curate_rho_token_select",
 ]
 
 

@@ -182,6 +182,13 @@ def main() -> None:
         [(r.source, round(r.mix_weight, 4)) for r in boosted],
     )
 
+    rho = qs["curate_rho_token_select"](spark, sf_dir)
+    rs = rho.agg({"n_tokens": "sum", "n_selected": "sum"}).first()
+    print(
+        f"RHO-1 token selection: {rs['sum(n_selected)']}/{rs['sum(n_tokens)']} "
+        f"tokens kept for selective-LM training"
+    )
+
     mix = qs["curate_temperature_mix"](spark, sf_dir)
     print("temperature mix (T=2) boosts:")
     for row in mix.orderBy("source").collect()[:5]:

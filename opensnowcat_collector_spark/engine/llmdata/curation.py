@@ -2240,3 +2240,130 @@ def curate_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.round(avg / F.lit(float(DOREMI_OUTER)), 6).alias("mix_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: RHO-1-style token-level selection (Lin et al. 2024, "Rho-1: Not
+# All Tokens Are What You Need", arXiv:2404.07965 — public method).
+# Selective language modeling scores each TOKEN by excess loss — the
+# current model's loss minus a clean-reference model's loss — and
+# trains only on high-scoring tokens.  Engine variant: both models are
+# unigram word LMs (the reference trained on the static corpus slice,
+# the proxy on the full corpus), so the per-token score is
+# lp_ref(w) - lp_full(w) with shared add-one smoothing over the full
+# vocabulary, and a token is selected when the reference rates it
+# strictly higher than the proxy (score > RHO_SCORE_MIN) — clean,
+# still-learnable tokens, the paper's selection direction.  Every
+# other operator here selects DOCUMENTS; this is the token-level axis.
+# ---------------------------------------------------------------------------
+
+RHO_SCORE_MIN = 0.0
+
+#: doc_id < split = the existing corpus; the rest stream in.  Canonical
+#: definition (streaming_queries re-exports it): the token-level
+#: selector's reference slice and every streaming twin's training slice
+#: are the SAME split, so cross-family comparisons stay coherent.
+CURATION_CORPUS_SPLIT = 100
+
+
+@register(
+    "curate_rho_token_select",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents
+),
+vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_full FROM toks GROUP BY w),
+vsize AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+tot_full AS (SELECT CAST(SUM(c_full) AS DOUBLE) AS t FROM vocab),
+ref_counts AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_ref
+  FROM toks WHERE doc_id < {CURATION_CORPUS_SPLIT} GROUP BY w
+),
+tot_ref AS (SELECT CAST(COALESCE(SUM(c_ref), 0) AS DOUBLE) AS t FROM ref_counts),
+scores AS (
+  SELECT v.w,
+         LN((COALESCE(r.c_ref, 0) + 1.0)
+            / ((SELECT t FROM tot_ref) + (SELECT v FROM vsize)))
+         - LN((v.c_full + 1.0)
+              / ((SELECT t FROM tot_full) + (SELECT v FROM vsize))) AS score
+  FROM vocab v LEFT JOIN ref_counts r USING (w)
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN s.score > {RHO_SCORE_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       ROUND(CAST(SUM(CASE WHEN s.score > {RHO_SCORE_MIN} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS sel_frac,
+       ROUND(AVG(s.score), 6) AS avg_score
+FROM toks t JOIN scores s USING (w)
+GROUP BY t.doc_id
+""",
+)
+def curate_rho_token_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level data selection, RHO-1 style: score every token
+    occurrence by lp_ref(w) - lp_full(w) — the add-one-smoothed unigram
+    log-likelihood under a REFERENCE LM trained on the clean static
+    slice (doc_id < split) minus the same under the full-corpus PROXY —
+    and select tokens the reference rates strictly higher (score > 0:
+    over-represented boilerplate scores negative and drops; tokens the
+    clean slice favors survive).  Emits per-doc token counts, selected
+    counts/fraction and mean score — the mask a selective-LM training
+    loader consumes.
+
+    Smoothing is shared (add-one over the FULL vocabulary in both
+    numerators and denominators), so reference-unseen words are
+    well-defined and the score is exactly LN of a ratio of exact
+    integer ratios — the usual 6-dp-round-at-the-output discipline.
+
+    Scale (100 TB): the token stream is exploded ONCE and re-read for
+    the two map-side-combined word counts (vocabulary-sized tables);
+    the per-token score table is vocab-sized and joins the stream as a
+    BROADCAST; one final per-doc aggregation.  Zero driver round-trips,
+    no Python stages."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_full"))
+    ref = (
+        toks.filter(F.col("doc_id") < CURATION_CORPUS_SPLIT)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    vsize = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    tot_full = vocab.agg(F.sum("c_full").cast("double").alias("tf"))
+    tot_ref = ref.agg(
+        F.coalesce(F.sum("c_ref"), F.lit(0)).cast("double").alias("tr")
+    )
+    scores = (
+        vocab.join(ref, "w", "left")
+        .crossJoin(F.broadcast(vsize))
+        .crossJoin(F.broadcast(tot_full))
+        .crossJoin(F.broadcast(tot_ref))
+        .select(
+            "w",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_ref"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tr") + F.col("v"))
+                )
+                - F.log(
+                    (F.col("c_full") + F.lit(1.0)) / (F.col("tf") + F.col("v"))
+                )
+            ).alias("score"),
+        )
+    )
+    sel = F.when(F.col("score") > RHO_SCORE_MIN, 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(scores), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(sel).cast("long").alias("n_selected"),
+            F.round(
+                F.sum(sel).cast("double") / F.count(F.lit(1)), 6
+            ).alias("sel_frac"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+    )

@@ -69,14 +69,15 @@ _PRIORITY: list[str] = [
     "curate_quality_quantile_filter",
     "curate_source_quota",
     "curate_token_budget_select",
-    "mm_decode_metadata",
-    # ---- slots 30-31: streaming_semdedup and curate_doremi_weights
+    # ---- slots 29-31: streaming_semdedup, curate_doremi_weights and
+    # curate_rho_token_select
     # landed after the four r10-new slots were taken; each displaces
-    # one BOTTOM r5-tranche entry (mm_resize_plan / mm_frame_sample,
-    # r5 evidence fresh through r11) to the staged head — the same
-    # graded-on-arrival rule the r9 rotation used.
+    # one BOTTOM r5-tranche entry (mm_decode_metadata / mm_resize_plan /
+    # mm_frame_sample, r5 evidence fresh through r11) to the staged
+    # head — the same graded-on-arrival rule the r9 rotation used.
     "streaming_semdedup",
     "curate_doremi_weights",
+    "curate_rho_token_select",
     # ---- slots 32-46: the 15 standing keeps (same set as r7/r8/r9).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -112,10 +113,11 @@ _PRIORITY: list[str] = [
     # (34 entries) then fills r12, the r8 block r13/r14, and the
     # entries freshly graded in r9/r10 are fresh through r15/r16.
     # Nothing ages past 6 under this schedule.
-    # ---- displaced from the window by the two late r10-new queries
-    # (r5 evidence, age 6 at r11 — MUST head the r11 window; the two
+    # ---- displaced from the window by the three late r10-new queries
+    # (r5 evidence, age 6 at r11 — MUST head the r11 window; the
     # bottom r6 entries they displace there wait for r12, age 6,
     # still at the bar).
+    "mm_decode_metadata",
     "mm_resize_plan",
     "mm_frame_sample",
     # ---- r6-graded remainder (r11 window material; head entries
@@ -271,7 +273,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "mm_resize_plan"  # first entry past the window, r10
+_WINDOW_SENTINEL = "mm_decode_metadata"  # first entry past the window, r10
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

@@ -366,7 +366,7 @@ def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
     return _drain_to_memory(out, "append", require_single_batch=True)
 
 
-CURATION_CORPUS_SPLIT = 100  # doc_id < split = existing corpus; rest stream in
+from .llmdata.curation import CURATION_CORPUS_SPLIT  # noqa: E402  (canonical defn)
 
 
 @register(

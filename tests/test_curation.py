@@ -581,3 +581,29 @@ def test_doremi_weights_are_a_moved_distribution(spark, sf_dir):
     # the max-weight domain must be boosted strictly above uniform
     top = max(ws.values())
     assert top > uniform + 1e-6, ws
+
+
+def test_rho_token_select_is_a_nontrivial_mask(spark, sf_dir):
+    """RHO-1-style token selection (r10) must produce a real mask, not a
+    constant: some documents keep most tokens and some lose most (the
+    score separates reference-favored words from full-corpus-boilerplate
+    words), the selected fraction is strictly inside (0, 1) corpus-wide,
+    and every per-doc count is consistent (0 <= n_selected <= n_tokens).
+    Static-slice documents and streamed-slice documents are scored by
+    the SAME vocab table — the split only trains the reference."""
+    from pyspark.sql import functions as F
+
+    from opensnowcat_collector_spark.engine import registry
+
+    df = registry.all_queries()["curate_rho_token_select"](spark, sf_dir)
+    agg = df.agg(
+        F.sum("n_selected").alias("sel"),
+        F.sum("n_tokens").alias("tot"),
+        F.min(F.col("n_selected") <= F.col("n_tokens")).alias("sane"),
+        F.min("n_selected").alias("mn"),
+        F.min("sel_frac").alias("minf"),
+        F.max("sel_frac").alias("maxf"),
+    ).first()
+    assert agg.sane and agg.mn >= 0
+    assert 0 < agg.sel < agg.tot, (agg.sel, agg.tot)
+    assert agg.maxf - agg.minf > 0.05, (agg.minf, agg.maxf)

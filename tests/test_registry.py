@@ -76,11 +76,11 @@ _R10_R5_TRANCHE = [
     "curate_quality_quantile_filter",
     "curate_source_quota",
     "curate_token_budget_select",
-    "mm_decode_metadata",
-    # mm_resize_plan / mm_frame_sample: displaced from the window
-    # bottom by the graded-on-arrival streaming_semdedup and
-    # curate_doremi_weights (r5 evidence fresh through r11; they head
-    # the r11 window)
+    # mm_decode_metadata / mm_resize_plan / mm_frame_sample: displaced
+    # from the window bottom by the graded-on-arrival
+    # streaming_semdedup, curate_doremi_weights and
+    # curate_rho_token_select (r5 evidence fresh through r11; they
+    # head the r11 window)
 ]
 
 _STANDING_KEEPS = [
