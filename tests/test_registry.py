@@ -207,3 +207,39 @@ def test_registered_query_outputs_are_scalar_only(spark, sf_dir):
         if complex_fields:
             bad[name] = complex_fields
     assert bad == {}, f"non-scalar output columns break the driver gate: {bad}"
+
+
+def test_rotation_schedule_solvable_through_r16():
+    """Forward-simulate the rotation for six future rounds and prove the
+    freshness bar stays satisfiable: each simulated round windows the
+    standing keeps plus the 35 stalest other entries (the greedy policy
+    every actual rotation has followed), everything windowed gets that
+    round's evidence, and NO query may exceed age 6 at any point.  This
+    is the capacity check the per-round horizon test cannot see — e.g.
+    r10's three graded-on-arrival displacements push r6 stragglers
+    toward r12, which is only legal because the bar is >6, not >=6;
+    if a future round over-displaces, this fails YEARS before the
+    freshness test would."""
+    latest_green, rounds = _latest_green_by_round()
+    current = max(rounds) + 1  # the in-flight round
+    sim = dict(latest_green)
+    # the in-flight round grades the current window
+    for name in registry._PRIORITY[: registry.GRADED_WINDOW]:
+        sim[name] = current
+    for rnd in range(current + 1, current + 7):
+        # greedy: keeps always in; fill with the stalest evidence
+        others = sorted(
+            (n for n in registry._PRIORITY if n not in _STANDING_KEEPS),
+            key=lambda n: (sim.get(n, -100), n),
+        )
+        window = set(_STANDING_KEEPS) | set(
+            others[: registry.GRADED_WINDOW - len(_STANDING_KEEPS)]
+        )
+        for name in registry._PRIORITY:
+            age = rnd - sim.get(name, -100)
+            assert age <= 6 or name in window, (
+                f"round {rnd}: {name} (age {age}) cannot fit the window — "
+                f"the rotation schedule is over-committed"
+            )
+        for name in window:
+            sim[name] = rnd
