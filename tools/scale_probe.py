@@ -80,6 +80,13 @@ PROBE_QUERIES = [
     # throughput (keys scale with events) plus fixed ~5s streaming setup
     "streaming_dedup_watermark",
     "streaming_stateful_sessionize",
+    # r9/r10 representatives so default sweeps cover the trained-model
+    # and semantic-dedup families without --queries flags
+    "curate_quality_classifier",
+    "curate_line_dedup_apply",
+    "dedup_semdedup",
+    "text_unigram_lm_train",
+    "curate_rho_token_select",
 ]
 
 KEY_SHIFTS = {
