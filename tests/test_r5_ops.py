@@ -823,3 +823,27 @@ def test_semdedup_drop_rule_matches_bruteforce(spark):
         dup[s:e] = ge.any(axis=1)
     assert (dup == ref_dup).all()
     assert ref_dup.any() and not ref_dup.all()
+
+
+def test_unigram_chain_compiles_within_codegen_limits(spark, sf_dir):
+    """Regression guard for the r10 constraint-explosion finding: lazy
+    localCheckpoint carries originConstraints forward, the Viterbi DP's
+    4-way-union constraint sets compose near-exponentially, and
+    InferFiltersFromConstraints then materializes a filter past
+    janino's 64 KB method limit (observed: whole-stage codegen fallback
+    with a ~350 KB inferred filter on the words scan).
+    ``_constraint_free`` strips the constraints at each DP boundary via
+    the JVM's internalCreateDataFrame — but it falls back SILENTLY to
+    the checkpointed frame if that API ever moves, so this test runs
+    the full training chain with ``spark.sql.codegen.fallback=false``:
+    any recurrence of the blowup becomes a hard compile error HERE
+    instead of a quiet interpreted-mode slowdown in production."""
+    from opensnowcat_collector_spark.engine.llmdata.text import _uni_train_chain
+
+    prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        pruned, _words, _ml = _uni_train_chain(spark, sf_dir)
+        assert pruned.count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
