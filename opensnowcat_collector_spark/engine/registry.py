@@ -28,100 +28,23 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # subsystem; order past the window is rotation-staged (see tranche
 # comments below), then legacy order.
 #
-# r10 rotation (VERDICT r9 item 1; plan recorded in the r9 registry's
-# "r10 PLAN" comment and enforced by the r9 horizon test): slots 1-7
-# are the r4-tranche entries displaced by r9-new queries (age 6 at
-# r10 — last legal round).  Slots 8-31 are the complete r5-latest
-# tranche (age 5).  Slots 32-46 keep the standing keeps.  Slots 47-50
-# hold r10-new queries (r6-head fillers until they land).
+# r11 rotation (VERDICT r9 item 6 plan, recorded as the "r11 PLAN"
+# comment in the r10 registry and proven by the r9/r10 horizon tests):
+# slots 1-3 are the mm_* trio displaced from the r10 window by the
+# late-landing r10-new queries (r5 evidence, age 6 at r11 — the LAST
+# legal round under the freshness bar).  Slots 4-35 are the head of the
+# r6 block (age 5); its BOTTOM three entries wait for r12 (age 6 there,
+# still at the bar) — r11-new queries displace further r6 entries from
+# the window bottom to the staged head, the same graded-on-arrival rule
+# r9 and r10 used.  Slots 36-50 keep the standing keeps.
 _PRIORITY: list[str] = [
-    # ---- slots 1-7: the r4-tranche entries displaced from the r9
-    # window by r9-new queries (r4 evidence, age 6 at r10 — the LAST
-    # round they can wait; mandatory per the freshness bar).
-    "q10_returned_items",
-    "collector_enrich_events",
-    "collector_bridge_roundtrip",
-    "collector_bounce_events",
-    "streaming_hourly_rollup",
-    "agg_approx_distinct",
-    "join_asof_last_click",
-    # ---- slots 8-31: the complete r5-latest tranche (24 entries,
-    # age 5 at r10 — windowing the whole tranche now keeps the
-    # clear-the-backlog-in-one-round discipline from r9).
-    "dedup_embedding_cosine",
-    "dedup_embedding_kmeans",
-    "dedup_cluster_components",
-    "dedup_incremental",
-    "sim_topk_bruteforce",
-    "sim_ann_multiprobe",
-    "sim_ann_ivf",
-    "sim_ann_ivf_kmeans",
-    "sim_ann_batch",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid",
-    "text_token_bpeish",
-    "text_repetition_score",
-    "curate_sample_stratified",
-    "curate_pack_sequences",
-    "curate_contamination",
-    "curate_domain_mix",
-    "curate_quality_quantile_filter",
-    "curate_source_quota",
-    "curate_token_budget_select",
-    # ---- slots 29-31: streaming_semdedup, curate_doremi_weights and
-    # curate_rho_token_select
-    # landed after the four r10-new slots were taken; each displaces
-    # one BOTTOM r5-tranche entry (mm_decode_metadata / mm_resize_plan /
-    # mm_frame_sample, r5 evidence fresh through r11) to the staged
-    # head — the same graded-on-arrival rule the r9 rotation used.
-    "streaming_semdedup",
-    "curate_doremi_weights",
-    "curate_rho_token_select",
-    # ---- slots 32-46: the 15 standing keeps (same set as r7/r8/r9).
-    "streaming_leftouter_join",
-    "streaming_session_timeout_flush",
-    "dedup_paragraph_exact",
-    "streaming_dedup_watermark",
-    "streaming_session_window",
-    "streaming_enrich_join",
-    "streaming_stream_stream_join",
-    "streaming_stateful_sessionize",
-    "streaming_document_curation",
-    "join_skew_salted",
-    "join_bucketed_colocated",
-    "dedup_minhash_lsh",
-    "sim_ann_lsh",
-    "corpus_curation_pipeline",
-    "mm_feature_extract",
-    # ---- slots 47-50: r10-new queries.  Until they land these hold
-    # the head of the r6 block (r6 evidence, fresh through r12); each
-    # r10-new query displaces one back to the head of the staged block.
-    "dedup_semdedup",
-    "text_unigram_lm_train",
-    "text_unigram_lm_segment",
-    "streaming_line_dedup",
-    # ---- slot 51+ below: NOT driver-graded this round.
-    # r11 PLAN (VERDICT r9 item 6, made executable in
-    # tests/test_registry.py::test_r11_rotation_horizon): after r10
-    # grades slots 1-50 above, the stalest remaining evidence is the
-    # r6 block staged immediately below (age 5 at r11).  The r11
-    # window = the r6 block + the standing keeps (= 50 exactly when
-    # the four fillers above are displaced by r10-new queries);
-    # r11-new queries then displace r6 entries from the BOTTOM to r12
-    # (age 6 at r12 — exactly at the bar, still legal).  The r7 block
-    # (34 entries) then fills r12, the r8 block r13/r14, and the
-    # entries freshly graded in r9/r10 are fresh through r15/r16.
-    # Nothing ages past 6 under this schedule.
-    # ---- displaced from the window by the three late r10-new queries
-    # (r5 evidence, age 6 at r11 — MUST head the r11 window; the
-    # bottom r6 entries they displace there wait for r12, age 6,
-    # still at the bar).
+    # ---- slots 1-3: displaced from the r10 window bottom by the three
+    # late r10-new queries (r5 evidence, age 6 at r11 — mandatory).
     "mm_decode_metadata",
     "mm_resize_plan",
     "mm_frame_sample",
-    # ---- r6-graded remainder (r11 window material; head entries
-    # displaced from the filler slots by r10-new queries).
+    # ---- slots 4-35: head of the r6 block (age 5 at r11; the bottom
+    # three wait for r12, age 6 — still legal).
     "q2_minprice_supplier",
     "q4_priority_exists",
     "q6_forecast_revenue",
@@ -146,7 +69,6 @@ _PRIORITY: list[str] = [
     "agg_hll_partitioned_merge",
     "events_burst_detection",
     "sim_ann_delete",
-    # ---- r6-latest entries (graded r5+r6 unions; r11 window material).
     "dedup_incremental_minhash",
     "sim_ann_incremental",
     "curate_tokenize_ids",
@@ -155,6 +77,32 @@ _PRIORITY: list[str] = [
     "sim_ann_recall",
     "text_vocab_stats",
     "text_unigram_logprob",
+    # ---- slots 36-50: the 15 standing keeps (same set since r7).
+    "streaming_leftouter_join",
+    "streaming_session_timeout_flush",
+    "dedup_paragraph_exact",
+    "streaming_dedup_watermark",
+    "streaming_session_window",
+    "streaming_enrich_join",
+    "streaming_stream_stream_join",
+    "streaming_stateful_sessionize",
+    "streaming_document_curation",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh",
+    "corpus_curation_pipeline",
+    "mm_feature_extract",
+    # ---- slot 51+ below: NOT driver-graded this round.
+    # r12 PLAN (horizon + capacity proven by
+    # tests/test_registry.py::test_r11_rotation_horizon and
+    # ::test_rotation_schedule_solvable_through_r16): after r11 grades
+    # slots 1-50, the stalest remaining evidence is the three deferred
+    # r6 entries below (age 6 at r12 — mandatory) followed by the r7
+    # block (age 5 at r12); the r12 window = keeps + the 35 stalest,
+    # greedy by evidence age, exactly the policy every rotation has
+    # followed.  Nothing ages past 6 under this schedule.
+    # ---- r6 bottom, deferred to r12 (mandatory there).
     "text_cooccurrence_ratio",
     "curate_dataset_card",
     "events_session_sequences",
@@ -193,7 +141,7 @@ _PRIORITY: list[str] = [
     "dedup_shingle_containment",
     "sim_radius_search",
     "text_entropy_metrics",
-    # ---- displaced r8-window entries (all r8-green, fresh until r14).
+    # ---- r8-graded entries (fresh until r14; r13 window material).
     "embed_quantize_int8",
     "dedup_suffix_repeats",
     "curate_suffix_dedup_apply",
@@ -229,8 +177,7 @@ _PRIORITY: list[str] = [
     "curate_weighted_sample",
     "streaming_weighted_sample",
     "dedup_source_matrix",
-    # ---- freshly r9-graded: the r2/r3/r4 tranches cleared by the r9
-    # window plus the r9-new queries (fresh until r15).
+    # ---- r9-graded entries (fresh until r15; r13/r14 window material).
     "join_theta_quantity_over_size",
     "join_full_outer_nation_activity",
     "q14_promo_effect",
@@ -266,6 +213,42 @@ _PRIORITY: list[str] = [
     "curate_fuzzy_contamination",
     "curate_line_dedup_apply",
     "dedup_source_order_plan",
+    # ---- r10-graded entries (the non-keep r10 window; fresh until r16).
+    "q10_returned_items",
+    "collector_enrich_events",
+    "collector_bridge_roundtrip",
+    "collector_bounce_events",
+    "streaming_hourly_rollup",
+    "agg_approx_distinct",
+    "join_asof_last_click",
+    "dedup_embedding_cosine",
+    "dedup_embedding_kmeans",
+    "dedup_cluster_components",
+    "dedup_incremental",
+    "sim_topk_bruteforce",
+    "sim_ann_multiprobe",
+    "sim_ann_ivf",
+    "sim_ann_ivf_kmeans",
+    "sim_ann_batch",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_token_bpeish",
+    "text_repetition_score",
+    "curate_sample_stratified",
+    "curate_pack_sequences",
+    "curate_contamination",
+    "curate_domain_mix",
+    "curate_quality_quantile_filter",
+    "curate_source_quota",
+    "curate_token_budget_select",
+    "streaming_semdedup",
+    "curate_doremi_weights",
+    "curate_rho_token_select",
+    "dedup_semdedup",
+    "text_unigram_lm_train",
+    "text_unigram_lm_segment",
+    "streaming_line_dedup",
 ]
 
 
@@ -273,7 +256,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "mm_decode_metadata"  # first entry past the window, r10
+_WINDOW_SENTINEL = "text_cooccurrence_ratio"  # first entry past the window, r11
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

@@ -51,19 +51,22 @@ def test_rotation_keeps_evidence_fresh():
     or have a fully-green driver row within the last 6 grading rounds.
     When this fails, the fix is a deliberate _PRIORITY rotation, never a
     threshold bump — with a 50-slot window over the full registry a
-    complete refresh cycle fits comfortably inside the budget."""
-    import glob
-    import json
+    complete refresh cycle fits comfortably inside the budget.
+
+    Evidence comes from the git-TRACKED artifacts only (VERDICT r10
+    item 1): the driver drops the in-flight round's CORRECTNESS file
+    after the builder's last commit, and an untracked artifact must not
+    redden a commit that was consistent when made."""
     import sys
 
     sys.path.insert(0, os.path.join(REPO, "tools"))
-    from gen_gate_map import _driver_green
+    from gen_gate_map import _driver_green, tracked_correctness_paths
 
     from opensnowcat_collector_spark.engine import registry
 
     rounds = [
         int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", p).group(1))
-        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        for p in tracked_correctness_paths()
     ]
     current_round = max(rounds) + 1  # artifacts exist for completed rounds
     green, gen_round = _driver_green()

@@ -103,17 +103,23 @@ _STANDING_KEEPS = [
 
 
 def _latest_green_by_round():
-    """(latest_green, rounds) derived from the CORRECTNESS artifacts on
-    disk — the same evidence the judge reads."""
-    import glob
+    """(latest_green, rounds) derived from the git-TRACKED CORRECTNESS
+    artifacts — the same evidence the judge reads, minus any untracked
+    in-flight artifact the driver drops after the builder's last commit
+    (VERDICT r10 item 1: the round-composition pins below must not flip
+    mid-round)."""
     import json
     import os
     import re
+    import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from gen_gate_map import tracked_correctness_paths
+
     latest_green: dict[str, int] = {}
     rounds = []
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+    for path in tracked_correctness_paths():
         rnd = int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", path).group(1))
         rounds.append(rnd)
         for name, row in json.load(open(path)).items():
@@ -150,31 +156,105 @@ def test_r10_window_composition():
             assert latest_green.get(name, 99) >= 6, name
 
 
-def test_r11_rotation_horizon():
-    """VERDICT r9 item 6, made executable: verify from the artifacts on
-    disk that the r10 window composition leaves NO query that ages past
-    the 6-round freshness bar at r11, given only that (a) the r10
-    window gets r10 evidence and (b) the r11 window re-windows the
-    staged head (the r6 block) plus the standing keeps.  This is the
-    horizon math for the plan recorded in registry.py's 'r11 PLAN'
-    comment."""
+def test_next_round_rotation_horizon():
+    """Round-generic horizon check (generalized from the r9-written r11
+    pin, VERDICT r9 item 6): verify from the tracked artifacts that the
+    CURRENT window composition leaves NO query aging past the 6-round
+    freshness bar next round, given only that (a) the in-flight window
+    gets this round's evidence and (b) the next window re-windows the
+    staged head plus the standing keeps.  This is the executable form of
+    the 'PLAN' comment registry.py carries for the following round."""
     latest_green, rounds = _latest_green_by_round()
-    r11 = max(rounds) + 2  # artifacts exist through the completed round
+    nxt = max(rounds) + 2  # artifacts exist through the completed round
     window = set(registry._PRIORITY[: registry.GRADED_WINDOW])
     simulated = dict(latest_green)
     for name in window:
-        simulated[name] = r11 - 1
+        simulated[name] = nxt - 1
     staged = registry._PRIORITY[registry.GRADED_WINDOW :]
-    must_window_r11 = [
-        n for n in registry._PRIORITY if r11 - simulated.get(n, -100) > 6
+    must_window_next = [
+        n for n in registry._PRIORITY if nxt - simulated.get(n, -100) > 6
     ]
-    plan_r11 = set(staged[: 50 - len(_STANDING_KEEPS)]) | set(_STANDING_KEEPS)
-    for name in must_window_r11:
-        assert name in plan_r11, (
-            f"{name} ages out at r11 but is not in the staged r11 window head"
+    plan_next = set(staged[: 50 - len(_STANDING_KEEPS)]) | set(_STANDING_KEEPS)
+    for name in must_window_next:
+        assert name in plan_next, (
+            f"{name} ages out at r{nxt} but is not in the staged window head"
         )
     # and the mandatory set is comfortably smaller than the window
-    assert len(must_window_r11) <= 50 - len(_STANDING_KEEPS)
+    assert len(must_window_next) <= 50 - len(_STANDING_KEEPS)
+
+
+_R11_MM_DISPLACED = [
+    "mm_decode_metadata",
+    "mm_resize_plan",
+    "mm_frame_sample",
+]
+
+# head of the r6 block windowed at r11 (the bottom three —
+# text_cooccurrence_ratio / curate_dataset_card / events_session_sequences
+# — wait for r12 at age 6, still at the bar); r11-new queries displace
+# further entries from this list's BOTTOM to the staged head, and each
+# displacement removes the entry here (graded-on-arrival rule).
+_R11_R6_HEAD = [
+    "q2_minprice_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_balance",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_supply",
+    "q21_waiting_supplier",
+    "text_pii_scrub",
+    "curate_blocklist_filter",
+    "dedup_repeated_ngram_fraction",
+    "text_tfidf_topterms",
+    "agg_approx_percentile",
+    "dedup_url_canonical",
+    "events_transition_matrix",
+    "curate_dedup_apply",
+    "curate_train_val_split",
+    "agg_hll_partitioned_merge",
+    "events_burst_detection",
+    "sim_ann_delete",
+    "dedup_incremental_minhash",
+    "sim_ann_incremental",
+    "curate_tokenize_ids",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "sim_ann_recall",
+    "text_vocab_stats",
+    "text_unigram_logprob",
+]
+
+
+def test_r11_window_composition():
+    """r11 rotation (VERDICT r10 item 1, executing the plan recorded in
+    the r10 registry's "r11 PLAN" comment): the window holds (a) the
+    mm_* trio displaced from the r10 window by the late r10-new queries
+    (r5 evidence, age 6 at r11 — the last legal round), (b) the head of
+    the r6 block (age 5), and (c) the 15 standing keeps.  Any free slot
+    (opened by an r11-new query displacing an r6 entry from the window
+    bottom) must hold either a genuinely new query (never graded) or
+    r7-or-fresher evidence.
+
+    SELF-RETIRING: pins the round-11 composition only; skips once the
+    r11 CORRECTNESS artifact is tracked.  The r12 rotation writes its
+    own pin."""
+    latest_green, rounds = _latest_green_by_round()
+    if max(rounds) + 1 != 11:
+        pytest.skip("window-composition pin for round 11; rotate + re-pin")
+    window = registry._PRIORITY[: registry.GRADED_WINDOW]
+    for name in _R11_MM_DISPLACED + _R11_R6_HEAD + _STANDING_KEEPS:
+        assert name in window, name
+    mandatory = set(_R11_MM_DISPLACED + _R11_R6_HEAD + _STANDING_KEEPS)
+    for name in window:
+        if name not in mandatory:
+            # free slot: an r11-new query (never graded) or an
+            # r7-or-fresher filler
+            assert name not in latest_green or latest_green[name] >= 7, name
 
 
 def test_registered_query_outputs_are_scalar_only(spark, sf_dir):
