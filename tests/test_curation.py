@@ -607,3 +607,36 @@ def test_rho_token_select_is_a_nontrivial_mask(spark, sf_dir):
     assert agg.sane and agg.mn >= 0
     assert 0 < agg.sel < agg.tot, (agg.sel, agg.tot)
     assert agg.maxf - agg.minf > 0.05, (agg.minf, agg.maxf)
+
+
+def test_rho_vocab_cap_fallback_neutral_score(spark, sf_dir, monkeypatch):
+    """The RHO_VOCAB_CAP fallback (VERDICT r10 item 2) must be exactly
+    the weight-0 pattern when it BINDS: with the cap forced to 0 the
+    broadcast score table is empty, so every token takes the neutral
+    score 0.0 in-plan — nothing selected, zero average — while
+    n_tokens still counts every occurrence.  (At the default cap the
+    test corpus vocabulary, 31 words, never binds; this pins the
+    binding branch the 100 TB story depends on.)"""
+    from pyspark.sql import functions as F
+
+    from opensnowcat_collector_spark.engine import registry
+    from opensnowcat_collector_spark.engine.llmdata import curation
+    from opensnowcat_collector_spark.engine.tables import table
+
+    monkeypatch.setattr(curation, "RHO_VOCAB_CAP", 0)
+    df = registry.all_queries()["curate_rho_token_select"](spark, sf_dir)
+    agg = df.agg(
+        F.sum("n_selected").alias("sel"),
+        F.max(F.abs("avg_score")).alias("max_avg"),
+        F.max("sel_frac").alias("maxf"),
+        F.sum("n_tokens").alias("tot"),
+        F.count(F.lit(1)).alias("docs"),
+    ).first()
+    assert agg.sel == 0 and agg.maxf == 0.0 and agg.max_avg == 0.0, agg
+    expected = (
+        table(spark, sf_dir, "documents")
+        .select(F.size(F.split(F.lower("text"), " ")).alias("n"))
+        .agg(F.sum("n"), F.count(F.lit(1)))
+        .first()
+    )
+    assert (agg.tot, agg.docs) == (expected[0], expected[1]), (agg, expected)

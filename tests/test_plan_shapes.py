@@ -468,6 +468,11 @@ def test_bpe_segment_counts_broadcast_scoring_single_exchange(spark, sf_dir):
     assert "partial_count" in plan, plan
     assert plan.index("partial_count") > plan.index("Exchange hashpartitioning"), plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # the broadcast mapping is CAPPED (VERDICT r10 item 2): the build
+    # side must flow through the distributed top-k, never an uncapped
+    # corpus-vocab-keyed table (nor a global Sort for the cap itself)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.index("TakeOrderedAndProject") > plan.index("BroadcastHashJoin"), plan
 
 
 def test_dup_line_fractions_two_combined_exchanges_no_python(spark, sf_dir):
@@ -655,6 +660,26 @@ def test_unigram_segment_broadcasts_mapping(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan, plan
+    # the broadcast mapping is CAPPED (VERDICT r10 item 2): the build
+    # side flows through the distributed top-k, never an uncapped
+    # corpus-vocab-keyed table
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rho_token_select_capped_broadcast_no_python(spark, sf_dir):
+    """curate_rho_token_select (r10, capped r11): the token stream meets
+    the word-score table as a BROADCAST join whose build side is the
+    RHO_VOCAB_CAP distributed top-k (TakeOrderedAndProject — never an
+    uncapped corpus-vocab broadcast, VERDICT r10 item 2, nor a
+    sort-merge that shuffles the corpus on word); the doc aggregation
+    partial-combines map-side; no Python stages, no corpus scan on the
+    build side beyond the two vocab counts."""
+    plan = _plan(spark, sf_dir, "curate_rho_token_select")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(doc_id", plan)) == 1, plan
+    assert "partial_count" in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
 def test_doremi_weights_distributed_constant_broadcasts(spark, sf_dir):

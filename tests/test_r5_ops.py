@@ -675,6 +675,46 @@ def test_unigram_lm_learns_multichar_pieces(spark, sf_dir):
     assert joined.docs_compressed == joined.n, joined
 
 
+def test_segment_vocab_cap_fallback_char_level(spark, sf_dir, monkeypatch):
+    """The SEGMENT_VOCAB_CAP fallback (VERDICT r10 item 2) must be exact
+    char-level segmentation when it BINDS: with the cap forced to 0 the
+    broadcast word->n_sub map is empty, so every token falls back
+    in-plan — unigram n_pieces == total chars, BPE n_subwords == total
+    chars + n_words (one </w> terminal per word).  Both expectations
+    are independently computable from the raw corpus, so this pins the
+    binding branch (the test vocabulary never reaches the default cap)
+    without trusting either trained table."""
+    from pyspark.sql import functions as F
+
+    from opensnowcat_collector_spark.engine import registry
+    from opensnowcat_collector_spark.engine.llmdata import text as text_mod
+    from opensnowcat_collector_spark.engine.tables import table
+
+    monkeypatch.setattr(text_mod, "SEGMENT_VOCAB_CAP", 0)
+    q = registry.all_queries()
+    expected = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.length(F.regexp_replace("text", " ", "")).alias("chars"),
+            F.size(F.split(F.lower("text"), " ")).alias("words"),
+        )
+        .agg(F.sum("chars").alias("c"), F.sum("words").alias("w"))
+        .first()
+    )
+    uni = (
+        q["text_unigram_lm_segment"](spark, sf_dir)
+        .agg(F.sum("n_pieces"), F.sum("n_words"))
+        .first()
+    )
+    assert (uni[0], uni[1]) == (expected.c, expected.w), (uni, expected)
+    bpe = (
+        q["text_bpe_segment_counts"](spark, sf_dir)
+        .agg(F.sum("n_subwords"), F.sum("n_words"))
+        .first()
+    )
+    assert (bpe[0], bpe[1]) == (expected.c + expected.w, expected.w), (bpe, expected)
+
+
 def test_unigram_lm_grading_margin(spark, sf_dir):
     """The unigram-LM trainer is graded value-exact at 6 dp and its
     Viterbi argmax compares 6-dp-rounded LN sums across engines — the
