@@ -1252,6 +1252,22 @@ FROM flags GROUP BY doc_id
 """
 
 
+def _hist_line_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct chunk-lines of the static corpus slice — the history
+    artifact the line-dedup serving gate cleans against and its
+    index-refresh twin folds into.  ONE definition so the pair cannot
+    diverge."""
+    d = table(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") < CURATION_CORPUS_SPLIT)
+    w = F.split(F.lower("text"), " ")
+    return (
+        hist.select(F.explode(word_chunk_array(w, C4_LINE_WORDS)).alias("line"))
+        .distinct()
+        .withColumn("_hist", F.lit(True))
+        .localCheckpoint(eager=False)
+    )
+
+
 @register("streaming_line_dedup", oracle=_line_dedup_oracle())
 def streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus-wide line dedup under the gate — the serving
@@ -1281,15 +1297,7 @@ def streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch semantics.  Each epoch pays one explode + one membership
     join + one batch-local doc aggregation — incremental work scales
     with the batch, never the corpus."""
-    d = table(spark, sf_dir, "documents")
-    hist = d.filter(F.col("doc_id") < CURATION_CORPUS_SPLIT)
-    w = F.split(F.lower("text"), " ")
-    hist_lines = (
-        hist.select(F.explode(word_chunk_array(w, C4_LINE_WORDS)).alias("line"))
-        .distinct()
-        .withColumn("_hist", F.lit(True))
-        .localCheckpoint(eager=False)
-    )
+    hist_lines = _hist_line_table(spark, sf_dir)
 
     stream = _stream_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") >= CURATION_CORPUS_SPLIT
@@ -1335,6 +1343,75 @@ def streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _line_refresh_oracle() -> str:
+    chunks = word_chunks_sql(C4_LINE_WORDS, with_idx=True)
+    return f"""
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+sites AS (
+  SELECT doc_id, s['chunk'] AS line
+  FROM (SELECT doc_id, UNNEST({chunks}) AS s FROM ws)
+)
+SELECT line,
+       CASE WHEN BOOL_OR(doc_id < {CURATION_CORPUS_SPLIT})
+            THEN 'history' ELSE 'stream' END AS origin
+FROM sites
+GROUP BY line
+"""
+
+
+@register("streaming_line_dedup_refresh", oracle=_line_refresh_oracle())
+def streaming_line_dedup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-refresh half of ``streaming_line_dedup`` (VERDICT r10
+    item 7): the serving gate's docstring defers novel duplicates to
+    "the next stats refresh" — this IS that refresh, graded.  The
+    drained stream's lines are folded into the historical line table:
+    per epoch the batch's distinct lines anti-join the FIXED history
+    (batch-scaled work only — the fold never re-reads the corpus), and
+    at drain the accumulated novel lines union the history table, each
+    line tagged with its provenance.
+
+    The oracle is a RETRAIN FROM SCRATCH: distinct lines over the FULL
+    corpus, origin = 'history' iff any static-slice document contains
+    the line.  Equality proves the incremental fold commutes with
+    rebuilding — a line seen in both history and stream keeps its
+    historical origin (keep-earliest), a stream-repeated novel line
+    lands exactly once.
+
+    Scale (100 TB): the per-epoch increment is one explode + one
+    membership anti-join, batch-scaled; the final union touches the
+    line table (corpus-lines-scaled, the same table the serving gate
+    already maintains) exactly once — refresh cost is O(batch + table),
+    never O(corpus re-read)."""
+    hist_lines = _hist_line_table(spark, sf_dir)
+
+    stream = _stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= CURATION_CORPUS_SPLIT
+    )
+
+    def novel_batch(batch_df: DataFrame) -> DataFrame:
+        lines = batch_df.select(
+            F.explode(
+                word_chunk_array(F.split(F.lower("text"), " "), C4_LINE_WORDS)
+            ).alias("line")
+        ).distinct()
+        return lines.join(
+            F.broadcast(hist_lines.select("line")), "line", "left_anti"
+        )
+
+    novel = _drain_foreachbatch(
+        stream,
+        novel_batch,
+        ["line"],
+        "streaming line dedup refresh",
+        "line_refresh_stream_",
+    ).distinct()  # the same novel line may arrive in several epochs
+    return hist_lines.select(
+        "line", F.lit("history").alias("origin")
+    ).unionByName(novel.select("line", F.lit("stream").alias("origin")))
+
+
 from .llmdata.dedup import SEMDEDUP_TAU  # noqa: E402
 from .llmdata.similarity import (  # noqa: E402
     _DUCK_KMEANS_FLAT,
@@ -1353,7 +1430,11 @@ from .llmdata.similarity import (  # noqa: E402
 EMB_STREAM_SPLIT = 100
 
 
-def _streaming_semdedup_oracle() -> str:
+def _semdedup_cte_prefix() -> str:
+    """The shared WITH-prefix of the incremental-SemDeDup oracles:
+    history-trained quantizer CTEs + stream assignment (sa) + the
+    epsilon-ball drop set (dropped).  ONE definition feeds the serving
+    gate and its index-refresh twin."""
     ctes = ",\n".join(
         _kmeans_ctes(f"{_DUCK_KMEANS_FLAT} WHERE vec_id < {EMB_STREAM_SPLIT}")
     )
@@ -1382,12 +1463,19 @@ dropped AS (
   JOIN embeddings es ON es.vec_id = s.vec_id
   JOIN embeddings eh ON eh.vec_id = h.vec_id
   WHERE {cos} >= {SEMDEDUP_TAU}
-)
+)"""
+
+
+def _streaming_semdedup_oracle() -> str:
+    return (
+        _semdedup_cte_prefix()
+        + """
 SELECT e.vec_id, e.label, s.cid AS cell
 FROM embeddings e
 JOIN sa s ON s.vec_id = e.vec_id
 ANTI JOIN dropped d ON d.vec_id = e.vec_id
 """
+    )
 
 
 @register("streaming_semdedup", oracle=_streaming_semdedup_oracle())
@@ -1418,6 +1506,15 @@ def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     normal (never broadcast) table; a production deployment puts the
     bloom/sketch prefilter of ``dedup_bloom_incremental`` in front of
     it — the per-batch semantics are unchanged."""
+    _hist_mem, survivors = _semdedup_drain(spark, sf_dir)
+    return survivors
+
+
+def _semdedup_drain(spark: SparkSession, sf_dir: str):
+    """Shared drain for the incremental-SemDeDup pair: returns the
+    historical (vec_id, embedding, cell) member table and the drained
+    stream SURVIVORS (vec_id, label, cell) — one definition, so the
+    serving gate and its index-refresh twin cannot diverge."""
     e = table(spark, sf_dir, "embeddings")
     e.createOrReplaceTempView("embeddings")
     ctes = "WITH " + ",\n".join(
@@ -1480,10 +1577,100 @@ def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", "cell"
         )
 
-    return _drain_foreachbatch(
+    survivors = _drain_foreachbatch(
         stream,
         clean_batch,
         ["vec_id", "label", "cell"],
         "streaming semdedup",
         "semdedup_stream_",
+    )
+    return hist_mem, survivors
+
+
+def _semdedup_refresh_oracle() -> str:
+    return (
+        _semdedup_cte_prefix()
+        + f""",
+members AS (
+  SELECT vec_id, cid AS cell FROM {KMEANS_ASSIGN}
+  UNION ALL
+  SELECT s.vec_id, s.cid AS cell FROM sa s
+  ANTI JOIN dropped d ON d.vec_id = s.vec_id
+),
+refresh_flat AS ({_DUCK_KMEANS_FLAT})
+SELECT m.cell, f.i, ROUND(AVG(f.x), 6) AS c,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM members m JOIN refresh_flat f ON f.vec_id = m.vec_id
+GROUP BY m.cell, f.i
+"""
+    )
+
+
+@register("streaming_semdedup_refresh", oracle=_semdedup_refresh_oracle())
+def streaming_semdedup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-refresh half of ``streaming_semdedup`` (VERDICT r10
+    item 7): the serving gate's docstring defers novel vectors to "the
+    next index refresh" — this IS that refresh, graded.  The drained
+    stream's SURVIVORS (epsilon-ball duplicates already dropped) fold
+    into the per-cell index: membership gains the survivors, and each
+    cell's centroid is re-estimated as the mean over its enlarged
+    membership, maintained as per-cell (sum, count) running stats —
+    history contributes one bounded K*DIM stats table (in production a
+    persisted pay-once artifact, the ``build_ivf_index`` pattern), the
+    batch contributes batch-scaled partial sums, and the fold is one
+    K*DIM-sized add.
+
+    The oracle is a RETRAIN FROM SCRATCH: AVG over every member's
+    coordinates (historical assignment union stream survivors) under
+    the history-trained quantizer.  Equality proves the running-stats
+    fold commutes with recomputing the means over the whole corpus —
+    the associativity that makes the refresh O(batch) instead of
+    O(corpus).  Means compare 6-dp-rounded, the `_kmeans_ctes` centroid
+    discipline.
+
+    Scale (100 TB): the survivor side touches only the drained batch
+    (embedding lookup join + one map-side-combined partial sum); the
+    historical running stats are K*DIM rows; output is K*DIM rows.  No
+    corpus re-read at refresh time beyond the pay-once stats artifact."""
+    hist_mem, survivors = _semdedup_drain(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+
+    def flat_stats(members: DataFrame) -> DataFrame:
+        flat = members.select(
+            "cell", F.posexplode("embedding").alias("pos", "x0")
+        ).select(
+            "cell",
+            (F.col("pos") + 1).alias("i"),
+            F.col("x0").cast("double").alias("x"),
+        )
+        return flat.groupBy("cell", "i").agg(
+            F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+
+    # the bounded K*DIM running-stats artifact (pay-once in production)
+    hist_stats = flat_stats(
+        hist_mem.select("cell", F.col("h_embedding").alias("embedding"))
+    ).localCheckpoint(eager=False)
+    batch_stats = flat_stats(
+        survivors.join(e.select("vec_id", "embedding"), "vec_id").select(
+            "cell", "embedding"
+        )
+    )
+    h = hist_stats.select(
+        "cell", "i", F.col("s").alias("s_h"), F.col("n").alias("n_h")
+    )
+    b = batch_stats.select(
+        "cell", "i", F.col("s").alias("s_b"), F.col("n").alias("n_b")
+    )
+    merged = h.join(b, ["cell", "i"], "full_outer").select(
+        "cell",
+        "i",
+        (F.coalesce("s_h", F.lit(0.0)) + F.coalesce("s_b", F.lit(0.0))).alias("s"),
+        (F.coalesce("n_h", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias("n"),
+    )
+    return merged.select(
+        "cell",
+        "i",
+        F.round(F.col("s") / F.col("n"), 6).alias("c"),
+        F.col("n").cast("long").alias("n_members"),
     )

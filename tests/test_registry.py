@@ -225,8 +225,9 @@ _R11_R6_HEAD = [
     "events_funnel_steps",
     "events_retention_cohorts",
     "sim_ann_recall",
-    "text_vocab_stats",
-    "text_unigram_logprob",
+    # text_vocab_stats / text_unigram_logprob: displaced from the window
+    # bottom by the graded-on-arrival r11-new refresh queries (r6
+    # evidence fresh through r12; they head the r12 window)
 ]
 
 
