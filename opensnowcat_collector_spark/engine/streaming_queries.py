@@ -1420,7 +1420,7 @@ from .llmdata.similarity import (  # noqa: E402
     KMEANS_FINAL_CENT,
     _duck_cos,
     _kmeans_ctes,
-    _spark_cos,
+    pair_cos_udf,
 )
 
 #: embeddings with vec_id < split = the existing corpus (trains the
@@ -1501,11 +1501,17 @@ def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-centroid join (K*DIM constant) + a min-struct argmax;
     the membership check is a cell-keyed join against the historical
     member table — batch x cell-width fan-out, the same bound as the
-    batch pass, with the cosine a codegen'd 64-term sum (no Python).
-    The historical side scales with the corpus, so it joins as a
-    normal (never broadcast) table; a production deployment puts the
-    bloom/sketch prefilter of ``dedup_bloom_incremental`` in front of
-    it — the per-batch semantics are unchanged."""
+    batch pass — with the pair cosine computed by the Arrow-vectorized
+    ``pair_cos_udf`` (VERDICT r10 item 5, MEASURED r11: the flat
+    64-term SQL expression evaluates interpreted in this pair-join
+    shape, 116-126 s vs 10-12 s for the UDF on the same 2M-pair join
+    at sf0.1x8, identical output — the sim_bitext_mine lesson;
+    bit-exactness vs the oracle's flat fold is the UDF's documented
+    sequential-over-dims guarantee).  The historical side scales with
+    the corpus, so it joins as a normal (never broadcast) table; a
+    production deployment puts the bloom/sketch prefilter of
+    ``dedup_bloom_incremental`` in front of it — the per-batch
+    semantics are unchanged."""
     _hist_mem, survivors = _semdedup_drain(spark, sf_dir)
     return survivors
 
@@ -1540,7 +1546,7 @@ def _semdedup_drain(spark: SparkSession, sf_dir: str):
     stream = _stream_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") >= EMB_STREAM_SPLIT
     )
-    cos_expr = _spark_cos("embedding", "h_embedding")
+    pair_cos = pair_cos_udf()
 
     def clean_batch(batch_df: DataFrame) -> DataFrame:
         flat = batch_df.select(
@@ -1569,7 +1575,7 @@ def _semdedup_drain(spark: SparkSession, sf_dir: str):
         withcell = batch_df.join(assign, "vec_id")
         dropped = (
             withcell.join(hist_mem, "cell")
-            .filter(F.expr(cos_expr) >= SEMDEDUP_TAU)
+            .filter(pair_cos(F.col("embedding"), F.col("h_embedding")) >= SEMDEDUP_TAU)
             .select("vec_id")
             .distinct()
         )
