@@ -719,15 +719,6 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     import numpy as np
-    import pandas as pd
-
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
 
     from .similarity import build_ivf_index
 
@@ -742,7 +733,21 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(cid): grp.sort_values("i")["c"].to_numpy(dtype=np.float64)
         for cid, grp in cent_pd.groupby("cid", sort=True)
     }
-    out_schema = StructType(
+    return blocked.groupBy("cell").applyInPandas(
+        _semdedup_cell_kernel(cmap), semdedup_out_schema()
+    )
+
+
+def semdedup_out_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
         [
             StructField("vec_id", LongType()),
             StructField("label", IntegerType()),
@@ -750,7 +755,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("centroid_cos", DoubleType()),
         ]
     )
-    tau = SEMDEDUP_TAU
+
+
+def _semdedup_cell_kernel(cmap, tau: float = SEMDEDUP_TAU):
+    """The per-cell epsilon-ball kernel of ``dedup_semdedup``, module-level
+    so the width-scaling probe (``tools/semdedup_width_probe.py``) times
+    EXACTLY the operator's code path under a K-proportional-to-corpus
+    quantizer (VERDICT r10 item 3) — one definition, no probe drift."""
+    import numpy as np
+    import pandas as pd
 
     def cell_semdedup(key, pdf):  # (key, pdf) form: no hints, or pyspark warns
         c = cmap[int(key[0])]
@@ -790,7 +803,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return blocked.groupBy("cell").applyInPandas(cell_semdedup, out_schema)
+    return cell_semdedup
 
 
 # ---------------------------------------------------------------------------
