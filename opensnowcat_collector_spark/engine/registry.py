@@ -74,12 +74,13 @@ _PRIORITY: list[str] = [
     "curate_tokenize_ids",
     "events_funnel_steps",
     "events_retention_cohorts",
-    "sim_ann_recall",
-    # ---- slots 34-35: r11-new queries (the index-refresh halves of the
-    # r10 streaming twins, VERDICT r10 item 7) — graded on arrival;
-    # each displaced one BOTTOM r6-head entry (text_vocab_stats /
-    # text_unigram_logprob, r6 evidence fresh through r12) to the
-    # staged head, the same rule r9/r10 used.
+    # ---- slots 33-35: r11-new queries (the index-refresh halves of the
+    # r10 streaming twins, VERDICT r10 item 7, plus the LSH banding
+    # auto-tuner) — graded on arrival; each displaced one BOTTOM
+    # r6-head entry (text_vocab_stats / text_unigram_logprob /
+    # sim_ann_recall, r6 evidence fresh through r12) to the staged
+    # head, the same rule r9/r10 used.
+    "dedup_lsh_tune",
     "streaming_line_dedup_refresh",
     "streaming_semdedup_refresh",
     # ---- slots 36-50: the 15 standing keeps (same set since r7).
@@ -107,8 +108,9 @@ _PRIORITY: list[str] = [
     # block (age 5 at r12); the r12 window = keeps + the 35 stalest,
     # greedy by evidence age, exactly the policy every rotation has
     # followed.  Nothing ages past 6 under this schedule.
-    # ---- r6 bottom, deferred to r12 (mandatory there; the first two
-    # displaced from the window by the r11-new refresh queries).
+    # ---- r6 bottom, deferred to r12 (mandatory there; the first three
+    # displaced from the window by the r11-new queries).
+    "sim_ann_recall",
     "text_vocab_stats",
     "text_unigram_logprob",
     "text_cooccurrence_ratio",
@@ -264,7 +266,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "text_vocab_stats"  # first entry past the window, r11
+_WINDOW_SENTINEL = "sim_ann_recall"  # first entry past the window, r11
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

@@ -666,6 +666,17 @@ def test_unigram_segment_broadcasts_mapping(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_lsh_tune_constant_bounded_no_corpus(spark, sf_dir):
+    """dedup_lsh_tune (r11): the banding auto-tuner is constant-bounded
+    end-to-end — the corpus is NEVER read (no parquet scan), no Python
+    stage, and the only shuffles are the bounded (b,r) hash aggregation
+    plus the 700-row argmin window's single partition."""
+    plan = _plan(spark, sf_dir, "dedup_lsh_tune")
+    assert "Scan parquet" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("SinglePartition") == 1, plan
+
+
 def test_rho_token_select_capped_broadcast_no_python(spark, sf_dir):
     """curate_rho_token_select (r10, capped r11): the token stream meets
     the word-score table as a BROADCAST join whose build side is the

@@ -887,3 +887,45 @@ def test_unigram_chain_compiles_within_codegen_limits(spark, sf_dir):
         assert pruned.count() > 0
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
+def test_lsh_tune_argmin_matches_independent_reference(spark, sf_dir):
+    """dedup_lsh_tune (r11) against an INDEPENDENT numpy recomputation
+    (the Viterbi/semdedup brute-force-pin discipline): rebuild the
+    full (b, r) cost table with the same midpoint grid in numpy,
+    assert every 6-dp-rounded fp/fn agrees, exactly one is_opt row,
+    and the flagged scheme is numpy's argmin under the same
+    (cost, b, r) tie-break.  Also pins the deployed miniature: the
+    4x3 scheme must cost strictly more than the optimum (tuning buys
+    something) and its collision probability at the threshold must be
+    the ~0.97 recall quoted in dedup_lsh_quality's docstring."""
+    import numpy as np
+
+    from opensnowcat_collector_spark.engine import registry
+    from opensnowcat_collector_spark.engine.llmdata.dedup import (
+        JACCARD_THRESHOLD,
+        LSH_TUNE_BUDGET,
+        LSH_TUNE_STEPS,
+    )
+
+    rows = registry.all_queries()["dedup_lsh_tune"](spark, sf_dir).collect()
+    s = (np.arange(1, LSH_TUNE_STEPS + 1) - 0.5) / LSH_TUNE_STEPS
+    below = s < JACCARD_THRESHOLD
+    ref = {}
+    for b in range(1, LSH_TUNE_BUDGET + 1):
+        for r in range(1, LSH_TUNE_BUDGET // b + 1):
+            miss = (1.0 - s**r) ** b
+            fp = float(((1.0 - miss) * below).sum() / LSH_TUNE_STEPS)
+            fn = float((miss * ~below).sum() / LSH_TUNE_STEPS)
+            ref[(b, r)] = (round(fp, 6), round(fn, 6), round(fp + fn, 6))
+    assert len(rows) == len(ref)
+    for row in rows:
+        assert (row.fp, row.fn, row.cost) == ref[(row.b, row.r)], row
+    opts = [r for r in rows if r.is_opt]
+    assert len(opts) == 1
+    best = min(ref, key=lambda k: (ref[k][2], k))
+    assert (opts[0].b, opts[0].r) == best, (opts[0], best)
+    deployed = ref[(4, 3)]
+    assert ref[best][2] < deployed[2]
+    p_at_t = 1 - (1 - JACCARD_THRESHOLD**3) ** 4
+    assert abs(p_at_t - 0.9433) < 1e-3

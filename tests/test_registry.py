@@ -224,10 +224,9 @@ _R11_R6_HEAD = [
     "curate_tokenize_ids",
     "events_funnel_steps",
     "events_retention_cohorts",
-    "sim_ann_recall",
-    # text_vocab_stats / text_unigram_logprob: displaced from the window
-    # bottom by the graded-on-arrival r11-new refresh queries (r6
-    # evidence fresh through r12; they head the r12 window)
+    # sim_ann_recall / text_vocab_stats / text_unigram_logprob: displaced
+    # from the window bottom by the graded-on-arrival r11-new queries
+    # (r6 evidence fresh through r12; they head the r12 window)
 ]
 
 
