@@ -189,6 +189,24 @@ def main() -> None:
         f"tokens kept for selective-LM training"
     )
 
+    tune = qs["dedup_lsh_tune"](spark, sf_dir)
+    opt = tune.filter(tune.is_opt).first()
+    print(
+        f"LSH banding auto-tune (budget 128 @ t=0.8): optimal b={opt.b} r={opt.r} "
+        f"(fp={opt.fp:.4f} fn={opt.fn:.4f})"
+    )
+
+    lref = qs["streaming_line_dedup_refresh"](spark, sf_dir)
+    novel = lref.filter(lref.origin == "stream").count()
+    print(f"line-table refresh: folded {novel} novel stream lines into history")
+
+    sref = qs["streaming_semdedup_refresh"](spark, sf_dir)
+    cells = sref.select("cell").distinct().count()
+    print(
+        f"semantic-index refresh: {cells} cells re-estimated from "
+        f"running stats after folding the drained survivors"
+    )
+
     mix = qs["curate_temperature_mix"](spark, sf_dir)
     print("temperature mix (T=2) boosts:")
     for row in mix.orderBy("source").collect()[:5]:
