@@ -120,6 +120,10 @@ HEADLINE = [
     # and token-level RHO-1-style selection (vocab-broadcast scoring)
     "curate_doremi_weights",
     "curate_rho_token_select",
+    # r11: the analytic LSH banding auto-tuner (constant-bounded — the
+    # corpus is never read; measures the codegen'd 350k-row S-curve
+    # integration + bounded argmin)
+    "dedup_lsh_tune",
 ]
 
 

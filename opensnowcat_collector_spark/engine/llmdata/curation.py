@@ -2317,7 +2317,8 @@ SELECT t.doc_id,
        ROUND(CAST(SUM(CASE WHEN COALESCE(s.score, 0.0) > {RHO_SCORE_MIN}
                       THEN 1 ELSE 0 END)
                   AS DOUBLE) / COUNT(*), 6) AS sel_frac,
-       ROUND(AVG(COALESCE(s.score, 0.0)), 6) AS avg_score
+       ROUND(ROUND(SUM(COALESCE(s.score, 0.0)) * 1000000, 0)
+             / COUNT(*) / 1000000, 6) AS avg_score
 FROM toks t LEFT JOIN scores_top s USING (w)
 GROUP BY t.doc_id
 """,
@@ -2408,6 +2409,14 @@ def curate_rho_token_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(sel).cast("double") / F.count(F.lit(1)), 6
             ).alias("sel_frac"),
-            F.round(F.avg(score), 6).alias("avg_score"),
+            # avg of 6-dp-rounded scores lands on exact .5e-6 decimal
+            # boundaries OFTEN (sum is an integer in 1e-6 units), where
+            # engine-specific summation ulps flip the final round (3 docs
+            # at sf0.001).  Snap the sum to its exact integer unit count
+            # first: both engines then divide the SAME two exact integers
+            # and round the SAME double.
+            F.round(
+                F.round(F.sum(score) * 1e6, 0) / F.count(F.lit(1)) / 1e6, 6
+            ).alias("avg_score"),
         )
     )
