@@ -1396,6 +1396,10 @@ def streaming_line_dedup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 word_chunk_array(F.split(F.lower("text"), " "), C4_LINE_WORDS)
             ).alias("line")
         ).distinct()
+        # same 100-TB caveat as the serving twin's membership join: the
+        # history side scales with distinct corpus lines, so at scale the
+        # broadcast swaps for a line-keyed join (or a bloom prefilter)
+        # without touching the per-batch semantics
         return lines.join(
             F.broadcast(hist_lines.select("line")), "line", "left_anti"
         )
