@@ -1498,6 +1498,52 @@ def qc_train(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_classifier_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    from .similarity import _source_fingerprint
+
+    key = hashlib.md5(
+        f"qclf:v1:{os.path.abspath(sf_dir)}:"
+        f"{_source_fingerprint(sf_dir, 'documents.parquet')}".encode()
+    ).hexdigest()[:12]
+    return os.path.join("/tmp/spark_graft_quality_clf", key)
+
+
+def build_quality_classifier(spark: SparkSession, sf_dir: str) -> str:
+    """Train the quality classifier ONCE and persist the weight table —
+    the pay-once artifact pattern of ``build_unigram_lm`` applied to the
+    classifier family (r11: the score/eval twins previously re-ran the
+    10-step GD chain inside every call).  Layout under the
+    fingerprint-keyed path: ``weights/`` = (b, wt) parquet, UNROUNDED
+    doubles so the scoring sigmoid is bit-identical to training the
+    chain inline (parquet round-trips IEEE doubles exactly); atomic
+    publish, stale-data guard via the source fingerprint."""
+    import os
+
+    from .similarity import _publish_index
+
+    path = quality_classifier_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        w = qc_train(table(spark, sf_dir, "documents"))
+        tmp = f"{path}.build-{os.getpid()}"
+        w.write.mode("overwrite").parquet(os.path.join(tmp, "weights"))
+        with open(os.path.join(tmp, "_SUCCESS"), "w", encoding="utf-8"):
+            pass
+        _publish_index(tmp, path)
+    return path
+
+
+def qc_trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(b, wt) from the persisted artifact — constant-bounded scan."""
+    import os
+
+    return spark.read.parquet(
+        os.path.join(build_quality_classifier(spark, sf_dir), "weights")
+    )
+
+
 def qc_gradient_descent(feats: DataFrame, docs: DataFrame) -> DataFrame:
     """The gradient loop over an (already checkpointed) feature stream —
     split out so the score twin trains and scores over ONE materialized
@@ -1615,7 +1661,7 @@ def curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     both on the current corpus and enforces >= 100x separation, so a
     regen that parks a value near a boundary fails there, loudly,
     instead of flaking the driver hash."""
-    w = qc_train(table(spark, sf_dir, "documents"))
+    w = qc_trained_weights(spark, sf_dir)  # pay-once artifact (r11)
     return w.select(F.col("b").alias("bucket"), F.round("wt", 6).alias("weight"))
 
 
@@ -1641,7 +1687,9 @@ def curate_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFra
     100 TB is a single linear pass, exactly like the DSIR scoring
     join."""
     docs = table(spark, sf_dir, "documents")
-    return qc_scores(docs).join(docs.select("doc_id", "lang"), "doc_id").select(
+    return qc_scores(spark, sf_dir, docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
         "doc_id",
         "lang",
         F.round("p", 6).alias("quality_p"),
@@ -1649,13 +1697,13 @@ def curate_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def qc_scores(docs: DataFrame) -> DataFrame:
-    """(doc_id, p) sigmoid scores under the trained weights, sharing ONE
-    checkpointed feature stream between training and scoring — the
-    subtree both the score twin and the threshold-sweep evaluation
-    consume."""
+def qc_scores(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
+    """(doc_id, p) sigmoid scores under the trained weights — read from
+    the persisted artifact (r11: previously the 10-step GD chain
+    re-ran inside every scoring call); shared by the score twin and
+    the threshold-sweep evaluation."""
     feats = qc_features(docs).localCheckpoint(eager=False)
-    w = qc_gradient_descent(feats, docs)
+    w = qc_trained_weights(spark, sf_dir)
     return (
         feats.join(F.broadcast(w), "b")
         .groupBy("doc_id")
@@ -1733,7 +1781,7 @@ def curate_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-threshold fan-out happens AFTER the reduction, on one row)."""
     docs = table(spark, sf_dir, "documents")
     rp = (
-        qc_scores(docs)
+        qc_scores(spark, sf_dir, docs)
         .join(qc_labels(docs), "doc_id")
         .select(F.round("p", 6).alias("rp"), "y")
     )

@@ -515,7 +515,7 @@ def test_classifier_grading_margin_dwarfs_cross_engine_noise(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     w = {r["b"]: r["wt"] for r in qc_train(docs).collect()}
-    p = {r["doc_id"]: r["p"] for r in qc_scores(docs).collect()}
+    p = {r["doc_id"]: r["p"] for r in qc_scores(spark, sf_dir, docs).collect()}
 
     con = duckdb.connect()
     con.execute(

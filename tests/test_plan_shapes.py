@@ -521,27 +521,50 @@ def test_source_matrix_joins_counts_never_documents(spark, sf_dir):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_quality_classifier_reads_artifact(spark, sf_dir):
+    """curate_quality_classifier (r11): the graded query reads the
+    PERSISTED weight table (the build_unigram_lm pay-once pattern — the
+    10-step GD chain previously re-ran inside every call): one bounded
+    parquet scan of the artifact, no corpus scan, no training subtree,
+    no Python."""
+    from opensnowcat_collector_spark.engine.llmdata.curation import (
+        build_quality_classifier,
+    )
+
+    build_quality_classifier(spark, sf_dir)  # ensure the artifact exists
+    plan = _plan(spark, sf_dir, "curate_quality_classifier")
+    assert "weights" in plan, plan  # artifact scan
+    assert "documents" not in plan, plan  # corpus never touched
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_quality_classifier_train_distributed(spark, sf_dir, monkeypatch):
-    """Trained quality classifier (r9): the production plan is bounded
-    by checkpoints (final weights read back as a flat scan — step k
-    never recomputes steps 1..k-1); with the checkpoints
-    identity-patched so the full lineage is visible, every weight-table
-    join onto the feature stream must be a BROADCAST hash join (the
-    weight table is CONSTANT-bounded at QC_BUCKETS+1 rows), the
-    single-row doc-count crossJoin is the only nested-loop shape, the
-    gradient aggregation partial-combines map-side, and no Python stage
-    appears anywhere (the gradient stays distributed — the BPE-trainer
-    discipline)."""
+    """Trained quality classifier (r9; artifact-built since r11): the
+    BUILD-time training plan is bounded by checkpoints (final weights
+    read back as a flat scan — step k never recomputes steps 1..k-1);
+    with the checkpoints identity-patched so the full lineage is
+    visible, every weight-table join onto the feature stream must be a
+    BROADCAST hash join (the weight table is CONSTANT-bounded at
+    QC_BUCKETS+1 rows), the single-row doc-count crossJoin is the only
+    nested-loop shape, the gradient aggregation partial-combines
+    map-side, and no Python stage appears anywhere (the gradient stays
+    distributed — the BPE-trainer discipline)."""
     from pyspark.sql.classic.dataframe import DataFrame
 
     from opensnowcat_collector_spark.engine.llmdata import curation as C
+    from opensnowcat_collector_spark.engine.tables import table
 
-    prod_plan = _plan(spark, sf_dir, "curate_quality_classifier")
+    def train_plan():
+        w = C.qc_train(table(spark, sf_dir, "documents"))
+        return w._jdf.queryExecution().executedPlan().toString()
+
+    prod_plan = train_plan()
     assert "Scan ExistingRDD" in prod_plan, prod_plan
     assert "Exchange" not in prod_plan, prod_plan
 
     monkeypatch.setattr(DataFrame, "localCheckpoint", lambda self, eager=True: self)
-    full_plan = _plan(spark, sf_dir, "curate_quality_classifier")
+    full_plan = train_plan()
     n = C.QC_STEPS
     # checkpoint-patched subtrees are duplicated down later steps'
     # lineage, so counts are lower bounds, not equalities
@@ -554,12 +577,18 @@ def test_quality_classifier_train_distributed(spark, sf_dir, monkeypatch):
 
 def test_quality_classifier_score_broadcast_single_pass(spark, sf_dir):
     """Classifier scoring (r9): the corpus-scale half must be ONE linear
-    pass — the trained weight table arrives as a checkpointed flat scan
-    (training is NOT re-run inline) and meets the feature stream as a
+    pass — the trained weight table arrives as a bounded parquet scan of
+    the persisted artifact (training is NOT re-run inline; r11) and
+    meets the feature stream as a
     BROADCAST hash join; the margin aggregation partial-combines before
     its doc_id exchange; no Python stages."""
+    from opensnowcat_collector_spark.engine.llmdata.curation import (
+        build_quality_classifier,
+    )
+
+    build_quality_classifier(spark, sf_dir)
     plan = _plan(spark, sf_dir, "curate_quality_classifier_score")
-    assert "Scan ExistingRDD" in plan, plan
+    assert "weights" in plan, plan  # bounded artifact scan feeds the broadcast
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "partial_sum" in plan, plan
