@@ -124,6 +124,14 @@ HEADLINE = [
     # corpus is never read; measures the codegen'd 350k-row S-curve
     # integration + bounded argmin)
     "dedup_lsh_tune",
+    # r11 late tranche: WordPiece training (artifact read after the
+    # pay-once cold build), Kneser-Ney bigram scoring (the heaviest
+    # all-JVM text plan: 4 combined aggs + 3 scoring joins), and the
+    # JL random projection (explode + constant broadcast + one
+    # combined exchange)
+    "text_wordpiece_train",
+    "text_kn_bigram_logprob",
+    "embed_random_projection",
 ]
 
 

@@ -54,7 +54,13 @@ def raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded, shingle assembled flat.  Narrow (no shuffle) — consumers
     that need distinctness aggregate it themselves so the explode is
     scanned exactly once."""
-    d = table(spark, sf_dir, "documents")
+    return shingles_of(table(spark, sf_dir, "documents"))
+
+
+def shingles_of(d: DataFrame) -> DataFrame:
+    """The shingle expression of ``raw_shingles`` over an arbitrary
+    documents-shaped frame (streaming micro-batches reuse it so the
+    serving twin cannot diverge from the batch definition)."""
     n_sh = F.greatest(F.size("ws") - 2, F.lit(1))
     zipped = F.arrays_zip(
         F.slice("ws", 1, n_sh).alias("w1"),

@@ -1824,3 +1824,96 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (r11): dimensionality reduction
+# of the embedding column with a DETERMINISTIC Rademacher (+-1) sign matrix
+# derived from md5 — both engines (and any future executor) recompute the
+# identical matrix from nothing but (i, j), so the projection needs no
+# stored model, no driver-side randomness, and no broadcast larger than
+# DIM x RP_DIM rows.  This is the cheap front-end of the similarity stack:
+# a 4x-narrower sketch whose pairwise distances approximate the original's
+# (JL lemma; Achlioptas 2003 proved +-1 entries suffice), usable as an ANN
+# prefilter or as the compact column a 100 TB pipeline ships downstream.
+# ---------------------------------------------------------------------------
+
+RP_DIM = 16  # target dimensionality (DIM=64 -> 4x compression)
+
+
+def _rp_sign_table(spark: SparkSession) -> DataFrame:
+    """The DIM x RP_DIM Rademacher sign matrix as a DataFrame:
+    s(i, j) = 1 - 2 * (ascii(first hex char of md5("i:j")) % 2).
+    Derived IN-ENGINE on both sides (Spark here, the oracle's twin CTE
+    in SQL) so determinism is verifiable, not asserted."""
+    i = spark.range(DIM).select(F.col("id").alias("i"))
+    j = spark.range(RP_DIM).select(F.col("id").alias("j"))
+    key = F.concat_ws(
+        ":", F.col("i").cast("string"), F.col("j").cast("string")
+    )
+    return i.crossJoin(j).select(
+        "i",
+        "j",
+        (F.lit(1) - F.lit(2) * (F.ascii(F.substring(F.md5(key), 1, 1)) % 2)).alias(
+            "s"
+        ),
+    )
+
+
+@register(
+    "embed_random_projection",
+    oracle=f"""
+WITH signs AS (
+  SELECT i, j,
+         1 - 2 * (ascii(substring(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) % 2) AS s
+  FROM (SELECT UNNEST(generate_series(0, {DIM - 1})) AS i),
+       (SELECT UNNEST(generate_series(0, {RP_DIM - 1})) AS j)
+),
+comps AS (
+  SELECT vec_id, u.i AS i, u.x AS x
+  FROM (
+    SELECT vec_id,
+           UNNEST([{{'i': k - 1, 'x': embedding[k]}}
+                   for k in generate_series(1, len(embedding))]) AS u
+    FROM embeddings)
+)
+SELECT c.vec_id, s.j AS j,
+       ROUND(SUM(CAST(c.x AS DOUBLE) * s.s) * 0.25, 6) AS p
+FROM comps c JOIN signs s ON c.i = s.i
+GROUP BY c.vec_id, s.j
+""",
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rademacher random projection of every embedding to RP_DIM
+    dimensions: p(v, j) = (1/sqrt(RP_DIM)) * sum_i v[i] * s(i, j) with
+    the md5-derived +-1 sign matrix of ``_rp_sign_table`` (the scale
+    1/sqrt(16) = 0.25 is an exact power of two, so it costs no
+    cross-engine float divergence).  The JL guarantee makes the
+    projected table a drop-in distance sketch: E||p||^2 = ||v||^2 and
+    pairwise cosines concentrate around the originals
+    (norm preservation pinned in tests/test_r5_ops.py).
+
+    Dataflow: one narrow posexplode of the embedding array (64 rows per
+    vector, map-side), a BROADCAST join against the constant
+    DIM x RP_DIM sign table (1024 rows — never corpus-scaled), and one
+    map-side-combined (vec_id, j) hash aggregation.  Zero Python
+    stages, no flat 64-term SQL expression (the shape that fell out of
+    whole-stage codegen in sim_bitext_mine), one shuffle keyed by
+    (vec_id, j) — linear in corpus size, skew-free (every vector emits
+    exactly DIM x RP_DIM partial products, combined map-side to RP_DIM
+    rows before the exchange).  6-dp rounding absorbs summation-order
+    jitter (embed_norms discipline)."""
+    e = table(spark, sf_dir, "embeddings")
+    comps = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    )
+    signs = _rp_sign_table(spark)
+    return (
+        comps.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("double") * F.col("s")) * F.lit(0.25), 6
+            ).alias("p")
+        )
+    )

@@ -69,20 +69,24 @@ _PRIORITY: list[str] = [
     "agg_hll_partitioned_merge",
     "events_burst_detection",
     "sim_ann_delete",
-    "dedup_incremental_minhash",
-    "sim_ann_incremental",
-    "curate_tokenize_ids",
-    "events_funnel_steps",
-    "events_retention_cohorts",
-    # ---- slots 33-35: r11-new queries (the index-refresh halves of the
-    # r10 streaming twins, VERDICT r10 item 7, plus the LSH banding
-    # auto-tuner) — graded on arrival; each displaced one BOTTOM
-    # r6-head entry (text_vocab_stats / text_unigram_logprob /
-    # sim_ann_recall, r6 evidence fresh through r12) to the staged
+    # ---- slots 28-35: r11-new queries (the index-refresh halves of the
+    # r10 streaming twins, VERDICT r10 item 7, the LSH banding
+    # auto-tuner, the WordPiece trainer + its segment serving twin, the
+    # Kneser-Ney bigram scorer, the JL random projection, and the
+    # streaming decontamination twin) — graded on arrival; each
+    # displaced one BOTTOM r6-head entry (dedup_incremental_minhash /
+    # sim_ann_incremental / curate_tokenize_ids / events_funnel_steps /
+    # events_retention_cohorts / text_vocab_stats / text_unigram_logprob
+    # / sim_ann_recall, r6 evidence fresh through r12) to the staged
     # head, the same rule r9/r10 used.
     "dedup_lsh_tune",
     "streaming_line_dedup_refresh",
     "streaming_semdedup_refresh",
+    "text_wordpiece_train",
+    "text_wordpiece_segment_counts",
+    "text_kn_bigram_logprob",
+    "embed_random_projection",
+    "streaming_contamination",
     # ---- slots 36-50: the 15 standing keeps (same set since r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -103,13 +107,18 @@ _PRIORITY: list[str] = [
     # r12 PLAN (horizon + capacity proven by
     # tests/test_registry.py::test_r11_rotation_horizon and
     # ::test_rotation_schedule_solvable_through_r16): after r11 grades
-    # slots 1-50, the stalest remaining evidence is the three deferred
+    # slots 1-50, the stalest remaining evidence is the eight deferred
     # r6 entries below (age 6 at r12 — mandatory) followed by the r7
     # block (age 5 at r12); the r12 window = keeps + the 35 stalest,
     # greedy by evidence age, exactly the policy every rotation has
     # followed.  Nothing ages past 6 under this schedule.
-    # ---- r6 bottom, deferred to r12 (mandatory there; the first three
-    # displaced from the window by the r11-new queries).
+    # ---- r6 bottom, deferred to r12 (mandatory there; displaced from
+    # the window by the eight r11-new queries).
+    "dedup_incremental_minhash",
+    "sim_ann_incremental",
+    "curate_tokenize_ids",
+    "events_funnel_steps",
+    "events_retention_cohorts",
     "sim_ann_recall",
     "text_vocab_stats",
     "text_unigram_logprob",
@@ -266,7 +275,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "sim_ann_recall"  # first entry past the window, r11
+_WINDOW_SENTINEL = "dedup_incremental_minhash"  # first entry past the window, r11
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

@@ -1684,3 +1684,105 @@ def streaming_semdedup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s") / F.col("n"), 6).alias("c"),
         F.col("n").cast("long").alias("n_members"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming benchmark decontamination (r11): the serving twin of
+# curate_contamination.
+# --------------------------------------------------------------------------
+
+from .llmdata.curation import BENCH_MOD, CONTAMINATION_THRESHOLD  # noqa: E402
+from .llmdata.dedup import shingles_of  # noqa: E402
+
+
+@register(
+    "streaming_contamination",
+    oracle=f"""
+WITH shingled AS (
+  SELECT doc_id,
+         list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                        for i in generate_series(1, greatest(len(ws)-2, 1))]) AS shingles
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+),
+exploded AS (
+  SELECT doc_id, UNNEST(shingles) AS shingle FROM shingled
+),
+bench AS (
+  SELECT DISTINCT shingle FROM exploded WHERE doc_id % {BENCH_MOD} = 0
+),
+hits AS (
+  SELECT e.doc_id, COUNT(*) AS n_hit
+  FROM exploded e JOIN bench b ON e.shingle = b.shingle
+  WHERE e.doc_id % {BENCH_MOD} <> 0
+  GROUP BY 1
+),
+counts AS (
+  SELECT doc_id, LEN(shingles) AS n_sh FROM shingled
+)
+SELECT h.doc_id, h.n_hit, c.n_sh,
+       CAST(h.n_hit AS DOUBLE) / c.n_sh AS contamination,
+       CAST(h.n_hit AS DOUBLE) / c.n_sh >= {CONTAMINATION_THRESHOLD} AS is_contaminated
+FROM hits h JOIN counts c USING (doc_id)
+""",
+)
+def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental benchmark decontamination under the gate — the
+    serving twin of ``curate_contamination``: the benchmark shingle set
+    is built ONCE from the static benchmark slice (doc_id % BENCH_MOD
+    == 0 — benchmark suites are a fixed, known-a-priori artifact, the
+    cleanest case for the history-table twin pattern), and every
+    incoming crawl document is screened against it per micro-batch:
+    distinct 3-gram shingles, broadcast membership probe, per-doc
+    overlap fraction vs CONTAMINATION_THRESHOLD.  Shingling is shared
+    verbatim with the batch twin (``dedup.shingles_of``), so the two
+    graded definitions cannot diverge.  Docs with zero benchmark
+    overlap are absent (the batch twin's inner-join semantics).
+
+    Stateless by construction (a document is one row, its shingles land
+    in one micro-batch; membership against a FIXED set needs no
+    cross-batch state), so equality with the batch oracle proves
+    batching-invariance — no watermark, no state store.
+
+    100-TB note: benchmark sets are intrinsically BOUNDED (every public
+    benchmark together is <<1 GB of shingles — unlike the line-dedup
+    twin's corpus-scaled history, the broadcast here is safe at any
+    corpus size; this is the GPT-3-style post-hoc decontamination
+    screen, Brown et al. 2020 Appendix C).  Each epoch pays one shingle
+    explode + one broadcast probe + one batch-local doc aggregation —
+    incremental work scales with the batch, never the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    bench = (
+        shingles_of(docs.filter((F.col("doc_id") % BENCH_MOD) == 0))
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    stream = _stream_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % BENCH_MOD) != 0
+    )
+
+    def screen_batch(batch_df: DataFrame) -> DataFrame:
+        sh = shingles_of(batch_df).distinct()
+        counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        hits = (
+            sh.join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        contamination = F.col("n_hit").cast("double") / F.col("n_sh")
+        return hits.join(counts, "doc_id").select(
+            "doc_id",
+            "n_hit",
+            "n_sh",
+            contamination.alias("contamination"),
+            (contamination >= CONTAMINATION_THRESHOLD).alias("is_contaminated"),
+        )
+
+    return _drain_foreachbatch(
+        stream,
+        screen_batch,
+        ["doc_id", "n_hit", "n_sh", "contamination", "is_contaminated"],
+        "streaming contamination",
+        "contam_stream_",
+    )

