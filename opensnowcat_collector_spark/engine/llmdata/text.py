@@ -2459,18 +2459,25 @@ def text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the ``text_bigram_logprob`` discipline).
 
     Scale (100 TB): the bigram stream is the flat codegen'd position
-    explode (no interpreted lambdas); the model is FOUR map-side-combined
-    aggregations over it (bigram counts, then two vocabulary-sized
-    rollups of that table and one single-row total — the three
-    smoothing tables derive from bgf, never from a second corpus scan);
-    scoring is three Zipf-small equi-joins back onto the stream (AQE
-    broadcasts the count tables when they fit) + one doc_id aggregation.
-    Train and score share one declarative plan — at 100 TB the count
-    tables persist as artifacts and only the joins+agg recur."""
+    explode (no interpreted lambdas); the corpus is scanned exactly
+    TWICE — once into the map-side-combined bigram-count table (lazily
+    localCheckpoint'd: ctx/cont/tt are VOCABULARY-sized rollups of that
+    materialized table, and without the checkpoint Spark re-plans the
+    corpus explode under each rollup because column pruning makes the
+    four subtrees structurally distinct, defeating exchange reuse —
+    measured 5 parquet scans -> 2) — and once as the scoring probe
+    stream; scoring is three Zipf-small equi-joins (AQE broadcasts the
+    count tables when they fit) + one doc_id aggregation.  At 100 TB
+    the count tables persist as artifacts and only the joins+agg
+    recur."""
     d = table(spark, sf_dir, "documents")
     ws = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
     bg = flat_bigrams(ws)
-    bgf = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    bgf = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=False)
+    )
     ctx = bgf.groupBy("w1").agg(
         F.sum("cb").alias("c1"), F.count(F.lit(1)).alias("n1l")
     )
