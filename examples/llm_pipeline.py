@@ -207,6 +207,34 @@ def main() -> None:
         f"running stats after folding the drained survivors"
     )
 
+    wp = qs["text_wordpiece_train"](spark, sf_dir)
+    print("WordPiece merge training (likelihood argmax):")
+    for row in wp.orderBy("step").collect():
+        print(
+            f"   step {row.step}: '{row.w1}' + '{row.w2}' -> '{row.merged}' "
+            f"(score {row.support}/({row.c1}*{row.c2}))"
+        )
+    wseg = qs["text_wordpiece_segment_counts"](spark, sf_dir)
+    wst = wseg.agg({"n_words": "sum", "n_subwords": "sum"}).first()
+    print(
+        f"WordPiece apply: {wst['sum(n_words)']} words -> "
+        f"{wst['sum(n_subwords)']} subword tokens"
+    )
+
+    kn = qs["text_kn_bigram_logprob"](spark, sf_dir)
+    worst = kn.orderBy(kn.kn_neg_logprob.desc()).first()
+    print(
+        f"Kneser-Ney bigram LM: most disfluent doc {worst.doc_id} "
+        f"(neg-logprob {worst.kn_neg_logprob:.3f})"
+    )
+
+    rp = qs["embed_random_projection"](spark, sf_dir)
+    print(f"JL random projection: {rp.count()} sketch components (16 per vector)")
+
+    scon = qs["streaming_contamination"](spark, sf_dir)
+    flagged = scon.filter(scon.is_contaminated).count()
+    print(f"streaming decontamination: {flagged} incoming docs flagged vs benchmark")
+
     mix = qs["curate_temperature_mix"](spark, sf_dir)
     print("temperature mix (T=2) boosts:")
     for row in mix.orderBy("source").collect()[:5]:
