@@ -132,6 +132,9 @@ HEADLINE = [
     "text_wordpiece_train",
     "text_kn_bigram_logprob",
     "embed_random_projection",
+    # r11: the two-stage sketch-prefilter ANN (projection plan + two
+    # distributed top-k cutoffs + exact re-rank on RP_CAND rows)
+    "sim_ann_rp_rerank",
 ]
 
 

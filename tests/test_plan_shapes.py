@@ -827,3 +827,16 @@ def test_wordpiece_segment_broadcast_capped(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_rp_rerank_two_stage_topk_no_global_sort(spark, sf_dir):
+    """sim_ann_rp_rerank (r11): both cutoffs plan as distributed top-k
+    (TakeOrderedAndProject — never a global Sort+Limit over the
+    corpus); the query sketch and candidate set join as broadcasts; the
+    exact stage touches only the candidate rows; all JVM-side."""
+    plan = _plan(spark, sf_dir, "sim_ann_rp_rerank")
+    assert plan.count("TakeOrderedAndProject") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

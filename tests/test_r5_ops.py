@@ -1120,3 +1120,22 @@ def test_random_projection_preserves_geometry(spark, sf_dir):
     assert len(dratios) >= 80
     mean_dr = sum(dratios) / len(dratios)
     assert 0.85 < mean_dr < 1.15, mean_dr
+
+
+def test_rp_rerank_recall_and_exactness(spark, sf_dir):
+    """sim_ann_rp_rerank must (a) return EXACT cosines for whatever it
+    returns (the re-rank stage is exact — every returned (vec_id,
+    cosine) appears in the brute-force ranking with the same value),
+    and (b) recall >= 0.7 of the true top-10 at the test SF (measured
+    0.9 here / 0.9 at sf0.01 / 0.8 at sf0.1 — the BASELINE.md sweep;
+    threshold leaves margin for corpus regeneration)."""
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in _run(spark, sf_dir, "sim_topk_bruteforce")
+    }
+    got = _run(spark, sf_dir, "sim_ann_rp_rerank")
+    assert len(got) == 10
+    hits = [r for r in got if r["vec_id"] in exact]
+    assert len(hits) >= 7, [r["vec_id"] for r in got]
+    for r in hits:
+        assert r["cosine"] == exact[r["vec_id"]], r

@@ -91,6 +91,7 @@ PROBE_QUERIES = [
     # the new corpus-scaled plans; wordpiece reads its pay-once artifact
     "text_kn_bigram_logprob",
     "embed_random_projection",
+    "sim_ann_rp_rerank",
     "text_wordpiece_train",
 ]
 
