@@ -231,6 +231,14 @@ def main() -> None:
     rp = qs["embed_random_projection"](spark, sf_dir)
     print(f"JL random projection: {rp.count()} sketch components (16 per vector)")
 
+    rr = qs["sim_ann_rp_rerank"](spark, sf_dir).collect()
+    exact = {r.vec_id for r in qs["sim_topk_bruteforce"](spark, sf_dir).collect()}
+    hit = sum(1 for r in rr if r.vec_id in exact)
+    print(
+        f"two-stage ANN (sketch prefilter + exact re-rank): top-10 with "
+        f"recall {hit}/10 vs brute force"
+    )
+
     scon = qs["streaming_contamination"](spark, sf_dir)
     flagged = scon.filter(scon.is_contaminated).count()
     print(f"streaming decontamination: {flagged} incoming docs flagged vs benchmark")
