@@ -135,6 +135,9 @@ HEADLINE = [
     # r11: the two-stage sketch-prefilter ANN (projection plan + two
     # distributed top-k cutoffs + exact re-rank on RP_CAND rows)
     "sim_ann_rp_rerank",
+    # r11: the semantic decontamination screen (bounded-bench BNLJ +
+    # one Arrow pair-cosine stage + map-side max)
+    "curate_semantic_contamination",
 ]
 
 

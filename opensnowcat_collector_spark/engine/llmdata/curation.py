@@ -2517,3 +2517,83 @@ def curate_rho_token_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic benchmark decontamination (r11) — the third rung of the
+# decontamination ladder, mirroring the dedup ladder exactly:
+#   exact n-gram overlap  (curate_contamination,        = dedup_exact)
+#   fuzzy edit distance   (curate_fuzzy_contamination,  = dedup_minhash_lsh)
+#   semantic embedding    (THIS,                        = dedup_semdedup)
+# Catches the leak class the other two cannot: a benchmark item
+# paraphrased far past edit-distance range but embedded nearby
+# (the contamination audits behind Phi/Llama report exactly this gap).
+# ---------------------------------------------------------------------------
+
+from .similarity import _duck_cos as _sem_duck_cos  # noqa: E402
+from .similarity import pair_cos_udf as _sem_pair_cos_udf  # noqa: E402
+
+#: a train item is semantically contaminated when its best benchmark
+#: cosine reaches this; on the synthetic corpus 0.3 sits at ~p90 of the
+#: max-cosine distribution (measured sf0.001/0.01/0.1), so the flag set
+#: is non-trivial at every SF without being the whole corpus.
+SEM_CONTAM_TAU = 0.3
+
+
+@register(
+    "curate_semantic_contamination",
+    oracle=f"""
+WITH bench AS (
+  SELECT vec_id AS bench_id, embedding AS bench_emb
+  FROM embeddings WHERE vec_id % {BENCH_MOD} = 0
+),
+tr AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE vec_id % {BENCH_MOD} <> 0
+),
+pairs AS (
+  SELECT tr.vec_id, tr.label,
+         {_sem_duck_cos("tr.embedding", "b.bench_emb")} AS c
+  FROM tr, bench b
+)
+SELECT vec_id, label, MAX(c) AS bench_cos,
+       MAX(c) >= {SEM_CONTAM_TAU} AS is_contaminated
+FROM pairs GROUP BY vec_id, label
+""",
+)
+def curate_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination: every training vector's best
+    cosine against the benchmark embedding set (vec_id % BENCH_MOD == 0
+    — the same held-out convention as the n-gram and fuzzy screens),
+    flagged at SEM_CONTAM_TAU.  Emits ALL train rows with their max
+    benchmark similarity, not just the flagged ones — the score column
+    is what a contamination AUDIT reports (the flag threshold is a
+    policy knob; auditors sweep it).
+
+    Scale (100 TB): benchmark sets are intrinsically BOUNDED (the
+    ``streaming_contamination`` argument — every public benchmark
+    together is tiny next to a training corpus), so the bench side
+    broadcasts and the pair stream is a BroadcastNestedLoopJoin that is
+    LINEAR in the train side: each train vector meets |bench| rows,
+    combined map-side to ONE row by the max aggregation before any
+    exchange.  The per-pair cosine is the Arrow-vectorized
+    ``pair_cos_udf`` (sequential-over-dims fold, bit-identical to the
+    engines' flat SQL expressions — the sim_bitext_mine lesson: the
+    flat 64-term SQL form runs interpreted at ~20 us/pair).  When the
+    benchmark side outgrows comfortable broadcast, the documented path
+    is the SemDeDup machinery: assign both sides to the trained IVF
+    cells and screen within cells only."""
+    e = table(spark, sf_dir, "embeddings")
+    is_bench = (F.col("vec_id") % BENCH_MOD) == 0
+    bench = e.filter(is_bench).select(F.col("embedding").alias("bench_emb"))
+    train = e.filter(~is_bench).select("vec_id", "label", "embedding")
+    cos = _sem_pair_cos_udf()(F.col("embedding"), F.col("bench_emb"))
+    return (
+        train.crossJoin(F.broadcast(bench))
+        .select("vec_id", "label", cos.alias("c"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max("c").alias("bench_cos"),
+            (F.max("c") >= F.lit(SEM_CONTAM_TAU)).alias("is_contaminated"),
+        )
+    )

@@ -67,14 +67,14 @@ _PRIORITY: list[str] = [
     "curate_dedup_apply",
     "curate_train_val_split",
     "agg_hll_partitioned_merge",
-    "events_burst_detection",
-    # ---- slots 27-35: r11-new queries (the index-refresh halves of the
+    # ---- slots 26-35: r11-new queries (the index-refresh halves of the
     # r10 streaming twins, VERDICT r10 item 7, the LSH banding
     # auto-tuner, the WordPiece trainer + its segment serving twin, the
     # Kneser-Ney bigram scorer, the JL random projection + its two-stage
-    # ANN re-rank consumer, and the streaming decontamination twin) —
-    # graded on arrival; each displaced one BOTTOM r6-head entry
-    # (sim_ann_delete / dedup_incremental_minhash / sim_ann_incremental
+    # ANN re-rank consumer, the streaming decontamination twin, and the
+    # semantic decontamination screen) — graded on arrival; each
+    # displaced one BOTTOM r6-head entry (events_burst_detection /
+    # sim_ann_delete / dedup_incremental_minhash / sim_ann_incremental
     # / curate_tokenize_ids / events_funnel_steps /
     # events_retention_cohorts / text_vocab_stats / text_unigram_logprob
     # / sim_ann_recall, r6 evidence fresh through r12) to the staged
@@ -88,6 +88,7 @@ _PRIORITY: list[str] = [
     "embed_random_projection",
     "sim_ann_rp_rerank",
     "streaming_contamination",
+    "curate_semantic_contamination",
     # ---- slots 36-50: the 15 standing keeps (same set since r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -108,13 +109,14 @@ _PRIORITY: list[str] = [
     # r12 PLAN (horizon + capacity proven by
     # tests/test_registry.py::test_r11_rotation_horizon and
     # ::test_rotation_schedule_solvable_through_r16): after r11 grades
-    # slots 1-50, the stalest remaining evidence is the nine deferred
+    # slots 1-50, the stalest remaining evidence is the ten deferred
     # r6 entries below (age 6 at r12 — mandatory) followed by the r7
     # block (age 5 at r12); the r12 window = keeps + the 35 stalest,
     # greedy by evidence age, exactly the policy every rotation has
     # followed.  Nothing ages past 6 under this schedule.
     # ---- r6 bottom, deferred to r12 (mandatory there; displaced from
-    # the window by the nine r11-new queries).
+    # the window by the ten r11-new queries).
+    "events_burst_detection",
     "sim_ann_delete",
     "dedup_incremental_minhash",
     "sim_ann_incremental",
@@ -277,7 +279,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "sim_ann_delete"  # first entry past the window, r11
+_WINDOW_SENTINEL = "events_burst_detection"  # first entry past the window, r11
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

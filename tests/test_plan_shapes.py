@@ -840,3 +840,17 @@ def test_rp_rerank_two_stage_topk_no_global_sort(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_semantic_contamination_broadcast_bench_single_arrow(spark, sf_dir):
+    """curate_semantic_contamination (r11): the bounded benchmark side
+    broadcasts (BroadcastNestedLoopJoin, BuildRight — linear in the
+    train side, never a shuffled pair join), the per-pair cosine is
+    exactly ONE Arrow stage (the pair_cos_udf discipline), and the max
+    aggregation partial-combines map-side so the only corpus-scaled
+    exchange carries one row per train vector."""
+    plan = _plan(spark, sf_dir, "curate_semantic_contamination")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "partial_max" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan

@@ -1139,3 +1139,36 @@ def test_rp_rerank_recall_and_exactness(spark, sf_dir):
     assert len(hits) >= 7, [r["vec_id"] for r in got]
     for r in hits:
         assert r["cosine"] == exact[r["vec_id"]], r
+
+
+def test_semantic_contamination_matches_numpy_and_completes_triad(spark, sf_dir):
+    """The semantic screen must reproduce an independent numpy
+    max-benchmark-cosine recompute exactly (6-dp rounded, the
+    pair_cos_udf bit-exactness contract), cover every train vector,
+    and flag precisely the >= SEM_CONTAM_TAU set."""
+    import numpy as np
+
+    from opensnowcat_collector_spark.engine.llmdata.curation import (
+        BENCH_MOD,
+        SEM_CONTAM_TAU,
+    )
+
+    rows = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    v = np.array([[float(x) for x in r.embedding] for r in rows])
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    bench = vn[ids % BENCH_MOD == 0]
+    got = {r.vec_id: r for r in _run(spark, sf_dir, "curate_semantic_contamination")}
+    train_ids = ids[ids % BENCH_MOD != 0]
+    assert set(got) == set(int(i) for i in train_ids)
+    mx = {
+        int(i): round(float((vn[ids == i] @ bench.T).max()), 6)
+        for i in train_ids
+    }
+    flagged = 0
+    for i, expect in mx.items():
+        assert abs(got[i].bench_cos - expect) <= 1e-6, (i, got[i].bench_cos, expect)
+        assert got[i].is_contaminated == (got[i].bench_cos >= SEM_CONTAM_TAU), i
+        flagged += got[i].is_contaminated
+    # the threshold must bite but not swallow the corpus
+    assert 0 < flagged < len(mx), flagged

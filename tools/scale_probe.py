@@ -92,6 +92,7 @@ PROBE_QUERIES = [
     "text_kn_bigram_logprob",
     "embed_random_projection",
     "sim_ann_rp_rerank",
+    "curate_semantic_contamination",
     "text_wordpiece_train",
 ]
 
