@@ -243,6 +243,13 @@ def main() -> None:
     flagged = scon.filter(scon.is_contaminated).count()
     print(f"streaming decontamination: {flagged} incoming docs flagged vs benchmark")
 
+    sem = qs["curate_semantic_contamination"](spark, sf_dir)
+    sflag = sem.filter(sem.is_contaminated).count()
+    print(
+        f"semantic decontamination: {sflag}/{sem.count()} train vectors "
+        f"within the benchmark epsilon-ball"
+    )
+
     mix = qs["curate_temperature_mix"](spark, sf_dir)
     print("temperature mix (T=2) boosts:")
     for row in mix.orderBy("source").collect()[:5]:
