@@ -1693,38 +1693,15 @@ def streaming_semdedup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .llmdata.curation import BENCH_MOD, CONTAMINATION_THRESHOLD  # noqa: E402
 from .llmdata.dedup import shingles_of  # noqa: E402
+from .relational import ORACLE as _ORACLE  # noqa: E402  (post-registration read)
 
 
-@register(
-    "streaming_contamination",
-    oracle=f"""
-WITH shingled AS (
-  SELECT doc_id,
-         list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
-                        for i in generate_series(1, greatest(len(ws)-2, 1))]) AS shingles
-  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
-),
-exploded AS (
-  SELECT doc_id, UNNEST(shingles) AS shingle FROM shingled
-),
-bench AS (
-  SELECT DISTINCT shingle FROM exploded WHERE doc_id % {BENCH_MOD} = 0
-),
-hits AS (
-  SELECT e.doc_id, COUNT(*) AS n_hit
-  FROM exploded e JOIN bench b ON e.shingle = b.shingle
-  WHERE e.doc_id % {BENCH_MOD} <> 0
-  GROUP BY 1
-),
-counts AS (
-  SELECT doc_id, LEN(shingles) AS n_sh FROM shingled
-)
-SELECT h.doc_id, h.n_hit, c.n_sh,
-       CAST(h.n_hit AS DOUBLE) / c.n_sh AS contamination,
-       CAST(h.n_hit AS DOUBLE) / c.n_sh >= {CONTAMINATION_THRESHOLD} AS is_contaminated
-FROM hits h JOIN counts c USING (doc_id)
-""",
-)
+# the batch screen over the full corpus and the streamed screen over its
+# non-bench slice compute the SAME rows (the stream IS the non-bench
+# slice and the hits CTE already excludes bench docs), so the twins
+# share ONE oracle string — a shingle or threshold change cannot
+# diverge them.
+@register("streaming_contamination", oracle=_ORACLE["curate_contamination"])
 def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental benchmark decontamination under the gate — the
     serving twin of ``curate_contamination``: the benchmark shingle set
