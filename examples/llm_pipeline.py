@@ -188,6 +188,12 @@ def main() -> None:
         f"RHO-1 token selection: {rs['sum(n_selected)']}/{rs['sum(n_tokens)']} "
         f"tokens kept for selective-LM training"
     )
+    srho = qs["streaming_rho_scoring"](spark, sf_dir)
+    ss = srho.agg({"n_tokens": "sum", "n_selected": "sum"}).first()
+    print(
+        f"RHO-1 serving twin: {ss['sum(n_selected)']}/{ss['sum(n_tokens)']} "
+        f"incoming tokens selected against the history-trained table"
+    )
 
     tune = qs["dedup_lsh_tune"](spark, sf_dir)
     opt = tune.filter(tune.is_opt).first()

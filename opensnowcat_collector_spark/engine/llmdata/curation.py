@@ -2378,18 +2378,67 @@ RHO_VOCAB_CAP = 8192
 CURATION_CORPUS_SPLIT = 100
 
 
-@register(
-    "curate_rho_token_select",
-    oracle=f"""
-WITH toks AS (
-  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents
+def rho_score_table(toks: DataFrame, ref_pred: Column) -> DataFrame:
+    """The capped (w, score) RHO table from a token frame: proxy LM =
+    ALL of ``toks``, reference LM = the ``ref_pred`` slice, add-one
+    smoothing shared over the full ``toks`` vocabulary, 6-dp-rounded
+    score, RHO_VOCAB_CAP distributed top-k by (c_full DESC, w ASC).
+    ONE definition shared by ``curate_rho_token_select`` (proxy = full
+    corpus, reference = static slice) and ``streaming_rho_scoring``
+    (proxy = history, reference = the cleaner history subslice) so the
+    trained table cannot diverge between the batch selector and its
+    serving twin; ``rho_score_sql`` below is the DuckDB twin."""
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_full"))
+    ref = toks.filter(ref_pred).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_ref")
+    )
+    vsize = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    tot_full = vocab.agg(F.sum("c_full").cast("double").alias("tf"))
+    tot_ref = ref.agg(
+        F.coalesce(F.sum("c_ref"), F.lit(0)).cast("double").alias("tr")
+    )
+    scores = (
+        vocab.join(ref, "w", "left")
+        .crossJoin(F.broadcast(vsize))
+        .crossJoin(F.broadcast(tot_full))
+        .crossJoin(F.broadcast(tot_ref))
+        .select(
+            "w",
+            "c_full",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_ref"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tr") + F.col("v"))
+                )
+                - F.log(
+                    (F.col("c_full") + F.lit(1.0)) / (F.col("tf") + F.col("v"))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return (
+        scores.orderBy(F.desc("c_full"), F.asc("w"))
+        .limit(RHO_VOCAB_CAP)
+        .select("w", "score")
+    )
+
+
+def rho_score_sql(toks_filter: str, ref_filter: str) -> str:
+    """DuckDB CTE chain mirroring ``rho_score_table``: emits CTEs
+    ``toks`` (filtered by ``toks_filter``) through ``scores_top``.
+    Kept next to the Spark twin so the two engines' score definitions
+    change together."""
+    return f"""toks AS (
+  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w
+  FROM documents {toks_filter}
 ),
 vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_full FROM toks GROUP BY w),
 vsize AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
 tot_full AS (SELECT CAST(SUM(c_full) AS DOUBLE) AS t FROM vocab),
 ref_counts AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS c_ref
-  FROM toks WHERE doc_id < {CURATION_CORPUS_SPLIT} GROUP BY w
+  FROM toks WHERE {ref_filter} GROUP BY w
 ),
 tot_ref AS (SELECT CAST(COALESCE(SUM(c_ref), 0) AS DOUBLE) AS t FROM ref_counts),
 scores AS (
@@ -2406,7 +2455,13 @@ scores_top AS (
     SELECT w, score, ROW_NUMBER() OVER (ORDER BY c_full DESC, w ASC) AS rn
     FROM scores
   ) WHERE rn <= {RHO_VOCAB_CAP}
-)
+)"""
+
+
+@register(
+    "curate_rho_token_select",
+    oracle=f"""
+WITH {rho_score_sql("", f"doc_id < {CURATION_CORPUS_SPLIT}")}
 SELECT t.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(CASE WHEN COALESCE(s.score, 0.0) > {RHO_SCORE_MIN}
@@ -2459,41 +2514,8 @@ def curate_rho_token_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
     )
-    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_full"))
-    ref = (
-        toks.filter(F.col("doc_id") < CURATION_CORPUS_SPLIT)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c_ref"))
-    )
-    vsize = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
-    tot_full = vocab.agg(F.sum("c_full").cast("double").alias("tf"))
-    tot_ref = ref.agg(
-        F.coalesce(F.sum("c_ref"), F.lit(0)).cast("double").alias("tr")
-    )
-    scores = (
-        vocab.join(ref, "w", "left")
-        .crossJoin(F.broadcast(vsize))
-        .crossJoin(F.broadcast(tot_full))
-        .crossJoin(F.broadcast(tot_ref))
-        .select(
-            "w",
-            "c_full",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("c_ref"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("tr") + F.col("v"))
-                )
-                - F.log(
-                    (F.col("c_full") + F.lit(1.0)) / (F.col("tf") + F.col("v"))
-                ),
-                6,
-            ).alias("score"),
-        )
-    )
-    scores_top = (
-        scores.orderBy(F.desc("c_full"), F.asc("w"))
-        .limit(RHO_VOCAB_CAP)
-        .select("w", "score")
+    scores_top = rho_score_table(
+        toks, F.col("doc_id") < CURATION_CORPUS_SPLIT
     )
     score = F.coalesce(F.col("score"), F.lit(0.0))
     sel = F.when(score > RHO_SCORE_MIN, 1).otherwise(0)
