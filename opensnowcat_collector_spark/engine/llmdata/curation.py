@@ -1260,7 +1260,7 @@ lr AS (
     oracle=f"""
 WITH {dsir_bucket_cte()}
 SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
-       ROUND(AVG(l.lw), 6) AS log_weight
+       ROUND(AVG(l.lw), 6) + 0 AS log_weight
 FROM bg g JOIN lr l USING (b)
 GROUP BY g.doc_id
 """,
@@ -1307,7 +1307,7 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
-            F.round(F.avg("lw"), 6).alias("log_weight"),
+            (F.round(F.avg("lw"), 6) + F.lit(0.0)).alias("log_weight"),
         )
     )
 
@@ -2470,7 +2470,7 @@ SELECT t.doc_id,
                       THEN 1 ELSE 0 END)
                   AS DOUBLE) / COUNT(*), 6) AS sel_frac,
        ROUND(ROUND(SUM(COALESCE(s.score, 0.0)) * 1000000, 0)
-             / COUNT(*) / 1000000, 6) AS avg_score
+             / COUNT(*) / 1000000, 6) + 0 AS avg_score
 FROM toks t LEFT JOIN scores_top s USING (w)
 GROUP BY t.doc_id
 """,
@@ -2534,8 +2534,11 @@ def curate_rho_token_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             # at sf0.001).  Snap the sum to its exact integer unit count
             # first: both engines then divide the SAME two exact integers
             # and round the SAME double.
-            F.round(
-                F.round(F.sum(score) * 1e6, 0) / F.count(F.lit(1)) / 1e6, 6
+            (
+                F.round(
+                    F.round(F.sum(score) * 1e6, 0) / F.count(F.lit(1)) / 1e6, 6
+                )
+                + F.lit(0.0)
             ).alias("avg_score"),
         )
     )

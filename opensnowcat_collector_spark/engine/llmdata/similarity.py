@@ -77,17 +77,23 @@ def _spark_plane_literal(h: int) -> str:
 
 
 def _duck_cos(a: str, b: str) -> str:
+    # the trailing "+ 0" normalizes IEEE negative zero: DuckDB's ROUND
+    # keeps the sign of a tiny negative (-4e-7 -> -0.0) while Spark's
+    # BigDecimal round drops it (-> 0.0), and the driver's canonicalizer
+    # stringifies ("-0.0" != "0.0") — found by the r11 replica-corpus
+    # sweep on curate_dsir_weights; applied to every zero-crossing
+    # rounded output
     dot = _DUCK_DOT.format(a=a, b=b, n=DIM)
     na = _DUCK_DOT.format(a=a, b=a, n=DIM)
     nb = _DUCK_DOT.format(a=b, b=b, n=DIM)
-    return f"ROUND(({dot}) / (SQRT({na}) * SQRT({nb})), 6)"
+    return f"ROUND(({dot}) / (SQRT({na}) * SQRT({nb})), 6) + 0"
 
 
 def _spark_cos(a: str, b: str) -> str:
     dot = _SPARK_DOT.format(a=a, b=b)
     na = _SPARK_DOT.format(a=a, b=a)
     nb = _SPARK_DOT.format(a=b, b=b)
-    return f"ROUND(({dot}) / (SQRT({na}) * SQRT({nb})), 6)"
+    return f"ROUND(({dot}) / (SQRT({na}) * SQRT({nb})), 6) + 0D"
 
 
 @register(
@@ -441,10 +447,10 @@ qflat AS (
 ),
 cell AS (
   SELECT c.label,
-         SUM(c.c * qf.qx) / (SQRT(SUM(c.c * c.c)) * SQRT(SUM(qf.qx * qf.qx))) AS ccos
+         ROUND(SUM(c.c * qf.qx) / (SQRT(SUM(c.c * c.c)) * SQRT(SUM(qf.qx * qf.qx))), 6) AS ccos
   FROM cent c JOIN qflat qf ON c.i = qf.i
   GROUP BY c.label
-  ORDER BY ccos DESC LIMIT 1
+  ORDER BY ccos DESC, c.label LIMIT 1
 )
 SELECT e.vec_id, e.label,
        {{cos}} AS cosine
@@ -464,9 +470,15 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: per-label centroids via posexplode+avg (one shuffle over
     N*DIM rows — at scale this is the train step, persisted once), query
     assigned to the max-cosine centroid, exact re-rank inside that cell
-    only.  Centroid argmax margins are O(0.01) so cross-engine float
-    reduction order cannot flip the cell choice; the in-cell cosine uses
-    the deterministic 6-dp-rounded flat expression."""
+    only.  The centroid argmax is fully deterministic, not just
+    probably-safe: the centroid cosine is 6-dp ROUNDED before the
+    ordering (margins are O(0.01), but rounding is what makes the
+    cross-engine claim exact) and ties break on label — EXACT ties are
+    real on degenerate corpora (the r11 replica-corpus sweep had 8
+    byte-identical copies of every vector under different labels, and
+    the unrounded untied argmax picked different cells per engine);
+    the in-cell cosine uses the deterministic 6-dp-rounded flat
+    expression."""
     e = table(spark, sf_dir, "embeddings")
     flat = e.select(
         "label", F.posexplode("embedding").alias("i", "x")
@@ -480,12 +492,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.join(qflat, "i")
         .groupBy("label")
         .agg(
-            (
+            F.round(
                 F.sum(F.col("c") * F.col("qx"))
-                / (F.sqrt(F.sum(F.col("c") * F.col("c"))) * F.sqrt(F.sum(F.col("qx") * F.col("qx"))))
+                / (F.sqrt(F.sum(F.col("c") * F.col("c"))) * F.sqrt(F.sum(F.col("qx") * F.col("qx")))),
+                6,
             ).alias("ccos")
         )
-        .orderBy(F.col("ccos").desc())
+        .orderBy(F.col("ccos").desc(), F.col("label"))
         .limit(1)
         .select("label")
     )
@@ -1633,7 +1646,9 @@ def pair_cos_udf():
             dot += va[:, d] * vb[:, d]
             na += va[:, d] * va[:, d]
             nb += vb[:, d] * vb[:, d]
-        return pd.Series(np.round(dot / (np.sqrt(na) * np.sqrt(nb)), 6))
+        # "+ 0.0" normalizes IEEE -0.0 (np.round keeps the sign of a
+        # tiny negative; both engines' flat forms now emit +0.0)
+        return pd.Series(np.round(dot / (np.sqrt(na) * np.sqrt(nb)), 6) + 0.0)
 
     return pc
 
@@ -1782,10 +1797,10 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT u.dim AS dim,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(AVG(u.v), 6) AS mean,
-       ROUND(AVG(u.v * u.v) - AVG(u.v) * AVG(u.v), 6) AS variance,
-       ROUND(MIN(u.v), 6) AS min_v,
-       ROUND(MAX(u.v), 6) AS max_v
+       ROUND(AVG(u.v), 6) + 0 AS mean,
+       ROUND(AVG(u.v * u.v) - AVG(u.v) * AVG(u.v), 6) + 0 AS variance,
+       ROUND(MIN(u.v), 6) + 0 AS min_v,
+       ROUND(MAX(u.v), 6) + 0 AS max_v
 FROM (
   SELECT UNNEST([{'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)}
                  for i in generate_series(1, len(embedding))]) AS u
@@ -1880,7 +1895,7 @@ comps AS (
 ),
 proj AS (
   SELECT c.vec_id, s.j AS j,
-         ROUND(SUM(CAST(c.x AS DOUBLE) * s.s) * 0.25, 6) AS p
+         ROUND(SUM(CAST(c.x AS DOUBLE) * s.s) * 0.25, 6) + 0 AS p
   FROM comps c JOIN signs s ON c.i = s.i
   GROUP BY c.vec_id, s.j
 )"""
@@ -1897,8 +1912,12 @@ def _rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         comps.join(F.broadcast(signs), "i")
         .groupBy("vec_id", "j")
         .agg(
-            F.round(
-                F.sum(F.col("x").cast("double") * F.col("s")) * F.lit(0.25), 6
+            (
+                F.round(
+                    F.sum(F.col("x").cast("double") * F.col("s")) * F.lit(0.25),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("p")
         )
     )
@@ -1954,7 +1973,7 @@ qn AS (
 ),
 sk AS (
   SELECT proj.vec_id,
-         ROUND(SUM(proj.p * qp.q) / (SQRT(SUM(proj.p * proj.p)) * SQRT(qn.nq2)), 6) AS sketch_cos
+         ROUND(SUM(proj.p * qp.q) / (SQRT(SUM(proj.p * proj.p)) * SQRT(qn.nq2)), 6) + 0 AS sketch_cos
   FROM proj JOIN qp USING (j), qn
   WHERE proj.vec_id <> 0
   GROUP BY proj.vec_id, qn.nq2
@@ -2010,10 +2029,16 @@ def sim_ann_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qn))
         .groupBy("vec_id", "nq2")
         .agg(
-            F.round(
-                F.sum(F.col("p") * F.col("q"))
-                / (F.sqrt(F.sum(F.col("p") * F.col("p"))) * F.sqrt(F.col("nq2"))),
-                6,
+            (
+                F.round(
+                    F.sum(F.col("p") * F.col("q"))
+                    / (
+                        F.sqrt(F.sum(F.col("p") * F.col("p")))
+                        * F.sqrt(F.col("nq2"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("sketch_cos")
         )
     )

@@ -975,7 +975,7 @@ WITH {dsir_bucket_cte(f"WHERE doc_id < {CURATION_CORPUS_SPLIT}")}
 SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
        ROUND(AVG(COALESCE(l.lw,
              LN(1.0 / (t.t_tot + {DSIR_BUCKETS})) -
-             LN(1.0 / (t.r_tot + {DSIR_BUCKETS})))), 6) AS log_weight
+             LN(1.0 / (t.r_tot + {DSIR_BUCKETS})))), 6) + 0 AS log_weight
 FROM bg g LEFT JOIN lr l USING (b), tot t
 WHERE g.doc_id >= {CURATION_CORPUS_SPLIT}
 GROUP BY g.doc_id
@@ -1046,8 +1046,11 @@ def streaming_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(
                 F.count(F.lit(1)).alias("n_feats"),
-                F.round(
-                    F.avg(F.coalesce(F.col("lw"), F.lit(default_lw))), 6
+                (
+                    F.round(
+                        F.avg(F.coalesce(F.col("lw"), F.lit(default_lw))), 6
+                    )
+                    + F.lit(0.0)
                 ).alias("log_weight"),
             )
         )
@@ -1608,7 +1611,7 @@ members AS (
   ANTI JOIN dropped d ON d.vec_id = s.vec_id
 ),
 refresh_flat AS ({_DUCK_KMEANS_FLAT})
-SELECT m.cell, f.i, ROUND(AVG(f.x), 6) AS c,
+SELECT m.cell, f.i, ROUND(AVG(f.x), 6) + 0 AS c,
        CAST(COUNT(*) AS BIGINT) AS n_members
 FROM members m JOIN refresh_flat f ON f.vec_id = m.vec_id
 GROUP BY m.cell, f.i
@@ -1681,7 +1684,7 @@ def streaming_semdedup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "cell",
         "i",
-        F.round(F.col("s") / F.col("n"), 6).alias("c"),
+        (F.round(F.col("s") / F.col("n"), 6) + F.lit(0.0)).alias("c"),
         F.col("n").cast("long").alias("n_members"),
     )
 
@@ -1801,7 +1804,7 @@ SELECT t.doc_id,
                       THEN 1 ELSE 0 END)
                   AS DOUBLE) / COUNT(*), 6) AS sel_frac,
        ROUND(ROUND(SUM(COALESCE(s.score, 0.0)) * 1000000, 0)
-             / COUNT(*) / 1000000, 6) AS avg_score
+             / COUNT(*) / 1000000, 6) + 0 AS avg_score
 FROM stream_toks t LEFT JOIN scores_top s USING (w)
 GROUP BY t.doc_id
 """,
@@ -1861,8 +1864,14 @@ def streaming_rho_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(
                     F.sum(sel).cast("double") / F.count(F.lit(1)), 6
                 ).alias("sel_frac"),
-                F.round(
-                    F.round(F.sum(score) * 1e6, 0) / F.count(F.lit(1)) / 1e6, 6
+                (
+                    F.round(
+                        F.round(F.sum(score) * 1e6, 0)
+                        / F.count(F.lit(1))
+                        / 1e6,
+                        6,
+                    )
+                    + F.lit(0.0)
                 ).alias("avg_score"),
             )
         )

@@ -1172,3 +1172,30 @@ def test_semantic_contamination_matches_numpy_and_completes_triad(spark, sf_dir)
         flagged += got[i].is_contaminated
     # the threshold must bite but not swallow the corpus
     assert 0 < flagged < len(mx), flagged
+
+
+def test_negative_zero_round_divergence_and_normalization(spark):
+    """The cross-engine -0.0 hazard is real and the normalization fixes
+    it: DuckDB's ROUND keeps the sign of a tiny negative (-4e-7 ->
+    -0.0) while Spark's BigDecimal round drops it (-> 0.0), and the
+    driver's canonicalizer stringifies ("-0.0" != "0.0" though they
+    compare equal as floats) — caught by the r11 replica-corpus sweep
+    on curate_dsir_weights.  The repo's contract: every zero-crossing
+    rounded output appends "+ 0" (oracle) / "+ F.lit(0.0)" (Spark) /
+    "+ 0.0" (numpy), which maps -0.0 to +0.0 and is the identity
+    everywhere else."""
+    import math
+
+    import duckdb
+
+    raw = duckdb.sql("SELECT ROUND(-4e-7, 6) AS v").fetchall()[0][0]
+    assert math.copysign(1, raw) == -1.0  # the hazard exists
+    d = duckdb.sql("SELECT ROUND(-4e-7, 6) + 0 AS v").fetchall()[0][0]
+    s = (
+        spark.range(1)
+        .select((F.round(F.lit(-4e-7), 6) + F.lit(0.0)).alias("v"))
+        .head()
+        .v
+    )
+    assert math.copysign(1, d) == 1.0 and math.copysign(1, s) == 1.0
+    assert str(d) == str(s) == "0.0"
