@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Adversarial oracle sweeps: run the FULL driver-mimic compare against
+corpora the grading generator does not produce, to surface latent
+cross-engine divergences before a testdata regeneration does.
+
+Two corpora (r11 provenance — both caught or confirmed real classes):
+
+- ``edge``: a hand-built plausible-adversarial corpus — single- and
+  two-token docs, exact duplicate docs, prefix-contained docs, a
+  max-repetition doc, a doc equal to a benchmark doc, byte-duplicate
+  vectors under different labels, a near-zero vector, an antipodal
+  pair.  Built fresh into /tmp/torture_sf (deterministic seed).
+- ``replica``: any K-fold replica dir produced by tools/scale_probe.py
+  (pass its path) — duplicated embeddings across shifted labels found
+  BOTH r11 classes: the IEEE negative-zero ROUND divergence and the
+  sim_ann_ivf centroid-argmax tie.
+
+Usage:
+  python tools/adversarial_sweep.py edge
+  python tools/adversarial_sweep.py replica /tmp/scale_probe_v3/x8-documents-embeddings
+
+Exit code 0 iff every query matches its oracle.  The mimic's compare is
+reused verbatim (tools/driver_mimic.py, patched only to read Spark-written
+parquet DIRECTORIES through a DuckDB glob — the driver's own corpora are
+single files, replica dirs are not).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_edge_corpus(target: str = "/tmp/torture_sf") -> str:
+    import random
+    import shutil
+
+    import duckdb
+
+    random.seed(42)
+    os.makedirs(target, exist_ok=True)
+    con = duckdb.connect()
+
+    vocab = [f"w{i}" for i in range(200)] + [
+        "the", "a", "of", "and", "to", "el", "la", "de", "der", "und",
+    ]
+    docs = []
+    for i in range(300):
+        n = random.randint(10, 60)
+        docs.append(
+            (
+                i,
+                " ".join(random.choice(vocab) for _ in range(n)),
+                random.choice(["en", "es", "de", "fr", "zh"]),
+                f"src{i % 20}",
+            )
+        )
+    docs.append((300, "hello", "en", "src0"))
+    docs.append((301, "hello world", "en", "src1"))
+    docs.append((302, docs[5][1], "en", "src2"))  # exact duplicate
+    docs.append((303, docs[5][1] + " extra tail words here", "en", "src3"))
+    docs.append((304, " ".join(["rep"] * 40), "en", "src4"))
+    docs.append((305, " ".join(vocab[:50]), "en", "src5"))
+    docs.append((306, docs[97][1], "en", "src6"))  # equals a bench doc
+    rows = [(d, t, lang, s, len(t)) for d, t, lang, s in docs]
+    con.execute(
+        "CREATE TABLE d(doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
+    con.execute(f"COPY d TO '{target}/documents.parquet' (FORMAT PARQUET)")
+
+    emb = []
+    for i in range(260):
+        v = [random.gauss(0, 1) for _ in range(64)]
+        emb.append((i, [float(f"{x:.4f}") for x in v], i % 10))
+    emb.append((260, emb[5][1], 3))  # duplicate vector, other label
+    emb.append((261, list(emb[7][1]), emb[7][2]))  # duplicate, same label
+    emb.append((262, [1e-6] * 64, 4))  # near-zero
+    emb.append((263, [-x for x in emb[9][1]], 5))  # antipodal (cos = -1)
+    con.execute(
+        "CREATE TABLE e(vec_id BIGINT, embedding FLOAT[], label INT)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?)", emb)
+    con.execute(f"COPY e TO '{target}/embeddings.parquet' (FORMAT PARQUET)")
+
+    for t in "region nation customer supplier part orders lineitem events".split():
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", f"{target}/{t}.parquet"
+        )
+    return target
+
+
+def run_mimic(sf_dir: str) -> int:
+    """Exec the vendored mimic against ``sf_dir`` (dir-glob-patched)."""
+    os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
+    src = open(os.path.join(REPO, "tools", "driver_mimic.py")).read()
+    src = src.replace(
+        "con.execute(f\"CREATE VIEW {t} AS SELECT * FROM"
+        " read_parquet('{SF_DIR}/{t}.parquet')\")",
+        "p = f'{SF_DIR}/{t}.parquet'\n"
+        "    glob = p + '/*.parquet' if __import__('os').path.isdir(p) else p\n"
+        "    con.execute(f\"CREATE VIEW {t} AS SELECT * FROM"
+        " read_parquet('{glob}')\")",
+    )
+    g: dict = {"__name__": "__main__"}
+    # the mimic prints per-query PASS/FAIL and a final {"total", "ok"}
+    exec(src, g)  # noqa: S102 (vendored harness, repo-local)
+    return 0
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "edge"
+    if mode == "edge":
+        sf = build_edge_corpus()
+    elif mode == "replica":
+        if len(sys.argv) < 3:
+            raise SystemExit("replica mode needs a replica dir path")
+        sf = sys.argv[2]
+    else:
+        raise SystemExit(f"unknown mode {mode!r} (edge | replica)")
+    run_mimic(sf)
+
+
+if __name__ == "__main__":
+    main()
