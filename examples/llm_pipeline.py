@@ -256,6 +256,14 @@ def main() -> None:
         f"within the benchmark epsilon-ball"
     )
 
+    audit = qs["curate_contamination_audit"](spark, sf_dir)
+    print("contamination-ladder audit (exact/fuzzy/semantic -> n_docs):")
+    for row in audit.orderBy("exact_hit", "fuzzy_hit", "semantic_hit").collect():
+        print(
+            f"   {row.exact_hit!s:5} {row.fuzzy_hit!s:5} "
+            f"{row.semantic_hit!s:5} -> {row.n_docs}"
+        )
+
     mix = qs["curate_temperature_mix"](spark, sf_dir)
     print("temperature mix (T=2) boosts:")
     for row in mix.orderBy("source").collect()[:5]:

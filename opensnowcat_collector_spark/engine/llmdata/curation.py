@@ -2622,3 +2622,83 @@ def curate_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.max("c") >= F.lit(SEM_CONTAM_TAU)).alias("is_contaminated"),
         )
     )
+
+
+@register(
+    "curate_contamination_audit",
+    oracle=f"""
+WITH ex AS (
+  SELECT doc_id FROM ({_ORACLE["curate_contamination"]}) WHERE is_contaminated
+),
+fz AS (
+  SELECT doc_id FROM ({_ORACLE["curate_fuzzy_contamination"]}) WHERE fuzzy_contaminated
+),
+sm AS (
+  SELECT vec_id AS doc_id FROM ({_ORACLE["curate_semantic_contamination"]}) WHERE is_contaminated
+),
+uni AS (
+  SELECT doc_id FROM documents WHERE doc_id % {BENCH_MOD} <> 0
+)
+SELECT COALESCE(e.h, FALSE) AS exact_hit,
+       COALESCE(f.h, FALSE) AS fuzzy_hit,
+       COALESCE(s.h, FALSE) AS semantic_hit,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM uni u
+LEFT JOIN (SELECT doc_id, TRUE AS h FROM ex) e USING (doc_id)
+LEFT JOIN (SELECT doc_id, TRUE AS h FROM fz) f USING (doc_id)
+LEFT JOIN (SELECT doc_id, TRUE AS h FROM sm) s USING (doc_id)
+GROUP BY 1, 2, 3
+""",
+)
+def curate_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination-ladder AUDIT: every train document classified
+    by which screens flag it — the 2x2x2 truth table over exact n-gram
+    overlap, fuzzy edit distance, and semantic embedding similarity.
+    This is the report a contamination pass actually publishes (the
+    Llama/Phi audits tabulate exactly this): the
+    (FALSE, FALSE, TRUE) row is the paraphrase-leak mass only the
+    semantic screen sees, (TRUE, *, *) is what cheap exact matching
+    already catches, and the all-FALSE row is the clean corpus.
+
+    Composed from the three REGISTERED screens (their graded
+    definitions, not re-implementations — a threshold change propagates
+    here automatically), with inner flag sets left-joined onto the
+    train-doc universe; documents without an embedding row simply
+    cannot be semantically flagged (COALESCE FALSE), identical in both
+    engines.
+
+    Scale (100 TB): three flag-set joins keyed on doc_id (each flag set
+    is at most corpus-sized, typically tiny; AQE broadcasts them when
+    small) and ONE 8-row aggregation — the audit costs the screens
+    themselves plus a constant-output rollup."""
+    uni = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % BENCH_MOD) != 0)
+        .select("doc_id")
+    )
+    ex = (
+        curate_contamination(spark, sf_dir)
+        .filter("is_contaminated")
+        .select("doc_id", F.lit(True).alias("eh"))
+    )
+    fz = (
+        curate_fuzzy_contamination(spark, sf_dir)
+        .filter("fuzzy_contaminated")
+        .select("doc_id", F.lit(True).alias("fh"))
+    )
+    sm = (
+        curate_semantic_contamination(spark, sf_dir)
+        .filter("is_contaminated")
+        .select(F.col("vec_id").alias("doc_id"), F.lit(True).alias("sh"))
+    )
+    return (
+        uni.join(ex, "doc_id", "left")
+        .join(fz, "doc_id", "left")
+        .join(sm, "doc_id", "left")
+        .groupBy(
+            F.coalesce("eh", F.lit(False)).alias("exact_hit"),
+            F.coalesce("fh", F.lit(False)).alias("fuzzy_hit"),
+            F.coalesce("sh", F.lit(False)).alias("semantic_hit"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -854,3 +854,16 @@ def test_semantic_contamination_broadcast_bench_single_arrow(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "partial_max" in plan, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_contamination_audit_composes_screens_constant_output(spark, sf_dir):
+    """curate_contamination_audit (r11): the audit composes the three
+    REGISTERED screens (exact shingle probe + fuzzy levenshtein block +
+    semantic Arrow pair-cosine — exactly one Python stage, the semantic
+    screen's) into three doc_id-keyed flag joins and ONE constant-output
+    (8-row max) aggregation; no cartesian blowup beyond the screens'
+    own bounded broadcast NLJs."""
+    plan = _plan(spark, sf_dir, "curate_contamination_audit")
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan, plan
