@@ -64,14 +64,14 @@ _PRIORITY: list[str] = [
     "agg_approx_percentile",
     "dedup_url_canonical",
     "events_transition_matrix",
-    "curate_dedup_apply",
-    # ---- slots 24-35: r11-new queries (the index-refresh halves of the
+    # ---- slots 23-35: r11-new queries (the index-refresh halves of the
     # r10 streaming twins, VERDICT r10 item 7, the LSH banding
     # auto-tuner, the WordPiece trainer + its segment serving twin, the
     # Kneser-Ney bigram scorer, the JL random projection + its two-stage
     # ANN re-rank consumer, the streaming decontamination twin, and the
     # semantic decontamination screen) — graded on arrival; each
-    # displaced one BOTTOM r6-head entry (curate_train_val_split /
+    # displaced one BOTTOM r6-head entry (curate_dedup_apply /
+    # curate_train_val_split /
     # agg_hll_partitioned_merge /
     # events_burst_detection /
     # sim_ann_delete / dedup_incremental_minhash / sim_ann_incremental
@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "streaming_contamination",
     "curate_semantic_contamination",
     "curate_contamination_audit",
+    "streaming_semantic_contamination",
     "streaming_rho_scoring",
     # ---- slots 36-50: the 15 standing keeps (same set since r7).
     "streaming_leftouter_join",
@@ -111,13 +112,14 @@ _PRIORITY: list[str] = [
     # r12 PLAN (horizon + capacity proven by
     # tests/test_registry.py::test_r11_rotation_horizon and
     # ::test_rotation_schedule_solvable_through_r16): after r11 grades
-    # slots 1-50, the stalest remaining evidence is the twelve deferred
+    # slots 1-50, the stalest remaining evidence is the thirteen deferred
     # r6 entries below (age 6 at r12 — mandatory) followed by the r7
     # block (age 5 at r12); the r12 window = keeps + the 35 stalest,
     # greedy by evidence age, exactly the policy every rotation has
     # followed.  Nothing ages past 6 under this schedule.
     # ---- r6 bottom, deferred to r12 (mandatory there; displaced from
-    # the window by the twelve r11-new queries).
+    # the window by the thirteen r11-new queries).
+    "curate_dedup_apply",
     "curate_train_val_split",
     "agg_hll_partitioned_merge",
     "events_burst_detection",
@@ -283,7 +285,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "curate_train_val_split"  # first entry past the window, r11
+_WINDOW_SENTINEL = "curate_dedup_apply"  # first entry past the window, r11
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

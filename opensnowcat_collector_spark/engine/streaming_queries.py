@@ -1883,3 +1883,75 @@ def streaming_rho_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streaming rho scoring",
         "rho_stream_",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming semantic decontamination (r11): the serving twin of
+# curate_semantic_contamination — with streaming_contamination this gives
+# the decontamination ladder's cheap (exact) and deep (semantic) screens
+# both a batch half and an incremental serving half.  (The fuzzy screen
+# has no twin yet: its rare-shingle blocking keys on corpus-wide document
+# frequency, so an honest twin needs a history-trained DF table — noted
+# for a future round.)
+# --------------------------------------------------------------------------
+
+from .llmdata.curation import SEM_CONTAM_TAU  # noqa: E402
+from .llmdata.similarity import pair_cos_udf as _sem_pair_cos  # noqa: E402
+
+
+# stream = the non-bench slice and the batch screen's hits CTE already
+# excludes bench vectors, so the twins compute the SAME rows — one
+# oracle string shared verbatim (the streaming_contamination pattern).
+@register(
+    "streaming_semantic_contamination",
+    oracle=_ORACLE["curate_semantic_contamination"],
+)
+def streaming_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic decontamination under the gate — the serving
+    twin of ``curate_semantic_contamination``: the benchmark embedding
+    set is built ONCE from the static benchmark slice (bounded by
+    nature — the ``streaming_contamination`` argument), and every
+    incoming vector is screened per micro-batch: broadcast
+    nested-loop against the bench side, Arrow pair-cosine, batch-local
+    max + threshold flag.  Emits the batch screen's exact per-vector
+    shape.
+
+    Stateless by construction (a vector is one row; max against a FIXED
+    set needs no cross-batch state), so equality with the batch oracle
+    proves batching-invariance — no watermark, no state store.
+
+    100-TB note: per epoch the cost is |batch| x |bench| Arrow
+    pair-cosines combined map-side to one row per vector — incremental
+    work scales with the batch, never the corpus; the bench broadcast
+    is constant-bounded."""
+    e = table(spark, sf_dir, "embeddings")
+    bench = (
+        e.filter((F.col("vec_id") % BENCH_MOD) == 0)
+        .select(F.col("embedding").alias("bench_emb"))
+        .localCheckpoint(eager=False)
+    )
+
+    stream = _stream_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % BENCH_MOD) != 0
+    )
+
+    def screen_batch(batch_df: DataFrame) -> DataFrame:
+        cos = _sem_pair_cos()(F.col("embedding"), F.col("bench_emb"))
+        return (
+            batch_df.select("vec_id", "label", "embedding")
+            .crossJoin(F.broadcast(bench))
+            .select("vec_id", "label", cos.alias("c"))
+            .groupBy("vec_id", "label")
+            .agg(
+                F.max("c").alias("bench_cos"),
+                (F.max("c") >= F.lit(SEM_CONTAM_TAU)).alias("is_contaminated"),
+            )
+        )
+
+    return _drain_foreachbatch(
+        stream,
+        screen_batch,
+        ["vec_id", "label", "bench_cos", "is_contaminated"],
+        "streaming semantic contamination",
+        "semcontam_stream_",
+    )

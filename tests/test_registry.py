@@ -214,13 +214,13 @@ _R11_R6_HEAD = [
     "agg_approx_percentile",
     "dedup_url_canonical",
     "events_transition_matrix",
-    "curate_dedup_apply",
-    # curate_train_val_split / agg_hll_partitioned_merge /
+    # curate_dedup_apply / curate_train_val_split /
+    # agg_hll_partitioned_merge /
     # events_burst_detection / sim_ann_delete / dedup_incremental_minhash
     # / sim_ann_incremental / curate_tokenize_ids / events_funnel_steps /
     # events_retention_cohorts / sim_ann_recall / text_vocab_stats /
     # text_unigram_logprob: displaced from the window bottom by the
-    # twelve graded-on-arrival r11-new queries (r6 evidence fresh
+    # thirteen graded-on-arrival r11-new queries (r6 evidence fresh
     # through r12; they head the r12 window)
 ]
 
