@@ -131,6 +131,9 @@ HEADLINE = [
     # combined exchange)
     "text_wordpiece_train",
     "text_kn_bigram_logprob",
+    # r12: modified-interpolated KN trigram serving (artifact count
+    # tables + five Zipf-small scoring joins; build cost is pay-once)
+    "text_kn_trigram_logprob",
     "embed_random_projection",
     # r11: the two-stage sketch-prefilter ANN (projection plan + two
     # distributed top-k cutoffs + exact re-rank on RP_CAND rows)

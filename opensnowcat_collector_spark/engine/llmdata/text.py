@@ -2425,7 +2425,7 @@ SELECT b.doc_id,
          (CAST(f.cb AS DOUBLE) - {KN_DISCOUNT}) / CAST(x.c1 AS DOUBLE)
          + ({KN_DISCOUNT} * CAST(x.n1l AS DOUBLE) / CAST(x.c1 AS DOUBLE))
            * (CAST(c.n1r AS DOUBLE) / tt.t)
-       )), 6) AS kn_neg_logprob
+       )), 6) + 0 AS kn_neg_logprob
 FROM bg b JOIN bgf f USING (w1, w2) JOIN ctx x USING (w1)
      JOIN cont c USING (w2), tt
 GROUP BY b.doc_id
@@ -2459,30 +2459,29 @@ def text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the ``text_bigram_logprob`` discipline).
 
     Scale (100 TB): the bigram stream is the flat codegen'd position
-    explode (no interpreted lambdas); the corpus is scanned exactly
-    TWICE — once into the map-side-combined bigram-count table (lazily
+    explode (no interpreted lambdas).  Since r12 the count tables are a
+    pay-once ``build_kn`` artifact (the build_bpe/build_doremi
+    pattern — VERDICT r11 item 4): the BUILD scans the corpus once
+    into the map-side-combined bigram-count table (lazily
     localCheckpoint'd: ctx/cont/tt are VOCABULARY-sized rollups of that
     materialized table, and without the checkpoint Spark re-plans the
     corpus explode under each rollup because column pruning makes the
     four subtrees structurally distinct, defeating exchange reuse —
-    measured 5 parquet scans -> 2) — and once as the scoring probe
-    stream; scoring is three Zipf-small equi-joins (AQE broadcasts the
-    count tables when they fit) + one doc_id aggregation.  At 100 TB
-    the count tables persist as artifacts and only the joins+agg
-    recur."""
+    measured 5 parquet scans -> 2) and persists all four tables;
+    SERVING scans the corpus exactly ONCE (the scoring probe stream)
+    and pays three Zipf-small equi-joins against the artifact (AQE
+    broadcasts the count tables when they fit) + one doc_id
+    aggregation — train once, serve forever."""
+    import os
+
+    path = build_kn(spark, sf_dir)
+    bgf = spark.read.parquet(os.path.join(path, "bgf"))
+    ctx = spark.read.parquet(os.path.join(path, "ctx"))
+    cont = spark.read.parquet(os.path.join(path, "cont"))
+    tt = spark.read.parquet(os.path.join(path, "tt"))
     d = table(spark, sf_dir, "documents")
     ws = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
     bg = flat_bigrams(ws)
-    bgf = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cb"))
-        .localCheckpoint(eager=False)
-    )
-    ctx = bgf.groupBy("w1").agg(
-        F.sum("cb").alias("c1"), F.count(F.lit(1)).alias("n1l")
-    )
-    cont = bgf.groupBy("w2").agg(F.count(F.lit(1)).alias("n1r"))
-    tt = bgf.agg(F.count(F.lit(1)).cast("double").alias("t"))
     p = (F.col("cb").cast("double") - F.lit(KN_DISCOUNT)) / F.col("c1").cast(
         "double"
     ) + (
@@ -2496,8 +2495,509 @@ def text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(-F.log(p)), 6).alias("kn_neg_logprob"),
+            (F.round(F.avg(-F.log(p)), 6) + F.lit(0.0)).alias("kn_neg_logprob"),
         )
+    )
+
+
+def kn_path(sf_dir: str, tag: str) -> str:
+    """Fingerprint-keyed artifact dir for the KN count tables (bigram
+    tag='kn2', trigram tag='kn3') — the bpe_path discipline: a
+    regenerated corpus at the same path gets a different key, so a
+    stale LM can never score fresh data."""
+    import hashlib
+    import os
+
+    from .similarity import _source_fingerprint
+
+    key = hashlib.md5(
+        f"{tag}:v1:{os.path.abspath(sf_dir)}:"
+        f"{_source_fingerprint(sf_dir, 'documents.parquet')}".encode()
+    ).hexdigest()[:12]
+    return os.path.join("/tmp/spark_graft_kn", key)
+
+
+def _kn_rebuild() -> bool:
+    """Probe hook: SPARK_GRAFT_KN_REBUILD=1 forces a cold build so the
+    scale probe can measure the trainer path on a fresh process even
+    when the fingerprint-keyed artifact already exists."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_KN_REBUILD", "") == "1"
+
+
+def _kn_bigram_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The ONE definition of the interpolated-KN bigram count tables
+    (shared by ``build_kn`` and any in-plan consumer): bgf = exact
+    bigram counts (lazily localCheckpoint'd — the kn-bigram-linear
+    lesson: three differently-pruned rollups would otherwise re-run
+    the corpus explode), ctx = per-context totals + distinct-successor
+    counts, cont = continuation (distinct-predecessor) counts, tt =
+    the 1-row bigram-type total."""
+    d = table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    bgf = (
+        flat_bigrams(ws)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = bgf.groupBy("w1").agg(
+        F.sum("cb").alias("c1"), F.count(F.lit(1)).alias("n1l")
+    )
+    cont = bgf.groupBy("w2").agg(F.count(F.lit(1)).alias("n1r"))
+    tt = bgf.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    return {"bgf": bgf, "ctx": ctx, "cont": cont, "tt": tt}
+
+
+def build_kn(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the interpolated-KN bigram count tables ONCE (VERDICT
+    r11 item 4): the docstring contract "at 100 TB the count tables
+    persist as artifacts and only the joins+agg recur" made real, the
+    build_bpe/build_doremi pay-once pattern.  Atomic publish under the
+    fingerprint-keyed path; stale-data guard via the documents
+    fingerprint."""
+    import os
+
+    from .similarity import _publish_index
+
+    path = kn_path(sf_dir, "kn2")
+    if _kn_rebuild() or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t = _kn_bigram_tables(spark, sf_dir)
+        tmp = f"{path}.build-{os.getpid()}"
+        for name, df in t.items():
+            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        with open(os.path.join(tmp, "_SUCCESS"), "w", encoding="utf-8"):
+            pass
+        _publish_index(tmp, path)
+    return path
+
+
+def flat_trigrams(ws: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, w3) — one row per ADJACENT token triple of
+    ws(doc_id, w:array<string>), the 3-gram extension of
+    ``flat_bigrams`` with the same flat codegen'd position explode
+    (``sequence`` + ``element_at`` — no interpreted array lambdas);
+    ``trigram_stream_sql`` below is its DuckDB twin."""
+    return (
+        ws.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("w", F.col("i")).alias("w1"),
+            F.element_at("w", F.col("i") + 1).alias("w2"),
+            F.element_at("w", F.col("i") + 2).alias("w3"),
+        )
+    )
+
+
+def trigram_stream_sql() -> str:
+    """DuckDB CTE body mirroring ``flat_trigrams``: (doc_id, w1, w2,
+    w3) rows from a CTE ws(doc_id, w:list).  Kept next to the Spark
+    twin so the two engines' trigram definitions change together."""
+    return """
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3
+  FROM (
+    SELECT doc_id,
+           UNNEST([{'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]}
+                   for i in generate_series(1, len(w) - 2)]) AS u
+    FROM ws WHERE len(w) >= 3
+  )"""
+
+
+def _kn_coc_disc_sql(src: str, col: str, alias: str) -> str:
+    """Count-of-counts + modified-KN discount CTE triple over
+    ``{src}.{col}`` (Chen & Goodman 1999 eq. 26; Heafield et al. 2013):
+
+        Y  = n1 / (n1 + 2 n2)
+        D1 = 1 - 2 Y n2/n1,  D2 = 2 - 3 Y n3/n2,  D3+ = 3 - 4 Y n4/n3
+
+    with n_i = #types of count exactly i at this order, clamped to
+    [0, i] (KenLM asserts the same range) and an absolute-discount
+    fallback of KN_DISCOUNT on degenerate count-of-count tables
+    (n1 or n2 empty — a corpus KenLM refuses outright; determinism
+    needs a total definition).  ``_kn_coc_disc`` below is the Spark
+    twin — the two MUST keep the identical operation tree (every
+    parenthesis mirrored) so both engines evaluate identical doubles."""
+    return f"""{alias}0 AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN {col} = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,
+         CAST(COALESCE(SUM(CASE WHEN {col} = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2,
+         CAST(COALESCE(SUM(CASE WHEN {col} = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n3,
+         CAST(COALESCE(SUM(CASE WHEN {col} = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n4,
+         CAST(COALESCE(SUM(CASE WHEN {col} >= 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n3p
+  FROM {src}
+),
+{alias}1 AS (
+  SELECT *, CASE WHEN (n1 + (2 * n2)) > 0
+                 THEN CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + (2.0 * CAST(n2 AS DOUBLE)))
+                 ELSE 0.0 END AS y
+  FROM {alias}0
+),
+{alias} AS (
+  SELECT n1, n2, n3, n4, n3p,
+         CASE WHEN (n1 > 0) AND (n2 > 0)
+              THEN LEAST(1.0, GREATEST(0.0, 1.0 - (((2.0 * y) * CAST(n2 AS DOUBLE)) / CAST(n1 AS DOUBLE))))
+              ELSE {KN_DISCOUNT} END AS d1,
+         CASE WHEN (n1 > 0) AND (n2 > 0)
+              THEN LEAST(2.0, GREATEST(0.0, 2.0 - (((3.0 * y) * CAST(n3 AS DOUBLE)) / CAST(n2 AS DOUBLE))))
+              ELSE {KN_DISCOUNT} END AS d2,
+         CASE WHEN (n1 > 0) AND (n2 > 0) AND (n3 > 0)
+              THEN LEAST(3.0, GREATEST(0.0, 3.0 - (((4.0 * y) * CAST(n4 AS DOUBLE)) / CAST(n3 AS DOUBLE))))
+              ELSE {KN_DISCOUNT} END AS d3
+  FROM {alias}1
+)"""
+
+
+def _kn_coc_disc(df: DataFrame, col: str) -> DataFrame:
+    """Spark twin of ``_kn_coc_disc_sql`` — identical operation tree
+    (see that helper's docstring): 1 row (n1, n2, n3, n4, n3p, d1, d2,
+    d3) of exact BIGINT count-of-counts and the three clamped
+    modified-KN discounts."""
+    c = F.col(col)
+
+    def cnt(cond):
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast(
+            "long"
+        )
+
+    coc = df.agg(
+        cnt(c == 1).alias("n1"),
+        cnt(c == 2).alias("n2"),
+        cnt(c == 3).alias("n3"),
+        cnt(c == 4).alias("n4"),
+        cnt(c >= 3).alias("n3p"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    n3d, n4d = F.col("n3").cast("double"), F.col("n4").cast("double")
+    y = F.when(
+        (F.col("n1") + (F.lit(2) * F.col("n2"))) > 0,
+        n1d / (n1d + (F.lit(2.0) * n2d)),
+    ).otherwise(F.lit(0.0))
+    with_y = coc.withColumn("y", y)
+
+    def clamp(i: float, raw):
+        return F.least(F.lit(i), F.greatest(F.lit(0.0), raw))
+
+    both = (F.col("n1") > 0) & (F.col("n2") > 0)
+    d1 = F.when(
+        both,
+        clamp(1.0, F.lit(1.0) - (((F.lit(2.0) * F.col("y")) * n2d) / n1d)),
+    ).otherwise(F.lit(KN_DISCOUNT))
+    d2 = F.when(
+        both,
+        clamp(2.0, F.lit(2.0) - (((F.lit(3.0) * F.col("y")) * n3d) / n2d)),
+    ).otherwise(F.lit(KN_DISCOUNT))
+    d3 = F.when(
+        both & (F.col("n3") > 0),
+        clamp(3.0, F.lit(3.0) - (((F.lit(4.0) * F.col("y")) * n4d) / n3d)),
+    ).otherwise(F.lit(KN_DISCOUNT))
+    return with_y.select(
+        "n1",
+        "n2",
+        "n3",
+        "n4",
+        "n3p",
+        d1.alias("d1"),
+        d2.alias("d2"),
+        d3.alias("d3"),
+    )
+
+
+def _kn_trigram_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The modified-interpolated-KN trigram model's count tables, ALL
+    derived from the single trigram-type table (the clean recursive
+    Chen–Goodman hierarchy: with no sentence-boundary markers, lower
+    orders use the continuation counts of the order above, so every
+    denominator is consistent with its numerators by construction):
+
+      tgf  (w1,w2,w3,ct)  exact trigram counts
+      ctx2 (w1,w2, c12, a1,a2,a3)  context totals + per-count-category
+                                    successor-type counts (gamma weights)
+      mid  (w2,w3, m)     continuation counts N1+(.,w2,w3)
+      ctx1 (w2, s2, k1,k2,k3)       same rollup one order down
+      low  (w3, u)        continuation counts N1+(.,w3)
+      cc   1 row: the nine fitted discounts (three per order), the
+           bigram-type total tt, continuation vocab vv, and the
+           precomputed lowest-order gamma g0
+
+    tgf/mid/low are lazily localCheckpoint'd — each feeds >= 3
+    differently-pruned consumers, the exchange-reuse-defeating shape
+    the kn-bigram r11 lesson measured (5 corpus scans -> 2 without)."""
+    d = table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    tgf = (
+        flat_trigrams(ws)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .localCheckpoint(eager=False)
+    )
+
+    def cat(col, i):
+        return F.sum(F.when(F.col(col) == i, 1).otherwise(0)).cast("long")
+
+    def cat3p(col):
+        return F.sum(F.when(F.col(col) >= 3, 1).otherwise(0)).cast("long")
+
+    ctx2 = tgf.groupBy("w1", "w2").agg(
+        F.sum("ct").alias("c12"),
+        cat("ct", 1).alias("a1"),
+        cat("ct", 2).alias("a2"),
+        cat3p("ct").alias("a3"),
+    )
+    mid = (
+        tgf.groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    ctx1 = mid.groupBy("w2").agg(
+        F.sum("m").alias("s2"),
+        cat("m", 1).alias("k1"),
+        cat("m", 2).alias("k2"),
+        cat3p("m").alias("k3"),
+    )
+    low = (
+        mid.groupBy("w3")
+        .agg(F.count(F.lit(1)).alias("u"))
+        .localCheckpoint(eager=False)
+    )
+    sc_ = mid.agg(F.count(F.lit(1)).cast("double").alias("tt"))
+    sv = low.agg(F.count(F.lit(1)).cast("double").alias("vv"))
+    dt = _kn_coc_disc(tgf, "ct")
+    dm = _kn_coc_disc(mid, "m")
+    dl = _kn_coc_disc(low, "u")
+    cc = (
+        dt.select(
+            F.col("d1").alias("d1t"),
+            F.col("d2").alias("d2t"),
+            F.col("d3").alias("d3t"),
+        )
+        .crossJoin(
+            dm.select(
+                F.col("d1").alias("d1m"),
+                F.col("d2").alias("d2m"),
+                F.col("d3").alias("d3m"),
+            )
+        )
+        .crossJoin(
+            dl.select(
+                "n1",
+                "n2",
+                "n3p",
+                F.col("d1").alias("d1l"),
+                F.col("d2").alias("d2l"),
+                F.col("d3").alias("d3l"),
+            )
+        )
+        .crossJoin(sc_)
+        .crossJoin(sv)
+    )
+    g0 = F.when(
+        F.col("tt") > 0,
+        (
+            (
+                (F.col("d1l") * F.col("n1").cast("double"))
+                + (F.col("d2l") * F.col("n2").cast("double"))
+            )
+            + (F.col("d3l") * F.col("n3p").cast("double"))
+        )
+        / F.col("tt"),
+    ).otherwise(F.lit(0.0))
+    cc = cc.withColumn("g0", g0).select(
+        "d1t", "d2t", "d3t", "d1m", "d2m", "d3m", "d1l", "d2l", "d3l",
+        "tt", "vv", "g0",
+    )
+    return {"tgf": tgf, "ctx2": ctx2, "mid": mid, "ctx1": ctx1, "low": low, "cc": cc}
+
+
+def build_kn_trigram(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the modified-KN trigram count tables + fitted discounts
+    ONCE — the ``build_kn`` pattern one order up.  The build touches
+    the corpus exactly twice (the checkpointed tgf explode + nothing
+    else: every other table is a vocab-bounded rollup of tgf/mid/low);
+    serving then scans the corpus once and pays only joins+agg."""
+    import os
+
+    from .similarity import _publish_index
+
+    path = kn_path(sf_dir, "kn3")
+    if _kn_rebuild() or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t = _kn_trigram_tables(spark, sf_dir)
+        tmp = f"{path}.build-{os.getpid()}"
+        for name, df in t.items():
+            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        with open(os.path.join(tmp, "_SUCCESS"), "w", encoding="utf-8"):
+            pass
+        _publish_index(tmp, path)
+    return path
+
+
+def _kn3_oracle() -> str:
+    return f"""
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+tg AS MATERIALIZED ({trigram_stream_sql()}
+),
+tgf AS MATERIALIZED (
+  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS ct FROM tg GROUP BY w1, w2, w3
+),
+ctx2 AS MATERIALIZED (
+  SELECT w1, w2, CAST(SUM(ct) AS BIGINT) AS c12,
+         CAST(SUM(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         CAST(SUM(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+         CAST(SUM(CASE WHEN ct >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS a3
+  FROM tgf GROUP BY w1, w2
+),
+mid AS MATERIALIZED (
+  SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS m FROM tgf GROUP BY w2, w3
+),
+ctx1 AS MATERIALIZED (
+  SELECT w2, CAST(SUM(m) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+         CAST(SUM(CASE WHEN m >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS k3
+  FROM mid GROUP BY w2
+),
+low AS MATERIALIZED (
+  SELECT w3, CAST(COUNT(*) AS BIGINT) AS u FROM mid GROUP BY w3
+),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM mid),
+sv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vv FROM low),
+{_kn_coc_disc_sql("tgf", "ct", "dt")},
+{_kn_coc_disc_sql("mid", "m", "dm")},
+{_kn_coc_disc_sql("low", "u", "dl")},
+cc AS MATERIALIZED (
+  SELECT dt.d1 AS d1t, dt.d2 AS d2t, dt.d3 AS d3t,
+         dm.d1 AS d1m, dm.d2 AS d2m, dm.d3 AS d3m,
+         dl.d1 AS d1l, dl.d2 AS d2l, dl.d3 AS d3l,
+         sc.tt AS tt, sv.vv AS vv,
+         CASE WHEN sc.tt > 0
+              THEN (((dl.d1 * CAST(dl.n1 AS DOUBLE)) + (dl.d2 * CAST(dl.n2 AS DOUBLE))) + (dl.d3 * CAST(dl.n3p AS DOUBLE))) / sc.tt
+              ELSE 0.0 END AS g0
+  FROM dt, dm, dl, sc, sv
+),
+scored AS (
+  SELECT doc_id,
+         ((CAST(ct AS DOUBLE) - (CASE WHEN ct = 1 THEN d1t WHEN ct = 2 THEN d2t ELSE d3t END)) / CAST(c12 AS DOUBLE))
+         + (((((d1t * CAST(a1 AS DOUBLE)) + (d2t * CAST(a2 AS DOUBLE))) + (d3t * CAST(a3 AS DOUBLE))) / CAST(c12 AS DOUBLE))
+            * (((CAST(m AS DOUBLE) - (CASE WHEN m = 1 THEN d1m WHEN m = 2 THEN d2m ELSE d3m END)) / CAST(s2 AS DOUBLE))
+               + (((((d1m * CAST(k1 AS DOUBLE)) + (d2m * CAST(k2 AS DOUBLE))) + (d3m * CAST(k3 AS DOUBLE))) / CAST(s2 AS DOUBLE))
+                  * (((CAST(u AS DOUBLE) - (CASE WHEN u = 1 THEN d1l WHEN u = 2 THEN d2l ELSE d3l END)) / tt)
+                     + (g0 / vv))))) AS p3
+  FROM tg JOIN tgf USING (w1, w2, w3) JOIN ctx2 USING (w1, w2)
+       JOIN mid USING (w2, w3) JOIN ctx1 USING (w2) JOIN low USING (w3), cc
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       ROUND(AVG(-LN(p3)), 6) + 0 AS kn3_neg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_kn_trigram_logprob", oracle=_kn3_oracle())
+def text_kn_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODIFIED interpolated Kneser-Ney TRIGRAM LM scoring — the model
+    class KenLM actually fits (Heafield et al. 2013, "Scalable
+    Modified Kneser-Ney Language Model Estimation"; Chen & Goodman
+    1999 eq. 26), upgrading ``text_kn_bigram_logprob`` from "family
+    of" to the CCNet filter's own smoothing: three count-fitted
+    discounts D1/D2/D3+ PER ORDER (estimated from each order's
+    count-of-counts via the Good-Turing closed form, clamped to the
+    KenLM-asserted [0, i] range) and a two-level continuation-count
+    backoff chain
+
+        P(w3|w1 w2) = (c(w1w2w3) - D(c))/c(w1 w2) + gamma(w1 w2) P(w3|w2)
+        P(w3|w2)    = (m - D(m))/s(w2)            + gamma(w2)    P(w3)
+        P(w3)       = (u - D(u))/T                + gamma_0 / V
+
+    where m = N1+(., w2, w3) and u = N1+(., w3) are CONTINUATION
+    counts (distinct left contexts — derived recursively from the
+    trigram-type table, the Chen-Goodman hierarchy; with no
+    sentence-boundary padding every denominator is the sum of its
+    numerators by construction, so each level is a proper
+    distribution over its support) and each gamma is the discount
+    mass its level reserved.  Emits per-doc mean negative
+    log-probability over the doc's trigrams; docs with fewer than 3
+    tokens are absent by definition.
+
+    Every count is an exact BIGINT; discounts and probabilities are
+    evaluated with the IDENTICAL parenthesization in both engines
+    (``_kn_coc_disc_sql`` / ``_kn_coc_disc`` are maintained as
+    mirrored twins), so only LN's ~1-ulp jitter reaches the 6-dp
+    round; the '+ 0' guard normalizes IEEE -0.0 (a doc whose every
+    trigram has probability 1 on a degenerate corpus).
+
+    Scale (100 TB): ``build_kn_trigram`` persists the count tables +
+    fitted discounts as a pay-once artifact (corpus touched twice at
+    build: the checkpointed trigram explode, then nothing — ctx2,
+    mid, ctx1, low, cc are all vocab-bounded rollups of tgf/mid/low);
+    serving scans the corpus ONCE (the scoring stream) and pays five
+    Zipf-small equi-joins against the artifact (AQE broadcasts what
+    fits; the 1-row cc is an explicit broadcast) + one
+    map-side-combined doc_id aggregation.  SPARK_GRAFT_KN_REBUILD=1
+    forces the cold path for the trainer-side scale probe."""
+    import os
+
+    path = build_kn_trigram(spark, sf_dir)
+
+    def rd(name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(path, name))
+
+    d = table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    tg = flat_trigrams(ws)
+    j = (
+        tg.join(rd("tgf"), ["w1", "w2", "w3"])
+        .join(rd("ctx2"), ["w1", "w2"])
+        .join(rd("mid"), ["w2", "w3"])
+        .join(rd("ctx1"), ["w2"])
+        .join(rd("low"), ["w3"])
+        .crossJoin(F.broadcast(rd("cc")))
+    )
+    dt_ct = (
+        F.when(F.col("ct") == 1, F.col("d1t"))
+        .when(F.col("ct") == 2, F.col("d2t"))
+        .otherwise(F.col("d3t"))
+    )
+    dm_m = (
+        F.when(F.col("m") == 1, F.col("d1m"))
+        .when(F.col("m") == 2, F.col("d2m"))
+        .otherwise(F.col("d3m"))
+    )
+    dl_u = (
+        F.when(F.col("u") == 1, F.col("d1l"))
+        .when(F.col("u") == 2, F.col("d2l"))
+        .otherwise(F.col("d3l"))
+    )
+    p1 = ((F.col("u").cast("double") - dl_u) / F.col("tt")) + (
+        F.col("g0") / F.col("vv")
+    )
+    gam1 = (
+        (
+            (F.col("d1m") * F.col("k1").cast("double"))
+            + (F.col("d2m") * F.col("k2").cast("double"))
+        )
+        + (F.col("d3m") * F.col("k3").cast("double"))
+    ) / F.col("s2").cast("double")
+    p2 = ((F.col("m").cast("double") - dm_m) / F.col("s2").cast("double")) + (
+        gam1 * p1
+    )
+    gam2 = (
+        (
+            (F.col("d1t") * F.col("a1").cast("double"))
+            + (F.col("d2t") * F.col("a2").cast("double"))
+        )
+        + (F.col("d3t") * F.col("a3").cast("double"))
+    ) / F.col("c12").cast("double")
+    p3 = ((F.col("ct").cast("double") - dt_ct) / F.col("c12").cast("double")) + (
+        gam2 * p2
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        (F.round(F.avg(-F.log(p3)), 6) + F.lit(0.0)).alias("kn3_neg_logprob"),
     )
 
 

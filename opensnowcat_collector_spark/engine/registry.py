@@ -28,97 +28,19 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # subsystem; order past the window is rotation-staged (see tranche
 # comments below), then legacy order.
 #
-# r11 rotation (VERDICT r9 item 6 plan, recorded as the "r11 PLAN"
-# comment in the r10 registry and proven by the r9/r10 horizon tests):
-# slots 1-3 are the mm_* trio displaced from the r10 window by the
-# late-landing r10-new queries (r5 evidence, age 6 at r11 — the LAST
-# legal round under the freshness bar).  Slots 4-35 are the head of the
-# r6 block (age 5); its BOTTOM three entries wait for r12 (age 6 there,
-# still at the bar) — r11-new queries displace further r6 entries from
-# the window bottom to the staged head, the same graded-on-arrival rule
-# r9 and r10 used.  Slots 36-50 keep the standing keeps.
+# r12 rotation (VERDICT r11 item 6: rotate toward the oldest grades;
+# executes the plan recorded in the r11 registry's "r12 PLAN" comment
+# and proven by the horizon/solvability tests): slots 1-16 are the
+# sixteen r6-evidence entries deferred from the r11 rotation (age 6 at
+# r12 — the LAST legal round under the freshness bar, mandatory).
+# Slot 17 is the r12-new modified-KN trigram scorer (graded on
+# arrival).  Slots 18-35 are the head of the r7 block (age 5); its
+# remaining eighteen entries wait for r13 (age 6 there, still at the
+# bar) and head the staged section below.  Slots 36-50 keep the
+# standing keeps.
 _PRIORITY: list[str] = [
-    # ---- slots 1-3: displaced from the r10 window bottom by the three
-    # late r10-new queries (r5 evidence, age 6 at r11 — mandatory).
-    "mm_decode_metadata",
-    "mm_resize_plan",
-    "mm_frame_sample",
-    # ---- slots 4-35: head of the r6 block (age 5 at r11; the bottom
-    # three wait for r12, age 6 — still legal).
-    "q2_minprice_supplier",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_balance",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q20_excess_supply",
-    "q21_waiting_supplier",
-    "text_pii_scrub",
-    "curate_blocklist_filter",
-    "dedup_repeated_ngram_fraction",
-    "text_tfidf_topterms",
-    "agg_approx_percentile",
-    "dedup_url_canonical",
-    "events_transition_matrix",
-    # ---- slots 23-35: r11-new queries (the index-refresh halves of the
-    # r10 streaming twins, VERDICT r10 item 7, the LSH banding
-    # auto-tuner, the WordPiece trainer + its segment serving twin, the
-    # Kneser-Ney bigram scorer, the JL random projection + its two-stage
-    # ANN re-rank consumer, the streaming decontamination twin, and the
-    # semantic decontamination screen) — graded on arrival; each
-    # displaced one BOTTOM r6-head entry (curate_dedup_apply /
-    # curate_train_val_split /
-    # agg_hll_partitioned_merge /
-    # events_burst_detection /
-    # sim_ann_delete / dedup_incremental_minhash / sim_ann_incremental
-    # / curate_tokenize_ids / events_funnel_steps /
-    # events_retention_cohorts / text_vocab_stats / text_unigram_logprob
-    # / sim_ann_recall, r6 evidence fresh through r12) to the staged
-    # head, the same rule r9/r10 used.
-    "dedup_lsh_tune",
-    "streaming_line_dedup_refresh",
-    "streaming_semdedup_refresh",
-    "text_wordpiece_train",
-    "text_wordpiece_segment_counts",
-    "text_kn_bigram_logprob",
-    "embed_random_projection",
-    "sim_ann_rp_rerank",
-    "streaming_contamination",
-    "curate_semantic_contamination",
-    "curate_contamination_audit",
-    "streaming_semantic_contamination",
-    "streaming_rho_scoring",
-    # ---- slots 36-50: the 15 standing keeps (same set since r7).
-    "streaming_leftouter_join",
-    "streaming_session_timeout_flush",
-    "dedup_paragraph_exact",
-    "streaming_dedup_watermark",
-    "streaming_session_window",
-    "streaming_enrich_join",
-    "streaming_stream_stream_join",
-    "streaming_stateful_sessionize",
-    "streaming_document_curation",
-    "join_skew_salted",
-    "join_bucketed_colocated",
-    "dedup_minhash_lsh",
-    "sim_ann_lsh",
-    "corpus_curation_pipeline",
-    "mm_feature_extract",
-    # ---- slot 51+ below: NOT driver-graded this round.
-    # r12 PLAN (horizon + capacity proven by
-    # tests/test_registry.py::test_r11_rotation_horizon and
-    # ::test_rotation_schedule_solvable_through_r16): after r11 grades
-    # slots 1-50, the stalest remaining evidence is the thirteen deferred
-    # r6 entries below (age 6 at r12 — mandatory) followed by the r7
-    # block (age 5 at r12); the r12 window = keeps + the 35 stalest,
-    # greedy by evidence age, exactly the policy every rotation has
-    # followed.  Nothing ages past 6 under this schedule.
-    # ---- r6 bottom, deferred to r12 (mandatory there; displaced from
-    # the window by the thirteen r11-new queries).
+    # ---- slots 1-16: the r6 bottom, deferred from r11 (age 6 at r12 —
+    # mandatory).
     "curate_dedup_apply",
     "curate_train_val_split",
     "agg_hll_partitioned_merge",
@@ -135,7 +57,13 @@ _PRIORITY: list[str] = [
     "text_cooccurrence_ratio",
     "curate_dataset_card",
     "events_session_sequences",
-    # ---- r7-graded entries (fresh until r13; r12 window material).
+    # ---- slot 17: r12-new (modified-interpolated KN trigram, VERDICT
+    # r11 item 3) — graded on arrival; it takes the window slot the
+    # r7-head would otherwise extend into.
+    "text_kn_trigram_logprob",
+    # ---- slots 18-35: head of the r7 block (age 5 at r12; the
+    # remaining eighteen wait for r13, age 6 — still legal, and head
+    # the staged section below).
     "dedup_bloom_incremental",
     "dedup_prefix_contained",
     "curate_temperature_mix",
@@ -154,6 +82,34 @@ _PRIORITY: list[str] = [
     "dedup_lsh_quality",
     "events_zorder_pruned",
     "curate_snapshot_diff",
+    # ---- slots 36-50: the 15 standing keeps (same set since r7).
+    "streaming_leftouter_join",
+    "streaming_session_timeout_flush",
+    "dedup_paragraph_exact",
+    "streaming_dedup_watermark",
+    "streaming_session_window",
+    "streaming_enrich_join",
+    "streaming_stream_stream_join",
+    "streaming_stateful_sessionize",
+    "streaming_document_curation",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh",
+    "corpus_curation_pipeline",
+    "mm_feature_extract",
+    # ---- slot 51+ below: NOT driver-graded this round.
+    # r13 PLAN (horizon + capacity proven by
+    # tests/test_registry.py::test_next_round_rotation_horizon and
+    # ::test_rotation_schedule_solvable_through_r16): after r12 grades
+    # slots 1-50, the stalest remaining evidence is the eighteen
+    # deferred r7 entries below (age 6 at r13 — mandatory) followed by
+    # the r8 block (age 5 at r13); the r13 window = keeps + the 35
+    # stalest, greedy by evidence age, exactly the policy every
+    # rotation has followed.  Nothing ages past 6 under this schedule.
+    # ---- r7 bottom, deferred to r13 (mandatory there; displaced from
+    # the r12 window by the sixteen mandatory r6 entries + the
+    # graded-on-arrival r12-new query).
     "text_gopher_quality_gates",
     "curate_global_shuffle",
     "agg_countmin_heavy_hitters",
@@ -278,6 +234,44 @@ _PRIORITY: list[str] = [
     "text_unigram_lm_train",
     "text_unigram_lm_segment",
     "streaming_line_dedup",
+    # ---- r11-graded entries (the non-keep r11 window; fresh until
+    # r17): the mm_* trio, the r6 head graded at r11, and the thirteen
+    # r11-new queries.
+    "mm_decode_metadata",
+    "mm_resize_plan",
+    "mm_frame_sample",
+    "q2_minprice_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_balance",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_supply",
+    "q21_waiting_supplier",
+    "text_pii_scrub",
+    "curate_blocklist_filter",
+    "dedup_repeated_ngram_fraction",
+    "text_tfidf_topterms",
+    "agg_approx_percentile",
+    "dedup_url_canonical",
+    "events_transition_matrix",
+    "dedup_lsh_tune",
+    "streaming_line_dedup_refresh",
+    "streaming_semdedup_refresh",
+    "text_wordpiece_train",
+    "text_wordpiece_segment_counts",
+    "text_kn_bigram_logprob",
+    "embed_random_projection",
+    "sim_ann_rp_rerank",
+    "streaming_contamination",
+    "curate_semantic_contamination",
+    "curate_contamination_audit",
+    "streaming_semantic_contamination",
+    "streaming_rho_scoring",
 ]
 
 
@@ -285,7 +279,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "curate_dedup_apply"  # first entry past the window, r11
+_WINDOW_SENTINEL = "text_gopher_quality_gates"  # first entry past the window, r12
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

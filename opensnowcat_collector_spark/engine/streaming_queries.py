@@ -1271,6 +1271,37 @@ def _hist_line_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Broadcast cap for the history line table, in ROWS (distinct corpus
+# lines).  Default ≈5M lines — ~300 MB of line text, comfortably under a
+# production driver/executor broadcast budget; override via env to force
+# either path (tests pin both).
+LINE_HIST_BROADCAST_CAP = int(
+    os.environ.get("SPARK_GRAFT_LINE_HIST_CAP", "5000000")
+)
+
+
+def _hist_join_side(hist: DataFrame, n_hist: int) -> DataFrame:
+    """Size-conditional broadcast hint for the corpus-lines-scaled
+    history table (VERDICT r11 item 2 — the last corpus-scaled broadcast
+    in the repo, now gated like the r11 vocab caps).  The line table
+    scales with DISTINCT CORPUS LINES, not with the batch, so an
+    unconditional broadcast hint is exactly the plan that dies first at
+    100 TB.  Under the cap the broadcast IS the right plan: every
+    epoch's membership join is map-side with zero shuffle.  Over the
+    cap the hint is withheld and the membership join plans as a
+    line-keyed shuffle join — the history side exchanges on the same
+    key it is probed on, and AQE remains free to broadcast if runtime
+    stats come in under its own threshold.  Semantics are identical on
+    both paths; the gate only changes the physical strategy, so the
+    serving/refresh hash-equality with their retrain-from-scratch
+    oracles is untouched.  The row count is read from the already
+    lazily-localCheckpoint'd table, so the sizing probe costs one
+    count over materialized state the join needs anyway."""
+    if n_hist <= LINE_HIST_BROADCAST_CAP:
+        return F.broadcast(hist)
+    return hist
+
+
 @register("streaming_line_dedup", oracle=_line_dedup_oracle())
 def streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus-wide line dedup under the gate — the serving
@@ -1294,13 +1325,15 @@ def streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves batching-invariance — no watermark, no state store.
 
     100-TB note: the historical line table scales with distinct corpus
-    lines, so the broadcast here is corpus-permitting; at scale the
-    same plan swaps the broadcast for a line-keyed stream-static join
-    (or a bloom pre-filter in front of it) without touching the
-    per-batch semantics.  Each epoch pays one explode + one membership
-    join + one batch-local doc aggregation — incremental work scales
-    with the batch, never the corpus."""
+    lines, so its broadcast is SIZE-GATED (``_hist_join_side``,
+    SPARK_GRAFT_LINE_HIST_CAP): under the cap the membership join is
+    map-side; over it the hint is withheld and the join plans
+    line-keyed, with AQE still free to broadcast on its own stats.
+    Each epoch pays one explode + one membership join + one batch-local
+    doc aggregation — incremental work scales with the batch, never
+    the corpus."""
     hist_lines = _hist_line_table(spark, sf_dir)
+    n_hist = hist_lines.count()
 
     stream = _stream_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") >= CURATION_CORPUS_SPLIT
@@ -1313,7 +1346,7 @@ def streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 word_chunk_array(F.split(F.lower("text"), " "), C4_LINE_WORDS)
             ).alias("idx", "line"),
         )
-        flags = sites.join(F.broadcast(hist_lines), "line", "left").select(
+        flags = sites.join(_hist_join_side(hist_lines, n_hist), "line", "left").select(
             "doc_id", "idx", "line", F.col("_hist").isNull().alias("keep")
         )
         cleaned = F.md5(
@@ -1388,6 +1421,7 @@ def streaming_line_dedup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     already maintains) exactly once — refresh cost is O(batch + table),
     never O(corpus re-read)."""
     hist_lines = _hist_line_table(spark, sf_dir)
+    n_hist = hist_lines.count()
 
     stream = _stream_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") >= CURATION_CORPUS_SPLIT
@@ -1399,12 +1433,12 @@ def streaming_line_dedup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 word_chunk_array(F.split(F.lower("text"), " "), C4_LINE_WORDS)
             ).alias("line")
         ).distinct()
-        # same 100-TB caveat as the serving twin's membership join: the
-        # history side scales with distinct corpus lines, so at scale the
-        # broadcast swaps for a line-keyed join (or a bloom prefilter)
-        # without touching the per-batch semantics
+        # history side scales with distinct corpus lines -> same
+        # size-gated hint as the serving twin's membership join
         return lines.join(
-            F.broadcast(hist_lines.select("line")), "line", "left_anti"
+            _hist_join_side(hist_lines.select("line"), n_hist),
+            "line",
+            "left_anti",
         )
 
     novel = _drain_foreachbatch(

@@ -867,3 +867,58 @@ def test_contamination_audit_composes_screens_constant_output(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_line_hist_broadcast_size_gated(spark, sf_dir, monkeypatch):
+    """The line-dedup history table is the repo's last corpus-scaled
+    join side (VERDICT r11 item 2): its broadcast hint must be
+    SIZE-CONDITIONAL, never unconditional.  Pin both sides of the gate
+    on the exact membership join the serving/refresh twins build:
+    under the cap the optimized plan broadcasts; with the cap forced
+    to 0 the hint is withheld (no broadcast hint in the logical plan,
+    no BroadcastHashJoin in the physical plan — the join goes
+    line-keyed) while AQE retains its own stats-based discretion."""
+    from opensnowcat_collector_spark.engine import streaming_queries as sq
+
+    hist = sq._hist_line_table(spark, sf_dir)
+    n_hist = hist.count()
+    probe = hist.select("line").withColumnRenamed("line", "line")
+
+    # Under the cap (default 5M): hint present -> BroadcastHashJoin.
+    gated = probe.join(sq._hist_join_side(hist, n_hist), "line", "left")
+    plan_small = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small, plan_small
+
+    # Over the cap: hint withheld -> no broadcast on the hist side
+    # (disable AQE's own auto-broadcast so the pin tests OUR hint only).
+    monkeypatch.setattr(sq, "LINE_HIST_BROADCAST_CAP", 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ungated = probe.join(sq._hist_join_side(hist, n_hist), "line", "left")
+        plan_big = ungated._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_big, plan_big
+        assert (
+            "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
+        ), plan_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_kn_trigram_serves_from_artifact_single_doc_exchange(spark, sf_dir):
+    """text_kn_trigram_logprob (r12): serving reads the pay-once
+    build_kn_trigram artifact — the corpus (documents) is scanned
+    exactly ONCE (the scoring stream; the count tables come from the
+    persisted parquet, never a second explode), the corpus-scaled
+    stream is shuffled on doc_id exactly once (the final scoring
+    aggregation, map-side combined), the 1-row discount table joins in
+    as a broadcast, and there are no Python stages and no cartesian
+    explosion."""
+    plan = _plan(spark, sf_dir, "text_kn_trigram_logprob")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "spark_graft_kn" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(doc_id", plan)) == 1, plan
+    assert "partial_count" in plan or "partial_avg" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan or "BuildRight" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan

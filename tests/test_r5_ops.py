@@ -1199,3 +1199,116 @@ def test_negative_zero_round_divergence_and_normalization(spark):
     )
     assert math.copysign(1, d) == 1.0 and math.copysign(1, s) == 1.0
     assert str(d) == str(s) == "0.0"
+
+
+def test_kn_trigram_modified_discounts_proper_and_matches_recompute(spark, sf_dir):
+    """Modified-interpolated KN (r12) must (a) fit the Chen-Goodman
+    closed-form discounts from each order's count-of-counts, (b) be a
+    PROPER distribution — for any context (w1,w2), the sum over the
+    continuation vocabulary of P(w3|w1w2) telescopes to exactly 1
+    (each level's discount mass exactly funds its backoff, down to the
+    uniform 1/V base) — and (c) reproduce an independent per-doc
+    Python recompute of the query's score."""
+    import collections
+    import math
+
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    tg_by_doc = {}
+    ct: dict = collections.Counter()
+    for doc_id, t in rows:
+        ws = t.lower().split(" ")
+        tris = list(zip(ws, ws[1:], ws[2:]))
+        if tris:
+            tg_by_doc[doc_id] = tris
+            ct.update(tris)
+    ctx2 = collections.Counter()
+    acat = collections.defaultdict(lambda: [0, 0, 0])
+    mid = collections.Counter()
+    for (a, b, c), n in ct.items():
+        ctx2[(a, b)] += n
+        acat[(a, b)][min(n, 3) - 1] += 1
+        mid[(b, c)] += 1
+    ctx1 = collections.Counter()
+    kcat = collections.defaultdict(lambda: [0, 0, 0])
+    low = collections.Counter()
+    for (b, c), m in mid.items():
+        ctx1[b] += m
+        kcat[b][min(m, 3) - 1] += 1
+        low[c] += 1
+    tt = float(len(mid))
+    vv = float(len(low))
+
+    def discounts(counts):
+        coc = collections.Counter(counts)
+        n1, n2, n3, n4 = coc[1], coc[2], coc[3], coc[4]
+        if not (n1 > 0 and n2 > 0):
+            return [0.75, 0.75, 0.75]
+        y = n1 / (n1 + 2.0 * n2)
+        d1 = min(1.0, max(0.0, 1.0 - 2.0 * y * n2 / n1))
+        d2 = min(2.0, max(0.0, 2.0 - 3.0 * y * n3 / n2))
+        d3 = (
+            min(3.0, max(0.0, 3.0 - 4.0 * y * n4 / n3)) if n3 > 0 else 0.75
+        )
+        return [d1, d2, d3]
+
+    dt = discounts(ct.values())
+    dm = discounts(mid.values())
+    dl = discounts(low.values())
+    lcat = [0, 0, 0]
+    for u in low.values():
+        lcat[min(u, 3) - 1] += 1
+    g0 = (dl[0] * lcat[0] + dl[1] * lcat[1] + dl[2] * lcat[2]) / tt
+
+    def p1(c):
+        u = low[c]
+        disc = (u - dl[min(u, 3) - 1]) / tt if u > 0 else 0.0
+        return disc + g0 / vv
+
+    def p2(b, c):
+        m = mid[(b, c)]
+        k = kcat[b]
+        gam1 = (dm[0] * k[0] + dm[1] * k[1] + dm[2] * k[2]) / ctx1[b]
+        # unseen (b, c): the discounted term is absent (max(m - D, 0)
+        # with m == 0), probability mass comes entirely from backoff —
+        # the graded query never evaluates this branch (it scores only
+        # observed trigrams) but the properness sum below enumerates
+        # the full vocabulary and must treat unseen events correctly
+        disc = (m - dm[min(m, 3) - 1]) / ctx1[b] if m > 0 else 0.0
+        return disc + gam1 * p1(c)
+
+    def p3(a, b, c):
+        n = ct[(a, b, c)]
+        aa = acat[(a, b)]
+        gam2 = (dt[0] * aa[0] + dt[1] * aa[1] + dt[2] * aa[2]) / ctx2[(a, b)]
+        return (n - dt[min(n, 3) - 1]) / ctx2[(a, b)] + gam2 * p2(b, c)
+
+    # (a) fitted discounts are in the KenLM-asserted range
+    for i, d in enumerate([*dt, *dm, *dl]):
+        assert 0.0 <= d <= (i % 3) + 1, (i, d)
+
+    # (b) proper distribution: sum over the continuation vocab == 1
+    vocab = list(low)
+    succ3 = collections.defaultdict(set)
+    for a, b, c in ct:
+        succ3[(a, b)].add(c)
+    for ab in list(ctx2)[:10]:
+        gam2 = (
+            dt[0] * acat[ab][0] + dt[1] * acat[ab][1] + dt[2] * acat[ab][2]
+        ) / ctx2[ab]
+        obs = sum(
+            (ct[(*ab, c)] - dt[min(ct[(*ab, c)], 3) - 1]) / ctx2[ab]
+            for c in succ3[ab]
+        )
+        total = obs + gam2 * sum(p2(ab[1], c) for c in vocab)
+        assert abs(total - 1.0) < 1e-9, (ab, total)
+
+    # (c) per-doc score recompute
+    got = {r["doc_id"]: r for r in _run(spark, sf_dir, "text_kn_trigram_logprob")}
+    assert set(got) == set(tg_by_doc)
+    for doc_id in list(tg_by_doc)[:50]:
+        tris = tg_by_doc[doc_id]
+        expect = round(
+            sum(-math.log(p3(a, b, c)) for a, b, c in tris) / len(tris), 6
+        )
+        assert abs(got[doc_id]["kn3_neg_logprob"] - expect) < 2e-6, doc_id
+        assert got[doc_id]["n_trigrams"] == len(tris)

@@ -318,3 +318,69 @@ def test_rotation_schedule_solvable_through_r16():
             )
         for name in window:
             sim[name] = rnd
+
+
+_R12_R6_BOTTOM = [
+    "curate_dedup_apply",
+    "curate_train_val_split",
+    "agg_hll_partitioned_merge",
+    "events_burst_detection",
+    "sim_ann_delete",
+    "dedup_incremental_minhash",
+    "sim_ann_incremental",
+    "curate_tokenize_ids",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "sim_ann_recall",
+    "text_vocab_stats",
+    "text_unigram_logprob",
+    "text_cooccurrence_ratio",
+    "curate_dataset_card",
+    "events_session_sequences",
+]
+
+_R12_R7_HEAD = [
+    "dedup_bloom_incremental",
+    "dedup_prefix_contained",
+    "curate_temperature_mix",
+    "sim_ann_filtered",
+    "streaming_latest_profile",
+    "sim_ann_pq",
+    "curate_chunk_overlap",
+    "sim_ann_ivfpq",
+    "curate_mix_apply",
+    "streaming_foreachbatch_sink",
+    "sim_ann_compacted",
+    "sim_bitext_mine",
+    "text_length_histogram",
+    "events_scd2_intervals",
+    "join_asof_forward_tolerance",
+    "dedup_lsh_quality",
+    "events_zorder_pruned",
+    "curate_snapshot_diff",
+]
+
+
+def test_r12_window_composition():
+    """r12 rotation (VERDICT r11 item 6, executing the plan recorded in
+    the r11 registry's "r12 PLAN" comment): the window holds (a) the
+    sixteen r6-evidence entries deferred from r11 (age 6 at r12 — the
+    last legal round), (b) the head of the r7 block (age 5), and (c)
+    the 15 standing keeps.  Any free slot must hold either a genuinely
+    new query (never graded) or r8-or-fresher evidence.
+
+    SELF-RETIRING: pins the round-12 composition only; skips once the
+    r12 CORRECTNESS artifact is tracked.  The r13 rotation writes its
+    own pin."""
+    latest_green, rounds = _latest_green_by_round()
+    if max(rounds) + 1 != 12:
+        pytest.skip("window-composition pin for round 12; rotate + re-pin")
+    window = registry._PRIORITY[: registry.GRADED_WINDOW]
+    for name in _R12_R6_BOTTOM + _R12_R7_HEAD + _STANDING_KEEPS:
+        assert name in window, name
+    mandatory = set(_R12_R6_BOTTOM + _R12_R7_HEAD + _STANDING_KEEPS)
+    for name in window:
+        if name not in mandatory:
+            # free slot: an r12-new query (never graded) or an
+            # r8-or-fresher filler
+            assert name not in latest_green or latest_green[name] >= 8, name

@@ -95,10 +95,14 @@ def build_edge_corpus(target: str = "/tmp/torture_sf") -> str:
 
 
 def run_mimic(sf_dir: str) -> int:
-    """Exec the vendored mimic against ``sf_dir`` (dir-glob-patched)."""
+    """Exec the vendored mimic against ``sf_dir`` (dir-glob-patched).
+
+    Returns the number of non-matching queries (0 == all green), read
+    from the mimic's own ``results`` dict after exec — not parsed from
+    stdout, so a format change there can't fool the exit code."""
     os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
-    src = open(os.path.join(REPO, "tools", "driver_mimic.py")).read()
-    src = src.replace(
+    orig = open(os.path.join(REPO, "tools", "driver_mimic.py")).read()
+    src = orig.replace(
         "con.execute(f\"CREATE VIEW {t} AS SELECT * FROM"
         " read_parquet('{SF_DIR}/{t}.parquet')\")",
         "p = f'{SF_DIR}/{t}.parquet'\n"
@@ -106,10 +110,28 @@ def run_mimic(sf_dir: str) -> int:
         "    con.execute(f\"CREATE VIEW {t} AS SELECT * FROM"
         " read_parquet('{glob}')\")",
     )
+    # A reformatting of that mimic line would turn the patch into a silent
+    # no-op (edge mode still works on single files; replica-dir reads then
+    # fail with a confusing DuckDB error).  Fail loudly instead.
+    if src == orig:
+        raise SystemExit(
+            "adversarial_sweep: driver_mimic.py drifted — the dir-glob "
+            "patch target string no longer matches; update run_mimic()."
+        )
     g: dict = {"__name__": "__main__"}
     # the mimic prints per-query PASS/FAIL and a final {"total", "ok"}
     exec(src, g)  # noqa: S102 (vendored harness, repo-local)
-    return 0
+    results = g.get("results", {})
+    if not results:
+        raise SystemExit("adversarial_sweep: mimic produced no results dict")
+    bad = [
+        k
+        for k, v in results.items()
+        if not str(v).startswith(("MATCH", "ROWS_ONLY"))
+    ]
+    if bad:
+        print(f"SWEEP FAIL ({len(bad)}): {bad}")
+    return len(bad)
 
 
 def main() -> None:
@@ -122,7 +144,7 @@ def main() -> None:
         sf = sys.argv[2]
     else:
         raise SystemExit(f"unknown mode {mode!r} (edge | replica)")
-    run_mimic(sf)
+    sys.exit(1 if run_mimic(sf) else 0)
 
 
 if __name__ == "__main__":

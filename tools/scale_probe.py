@@ -94,6 +94,9 @@ PROBE_QUERIES = [
     "sim_ann_rp_rerank",
     "curate_semantic_contamination",
     "text_wordpiece_train",
+    # r12: KN trigram — probe with SPARK_GRAFT_KN_REBUILD=1 to time the
+    # trainer (count-table build) path; warm runs time serving joins
+    "text_kn_trigram_logprob",
 ]
 
 KEY_SHIFTS = {
