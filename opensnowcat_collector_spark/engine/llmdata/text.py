@@ -2595,17 +2595,17 @@ def flat_trigrams(ws: DataFrame) -> DataFrame:
     )
 
 
-def trigram_stream_sql() -> str:
+def trigram_stream_sql(src: str = "ws") -> str:
     """DuckDB CTE body mirroring ``flat_trigrams``: (doc_id, w1, w2,
-    w3) rows from a CTE ws(doc_id, w:list).  Kept next to the Spark
+    w3) rows from a CTE {src}(doc_id, w:list).  Kept next to the Spark
     twin so the two engines' trigram definitions change together."""
-    return """
+    return f"""
   SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3
   FROM (
     SELECT doc_id,
-           UNNEST([{'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]}
+           UNNEST([{{'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]}}
                    for i in generate_series(1, len(w) - 2)]) AS u
-    FROM ws WHERE len(w) >= 3
+    FROM {src} WHERE len(w) >= 3
   )"""
 
 
@@ -2729,6 +2729,14 @@ def _kn_trigram_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
     the kn-bigram r11 lesson measured (5 corpus scans -> 2 without)."""
     d = table(spark, sf_dir, "documents")
     ws = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    return _kn_trigram_tables_for(ws)
+
+
+def _kn_trigram_tables_for(ws: DataFrame) -> dict[str, DataFrame]:
+    """The kn3 count-table chain over an arbitrary ws(doc_id, w) slice —
+    the ONE Spark definition shared by the full-corpus trainer above
+    and the history-trained streaming serving twin
+    (``streaming_kn_scoring``), so the two cannot diverge."""
     tgf = (
         flat_trigrams(ws)
         .groupBy("w1", "w2", "w3")
@@ -2835,10 +2843,19 @@ def build_kn_trigram(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _kn3_oracle() -> str:
-    return f"""
-WITH ws AS (
+def _kn3_tables_sql(pred: str = "TRUE") -> str:
+    """The kn3 count-table CTE chain (ws -> tg -> tgf/ctx2/mid/ctx1/
+    low/sc/sv/discounts -> cc) over documents rows satisfying ``pred``
+    — the ONE SQL definition shared by the full-corpus oracle below
+    and the history-trained streaming twin's oracle.  Every
+    multi-referenced CTE is MATERIALIZED: DuckDB's default inlining
+    re-expands the shared count tables under each consumer
+    (structurally the same trap Spark's column pruning springs on
+    exchange reuse — answered there by localCheckpoint, here by the
+    materialization hint; the full query is ~300x faster with it)."""
+    return f"""ws AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  WHERE {pred}
 ),
 tg AS MATERIALIZED ({trigram_stream_sql()}
 ),
@@ -2879,7 +2896,12 @@ cc AS MATERIALIZED (
               THEN (((dl.d1 * CAST(dl.n1 AS DOUBLE)) + (dl.d2 * CAST(dl.n2 AS DOUBLE))) + (dl.d3 * CAST(dl.n3p AS DOUBLE))) / sc.tt
               ELSE 0.0 END AS g0
   FROM dt, dm, dl, sc, sv
-),
+)"""
+
+
+def _kn3_oracle() -> str:
+    return f"""
+WITH {_kn3_tables_sql()},
 scored AS (
   SELECT doc_id,
          ((CAST(ct AS DOUBLE) - (CASE WHEN ct = 1 THEN d1t WHEN ct = 2 THEN d2t ELSE d3t END)) / CAST(c12 AS DOUBLE))

@@ -1312,3 +1312,248 @@ def test_kn_trigram_modified_discounts_proper_and_matches_recompute(spark, sf_di
         )
         assert abs(got[doc_id]["kn3_neg_logprob"] - expect) < 2e-6, doc_id
         assert got[doc_id]["n_trigrams"] == len(tris)
+
+
+def test_streaming_kn_scoring_backoff_matches_recompute(spark, sf_dir):
+    """The history-trained serving twin (r12) must reproduce an
+    independent Python recompute of the FULL modified-KN backoff chain
+    on the stream slice — and the recompute must observe every backoff
+    branch actually firing (unseen trigram with seen context, unseen
+    context, unseen continuation, OOV word), since those branches are
+    the twin's whole point (the batch scorer structurally never takes
+    them)."""
+    import collections
+    import math
+
+    from opensnowcat_collector_spark.engine.llmdata.curation import (
+        CURATION_CORPUS_SPLIT as SPLIT,
+    )
+
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ct: dict = collections.Counter()
+    stream_docs = {}
+    for doc_id, t in rows:
+        ws = t.lower().split(" ")
+        tris = list(zip(ws, ws[1:], ws[2:]))
+        if doc_id < SPLIT:
+            ct.update(tris)
+        elif tris:
+            stream_docs[doc_id] = tris
+    ctx2 = collections.Counter()
+    acat = collections.defaultdict(lambda: [0, 0, 0])
+    mid = collections.Counter()
+    for (a, b, c), n in ct.items():
+        ctx2[(a, b)] += n
+        acat[(a, b)][min(n, 3) - 1] += 1
+        mid[(b, c)] += 1
+    ctx1 = collections.Counter()
+    kcat = collections.defaultdict(lambda: [0, 0, 0])
+    low = collections.Counter()
+    for (b, c), m in mid.items():
+        ctx1[b] += m
+        kcat[b][min(m, 3) - 1] += 1
+        low[c] += 1
+    tt = float(len(mid))
+    vv = float(len(low))
+
+    def discounts(counts):
+        coc = collections.Counter(counts)
+        n1, n2, n3, n4 = coc[1], coc[2], coc[3], coc[4]
+        if not (n1 > 0 and n2 > 0):
+            return [0.75, 0.75, 0.75]
+        y = n1 / (n1 + 2.0 * n2)
+        d1 = min(1.0, max(0.0, 1.0 - 2.0 * y * n2 / n1))
+        d2 = min(2.0, max(0.0, 2.0 - 3.0 * y * n3 / n2))
+        d3 = min(3.0, max(0.0, 3.0 - 4.0 * y * n4 / n3)) if n3 > 0 else 0.75
+        return [d1, d2, d3]
+
+    dt = discounts(ct.values())
+    dm = discounts(mid.values())
+    dl = discounts(low.values())
+    lcat = [0, 0, 0]
+    for u in low.values():
+        lcat[min(u, 3) - 1] += 1
+    g0 = (dl[0] * lcat[0] + dl[1] * lcat[1] + dl[2] * lcat[2]) / tt
+
+    branches = collections.Counter()
+
+    def p3(a, b, c):
+        # p1
+        u = low[c]
+        if u == 0:
+            branches["oov_word"] += 1
+            p1 = g0 / vv
+        else:
+            p1 = (u - dl[min(u, 3) - 1]) / tt + g0 / vv
+        # p2
+        if ctx1[b] == 0:
+            branches["unseen_mid_context"] += 1
+            p2 = p1
+        else:
+            k = kcat[b]
+            gam1 = (dm[0] * k[0] + dm[1] * k[1] + dm[2] * k[2]) / ctx1[b]
+            m = mid[(b, c)]
+            if m == 0:
+                branches["unseen_continuation"] += 1
+                p2 = gam1 * p1
+            else:
+                p2 = (m - dm[min(m, 3) - 1]) / ctx1[b] + gam1 * p1
+        # p3
+        if ctx2[(a, b)] == 0:
+            branches["unseen_top_context"] += 1
+            return p2
+        aa = acat[(a, b)]
+        gam2 = (dt[0] * aa[0] + dt[1] * aa[1] + dt[2] * aa[2]) / ctx2[(a, b)]
+        n = ct[(a, b, c)]
+        if n == 0:
+            branches["unseen_trigram_seen_context"] += 1
+            return gam2 * p2
+        branches["fully_seen"] += 1
+        return (n - dt[min(n, 3) - 1]) / ctx2[(a, b)] + gam2 * p2
+
+    got = {r["doc_id"]: r for r in _run(spark, sf_dir, "streaming_kn_scoring")}
+    assert set(got) == set(stream_docs)
+    for doc_id in list(stream_docs)[:50]:
+        tris = stream_docs[doc_id]
+        ps = [max(p3(a, b, c), 1e-9) for a, b, c in tris]
+        expect = round(sum(-math.log(p) for p in ps) / len(ps), 6)
+        assert abs(got[doc_id]["kn3_neg_logprob"] - expect) < 2e-6, doc_id
+        assert got[doc_id]["n_trigrams"] == len(tris)
+        assert got[doc_id]["n_unseen"] == sum(
+            1 for t in tris if ct[t] == 0
+        ), doc_id
+
+    # the seen/unseen-event branches all fire on the graded corpus...
+    for branch in (
+        "fully_seen",
+        "unseen_trigram_seen_context",
+        "unseen_top_context",
+        "unseen_continuation",
+    ):
+        assert branches[branch] > 0, (branch, dict(branches))
+    # ...but the corpus vocabulary is small enough that every stream
+    # WORD is history-seen, so the OOV and unseen-mid-context branches
+    # need a purpose-built corpus: one OOV word mid-stream exercises
+    # p1's g0/V uniform base and p2's direct-lower-order branch.
+    assert branches["oov_word"] == 0 and branches["unseen_mid_context"] == 0
+
+
+def test_streaming_kn_scoring_oov_branches_on_micro_corpus(spark, tmp_path):
+    """Engine-vs-recompute equality on a hand-built corpus whose stream
+    slice contains a word the history never saw — the OOV (g0/V) and
+    unseen-mid-context (P2 -> P1 direct) branches the graded corpus's
+    small vocabulary cannot reach."""
+    import math
+
+    from opensnowcat_collector_spark.engine import registry
+    from opensnowcat_collector_spark.engine.llmdata.curation import (
+        CURATION_CORPUS_SPLIT as SPLIT,
+    )
+
+    hist = [
+        "a b c a b c a b d",
+        "b c d b c e a b c",
+        "c a b c d e a a b",
+        "d e a b c a b e d",
+    ]
+    stream = [
+        "a b zzz b c d",  # zzz OOV: w3-position (a,b,zzz), mid-context (zzz as w2)
+        "a b c a b d e",  # fully in-vocab stream doc
+    ]
+    rows = [
+        (i, t, "en", "src0", len(t))
+        for i, t in enumerate(hist)
+    ] + [
+        (SPLIT + i, t, "en", "src0", len(t))
+        for i, t in enumerate(stream)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "micro_sf")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    got = {
+        r["doc_id"]: r
+        for r in registry.all_queries()["streaming_kn_scoring"](
+            spark, sf
+        ).collect()
+    }
+    assert set(got) == {SPLIT, SPLIT + 1}
+
+    # independent recompute (same construction as the main test)
+    import collections
+
+    ct: dict = collections.Counter()
+    for t in hist:
+        ws = t.split(" ")
+        ct.update(zip(ws, ws[1:], ws[2:]))
+    ctx2 = collections.Counter()
+    acat = collections.defaultdict(lambda: [0, 0, 0])
+    mid = collections.Counter()
+    for (a, b, c), n in ct.items():
+        ctx2[(a, b)] += n
+        acat[(a, b)][min(n, 3) - 1] += 1
+        mid[(b, c)] += 1
+    ctx1 = collections.Counter()
+    kcat = collections.defaultdict(lambda: [0, 0, 0])
+    low = collections.Counter()
+    for (b, c), m in mid.items():
+        ctx1[b] += m
+        kcat[b][min(m, 3) - 1] += 1
+        low[c] += 1
+    tt, vv = float(len(mid)), float(len(low))
+
+    def discounts(counts):
+        coc = collections.Counter(counts)
+        n1, n2, n3, n4 = coc[1], coc[2], coc[3], coc[4]
+        if not (n1 > 0 and n2 > 0):
+            return [0.75, 0.75, 0.75]
+        y = n1 / (n1 + 2.0 * n2)
+        return [
+            min(1.0, max(0.0, 1.0 - 2.0 * y * n2 / n1)),
+            min(2.0, max(0.0, 2.0 - 3.0 * y * n3 / n2)),
+            min(3.0, max(0.0, 3.0 - 4.0 * y * n4 / n3)) if n3 > 0 else 0.75,
+        ]
+
+    dt, dm, dl = discounts(ct.values()), discounts(mid.values()), discounts(low.values())
+    lcat = [0, 0, 0]
+    for u in low.values():
+        lcat[min(u, 3) - 1] += 1
+    g0 = (dl[0] * lcat[0] + dl[1] * lcat[1] + dl[2] * lcat[2]) / tt
+
+    hit_oov = hit_mid_ctx = False
+
+    def p3(a, b, c):
+        nonlocal hit_oov, hit_mid_ctx
+        u = low[c]
+        if u == 0:
+            hit_oov = True
+            p1 = g0 / vv
+        else:
+            p1 = (u - dl[min(u, 3) - 1]) / tt + g0 / vv
+        if ctx1[b] == 0:
+            hit_mid_ctx = True
+            p2 = p1
+        else:
+            k = kcat[b]
+            gam1 = (dm[0] * k[0] + dm[1] * k[1] + dm[2] * k[2]) / ctx1[b]
+            m = mid[(b, c)]
+            p2 = (gam1 * p1) if m == 0 else (m - dm[min(m, 3) - 1]) / ctx1[b] + gam1 * p1
+        if ctx2[(a, b)] == 0:
+            return p2
+        aa = acat[(a, b)]
+        gam2 = (dt[0] * aa[0] + dt[1] * aa[1] + dt[2] * aa[2]) / ctx2[(a, b)]
+        n = ct[(a, b, c)]
+        return (gam2 * p2) if n == 0 else (n - dt[min(n, 3) - 1]) / ctx2[(a, b)] + gam2 * p2
+
+    for i, t in enumerate(stream):
+        ws = t.split(" ")
+        tris = list(zip(ws, ws[1:], ws[2:]))
+        ps = [max(p3(a, b, c), 1e-9) for a, b, c in tris]
+        expect = round(sum(-math.log(p) for p in ps) / len(ps), 6)
+        r = got[SPLIT + i]
+        assert abs(r["kn3_neg_logprob"] - expect) < 2e-6, (i, r)
+        assert r["n_trigrams"] == len(tris)
+        assert r["n_unseen"] == sum(1 for x in tris if ct[x] == 0)
+    assert hit_oov and hit_mid_ctx  # the corpus was built to reach both

@@ -357,7 +357,9 @@ _R12_R7_HEAD = [
     "join_asof_forward_tolerance",
     "dedup_lsh_quality",
     "events_zorder_pruned",
-    "curate_snapshot_diff",
+    # curate_snapshot_diff: displaced from the window bottom by the
+    # graded-on-arrival streaming_kn_scoring (r7 evidence fresh
+    # through r13; it heads the r13 window)
 ]
 
 

@@ -97,6 +97,9 @@ PROBE_QUERIES = [
     # r12: KN trigram — probe with SPARK_GRAFT_KN_REBUILD=1 to time the
     # trainer (count-table build) path; warm runs time serving joins
     "text_kn_trigram_logprob",
+    # r12: history-trained KN serving twin (per-batch backoff scoring;
+    # history tables fixed, work scales with the batch)
+    "streaming_kn_scoring",
 ]
 
 KEY_SHIFTS = {
