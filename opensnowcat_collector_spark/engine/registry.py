@@ -57,16 +57,19 @@ _PRIORITY: list[str] = [
     "text_cooccurrence_ratio",
     "curate_dataset_card",
     "events_session_sequences",
-    # ---- slots 17-18: r12-new (modified-interpolated KN trigram,
-    # VERDICT r11 item 3, and its history-trained streaming serving
-    # twin with the full backoff chain) — graded on arrival; each
-    # takes a window slot the r7-head would otherwise extend into
-    # (curate_snapshot_diff displaced to the staged head, age 6 at
+    # ---- slots 17-19: r12-new (modified-interpolated KN trigram,
+    # VERDICT r11 item 3; its history-trained streaming serving twin
+    # with the full backoff chain; and the fuzzy-decontamination
+    # serving twin that completes the ladder's batch/streaming
+    # symmetry) — graded on arrival; each takes a window slot the
+    # r7-head would otherwise extend into (curate_snapshot_diff and
+    # events_zorder_pruned displaced to the staged head, age 6 at
     # r13 — mandatory there, same rule as every rotation).
     "text_kn_trigram_logprob",
     "streaming_kn_scoring",
-    # ---- slots 19-35: head of the r7 block (age 5 at r12; the
-    # remaining nineteen wait for r13, age 6 — still legal, and head
+    "streaming_fuzzy_contamination",
+    # ---- slots 20-35: head of the r7 block (age 5 at r12; the
+    # remaining twenty wait for r13, age 6 — still legal, and head
     # the staged section below).
     "dedup_bloom_incremental",
     "dedup_prefix_contained",
@@ -84,7 +87,6 @@ _PRIORITY: list[str] = [
     "events_scd2_intervals",
     "join_asof_forward_tolerance",
     "dedup_lsh_quality",
-    "events_zorder_pruned",
     # ---- slots 36-50: the 15 standing keeps (same set since r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -111,8 +113,9 @@ _PRIORITY: list[str] = [
     # stalest, greedy by evidence age, exactly the policy every
     # rotation has followed.  Nothing ages past 6 under this schedule.
     # ---- r7 bottom, deferred to r13 (mandatory there; displaced from
-    # the r12 window by the sixteen mandatory r6 entries + the two
+    # the r12 window by the sixteen mandatory r6 entries + the three
     # graded-on-arrival r12-new queries).
+    "events_zorder_pruned",
     "curate_snapshot_diff",
     "text_gopher_quality_gates",
     "curate_global_shuffle",
@@ -283,7 +286,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "curate_snapshot_diff"  # first entry past the window, r12
+_WINDOW_SENTINEL = "events_zorder_pruned"  # first entry past the window, r12
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

@@ -2120,10 +2120,9 @@ def streaming_kn_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming semantic decontamination (r11): the serving twin of
 # curate_semantic_contamination — with streaming_contamination this gives
 # the decontamination ladder's cheap (exact) and deep (semantic) screens
-# both a batch half and an incremental serving half.  (The fuzzy screen
-# has no twin yet: its rare-shingle blocking keys on corpus-wide document
-# frequency, so an honest twin needs a history-trained DF table — noted
-# for a future round.)
+# both a batch half and an incremental serving half.  (The fuzzy screen's
+# twin landed in r12 below — streaming_fuzzy_contamination, with the
+# history-trained DF table this comment block used to defer.)
 # --------------------------------------------------------------------------
 
 from .llmdata.curation import SEM_CONTAM_TAU  # noqa: E402
@@ -2185,4 +2184,164 @@ def streaming_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFr
         ["vec_id", "label", "bench_cos", "is_contaminated"],
         "streaming semantic contamination",
         "semcontam_stream_",
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming fuzzy decontamination (r12): the serving twin of
+# curate_fuzzy_contamination — the ladder's last asymmetric screen.  The
+# blocker the r11 note deferred (rare-shingle blocking keys on
+# corpus-wide document frequency, which an incremental pass cannot see)
+# is answered the same way every trained-table twin answers it: the DF
+# table is TRAINED on the static slice (history train docs + the
+# benchmark set, both known upfront) and the stream is blocked against
+# that fixed rarity table — the production cadence where the DF artifact
+# is periodically rebuilt, exactly like the line-dedup index refresh.
+# --------------------------------------------------------------------------
+
+from .llmdata.curation import (  # noqa: E402
+    FUZZY_BLOCK_DF,
+    FUZZY_CONTAM_MAX_REL,
+)
+
+
+def _fuzzy_stream_oracle() -> str:
+    return f"""
+WITH shingled AS (
+  SELECT doc_id,
+         list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                        for i in generate_series(1, greatest(len(ws)-2, 1))]) AS shingles
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+),
+exploded AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM shingled),
+static_ex AS (
+  SELECT * FROM exploded
+  WHERE doc_id < {CURATION_CORPUS_SPLIT} OR doc_id % {BENCH_MOD} = 0
+),
+sdf AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM static_ex GROUP BY shingle),
+rare AS (SELECT shingle FROM sdf WHERE df <= {FUZZY_BLOCK_DF}),
+be AS (SELECT doc_id, shingle FROM static_ex WHERE doc_id % {BENCH_MOD} = 0),
+stream_ex AS (
+  SELECT * FROM exploded
+  WHERE doc_id >= {CURATION_CORPUS_SPLIT} AND doc_id % {BENCH_MOD} <> 0
+),
+pairs AS (
+  SELECT DISTINCT s.doc_id AS t_doc, b.doc_id AS b_doc
+  FROM stream_ex s JOIN rare USING (shingle) JOIN be b USING (shingle)
+),
+scored AS (
+  SELECT p.t_doc,
+         ROUND(CAST(levenshtein(lower(dt.text), lower(db.text)) AS DOUBLE)
+               / GREATEST(LENGTH(dt.text), LENGTH(db.text)), 6) AS rel
+  FROM pairs p
+  JOIN documents dt ON dt.doc_id = p.t_doc
+  JOIN documents db ON db.doc_id = p.b_doc
+)
+SELECT t_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_candidates,
+       MIN(rel) AS min_rel_edit,
+       MIN(rel) <= {FUZZY_CONTAM_MAX_REL} AS fuzzy_contaminated
+FROM scored GROUP BY t_doc
+"""
+
+
+@register("streaming_fuzzy_contamination", oracle=_fuzzy_stream_oracle())
+def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy decontamination under the gate — the serving
+    twin of ``curate_fuzzy_contamination``, completing the
+    decontamination ladder's batch/streaming symmetry (exact and
+    semantic screens got their twins in r11; the fuzzy screen's
+    corpus-wide-DF blocker is resolved by TRAINING the rarity table on
+    the static slice).  Once, upfront: shingle document frequencies
+    over history train docs + the full benchmark set (the benchmark is
+    static by definition — it is the thing being protected), rare =
+    df <= FUZZY_BLOCK_DF, plus the benchmark shingle and text sides
+    (tiny, broadcast).  Per micro-batch: the incoming crawl doc's
+    distinct shingles block against the FIXED rarity table, pair with
+    benchmark docs on shared rare shingles, and verify with the JVM
+    ``levenshtein`` relative edit distance — flag at
+    <= FUZZY_CONTAM_MAX_REL.  Emits the batch screen's exact per-doc
+    shape over the stream slice.
+
+    Stateless by construction (a doc is one row; blocking against
+    FIXED tables needs no cross-batch state), so equality with the
+    split-corpus batch oracle proves batching-invariance.
+
+    100-TB note: the rarity table scales with distinct STATIC-slice
+    shingles, so its per-epoch join is left unhinted (shingle-keyed;
+    AQE broadcasts when it fits — the ``_hist_join_side`` lesson
+    applied at design time; at scale it persists as an artifact and
+    refreshes on the line-dedup-refresh cadence); the benchmark
+    sides are bounded by nature and broadcast.  Per epoch: one shingle
+    explode + one rarity join + one bounded broadcast pair join + the
+    blocked levenshtein verify — work scales with the batch and the
+    candidate fan-out (<= FUZZY_BLOCK_DF x |bench|), never the
+    corpus."""
+    d = table(spark, sf_dir, "documents")
+    is_bench = (F.col("doc_id") % BENCH_MOD) == 0
+    static_docs = d.filter(
+        (F.col("doc_id") < CURATION_CORPUS_SPLIT) | is_bench
+    )
+    static_sh = shingles_of(static_docs).distinct().localCheckpoint(eager=False)
+    sdf = static_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = (
+        sdf.filter(F.col("df") <= FUZZY_BLOCK_DF)
+        .select("shingle")
+        .localCheckpoint(eager=False)
+    )
+    be = (
+        static_sh.join(
+            static_docs.filter(is_bench).select("doc_id"), "doc_id"
+        )
+        .select(F.col("doc_id").alias("b_doc"), "shingle")
+        .localCheckpoint(eager=False)
+    )
+    bt = (
+        d.filter(is_bench)
+        .select(
+            F.col("doc_id").alias("b_doc"),
+            F.lower("text").alias("b_text"),
+            F.length("text").alias("b_len"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    stream = _stream_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= CURATION_CORPUS_SPLIT) & ~is_bench
+    )
+
+    def screen_batch(batch_df: DataFrame) -> DataFrame:
+        sh = shingles_of(batch_df).distinct()
+        pairs = (
+            sh.join(rare, "shingle")
+            .join(F.broadcast(be), "shingle")
+            .select(F.col("doc_id").alias("t_doc"), "b_doc")
+            .distinct()
+        )
+        tt_b = batch_df.select(
+            F.col("doc_id").alias("t_doc"),
+            F.lower("text").alias("t_text"),
+            F.length("text").alias("t_len"),
+        )
+        rel = F.round(
+            F.levenshtein("t_text", "b_text").cast("double")
+            / F.greatest("t_len", "b_len"),
+            6,
+        )
+        scored = (
+            pairs.join(tt_b, "t_doc")
+            .join(F.broadcast(bt), "b_doc")
+            .select("t_doc", rel.alias("rel"))
+        )
+        return scored.groupBy(F.col("t_doc").alias("doc_id")).agg(
+            F.count(F.lit(1)).alias("n_bench_candidates"),
+            F.min("rel").alias("min_rel_edit"),
+            (F.min("rel") <= FUZZY_CONTAM_MAX_REL).alias("fuzzy_contaminated"),
+        )
+
+    return _drain_foreachbatch(
+        stream,
+        screen_batch,
+        ["doc_id", "n_bench_candidates", "min_rel_edit", "fuzzy_contaminated"],
+        "streaming fuzzy contamination",
+        "fuzzycontam_stream_",
     )

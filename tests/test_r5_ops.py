@@ -1557,3 +1557,38 @@ def test_streaming_kn_scoring_oov_branches_on_micro_corpus(spark, tmp_path):
         assert r["n_trigrams"] == len(tris)
         assert r["n_unseen"] == sum(1 for x in tris if ct[x] == 0)
     assert hit_oov and hit_mid_ctx  # the corpus was built to reach both
+
+
+def test_streaming_fuzzy_contamination_dominates_batch_screen(spark, sf_dir):
+    """Structural containment between the twins: the serving twin's
+    rarity table is trained on the STATIC slice only, and document
+    frequency over a subset is <= document frequency over the full
+    corpus — so every shingle that blocks a pair in the batch screen
+    also blocks it in the twin.  For every stream doc the batch screen
+    flags, the twin must therefore see AT LEAST its candidates
+    (n_bench_candidates >=), reach a min_rel_edit that is <= the
+    batch's, and inherit every contamination flag.  (Strict equality is
+    NOT expected — extra static-rare shingles legitimately widen the
+    twin's candidate pool; that drift is the documented refresh
+    cadence.)"""
+    from opensnowcat_collector_spark.engine.llmdata.curation import (
+        BENCH_MOD,
+        CURATION_CORPUS_SPLIT as SPLIT,
+    )
+
+    batch = {
+        r["doc_id"]: r
+        for r in _run(spark, sf_dir, "curate_fuzzy_contamination")
+        if r["doc_id"] >= SPLIT and r["doc_id"] % BENCH_MOD != 0
+    }
+    twin = {
+        r["doc_id"]: r for r in _run(spark, sf_dir, "streaming_fuzzy_contamination")
+    }
+    assert batch, "batch screen found no stream-slice candidates at this SF"
+    assert set(batch) <= set(twin)
+    for doc_id, b in batch.items():
+        t = twin[doc_id]
+        assert t["n_bench_candidates"] >= b["n_bench_candidates"], doc_id
+        assert t["min_rel_edit"] <= b["min_rel_edit"] + 1e-9, doc_id
+        if b["fuzzy_contaminated"]:
+            assert t["fuzzy_contaminated"], doc_id

@@ -100,6 +100,9 @@ PROBE_QUERIES = [
     # r12: history-trained KN serving twin (per-batch backoff scoring;
     # history tables fixed, work scales with the batch)
     "streaming_kn_scoring",
+    # r12: fuzzy-decontamination serving twin (static-trained rarity
+    # table, bounded bench broadcast, blocked levenshtein verify)
+    "streaming_fuzzy_contamination",
 ]
 
 KEY_SHIFTS = {
