@@ -1966,17 +1966,21 @@ RP_CAND = 256
     oracle=f"""
 WITH {_RP_PROJ_CTES},
 qp AS (
-  SELECT j, p AS q FROM proj WHERE vec_id = 0
+  SELECT j, CAST(ROUND(p * 1000000.0, 0) AS BIGINT) AS qk FROM proj WHERE vec_id = 0
 ),
 qn AS (
-  SELECT SUM(q * q) AS nq2 FROM qp
+  SELECT CAST(SUM(qk * qk) AS BIGINT) AS nq2 FROM qp
+),
+pr AS (
+  SELECT vec_id, j, CAST(ROUND(p * 1000000.0, 0) AS BIGINT) AS pk
+  FROM proj WHERE vec_id <> 0
 ),
 sk AS (
-  SELECT proj.vec_id,
-         ROUND(SUM(proj.p * qp.q) / (SQRT(SUM(proj.p * proj.p)) * SQRT(qn.nq2)), 6) + 0 AS sketch_cos
-  FROM proj JOIN qp USING (j), qn
-  WHERE proj.vec_id <> 0
-  GROUP BY proj.vec_id, qn.nq2
+  SELECT pr.vec_id,
+         ROUND(CAST(SUM(pr.pk * qp.qk) AS DOUBLE)
+               / (SQRT(CAST(SUM(pr.pk * pr.pk) AS DOUBLE)) * SQRT(CAST(qn.nq2 AS DOUBLE))), 6) + 0 AS sketch_cos
+  FROM pr JOIN qp USING (j), qn
+  GROUP BY pr.vec_id, qn.nq2
 ),
 cand AS (
   SELECT vec_id, sketch_cos FROM sk ORDER BY sketch_cos DESC, vec_id LIMIT {RP_CAND}
@@ -2000,8 +2004,12 @@ def sim_ann_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance lets small-norm vectors sneak into the pool (measured
     recall cost in BASELINE.md) — and keeps the RP_CAND best (total
     order: rounded sketch cosine desc, then vec_id — deterministic
-    cross-engine because sketch components are 6-dp rounded on both
-    sides).  Stage 2 computes the exact 64-dim cosine for the
+    cross-engine BY CONSTRUCTION since r12: the 6-dp sketch components
+    are recovered as exact scaled int64, the three dot-product sums
+    are integer sums (order-independent, exact, scale factors cancel
+    exactly), so both engines round the identical double and the
+    .5e-6-boundary candidate-set flip the r11 ADVICE flagged cannot
+    occur).  Stage 2 computes the exact 64-dim cosine for the
     candidates only and returns the top 10.
 
     Recall vs the exact brute-force top-10 is a measured property, not
@@ -2021,20 +2029,38 @@ def sim_ann_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches exactly RP_CAND embedding rows via a broadcast semi-join
     and a single-row query cross-join."""
     proj = _rp_project(spark, sf_dir)
-    qp = proj.filter(F.col("vec_id") == 0).select("j", F.col("p").alias("q"))
-    qn = qp.agg(F.sum(F.col("q") * F.col("q")).alias("nq2"))
+    # INTEGER-EXACT stage-1 arithmetic (r12, ADVICE r11 item 4): the
+    # 6-dp-rounded sketch components are exactly recoverable as scaled
+    # int64 (pk = round(p * 1e6)), so the three 16-term sums become
+    # integer sums — order-independent and exact — and the cosine is a
+    # deterministic function of three integers (the 1e-6 scale cancels
+    # exactly: 1e-12 / (1e-6 * 1e-6) = 1).  This structurally removes
+    # the one residual cross-engine hazard in the RP_CAND cutoff: a
+    # float dot product whose engine-dependent summation order could
+    # flip a value sitting on a .5e-6 rounding boundary and hence flip
+    # candidate-SET membership (value-level jitter is absorbed by the
+    # driver's 4-dp hash, set membership is not).  Plan shape is
+    # unchanged — the sums still partial-aggregate map-side.
+    qp = proj.filter(F.col("vec_id") == 0).select(
+        "j", F.round(F.col("p") * F.lit(1000000.0), 0).cast("long").alias("qk")
+    )
+    qn = qp.agg(F.sum(F.col("qk") * F.col("qk")).alias("nq2"))
+    pr = proj.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "j",
+        F.round(F.col("p") * F.lit(1000000.0), 0).cast("long").alias("pk"),
+    )
     sk = (
-        proj.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(qp), "j")
+        pr.join(F.broadcast(qp), "j")
         .crossJoin(F.broadcast(qn))
         .groupBy("vec_id", "nq2")
         .agg(
             (
                 F.round(
-                    F.sum(F.col("p") * F.col("q"))
+                    F.sum(F.col("pk") * F.col("qk")).cast("double")
                     / (
-                        F.sqrt(F.sum(F.col("p") * F.col("p")))
-                        * F.sqrt(F.col("nq2"))
+                        F.sqrt(F.sum(F.col("pk") * F.col("pk")).cast("double"))
+                        * F.sqrt(F.col("nq2").cast("double"))
                     ),
                     6,
                 )

@@ -1592,3 +1592,18 @@ def test_streaming_fuzzy_contamination_dominates_batch_screen(spark, sf_dir):
         assert t["min_rel_edit"] <= b["min_rel_edit"] + 1e-9, doc_id
         if b["fuzzy_contaminated"]:
             assert t["fuzzy_contaminated"], doc_id
+
+
+def test_rp_rerank_stage1_scale_recovers_exact_integers(spark, sf_dir):
+    """The r12 integer-exact stage-1 rests on one premise: every 6-dp-
+    rounded sketch component times 1e6 sits within float-error of an
+    exact integer (so round().cast(long) loses nothing and the three
+    dot-product sums are exact).  Guard the premise against anyone
+    changing the sketch rounding without updating the scale."""
+    proj = similarity._rp_project(spark, sf_dir)
+    drift = proj.select(
+        F.max(
+            F.abs(F.col("p") * 1000000.0 - F.round(F.col("p") * 1000000.0, 0))
+        ).alias("d")
+    ).head()["d"]
+    assert drift < 1e-4, drift
