@@ -57,19 +57,22 @@ _PRIORITY: list[str] = [
     "text_cooccurrence_ratio",
     "curate_dataset_card",
     "events_session_sequences",
-    # ---- slots 17-19: r12-new (modified-interpolated KN trigram,
+    # ---- slots 17-20: r12-new (modified-interpolated KN trigram,
     # VERDICT r11 item 3; its history-trained streaming serving twin
-    # with the full backoff chain; and the fuzzy-decontamination
+    # with the full backoff chain; its index-refresh twin graded by
+    # retrain-from-scratch equality; and the fuzzy-decontamination
     # serving twin that completes the ladder's batch/streaming
     # symmetry) — graded on arrival; each takes a window slot the
-    # r7-head would otherwise extend into (curate_snapshot_diff and
-    # events_zorder_pruned displaced to the staged head, age 6 at
-    # r13 — mandatory there, same rule as every rotation).
+    # r7-head would otherwise extend into (curate_snapshot_diff,
+    # events_zorder_pruned and dedup_lsh_quality displaced to the
+    # staged head, age 6 at r13 — mandatory there, same rule as every
+    # rotation).
     "text_kn_trigram_logprob",
     "streaming_kn_scoring",
+    "streaming_kn_refresh",
     "streaming_fuzzy_contamination",
-    # ---- slots 20-35: head of the r7 block (age 5 at r12; the
-    # remaining twenty wait for r13, age 6 — still legal, and head
+    # ---- slots 21-35: head of the r7 block (age 5 at r12; the
+    # remaining twenty-one wait for r13, age 6 — still legal, and head
     # the staged section below).
     "dedup_bloom_incremental",
     "dedup_prefix_contained",
@@ -86,7 +89,6 @@ _PRIORITY: list[str] = [
     "text_length_histogram",
     "events_scd2_intervals",
     "join_asof_forward_tolerance",
-    "dedup_lsh_quality",
     # ---- slots 36-50: the 15 standing keeps (same set since r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -113,8 +115,9 @@ _PRIORITY: list[str] = [
     # stalest, greedy by evidence age, exactly the policy every
     # rotation has followed.  Nothing ages past 6 under this schedule.
     # ---- r7 bottom, deferred to r13 (mandatory there; displaced from
-    # the r12 window by the sixteen mandatory r6 entries + the three
+    # the r12 window by the sixteen mandatory r6 entries + the four
     # graded-on-arrival r12-new queries).
+    "dedup_lsh_quality",
     "events_zorder_pruned",
     "curate_snapshot_diff",
     "text_gopher_quality_gates",
@@ -286,7 +289,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "events_zorder_pruned"  # first entry past the window, r12
+_WINDOW_SENTINEL = "dedup_lsh_quality"  # first entry past the window, r12
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

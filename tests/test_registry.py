@@ -355,9 +355,9 @@ _R12_R7_HEAD = [
     "text_length_histogram",
     "events_scd2_intervals",
     "join_asof_forward_tolerance",
-    "dedup_lsh_quality",
-    # events_zorder_pruned / curate_snapshot_diff: displaced from the
-    # window bottom by the graded-on-arrival streaming_kn_scoring and
+    # dedup_lsh_quality / events_zorder_pruned / curate_snapshot_diff:
+    # displaced from the window bottom by the graded-on-arrival
+    # streaming_kn_scoring, streaming_kn_refresh and
     # streaming_fuzzy_contamination (r7 evidence fresh through r13;
     # they head the r13 window)
 ]

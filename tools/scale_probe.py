@@ -103,6 +103,9 @@ PROBE_QUERIES = [
     # r12: fuzzy-decontamination serving twin (static-trained rarity
     # table, bounded bench broadcast, blocked levenshtein verify)
     "streaming_fuzzy_contamination",
+    # r12: KN index refresh (per-epoch batch-scaled count fold + one
+    # full-outer merge with the history trigram table at drain)
+    "streaming_kn_refresh",
 ]
 
 KEY_SHIFTS = {
