@@ -3024,6 +3024,83 @@ def text_kn_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curate_kn_perplexity_buckets",
+    oracle=f"""
+WITH kn AS (
+{_kn3_oracle()}
+),
+ranked AS (
+  SELECT k.doc_id, d.lang, k.kn3_neg_logprob,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY k.kn3_neg_logprob, k.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY d.lang) AS nl
+  FROM kn k JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, kn3_neg_logprob,
+       CASE (3 * (rn - 1)) // nl
+         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM ranked
+""",
+)
+def curate_kn_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL CCNet bucketing on the ACTUAL CCNet model class
+    (Wenzek et al. 2020 §4.3): per-language head/middle/tail terciles
+    of LM perplexity, where the LM is the modified-interpolated
+    Kneser-Ney trigram scorer — upgrading ``curate_ccnet_buckets``
+    from the unigram perplexity PROXY to the KenLM-class statistic the
+    paper filters on (head = lowest perplexity = the slice CCNet keeps
+    by default).  The bucket rule is the ccnet query's integer-exact
+    tercile verbatim: rank on the 6-dp-rounded score with doc_id
+    tie-break, bucket = (3*(rank-1)) div count — never a float
+    percent_rank compare.  Docs with fewer than 3 tokens have no
+    trigram score and are absent, matching the scorer's own domain.
+
+    End-to-end this closes the CCNet pipeline loop inside the engine:
+    ``build_kn_trigram`` trains the LM once (pay-once artifact),
+    ``text_kn_trigram_logprob`` scores the corpus through it, THIS
+    query gates on the score, ``streaming_kn_scoring`` serves fresh
+    crawl text with backoff, and ``streaming_kn_refresh`` folds the
+    stream back into the count tables.
+
+    Scale (100 TB): scoring is the trigram serving plan (one corpus
+    scan + five Zipf-small artifact joins); bucketing adds one
+    lang-partitioned window — languages are few and skewed, the same
+    bounded-key window as every quantile gate, AQE-split on hot
+    languages."""
+    from pyspark.sql import Window
+
+    kn = text_kn_trigram_logprob(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("kn3_neg_logprob", "doc_id")
+    ranked = (
+        kn.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "kn3_neg_logprob",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "kn3_neg_logprob",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("nl"),
+        )
+    )
+    bucket_idx = F.expr("(3 * (rn - 1)) div nl")
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "kn3_neg_logprob",
+        F.when(bucket_idx == 0, "head")
+        .when(bucket_idx == 1, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+@register(
     "text_wordpiece_segment_counts",
     oracle=_wp_chain_sql(apply_final=True)
     + f"""

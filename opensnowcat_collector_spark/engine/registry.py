@@ -71,8 +71,12 @@ _PRIORITY: list[str] = [
     "streaming_kn_scoring",
     "streaming_kn_refresh",
     "streaming_fuzzy_contamination",
-    # ---- slots 21-35: head of the r7 block (age 5 at r12; the
-    # remaining twenty-one wait for r13, age 6 — still legal, and head
+    # (slot 21, also r12-new: the CCNet head/middle/tail gate on the
+    # KN-trigram perplexity — closes the train -> score -> gate ->
+    # serve -> refresh loop; displaces join_asof_forward_tolerance.)
+    "curate_kn_perplexity_buckets",
+    # ---- slots 22-35: head of the r7 block (age 5 at r12; the
+    # remaining twenty-two wait for r13, age 6 — still legal, and head
     # the staged section below).
     "dedup_bloom_incremental",
     "dedup_prefix_contained",
@@ -88,7 +92,6 @@ _PRIORITY: list[str] = [
     "sim_bitext_mine",
     "text_length_histogram",
     "events_scd2_intervals",
-    "join_asof_forward_tolerance",
     # ---- slots 36-50: the 15 standing keeps (same set since r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -115,8 +118,9 @@ _PRIORITY: list[str] = [
     # stalest, greedy by evidence age, exactly the policy every
     # rotation has followed.  Nothing ages past 6 under this schedule.
     # ---- r7 bottom, deferred to r13 (mandatory there; displaced from
-    # the r12 window by the sixteen mandatory r6 entries + the four
+    # the r12 window by the sixteen mandatory r6 entries + the five
     # graded-on-arrival r12-new queries).
+    "join_asof_forward_tolerance",
     "dedup_lsh_quality",
     "events_zorder_pruned",
     "curate_snapshot_diff",
@@ -289,7 +293,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "dedup_lsh_quality"  # first entry past the window, r12
+_WINDOW_SENTINEL = "join_asof_forward_tolerance"  # first entry past the window, r12
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

@@ -922,3 +922,16 @@ def test_kn_trigram_serves_from_artifact_single_doc_exchange(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan or "BuildRight" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_kn_buckets_artifact_serving_single_lang_window(spark, sf_dir):
+    """curate_kn_perplexity_buckets (r12): the scoring subtree is the
+    trigram serving plan (artifact reads, ONE documents scan, no
+    Python), and bucketing adds exactly one lang-partitioned window —
+    never a global SinglePartition sort."""
+    plan = _plan(spark, sf_dir, "curate_kn_perplexity_buckets")
+    assert plan.count("documents.parquet") <= 2, plan  # scoring scan + lang join
+    assert "spark_graft_kn" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(lang", plan)) >= 1, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan

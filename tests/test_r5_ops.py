@@ -1607,3 +1607,30 @@ def test_rp_rerank_stage1_scale_recovers_exact_integers(spark, sf_dir):
         ).alias("d")
     ).head()["d"]
     assert drift < 1e-4, drift
+
+
+def test_kn_perplexity_buckets_are_exact_terciles_of_kn_scores(spark, sf_dir):
+    """The CCNet gate (r12) must be exactly the integer-exact tercile
+    of the KN-trigram scorer's own output: per language, bucket sizes
+    in {floor(n/3)..ceil(n/3)+1} and every head score <= every middle
+    score <= every tail score (ties broken by doc_id, so equal scores
+    may straddle a boundary only in doc_id order)."""
+    import collections
+
+    kn = {r["doc_id"]: r["kn3_neg_logprob"]
+          for r in _run(spark, sf_dir, "text_kn_trigram_logprob")}
+    rows = _run(spark, sf_dir, "curate_kn_perplexity_buckets")
+    assert {r["doc_id"] for r in rows} == set(kn)
+    by_lang = collections.defaultdict(list)
+    for r in rows:
+        assert r["kn3_neg_logprob"] == kn[r["doc_id"]], r["doc_id"]
+        by_lang[r["lang"]].append(r)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        sizes = collections.Counter(r["bucket"] for r in rs)
+        for b in ("head", "middle", "tail"):
+            assert n // 3 <= sizes[b] <= n // 3 + 1, (lang, dict(sizes))
+        ranked = sorted(rs, key=lambda r: (r["kn3_neg_logprob"], r["doc_id"]))
+        labels = [order[r["bucket"]] for r in ranked]
+        assert labels == sorted(labels), lang  # monotone along the rank

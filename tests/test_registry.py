@@ -354,11 +354,11 @@ _R12_R7_HEAD = [
     "sim_bitext_mine",
     "text_length_histogram",
     "events_scd2_intervals",
-    "join_asof_forward_tolerance",
-    # dedup_lsh_quality / events_zorder_pruned / curate_snapshot_diff:
-    # displaced from the window bottom by the graded-on-arrival
-    # streaming_kn_scoring, streaming_kn_refresh and
-    # streaming_fuzzy_contamination (r7 evidence fresh through r13;
+    # join_asof_forward_tolerance / dedup_lsh_quality /
+    # events_zorder_pruned / curate_snapshot_diff: displaced from the
+    # window bottom by the graded-on-arrival streaming_kn_scoring,
+    # streaming_kn_refresh, streaming_fuzzy_contamination and
+    # curate_kn_perplexity_buckets (r7 evidence fresh through r13;
     # they head the r13 window)
 ]
 

@@ -106,6 +106,9 @@ PROBE_QUERIES = [
     # r12: KN index refresh (per-epoch batch-scaled count fold + one
     # full-outer merge with the history trigram table at drain)
     "streaming_kn_refresh",
+    # r12: CCNet tercile gate on the KN-trigram score (serving plan +
+    # one lang-partitioned window)
+    "curate_kn_perplexity_buckets",
 ]
 
 KEY_SHIFTS = {
