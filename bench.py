@@ -134,6 +134,8 @@ HEADLINE = [
     # r12: modified-interpolated KN trigram serving (artifact count
     # tables + five Zipf-small scoring joins; build cost is pay-once)
     "text_kn_trigram_logprob",
+    # r12: the CCNet tercile gate on that score (adds one lang window)
+    "curate_kn_perplexity_buckets",
     "embed_random_projection",
     # r11: the two-stage sketch-prefilter ANN (projection plan + two
     # distributed top-k cutoffs + exact re-rank on RP_CAND rows)
