@@ -2702,3 +2702,152 @@ def curate_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Best-fit-decreasing sequence packing (r13, VERDICT r12 item 4):
+# curate_pack_sequences above is concat-then-chunk; real training loaders
+# (T5's pack_dataset, LLaMA-style pretraining collators) instead pack
+# whole documents into fixed-length sequences with a bin-packing greedy
+# and account for the loss-mask consequences: every cross-document
+# boundary inside a packed sequence is a position where the attention /
+# loss mask must reset, and every pad token is wasted compute.
+# ---------------------------------------------------------------------------
+
+#: fixed packed-sequence length (tokens).  A power of two so the
+#: fill-rate division is an exact dyadic rational — identical doubles in
+#: both engines with no rounding step (the negative-zero-class float
+#: discipline applied at design time).
+PACK_SEQ_LEN = 128
+
+
+@register(
+    "curate_pack_bestfit",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, doc_id % {N_PACK_SHARDS} AS shard,
+         LEAST(LEN(string_split(text, ' ')), {PACK_SEQ_LEN}) AS need,
+         GREATEST(LEN(string_split(text, ' ')) - {PACK_SEQ_LEN}, 0) AS trunc
+  FROM documents
+),
+ordered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY need DESC, doc_id) AS rn
+  FROM toks
+),
+packed AS (
+  SELECT shard, rn, doc_id, need, trunc,
+         1 AS seq_idx,
+         [{PACK_SEQ_LEN} - need] AS bins
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.need, o.trunc,
+         CASE WHEN fit.mr IS NULL THEN len(p.bins) + 1
+              ELSE list_position(p.bins, fit.mr) END AS seq_idx,
+         CASE WHEN fit.mr IS NULL THEN list_append(p.bins, {PACK_SEQ_LEN} - o.need)
+              ELSE list_transform(
+                     generate_series(1, len(p.bins)),
+                     i -> CASE WHEN i = list_position(p.bins, fit.mr)
+                               THEN p.bins[i] - o.need ELSE p.bins[i] END)
+         END AS bins
+  FROM packed p
+  JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1,
+  LATERAL (SELECT list_min(list_filter(p.bins, b -> b >= o.need)) AS mr) fit
+)
+SELECT shard,
+       CAST(seq_idx AS BIGINT) AS seq_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_boundaries,
+       CAST(SUM(need) AS BIGINT) AS used_tokens,
+       CAST({PACK_SEQ_LEN} - SUM(need) AS BIGINT) AS pad_tokens,
+       CAST(SUM(trunc) AS BIGINT) AS trunc_tokens,
+       CAST(SUM(need) AS DOUBLE) / {PACK_SEQ_LEN} AS fill_rate
+FROM packed GROUP BY 1, 2
+""",
+)
+def curate_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing document packing with loss-mask accounting:
+    within each shard, documents are sorted by capped token length
+    descending (tie: doc_id) and greedily placed into the open sequence
+    with the SMALLEST remaining capacity that still fits (tie: the
+    earliest-opened sequence); a document that fits nowhere opens the
+    next sequence.  Documents longer than PACK_SEQ_LEN are truncated to
+    one full sequence, with the overflow reported as ``trunc_tokens``.
+    Per packed sequence the query reports the loss-mask bookkeeping a
+    training loader needs: document count, cross-document boundary
+    count (attention/loss-mask resets), used/pad token counts, the
+    truncated-token count, and the fill rate.
+
+    The greedy is DETERMINISTIC (total orders on both the documents and
+    the bin choice), so the DuckDB oracle replays it exactly as a
+    recursive CTE carrying the open-bin remainders as a LIST — the
+    ``dedup_source_order_plan`` precedent of oracling a sequential plan.
+
+    Dataflow: the token lengths come from built-in functions at the
+    scan (3 integer columns enter the Arrow stage — never the text);
+    the greedy itself is a per-shard ``applyInPandas`` (the ONE
+    deliberate Arrow stage, same budget class as the gram-matrix
+    families) because a capacity-constrained running placement is
+    sequential state no window frame expresses; the per-sequence
+    rollup is a plain Spark groupBy after the stage.
+
+    Scale (100 TB): the shard is the unit of parallelism — shard count
+    scales with the corpus (doc_id hash, here doc_id % N_PACK_SHARDS to
+    stay oracle-replayable), each shard's greedy is O(n log n) sort +
+    O(n x open-bins) placement over INTEGER arrays, and no text moves
+    through the stage.  At production scale the linear open-bin scan
+    swaps for a remaining-capacity index (sorted multiset) without
+    changing the packing; sequences stream out per shard as one output
+    file each, exactly like curate_pack_sequences' shards."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
+        F.least(n_tok, F.lit(PACK_SEQ_LEN)).alias("need"),
+        F.greatest(n_tok - PACK_SEQ_LEN, F.lit(0)).alias("trunc"),
+    )
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("seq_idx", LongType()),
+            StructField("need", LongType()),
+            StructField("trunc", LongType()),
+        ]
+    )
+    cap = PACK_SEQ_LEN
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["need", "doc_id"], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity, index = open order
+        seq_idx: list[int] = []
+        for need in pdf["need"].astype(int):
+            fits = [b for b in bins if b >= need]
+            if fits:
+                j = bins.index(min(fits))  # best fit; tie -> earliest bin
+                bins[j] -= need
+                seq_idx.append(j + 1)
+            else:
+                bins.append(cap - need)
+                seq_idx.append(len(bins))
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].values,
+                "seq_idx": seq_idx,
+                "need": pdf["need"].values,
+                "trunc": pdf["trunc"].values,
+            }
+        )
+
+    placed = toks.groupBy("shard").applyInPandas(pack_shard, out_schema)
+    return placed.groupBy("shard", "seq_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - 1).alias("n_boundaries"),
+        F.sum("need").alias("used_tokens"),
+        (F.lit(PACK_SEQ_LEN) - F.sum("need")).alias("pad_tokens"),
+        F.sum("trunc").alias("trunc_tokens"),
+        (F.sum("need").cast("double") / PACK_SEQ_LEN).alias("fill_rate"),
+    )

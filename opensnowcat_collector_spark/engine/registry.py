@@ -28,98 +28,23 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # subsystem; order past the window is rotation-staged (see tranche
 # comments below), then legacy order.
 #
-# r12 rotation (VERDICT r11 item 6: rotate toward the oldest grades;
-# executes the plan recorded in the r11 registry's "r12 PLAN" comment
-# and proven by the horizon/solvability tests): slots 1-16 are the
-# sixteen r6-evidence entries deferred from the r11 rotation (age 6 at
-# r12 — the LAST legal round under the freshness bar, mandatory).
-# Slot 17 is the r12-new modified-KN trigram scorer (graded on
-# arrival).  Slots 18-35 are the head of the r7 block (age 5); its
-# remaining eighteen entries wait for r13 (age 6 there, still at the
+# r13 rotation (VERDICT r12 item 1; executes the plan recorded in the
+# r12 registry's "r13 PLAN" comment and proven by the
+# horizon/solvability tests): slots 1-20 are the twenty r7-evidence
+# entries deferred from r12 (age 6 at r13 — the LAST legal round under
+# the freshness bar, mandatory).  Slots 21-22 are the two r13-new
+# queries (graded on arrival): the fuzzy screen's index-refresh twin
+# (VERDICT r12 item 2) and best-fit-decreasing sequence packing
+# (item 4); each takes a window slot the r8 head would otherwise
+# extend into (topk_orders and json_props_extract displaced to the
+# staged head, age 6 at r14 — mandatory there, same rule as every
+# rotation).  Slots 23-35 are the head of the r8 block (age 5); its
+# remaining twenty-two entries wait for r14 (age 6 there, still at the
 # bar) and head the staged section below.  Slots 36-50 keep the
 # standing keeps.
 _PRIORITY: list[str] = [
-    # ---- slots 1-16: the r6 bottom, deferred from r11 (age 6 at r12 —
+    # ---- slots 1-20: the r7 bottom, deferred from r12 (age 6 at r13 —
     # mandatory).
-    "curate_dedup_apply",
-    "curate_train_val_split",
-    "agg_hll_partitioned_merge",
-    "events_burst_detection",
-    "sim_ann_delete",
-    "dedup_incremental_minhash",
-    "sim_ann_incremental",
-    "curate_tokenize_ids",
-    "events_funnel_steps",
-    "events_retention_cohorts",
-    "sim_ann_recall",
-    "text_vocab_stats",
-    "text_unigram_logprob",
-    "text_cooccurrence_ratio",
-    "curate_dataset_card",
-    "events_session_sequences",
-    # ---- slots 17-20: r12-new (modified-interpolated KN trigram,
-    # VERDICT r11 item 3; its history-trained streaming serving twin
-    # with the full backoff chain; its index-refresh twin graded by
-    # retrain-from-scratch equality; and the fuzzy-decontamination
-    # serving twin that completes the ladder's batch/streaming
-    # symmetry) — graded on arrival; each takes a window slot the
-    # r7-head would otherwise extend into (curate_snapshot_diff,
-    # events_zorder_pruned and dedup_lsh_quality displaced to the
-    # staged head, age 6 at r13 — mandatory there, same rule as every
-    # rotation).
-    "text_kn_trigram_logprob",
-    "streaming_kn_scoring",
-    "streaming_kn_refresh",
-    "streaming_fuzzy_contamination",
-    # (slot 21, also r12-new: the CCNet head/middle/tail gate on the
-    # KN-trigram perplexity — closes the train -> score -> gate ->
-    # serve -> refresh loop; displaces join_asof_forward_tolerance.)
-    "curate_kn_perplexity_buckets",
-    # ---- slots 22-35: head of the r7 block (age 5 at r12; the
-    # remaining twenty-two wait for r13, age 6 — still legal, and head
-    # the staged section below).
-    "dedup_bloom_incremental",
-    "dedup_prefix_contained",
-    "curate_temperature_mix",
-    "sim_ann_filtered",
-    "streaming_latest_profile",
-    "sim_ann_pq",
-    "curate_chunk_overlap",
-    "sim_ann_ivfpq",
-    "curate_mix_apply",
-    "streaming_foreachbatch_sink",
-    "sim_ann_compacted",
-    "sim_bitext_mine",
-    "text_length_histogram",
-    "events_scd2_intervals",
-    # ---- slots 36-50: the 15 standing keeps (same set since r7).
-    "streaming_leftouter_join",
-    "streaming_session_timeout_flush",
-    "dedup_paragraph_exact",
-    "streaming_dedup_watermark",
-    "streaming_session_window",
-    "streaming_enrich_join",
-    "streaming_stream_stream_join",
-    "streaming_stateful_sessionize",
-    "streaming_document_curation",
-    "join_skew_salted",
-    "join_bucketed_colocated",
-    "dedup_minhash_lsh",
-    "sim_ann_lsh",
-    "corpus_curation_pipeline",
-    "mm_feature_extract",
-    # ---- slot 51+ below: NOT driver-graded this round.
-    # r13 PLAN (horizon + capacity proven by
-    # tests/test_registry.py::test_next_round_rotation_horizon and
-    # ::test_rotation_schedule_solvable_through_r16): after r12 grades
-    # slots 1-50, the stalest remaining evidence is the eighteen
-    # deferred r7 entries below (age 6 at r13 — mandatory) followed by
-    # the r8 block (age 5 at r13); the r13 window = keeps + the 35
-    # stalest, greedy by evidence age, exactly the policy every
-    # rotation has followed.  Nothing ages past 6 under this schedule.
-    # ---- r7 bottom, deferred to r13 (mandatory there; displaced from
-    # the r12 window by the sixteen mandatory r6 entries + the five
-    # graded-on-arrival r12-new queries).
     "join_asof_forward_tolerance",
     "dedup_lsh_quality",
     "events_zorder_pruned",
@@ -140,7 +65,16 @@ _PRIORITY: list[str] = [
     "dedup_shingle_containment",
     "sim_radius_search",
     "text_entropy_metrics",
-    # ---- r8-graded entries (fresh until r14; r13 window material).
+    # ---- slots 21-22: r13-new (the fuzzy rarity-table refresh twin,
+    # graded by retrain-from-scratch equality — the last trained table
+    # without one; and best-fit-decreasing packing with loss-mask
+    # accounting, oracle-replayed as a recursive CTE) — graded on
+    # arrival.
+    "streaming_fuzzy_refresh",
+    "curate_pack_bestfit",
+    # ---- slots 23-35: head of the r8 block (age 5 at r13; the
+    # remaining twenty-two wait for r14, age 6 — still legal, and head
+    # the staged section below).
     "embed_quantize_int8",
     "dedup_suffix_repeats",
     "curate_suffix_dedup_apply",
@@ -154,6 +88,34 @@ _PRIORITY: list[str] = [
     "agg_distinct_counts",
     "scalar_url_map_funcs",
     "scalar_hash_encode_funcs",
+    # ---- slots 36-50: the 15 standing keeps (same set since r7).
+    "streaming_leftouter_join",
+    "streaming_session_timeout_flush",
+    "dedup_paragraph_exact",
+    "streaming_dedup_watermark",
+    "streaming_session_window",
+    "streaming_enrich_join",
+    "streaming_stream_stream_join",
+    "streaming_stateful_sessionize",
+    "streaming_document_curation",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh",
+    "corpus_curation_pipeline",
+    "mm_feature_extract",
+    # ---- slot 51+ below: NOT driver-graded this round.
+    # r14 PLAN (horizon + capacity proven by
+    # tests/test_registry.py::test_next_round_rotation_horizon and
+    # ::test_rotation_schedule_solvable_through_r16): after r13 grades
+    # slots 1-50, the stalest remaining evidence is the twenty-two
+    # deferred r8 entries below (age 6 at r14 — mandatory) followed by
+    # the r9 block (age 5 at r14); the r14 window = keeps + the 35
+    # stalest, greedy by evidence age, exactly the policy every
+    # rotation has followed.  Nothing ages past 6 under this schedule.
+    # ---- r8 bottom, deferred to r14 (mandatory there; displaced from
+    # the r13 window by the twenty mandatory r7 entries + the two
+    # graded-on-arrival r13-new queries).
     "topk_orders",
     "json_props_extract",
     "array_hof_embeddings",
@@ -176,7 +138,7 @@ _PRIORITY: list[str] = [
     "curate_weighted_sample",
     "streaming_weighted_sample",
     "dedup_source_matrix",
-    # ---- r9-graded entries (fresh until r15; r13/r14 window material).
+    # ---- r9-graded entries (fresh until r15; r14 window material).
     "join_theta_quantity_over_size",
     "join_full_outer_nation_activity",
     "q14_promo_effect",
@@ -212,7 +174,7 @@ _PRIORITY: list[str] = [
     "curate_fuzzy_contamination",
     "curate_line_dedup_apply",
     "dedup_source_order_plan",
-    # ---- r10-graded entries (the non-keep r10 window; fresh until r16).
+    # ---- r10-graded entries (fresh until r16).
     "q10_returned_items",
     "collector_enrich_events",
     "collector_bridge_roundtrip",
@@ -248,9 +210,7 @@ _PRIORITY: list[str] = [
     "text_unigram_lm_train",
     "text_unigram_lm_segment",
     "streaming_line_dedup",
-    # ---- r11-graded entries (the non-keep r11 window; fresh until
-    # r17): the mm_* trio, the r6 head graded at r11, and the thirteen
-    # r11-new queries.
+    # ---- r11-graded entries (fresh until r17).
     "mm_decode_metadata",
     "mm_resize_plan",
     "mm_frame_sample",
@@ -286,6 +246,43 @@ _PRIORITY: list[str] = [
     "curate_contamination_audit",
     "streaming_semantic_contamination",
     "streaming_rho_scoring",
+    # ---- r12-graded entries (the non-keep r12 window; fresh until
+    # r18): the r6 bottom, the five r12-new queries, and the r7 head.
+    "curate_dedup_apply",
+    "curate_train_val_split",
+    "agg_hll_partitioned_merge",
+    "events_burst_detection",
+    "sim_ann_delete",
+    "dedup_incremental_minhash",
+    "sim_ann_incremental",
+    "curate_tokenize_ids",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "sim_ann_recall",
+    "text_vocab_stats",
+    "text_unigram_logprob",
+    "text_cooccurrence_ratio",
+    "curate_dataset_card",
+    "events_session_sequences",
+    "text_kn_trigram_logprob",
+    "streaming_kn_scoring",
+    "streaming_kn_refresh",
+    "streaming_fuzzy_contamination",
+    "curate_kn_perplexity_buckets",
+    "dedup_bloom_incremental",
+    "dedup_prefix_contained",
+    "curate_temperature_mix",
+    "sim_ann_filtered",
+    "streaming_latest_profile",
+    "sim_ann_pq",
+    "curate_chunk_overlap",
+    "sim_ann_ivfpq",
+    "curate_mix_apply",
+    "streaming_foreachbatch_sink",
+    "sim_ann_compacted",
+    "sim_bitext_mine",
+    "text_length_histogram",
+    "events_scd2_intervals",
 ]
 
 
@@ -293,7 +290,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "join_asof_forward_tolerance"  # first entry past the window, r12
+_WINDOW_SENTINEL = "topk_orders"  # first entry past the window, r13
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

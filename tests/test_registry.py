@@ -386,3 +386,72 @@ def test_r12_window_composition():
             # free slot: an r12-new query (never graded) or an
             # r8-or-fresher filler
             assert name not in latest_green or latest_green[name] >= 8, name
+
+
+_R13_R7_BOTTOM = [
+    "join_asof_forward_tolerance",
+    "dedup_lsh_quality",
+    "events_zorder_pruned",
+    "curate_snapshot_diff",
+    "text_gopher_quality_gates",
+    "curate_global_shuffle",
+    "agg_countmin_heavy_hitters",
+    "events_max_concurrency_sweep",
+    "streaming_countmin_sketch",
+    "events_sliding_window_stats",
+    "join_asof_nearest",
+    "curate_importance_resample",
+    "text_langid_ngram_profiles",
+    "streaming_sliding_window",
+    "collector_split_accounting",
+    "collector_thrift_roundtrip",
+    "collector_redirect_origin_gates",
+    "dedup_shingle_containment",
+    "sim_radius_search",
+    "text_entropy_metrics",
+]
+
+_R13_R8_HEAD = [
+    "embed_quantize_int8",
+    "dedup_suffix_repeats",
+    "curate_suffix_dedup_apply",
+    "q7_volume_shipping",
+    "agg_stats_percentiles",
+    "q12_linestatus_priority",
+    "events_hourly_rollup",
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "events_tumbling_15min",
+    "agg_distinct_counts",
+    "scalar_url_map_funcs",
+    "scalar_hash_encode_funcs",
+    # topk_orders / json_props_extract: displaced from the window
+    # bottom by the graded-on-arrival streaming_fuzzy_refresh and
+    # curate_pack_bestfit (r8 evidence fresh through r14; they head
+    # the r14 window)
+]
+
+
+def test_r13_window_composition():
+    """r13 rotation (VERDICT r12 item 1, executing the plan recorded in
+    the r12 registry's "r13 PLAN" comment): the window holds (a) the
+    twenty r7-evidence entries deferred from r12 (age 6 at r13 — the
+    last legal round), (b) the head of the r8 block (age 5), and (c)
+    the 15 standing keeps.  Any free slot must hold either a genuinely
+    new query (never graded) or r9-or-fresher evidence.
+
+    SELF-RETIRING: pins the round-13 composition only; skips once the
+    r13 CORRECTNESS artifact is tracked.  The r14 rotation writes its
+    own pin."""
+    latest_green, rounds = _latest_green_by_round()
+    if max(rounds) + 1 != 13:
+        pytest.skip("window-composition pin for round 13; rotate + re-pin")
+    window = registry._PRIORITY[: registry.GRADED_WINDOW]
+    for name in _R13_R7_BOTTOM + _R13_R8_HEAD + _STANDING_KEEPS:
+        assert name in window, name
+    mandatory = set(_R13_R7_BOTTOM + _R13_R8_HEAD + _STANDING_KEEPS)
+    for name in window:
+        if name not in mandatory:
+            # free slot: an r13-new query (never graded) or an
+            # r9-or-fresher filler
+            assert name not in latest_green or latest_green[name] >= 9, name
