@@ -2047,7 +2047,7 @@ def streaming_kn_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — the ``_hist_join_side`` lesson applied at design time)
     + one batch-local doc aggregation — incremental work scales with
     the batch, never the corpus."""
-    from .llmdata.text import _kn_trigram_tables_for, flat_trigrams
+    from .llmdata.text import _kn_trigram_tables_for
 
     d = table(spark, sf_dir, "documents")
     hist_ws = d.filter(F.col("doc_id") < CURATION_CORPUS_SPLIT).select(
@@ -2061,82 +2061,7 @@ def streaming_kn_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def score_batch(batch_df: DataFrame) -> DataFrame:
-        ws = batch_df.select(
-            "doc_id", F.split(F.lower("text"), " ").alias("w")
-        )
-        j = (
-            flat_trigrams(ws)
-            .join(t["tgf"], ["w1", "w2", "w3"], "left")
-            .join(t["ctx2"], ["w1", "w2"], "left")
-            .join(t["mid"], ["w2", "w3"], "left")
-            .join(t["ctx1"], ["w2"], "left")
-            .join(t["low"], ["w3"], "left")
-            .crossJoin(F.broadcast(cc))
-        )
-        dt_ct = (
-            F.when(F.col("ct") == 1, F.col("d1t"))
-            .when(F.col("ct") == 2, F.col("d2t"))
-            .otherwise(F.col("d3t"))
-        )
-        dm_m = (
-            F.when(F.col("m") == 1, F.col("d1m"))
-            .when(F.col("m") == 2, F.col("d2m"))
-            .otherwise(F.col("d3m"))
-        )
-        dl_u = (
-            F.when(F.col("u") == 1, F.col("d1l"))
-            .when(F.col("u") == 2, F.col("d2l"))
-            .otherwise(F.col("d3l"))
-        )
-        # GREATEST(vv/tt, 1) mirrors the oracle's degenerate-history
-        # guard (ADVICE r12): vv = tt = 0 on a <3-token history would
-        # otherwise make g0/vv NaN with engine-divergent ordering.
-        vv_f = F.greatest(F.col("vv"), F.lit(1.0))
-        tt_f = F.greatest(F.col("tt"), F.lit(1.0))
-        p1 = F.when(F.col("u").isNull(), F.col("g0") / vv_f).otherwise(
-            ((F.col("u").cast("double") - dl_u) / tt_f)
-            + (F.col("g0") / vv_f)
-        )
-        gam1 = (
-            (
-                (F.col("d1m") * F.col("k1").cast("double"))
-                + (F.col("d2m") * F.col("k2").cast("double"))
-            )
-            + (F.col("d3m") * F.col("k3").cast("double"))
-        ) / F.col("s2").cast("double")
-        p2 = (
-            F.when(F.col("s2").isNull(), p1)
-            .when(F.col("m").isNull(), gam1 * p1)
-            .otherwise(
-                ((F.col("m").cast("double") - dm_m) / F.col("s2").cast("double"))
-                + (gam1 * p1)
-            )
-        )
-        gam2 = (
-            (
-                (F.col("d1t") * F.col("a1").cast("double"))
-                + (F.col("d2t") * F.col("a2").cast("double"))
-            )
-            + (F.col("d3t") * F.col("a3").cast("double"))
-        ) / F.col("c12").cast("double")
-        p3 = (
-            F.when(F.col("c12").isNull(), p2)
-            .when(F.col("ct").isNull(), gam2 * p2)
-            .otherwise(
-                ((F.col("ct").cast("double") - dt_ct) / F.col("c12").cast("double"))
-                + (gam2 * p2)
-            )
-        )
-        p = F.greatest(p3, F.lit(1e-9))
-        return j.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.sum(F.when(F.col("ct").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_unseen"),
-            (F.round(F.avg(-F.log(p)), 6) + F.lit(0.0)).alias(
-                "kn3_neg_logprob"
-            ),
-        )
+        return _kn_score_frame(t, cc, batch_df)
 
     return _drain_foreachbatch(
         stream,
@@ -2144,6 +2069,92 @@ def streaming_kn_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id", "n_trigrams", "n_unseen", "kn3_neg_logprob"],
         "streaming kn scoring",
         "kn_stream_",
+    )
+
+
+def _kn_score_frame(t: dict, cc: DataFrame, batch_df: DataFrame) -> DataFrame:
+    """The serving twin's per-batch scoring frame, module-level so the
+    fixed-batch scale probe (tools/kn_fixed_batch_probe.py, VERDICT r12
+    item 7) times EXACTLY the dataflow the gate runs — the full
+    interpolated modified-KN backoff tree over the trained tables
+    ``t`` + the 1-row discount broadcast ``cc``."""
+    from .llmdata.text import flat_trigrams
+
+    ws = batch_df.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    j = (
+        flat_trigrams(ws)
+        .join(t["tgf"], ["w1", "w2", "w3"], "left")
+        .join(t["ctx2"], ["w1", "w2"], "left")
+        .join(t["mid"], ["w2", "w3"], "left")
+        .join(t["ctx1"], ["w2"], "left")
+        .join(t["low"], ["w3"], "left")
+        .crossJoin(F.broadcast(cc))
+    )
+    dt_ct = (
+        F.when(F.col("ct") == 1, F.col("d1t"))
+        .when(F.col("ct") == 2, F.col("d2t"))
+        .otherwise(F.col("d3t"))
+    )
+    dm_m = (
+        F.when(F.col("m") == 1, F.col("d1m"))
+        .when(F.col("m") == 2, F.col("d2m"))
+        .otherwise(F.col("d3m"))
+    )
+    dl_u = (
+        F.when(F.col("u") == 1, F.col("d1l"))
+        .when(F.col("u") == 2, F.col("d2l"))
+        .otherwise(F.col("d3l"))
+    )
+    # GREATEST(vv/tt, 1) mirrors the oracle's degenerate-history
+    # guard (ADVICE r12): vv = tt = 0 on a <3-token history would
+    # otherwise make g0/vv NaN with engine-divergent ordering.
+    vv_f = F.greatest(F.col("vv"), F.lit(1.0))
+    tt_f = F.greatest(F.col("tt"), F.lit(1.0))
+    p1 = F.when(F.col("u").isNull(), F.col("g0") / vv_f).otherwise(
+        ((F.col("u").cast("double") - dl_u) / tt_f)
+        + (F.col("g0") / vv_f)
+    )
+    gam1 = (
+        (
+            (F.col("d1m") * F.col("k1").cast("double"))
+            + (F.col("d2m") * F.col("k2").cast("double"))
+        )
+        + (F.col("d3m") * F.col("k3").cast("double"))
+    ) / F.col("s2").cast("double")
+    p2 = (
+        F.when(F.col("s2").isNull(), p1)
+        .when(F.col("m").isNull(), gam1 * p1)
+        .otherwise(
+            ((F.col("m").cast("double") - dm_m) / F.col("s2").cast("double"))
+            + (gam1 * p1)
+        )
+    )
+    gam2 = (
+        (
+            (F.col("d1t") * F.col("a1").cast("double"))
+            + (F.col("d2t") * F.col("a2").cast("double"))
+        )
+        + (F.col("d3t") * F.col("a3").cast("double"))
+    ) / F.col("c12").cast("double")
+    p3 = (
+        F.when(F.col("c12").isNull(), p2)
+        .when(F.col("ct").isNull(), gam2 * p2)
+        .otherwise(
+            ((F.col("ct").cast("double") - dt_ct) / F.col("c12").cast("double"))
+            + (gam2 * p2)
+        )
+    )
+    p = F.greatest(p3, F.lit(1e-9))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum(F.when(F.col("ct").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unseen"),
+        (F.round(F.avg(-F.log(p)), 6) + F.lit(0.0)).alias(
+            "kn3_neg_logprob"
+        ),
     )
 
 

@@ -640,3 +640,57 @@ def test_rho_vocab_cap_fallback_neutral_score(spark, sf_dir, monkeypatch):
         .first()
     )
     assert (agg.tot, agg.docs) == (expected[0], expected[1]), (agg, expected)
+
+
+def test_pack_bestfit_invariants(spark, sf_dir):
+    """Best-fit packing accounting must be internally consistent: every
+    document lands in exactly one sequence, no sequence overflows the
+    capacity, pad/fill columns are exact complements, and seq indices
+    are contiguous from 1 per shard (the greedy opens bins in order)."""
+    from opensnowcat_collector_spark.engine.llmdata.curation import (
+        N_PACK_SHARDS,
+        PACK_SEQ_LEN,
+        curate_pack_bestfit,
+    )
+    from opensnowcat_collector_spark.engine.tables import table
+
+    rows = curate_pack_bestfit(spark, sf_dir).collect()
+    n_docs_total = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 < r.used_tokens <= PACK_SEQ_LEN, r
+        assert r.pad_tokens == PACK_SEQ_LEN - r.used_tokens, r
+        assert r.n_boundaries == r.n_docs - 1, r
+        assert r.fill_rate == r.used_tokens / PACK_SEQ_LEN, r
+        assert 0 <= r.shard < N_PACK_SHARDS, r
+        by_shard.setdefault(r.shard, []).append(r.seq_idx)
+    for shard, idxs in by_shard.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1)), (shard, idxs)
+
+
+def test_pack_bestfit_truncates_oversized_docs(spark, tmp_path):
+    """A document longer than PACK_SEQ_LEN occupies one full sequence
+    alone with the overflow counted in trunc_tokens (no silent drop,
+    no overflowing bin)."""
+    import duckdb
+
+    from opensnowcat_collector_spark.engine.llmdata.curation import (
+        PACK_SEQ_LEN,
+        curate_pack_bestfit,
+    )
+
+    big = " ".join(f"t{i}" for i in range(PACK_SEQ_LEN + 37))
+    small = "a b c"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.execute("INSERT INTO documents VALUES (0, ?, 'en', 's', 0), (32, ?, 'en', 's', 0)", [big, small])
+    con.execute(f"COPY documents TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)")
+    rows = {r.seq_idx: r for r in curate_pack_bestfit(spark, str(tmp_path)).collect()}
+    # both docs share shard 0 (0 % 32 == 32 % 32); big opens seq 1 full,
+    # small cannot fit (remaining 0) -> seq 2
+    assert rows[1].used_tokens == PACK_SEQ_LEN and rows[1].trunc_tokens == 37
+    assert rows[1].n_docs == 1 and rows[2].used_tokens == 3

@@ -634,3 +634,76 @@ def test_weighted_reservoir_multi_epoch_merge_matches_batch(spark, sf_dir, tmp_p
         )
     }
     assert got == expected
+
+
+def test_build_fuzzy_artifact_pay_once(spark, sf_dir):
+    """build_fuzzy publishes the trained tables once (atomic _SUCCESS)
+    and later calls serve the SAME artifact without rebuilding — the
+    build_kn pay-once contract."""
+    import os
+
+    from opensnowcat_collector_spark.engine.streaming_queries import build_fuzzy
+
+    p1 = build_fuzzy(spark, sf_dir)
+    marker = os.path.join(p1, "_SUCCESS")
+    assert os.path.exists(marker)
+    stamp = os.stat(marker).st_mtime_ns
+    for name in ("sdf", "rare", "be", "bt"):
+        assert os.path.isdir(os.path.join(p1, name)), name
+    p2 = build_fuzzy(spark, sf_dir)
+    assert p2 == p1
+    assert os.stat(marker).st_mtime_ns == stamp, "artifact was rebuilt"
+
+
+def test_lazy_hist_side_defers_the_sizing_count():
+    """_lazy_hist_side (ADVICE r12): constructing the thunk must run NO
+    job; the sizing count happens exactly once, on first use."""
+    from opensnowcat_collector_spark.engine import streaming_queries as sq
+
+    class _FakeDF:
+        def __init__(self):
+            self.counts = 0
+
+        def count(self):
+            self.counts += 1
+            return 3
+
+    fake = _FakeDF()
+    # _hist_join_side would call F.broadcast on a non-DataFrame; stub it
+    # to identity so the thunk's memoization is what's under test.
+    orig = sq._hist_join_side
+    sq._hist_join_side = lambda hist, n: (hist, n)
+    try:
+        side = sq._lazy_hist_side(fake)
+        assert fake.counts == 0, "construction ran the count"
+        assert side() == (fake, 3)
+        assert side() == (fake, 3)
+        assert fake.counts == 1, "count not memoized"
+    finally:
+        sq._hist_join_side = orig
+
+
+def test_source_fingerprint_walks_directory_part_files(tmp_path):
+    """_source_fingerprint (ADVICE r12): for a directory source, an
+    in-place part-file rewrite with identical name and size must still
+    change the fingerprint (mtime_ns of the part file moves even when
+    the top-level dir stat does not)."""
+    import os
+    import shutil
+
+    from opensnowcat_collector_spark.engine.llmdata.similarity import (
+        _source_fingerprint,
+    )
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+    part.write_bytes(b"x" * 64)
+    fp1 = _source_fingerprint(str(tmp_path), "documents.parquet")
+    # same path, same size, different mtime — the stale-rewrite case
+    os.utime(part, ns=(1, 1))
+    fp2 = _source_fingerprint(str(tmp_path), "documents.parquet")
+    assert fp1 != fp2
+    # and the fingerprint is stable when nothing changed
+    assert fp2 == _source_fingerprint(str(tmp_path), "documents.parquet")
+    shutil.rmtree(d)
