@@ -2793,11 +2793,12 @@ def curate_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): the shard is the unit of parallelism — shard count
     scales with the corpus (doc_id hash, here doc_id % N_PACK_SHARDS to
     stay oracle-replayable), each shard's greedy is O(n log n) sort +
-    O(n x open-bins) placement over INTEGER arrays, and no text moves
-    through the stage.  At production scale the linear open-bin scan
-    swaps for a remaining-capacity index (sorted multiset) without
-    changing the packing; sequences stream out per shard as one output
-    file each, exactly like curate_pack_sequences' shards."""
+    a bisect placement against the remaining-capacity index (a sorted
+    (remaining, open_order) list: the successor query IS best-fit and
+    the tuple order IS the earliest-opened tie-break — equivalence with
+    the naive min-scan is property-tested), and no text moves through
+    the stage; sequences stream out per shard as one output file each,
+    exactly like curate_pack_sequences' shards."""
     import pandas as pd
 
     from pyspark.sql.types import LongType, StructField, StructType
@@ -2821,18 +2822,28 @@ def curate_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = PACK_SEQ_LEN
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
         pdf = pdf.sort_values(["need", "doc_id"], ascending=[False, True])
-        bins: list[int] = []  # remaining capacity, index = open order
+        # sorted (remaining, open_order) pairs: bisect_left((need, -1))
+        # lands on the SMALLEST remaining >= need, and among equal
+        # remainders the SMALLEST open order — exactly the best-fit /
+        # earliest-bin rule the recursive-CTE oracle replays (the naive
+        # min-scan equivalence is pinned by
+        # test_pack_bestfit_bisect_equals_min_scan).
+        srt: list[tuple[int, int]] = []
+        n_bins = 0
         seq_idx: list[int] = []
         for need in pdf["need"].astype(int):
-            fits = [b for b in bins if b >= need]
-            if fits:
-                j = bins.index(min(fits))  # best fit; tie -> earliest bin
-                bins[j] -= need
-                seq_idx.append(j + 1)
+            k = bisect.bisect_left(srt, (need, -1))
+            if k < len(srt):
+                rem, j = srt.pop(k)
+                bisect.insort(srt, (rem - need, j))
             else:
-                bins.append(cap - need)
-                seq_idx.append(len(bins))
+                j = n_bins
+                n_bins += 1
+                bisect.insort(srt, (cap - need, j))
+            seq_idx.append(j + 1)
         return pd.DataFrame(
             {
                 "shard": pdf["shard"].values,

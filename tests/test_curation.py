@@ -694,3 +694,53 @@ def test_pack_bestfit_truncates_oversized_docs(spark, tmp_path):
     # small cannot fit (remaining 0) -> seq 2
     assert rows[1].used_tokens == PACK_SEQ_LEN and rows[1].trunc_tokens == 37
     assert rows[1].n_docs == 1 and rows[2].used_tokens == 3
+
+
+def test_pack_bestfit_bisect_equals_min_scan():
+    """The bisect placement against the sorted (remaining, open_order)
+    index must equal the naive best-fit min-scan (smallest fitting
+    remainder, tie -> earliest-opened bin) on random decreasing
+    sequences — the rule the recursive-CTE oracle replays."""
+    import random
+
+    from opensnowcat_collector_spark.engine.llmdata.curation import PACK_SEQ_LEN
+
+    rng = random.Random(13)
+
+    def min_scan(needs):
+        bins, out = [], []
+        for need in needs:
+            fits = [b for b in bins if b >= need]
+            if fits:
+                j = bins.index(min(fits))
+                bins[j] -= need
+                out.append(j + 1)
+            else:
+                bins.append(PACK_SEQ_LEN - need)
+                out.append(len(bins))
+        return out
+
+    def bisect_place(needs):
+        import bisect
+
+        srt, n_bins, out = [], 0, []
+        for need in needs:
+            k = bisect.bisect_left(srt, (need, -1))
+            if k < len(srt):
+                rem, j = srt.pop(k)
+                bisect.insort(srt, (rem - need, j))
+            else:
+                j = n_bins
+                n_bins += 1
+                bisect.insort(srt, (PACK_SEQ_LEN - need, j))
+            out.append(j + 1)
+        return out
+
+    for trial in range(100):
+        n = rng.randint(1, 300)
+        needs = sorted(
+            (rng.randint(1, PACK_SEQ_LEN) for _ in range(n)), reverse=True
+        )
+        assert min_scan(needs) == bisect_place(needs), trial
+    tie_heavy = [64] * 50 + [32] * 100 + [1] * 200
+    assert min_scan(tie_heavy) == bisect_place(tie_heavy)
