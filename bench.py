@@ -149,6 +149,11 @@ HEADLINE = [
     # (the serving twin itself is a streaming gate, benched via its
     # batch screen curate_fuzzy_contamination above)
     "curate_pack_bestfit",
+    # r13: content-defined chunk dedup (three linear all-JVM exchanges)
+    # and UniMax language-budget allocation (one corpus groupBy(lang) +
+    # constant-size language-table windows)
+    "dedup_cdc_chunks",
+    "curate_unimax_mix",
 ]
 
 

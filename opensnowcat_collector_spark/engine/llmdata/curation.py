@@ -2862,3 +2862,164 @@ def curate_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("trunc").alias("trunc_tokens"),
         (F.sum("need").cast("double") / PACK_SEQ_LEN).alias("fill_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax language sampling (r13): Chung et al. 2023 ("UniMax: Fairer and
+# More Effective Language Sampling for Large-Scale Multilingual
+# Pretraining", ICLR 2023) — allocate a total training-token budget
+# across languages as uniformly as possible subject to a per-language
+# epoch cap, instead of temperature sampling's rich-get-richer tilt.
+# The paper's greedy (ascending corpus size; give each language
+# min(cap, remaining/|remaining languages|)) is exactly water-filling,
+# which has a closed form: languages below the water level are capped,
+# everyone else shares the remainder uniformly — so the whole
+# allocation is ONE window over the per-language count table.
+# ---------------------------------------------------------------------------
+
+#: max epochs any language's corpus may be repeated (the paper's N)
+UNIMAX_EPOCH_CAP = 2
+#: training budget as a fraction of total corpus tokens.  > 1
+#: deliberately: multi-epoch budgets are exactly where the epoch cap
+#: binds (with the corpus's ~43% en share, 1.6x caps the four smaller
+#: languages and leaves en on the uniform share at every graded SF, so
+#: both allocation branches are exercised).
+UNIMAX_BUDGET_FRAC = 1.6
+
+
+@register(
+    "curate_unimax_mix",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) * {UNIMAX_BUDGET_FRAC} AS budget FROM counts
+),
+ordered AS (
+  SELECT lang, n_tokens,
+         CAST(n_tokens * {UNIMAX_EPOCH_CAP} AS BIGINT) AS cap_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens * {UNIMAX_EPOCH_CAP}, lang) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_langs,
+         CAST(COALESCE(SUM(n_tokens * {UNIMAX_EPOCH_CAP})
+                       OVER (ORDER BY n_tokens * {UNIMAX_EPOCH_CAP}, lang
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS DOUBLE) AS prefix_cap
+  FROM counts
+),
+theta AS (
+  SELECT o.*, t.budget,
+         (t.budget - o.prefix_cap) / (CAST(o.n_langs AS DOUBLE) - (o.i - 1)) AS theta_i
+  FROM ordered o, tot t
+),
+k AS (
+  SELECT *, MIN(CASE WHEN CAST(cap_tokens AS DOUBLE) >= theta_i THEN i END)
+              OVER () AS k_i
+  FROM theta
+),
+level AS (
+  SELECT *, MAX(CASE WHEN i = k_i THEN theta_i END) OVER () AS water
+  FROM k
+)
+SELECT lang, n_tokens, cap_tokens,
+       ROUND(CASE WHEN water IS NULL OR CAST(cap_tokens AS DOUBLE) < water
+                  THEN CAST(cap_tokens AS DOUBLE) ELSE water END, 6) + 0 AS alloc_tokens,
+       ROUND((CASE WHEN water IS NULL OR CAST(cap_tokens AS DOUBLE) < water
+                   THEN CAST(cap_tokens AS DOUBLE) ELSE water END) / n_tokens, 6) + 0 AS epochs_,
+       ROUND((CASE WHEN water IS NULL OR CAST(cap_tokens AS DOUBLE) < water
+                   THEN CAST(cap_tokens AS DOUBLE) ELSE water END) / budget, 6) + 0 AS weight_
+FROM level
+""",
+)
+def curate_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): per-language token
+    budgets that are as uniform as the per-language epoch cap allows.
+    The paper's ascending greedy — for each language, smallest first,
+    allocate min(cap_l, remaining_budget / remaining_languages) — has
+    the water-filling closed form: once one language can take the full
+    uniform share, every larger language takes exactly the same share
+    (allocating u keeps remaining/|remaining| invariant), so
+
+        water = theta_k,  k = FIRST i (cap ascending) with
+        theta_i = (B - prefix_cap_{i-1}) / (L - i + 1) <= cap_i
+
+    and alloc_l = min(cap_l, water) (all-capped corpora leave water
+    NULL and every language at its cap — the budget is simply not
+    spendable under N epochs).  The first-qualifying index matters:
+    theta_i is only meaningful while every earlier language capped
+    (it increases strictly up to k and is garbage past it, since the
+    prefix keeps subtracting FULL caps), so the level is taken at
+    k = MIN(qualifying i), never as a min over qualifying thetas.  Emits per language the corpus tokens,
+    the cap, the allocation, implied epochs, and the sampling weight a
+    multilingual loader consumes.
+
+    Both engines compute the identical operation tree on doubles (one
+    subtraction, one division per row; the 6-dp round carries the
+    negative-zero "+ 0" discipline), so the oracle hash-matches
+    bit-for-bit.
+
+    Scale (100 TB): one map-side-combined groupBy(lang) over the corpus
+    (the ONLY corpus-scaled stage), then every window runs over the
+    LANGUAGE table — bounded by the world's language count, a
+    constant-size single partition by nature, never corpus-keyed."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens")
+    )
+    cap = (F.col("n_tokens") * UNIMAX_EPOCH_CAP).cast("long")
+    from pyspark.sql import Window
+
+    # the window universe is the per-language table (|langs| rows);
+    # single-partition windows here are deliberate and bounded
+    asc = Window.orderBy(cap, "lang")
+    everything = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    o = counts.select(
+        "lang",
+        "n_tokens",
+        cap.alias("cap_tokens"),
+        F.row_number().over(asc).alias("i"),
+        F.count(F.lit(1)).over(everything).alias("n_langs"),
+        F.coalesce(
+            F.sum(cap).over(asc.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("prefix_cap"),
+        (F.sum("n_tokens").over(everything).cast("double") * UNIMAX_BUDGET_FRAC).alias(
+            "budget"
+        ),
+    )
+    theta_i = (F.col("budget") - F.col("prefix_cap")) / (
+        F.col("n_langs").cast("double") - (F.col("i") - 1)
+    )
+    k = o.select(
+        "*",
+        theta_i.alias("theta_i"),
+        F.min(
+            F.when(F.col("cap_tokens").cast("double") >= theta_i, F.col("i"))
+        )
+        .over(everything)
+        .alias("k_i"),
+    )
+    lvl = k.select(
+        "*",
+        F.max(F.when(F.col("i") == F.col("k_i"), F.col("theta_i")))
+        .over(everything)
+        .alias("water"),
+    )
+    alloc = F.when(
+        F.col("water").isNull()
+        | (F.col("cap_tokens").cast("double") < F.col("water")),
+        F.col("cap_tokens").cast("double"),
+    ).otherwise(F.col("water"))
+    return lvl.select(
+        "lang",
+        "n_tokens",
+        "cap_tokens",
+        (F.round(alloc, 6) + F.lit(0.0)).alias("alloc_tokens"),
+        (F.round(alloc / F.col("n_tokens"), 6) + F.lit(0.0)).alias("epochs_"),
+        (F.round(alloc / F.col("budget"), 6) + F.lit(0.0)).alias("weight_"),
+    )

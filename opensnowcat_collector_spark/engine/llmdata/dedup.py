@@ -2583,3 +2583,160 @@ def dedup_source_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((len(rows) + 1, src, -neg_mass))
         picked.add(src)
     return spark.createDataFrame(rows, "step int, source string, marginal long")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunk dedup (r13): Rabin/FastCDC-style chunking (Muthitacharoen
+# et al. 2001, LBFS; Xia et al. 2016, FastCDC) applied to token streams —
+# chunk boundaries fall where a rolling window's hash hits a modulus, so
+# the SAME text chunks identically regardless of its byte offset in the
+# document.  This is the shift-robust complement to the fixed line/chunk
+# cleaners: inserting one sentence at the top of a page shifts every
+# fixed-width chunk (C4-style line dedup misses the reuse) but leaves all
+# CDC boundaries after the insertion point untouched.
+# ---------------------------------------------------------------------------
+
+#: rolling-window width (tokens) for the boundary hash
+CDC_W = 3
+#: boundary when hash(window) % CDC_MOD == 0 -> expected chunk ~CDC_MOD tokens
+CDC_MOD = 16
+#: hex digits of the md5 used as the boundary hash (same uniform-int idiom
+#: as curation.ES_HEX_DIGITS)
+CDC_HEX = 8
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+toks AS (
+  SELECT doc_id, u['i'] AS i, u['wd'] AS wd
+  FROM (SELECT doc_id,
+               UNNEST([{{'i': i, 'wd': w[i]}} for i in generate_series(1, len(w))]) AS u
+        FROM ws)
+),
+flagged AS (
+  SELECT doc_id, i, wd,
+         CASE WHEN i >= {CDC_W}
+                   AND CAST('0x' || substr(md5(concat_ws(' ',
+                         LAG(wd, 2) OVER (PARTITION BY doc_id ORDER BY i),
+                         LAG(wd, 1) OVER (PARTITION BY doc_id ORDER BY i),
+                         wd)), 1, {CDC_HEX}) AS BIGINT) % {CDC_MOD} = 0
+              THEN 1 ELSE 0 END AS b
+  FROM toks
+),
+chunked AS (
+  SELECT doc_id, i, wd,
+         CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) - b AS BIGINT) AS chunk_id
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(wd, ' ' ORDER BY i)) AS chunk_hash,
+         CAST(COUNT(*) AS BIGINT) AS chunk_tokens
+  FROM chunked GROUP BY doc_id, chunk_id
+),
+freq AS (
+  SELECT *, CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_occ
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN n_occ >= 2 THEN chunk_tokens ELSE 0 END) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(SUM(CASE WHEN n_occ >= 2 THEN chunk_tokens ELSE 0 END) AS DOUBLE)
+             / SUM(chunk_tokens), 6) + 0 AS dup_token_fraction
+FROM freq GROUP BY doc_id
+""",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup: token positions where the md5 of the
+    trailing CDC_W-token window lands on 0 mod CDC_MOD close a chunk
+    (the LBFS/FastCDC boundary rule over tokens instead of bytes), each
+    chunk is hashed, and a chunk occurring anywhere else in the corpus
+    — same doc or another — is duplicate mass.  Because boundaries
+    depend only on LOCAL content, a document that embeds a copied
+    passage at any offset produces the passage's exact interior chunks,
+    so cross-document reuse is caught where fixed-grid chunking would
+    alias every boundary after an insertion.  Emits per doc the chunk
+    count, duplicated-chunk count, duplicated token mass and fraction.
+
+    Dataflow (all JVM, zero Python): one posexplode of the token
+    stream; TWO lag/running-sum windows sharing ONE doc_id-keyed
+    exchange (boundary flag, then exclusive-prefix chunk id); the
+    (doc_id, chunk_id) reassembly groupBy rides the SAME doc_id
+    partitioning (grouping keys are a superset of the partition key —
+    no second corpus exchange); one chunk_hash-keyed window counts
+    occurrences; one final doc_id aggregation.
+
+    Scale (100 TB): every stage is linear in token volume and keyed by
+    doc_id or chunk_hash (both well-distributed; chunk boundaries are
+    md5-uniform so no hot chunk key beyond true duplicate mass, the
+    same property the exact/paragraph cleaners rely on).  Expected
+    chunk length is CDC_MOD tokens — the knob trades dedup granularity
+    against chunk-table size exactly as in FastCDC."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("i0", "wd"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "wd")
+    byi = Window.partitionBy("doc_id").orderBy("i")
+    gram = F.concat_ws(
+        " ", F.lag("wd", 2).over(byi), F.lag("wd", 1).over(byi), F.col("wd")
+    )
+    h = F.conv(F.substring(F.md5(gram), 1, CDC_HEX), 16, 10).cast("long")
+    b = F.when((F.col("i") >= CDC_W) & (h % CDC_MOD == 0), 1).otherwise(0)
+    flagged = toks.select("doc_id", "i", "wd", b.alias("b"))
+    chunked = flagged.select(
+        "doc_id",
+        "i",
+        "wd",
+        (
+            F.sum("b").over(byi.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("b")
+        )
+        .cast("long")
+        .alias("chunk_id"),
+    )
+    reassembled = F.md5(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "wd"))),
+                lambda s: s.wd,
+            ),
+        )
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        reassembled.alias("chunk_hash"),
+        F.count(F.lit(1)).alias("chunk_tokens"),
+    )
+    freq = chunks.select(
+        "*",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("chunk_hash"))
+        .alias("n_occ"),
+    )
+    dup = F.col("n_occ") >= 2
+    return freq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+        F.sum(F.when(dup, F.col("chunk_tokens")).otherwise(0))
+        .cast("long")
+        .alias("dup_tokens"),
+        (
+            F.round(
+                F.sum(F.when(dup, F.col("chunk_tokens")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("chunk_tokens"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dup_token_fraction"),
+    )

@@ -744,3 +744,108 @@ def test_pack_bestfit_bisect_equals_min_scan():
         assert min_scan(needs) == bisect_place(needs), trial
     tie_heavy = [64] * 50 + [32] * 100 + [1] * 200
     assert min_scan(tie_heavy) == bisect_place(tie_heavy)
+
+
+def test_unimax_matches_paper_greedy(spark, sf_dir):
+    """The window water-filling closed form must equal the UniMax
+    paper's literal sequential greedy (ascending corpus size; each
+    language gets min(cap, remaining_budget / remaining_languages)),
+    and the graded corpus must exercise BOTH branches (capped languages
+    AND at least one on the uniform share)."""
+    from opensnowcat_collector_spark.engine.llmdata.curation import (
+        UNIMAX_BUDGET_FRAC,
+        UNIMAX_EPOCH_CAP,
+        curate_unimax_mix,
+    )
+
+    rows = {r.lang: r for r in curate_unimax_mix(spark, sf_dir).collect()}
+    langs = sorted(
+        rows.values(), key=lambda r: (r.n_tokens * UNIMAX_EPOCH_CAP, r.lang)
+    )
+    budget = sum(r.n_tokens for r in rows.values()) * UNIMAX_BUDGET_FRAC
+    remaining, expect = budget, {}
+    for pos, r in enumerate(langs):
+        share = remaining / (len(langs) - pos)
+        a = min(float(r.n_tokens * UNIMAX_EPOCH_CAP), share)
+        expect[r.lang] = a
+        remaining -= a
+    for lang, r in rows.items():
+        assert abs(r.alloc_tokens - round(expect[lang], 6)) < 1e-6, (
+            lang,
+            r.alloc_tokens,
+            expect[lang],
+        )
+    capped = [r for r in rows.values() if r.alloc_tokens == r.cap_tokens]
+    uniform = [r for r in rows.values() if r.alloc_tokens < r.cap_tokens]
+    assert capped and uniform, "graded corpus must exercise both branches"
+
+
+def test_unimax_water_is_first_qualifying_theta(spark, tmp_path):
+    """The degenerate case that breaks a min-over-qualifying-thetas
+    formulation: two equal-cap languages whose budget is below the
+    total cap — theta past the first qualifying index is garbage (the
+    prefix keeps subtracting FULL caps) and must not drag the water
+    level down.  With caps [2*n, 2*n] and budget 1.6*total the uniform
+    share is 0.8*total each, under the cap — every language sits on
+    the SAME water level, none at cap."""
+    import duckdb
+
+    from opensnowcat_collector_spark.engine.llmdata.curation import (
+        curate_unimax_mix,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.execute(
+        "INSERT INTO documents VALUES"
+        " (0, 'a b c d e', 'xx', 's', 0), (1, 'f g h i j', 'yy', 's', 0)"
+    )
+    con.execute(f"COPY documents TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)")
+    rows = {r.lang: r for r in curate_unimax_mix(spark, str(tmp_path)).collect()}
+    # total 10 tokens, budget 16, caps 10 each; water = 8 for both
+    assert rows["xx"].alloc_tokens == rows["yy"].alloc_tokens == 8.0
+    assert rows["xx"].epochs_ == 1.6
+
+
+def test_cdc_chunks_are_shift_robust(spark, tmp_path):
+    """The CDC property fixed-grid chunking lacks: prepending a prefix
+    to a document leaves the interior chunks of the shared suffix
+    intact, so a doc and its shifted copy share duplicate chunk mass.
+    Build doc A and doc B = junk-prefix + A; every interior chunk of A
+    (all chunks except possibly the first, which absorbs the prefix
+    seam, and the doc-final partial chunk) must be flagged duplicate in
+    BOTH docs."""
+    import random
+
+    import duckdb
+
+    from opensnowcat_collector_spark.engine.llmdata.dedup import (
+        dedup_cdc_chunks,
+    )
+
+    rng = random.Random(99)
+    words = [f"w{rng.randint(0, 5000)}" for _ in range(400)]
+    base = " ".join(words)
+    shifted = " ".join([f"junk{i}" for i in range(7)]) + " " + base
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.execute(
+        "INSERT INTO documents VALUES (0, ?, 'en', 's', 0), (1, ?, 'en', 's', 0)",
+        [base, shifted],
+    )
+    con.execute(f"COPY documents TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)")
+    rows = {r.doc_id: r for r in dedup_cdc_chunks(spark, str(tmp_path)).collect()}
+    # boundaries are content-local, so the shared 400-word suffix yields
+    # many identical chunks in both docs
+    assert rows[0].n_dup_chunks >= rows[0].n_chunks - 2, rows[0]
+    assert rows[1].n_dup_chunks >= rows[0].n_dup_chunks, rows[1]
+    # the non-shared mass is at most the seam chunk (chunk lengths are
+    # geometric with mean CDC_MOD, so the seam can absorb a few dozen
+    # tokens of the 400) — the bulk of the token mass must be flagged
+    assert rows[0].dup_token_fraction > 0.8, rows[0]

@@ -935,3 +935,36 @@ def test_kn_buckets_artifact_serving_single_lang_window(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning\(lang", plan)) >= 1, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_cdc_chunks_three_linear_exchanges_no_python(spark, sf_dir):
+    """dedup_cdc_chunks (r13): the whole pipeline is three linear
+    exchanges — ONE doc_id exchange shared by the boundary-lag and
+    chunk-id windows AND the (doc_id, chunk_id) reassembly groupBy
+    (grouping keys are a superset of the window partition key, so no
+    second corpus exchange), one chunk_hash exchange for the occurrence
+    window, one final doc_id aggregation — with zero Python stages and
+    no SinglePartition anywhere (all keys are doc_id/chunk_hash,
+    md5-uniform)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "dedup_cdc_chunks")
+    assert plan.count("Exchange") == 3, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(doc_id", plan)) == 2, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(chunk_hash", plan)) == 1, plan
+    assert "SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_unimax_single_corpus_exchange(spark, sf_dir):
+    """curate_unimax_mix (r13): the ONLY corpus-scaled stage is the
+    map-side-combined groupBy(lang); every window runs on the
+    language table (bounded by the world's language count), so the
+    SinglePartition exchange moves |langs| rows, never the corpus."""
+    import re
+
+    plan = _plan(spark, sf_dir, "curate_unimax_mix")
+    assert plan.count("Exchange") == 2, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(lang", plan)) == 1, plan
+    assert "partial_sum" in plan, plan  # the lang count agg combines map-side
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan

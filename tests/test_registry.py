@@ -423,12 +423,11 @@ _R13_R8_HEAD = [
     "agg_grouping_sets",
     "events_tumbling_15min",
     "agg_distinct_counts",
-    "scalar_url_map_funcs",
-    "scalar_hash_encode_funcs",
-    # topk_orders / json_props_extract: displaced from the window
-    # bottom by the graded-on-arrival streaming_fuzzy_refresh and
-    # curate_pack_bestfit (r8 evidence fresh through r14; they head
-    # the r14 window)
+    # scalar_url_map_funcs / scalar_hash_encode_funcs / topk_orders /
+    # json_props_extract: displaced from the window bottom by the
+    # graded-on-arrival streaming_fuzzy_refresh, curate_pack_bestfit,
+    # curate_unimax_mix and dedup_cdc_chunks (r8 evidence fresh through
+    # r14; they head the r14 window)
 ]
 
 
