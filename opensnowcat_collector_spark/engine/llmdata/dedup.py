@@ -2605,10 +2605,13 @@ CDC_MOD = 16
 CDC_HEX = 8
 
 
-@register(
-    "dedup_cdc_chunks",
-    oracle=f"""
-WITH ws AS (
+def cdc_chunks_sql() -> str:
+    """DuckDB CTE chain ws -> toks -> flagged -> chunked -> chunks
+    producing (doc_id, chunk_id, chunk_hash, chunk_tokens) over the
+    documents table — the ONE oracle-side chunking definition shared by
+    the batch query and the streaming serve/refresh twins (mirrors the
+    Spark ``cdc_chunks_of``; the two MUST change together)."""
+    return f"""ws AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
 ),
 toks AS (
@@ -2638,7 +2641,13 @@ chunks AS (
          md5(string_agg(wd, ' ' ORDER BY i)) AS chunk_hash,
          CAST(COUNT(*) AS BIGINT) AS chunk_tokens
   FROM chunked GROUP BY doc_id, chunk_id
-),
+)"""
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+WITH {cdc_chunks_sql()},
 freq AS (
   SELECT *, CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_occ
   FROM chunks
@@ -2681,6 +2690,44 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
+    chunks = cdc_chunks_of(d)
+    freq = chunks.select(
+        "*",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("chunk_hash"))
+        .alias("n_occ"),
+    )
+    dup = F.col("n_occ") >= 2
+    return freq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+        F.sum(F.when(dup, F.col("chunk_tokens")).otherwise(0))
+        .cast("long")
+        .alias("dup_tokens"),
+        (
+            F.round(
+                F.sum(F.when(dup, F.col("chunk_tokens")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("chunk_tokens"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dup_token_fraction"),
+    )
+
+
+def cdc_chunks_of(d: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, chunk_hash, chunk_tokens) — the CDC chunking
+    of an arbitrary documents-shaped frame; the ONE Spark-side
+    definition shared by the batch query and the streaming
+    serve/refresh twins (``cdc_chunks_sql`` is its DuckDB mirror).
+    Boundaries are content-local (the trailing CDC_W-token md5), so a
+    document chunks identically whether it arrives in the batch table
+    or a micro-batch — the property that makes the serving gate
+    stateless."""
+    from pyspark.sql import Window
+
     toks = d.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("i0", "wd"),
@@ -2712,31 +2759,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+    return chunked.groupBy("doc_id", "chunk_id").agg(
         reassembled.alias("chunk_hash"),
         F.count(F.lit(1)).alias("chunk_tokens"),
-    )
-    freq = chunks.select(
-        "*",
-        F.count(F.lit(1))
-        .over(Window.partitionBy("chunk_hash"))
-        .alias("n_occ"),
-    )
-    dup = F.col("n_occ") >= 2
-    return freq.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
-        F.sum(F.when(dup, F.col("chunk_tokens")).otherwise(0))
-        .cast("long")
-        .alias("dup_tokens"),
-        (
-            F.round(
-                F.sum(F.when(dup, F.col("chunk_tokens")).otherwise(0)).cast(
-                    "double"
-                )
-                / F.sum("chunk_tokens"),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("dup_token_fraction"),
     )

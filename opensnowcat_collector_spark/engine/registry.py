@@ -32,17 +32,19 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # r12 registry's "r13 PLAN" comment and proven by the
 # horizon/solvability tests): slots 1-20 are the twenty r7-evidence
 # entries deferred from r12 (age 6 at r13 — the LAST legal round under
-# the freshness bar, mandatory).  Slots 21-24 are the four r13-new
+# the freshness bar, mandatory).  Slots 21-26 are the six r13-new
 # queries (graded on arrival): the fuzzy screen's index-refresh twin
 # (VERDICT r12 item 2), best-fit-decreasing sequence packing (item 4),
-# UniMax language sampling, and content-defined chunk dedup; each
-# takes a window slot the r8 head would otherwise extend into
-# (scalar_url_map_funcs, scalar_hash_encode_funcs, topk_orders and
-# json_props_extract displaced to the staged head, age 6 at r14 —
-# mandatory there, same rule as every rotation).  Slots 25-35 are the
-# head of the r8 block (age 5); its remaining twenty-four entries wait
-# for r14 (age 6 there, still at the bar) and head the staged section
-# below.  Slots 36-50 keep the standing keeps.
+# UniMax language sampling, content-defined chunk dedup, and the CDC
+# chunk table's serve + refresh twins (landed symmetric in the same
+# round); each takes a window slot the r8 head would otherwise extend
+# into (scalar_url_map_funcs, scalar_hash_encode_funcs, topk_orders,
+# json_props_extract, agg_distinct_counts and events_tumbling_15min
+# displaced to the staged head, age 6 at r14 — mandatory there, same
+# rule as every rotation).  Slots 27-35 are the head of the r8 block
+# (age 5); its remaining twenty-six entries wait for r14 (age 6 there,
+# still at the bar) and head the staged section below.  Slots 36-50
+# keep the standing keeps.
 _PRIORITY: list[str] = [
     # ---- slots 1-20: the r7 bottom, deferred from r12 (age 6 at r13 —
     # mandatory).
@@ -66,22 +68,25 @@ _PRIORITY: list[str] = [
     "dedup_shingle_containment",
     "sim_radius_search",
     "text_entropy_metrics",
-    # ---- slots 21-24: r13-new (the fuzzy rarity-table refresh twin,
+    # ---- slots 21-26: r13-new (the fuzzy rarity-table refresh twin,
     # graded by retrain-from-scratch equality — the last trained table
     # without one; best-fit-decreasing packing with loss-mask
     # accounting, oracle-replayed as a recursive CTE; UniMax language
-    # sampling, the water-filling closed form; and content-defined
-    # chunk dedup, the shift-robust LBFS/FastCDC boundary rule) —
-    # graded on arrival; the late pair displace scalar_url_map_funcs
-    # and scalar_hash_encode_funcs from the r8 head to the staged head
-    # (r8 evidence fresh through r14 — mandatory there, same rule as
-    # every rotation).
+    # sampling, the water-filling closed form; content-defined chunk
+    # dedup, the shift-robust LBFS/FastCDC boundary rule; and the CDC
+    # chunk table's serve + refresh twins, closing its trained-table
+    # symmetry in the round it landed) — graded on arrival; each late
+    # arrival displaces one more r8-head entry to the staged head (r8
+    # evidence fresh through r14 — mandatory there, same rule as every
+    # rotation).
     "streaming_fuzzy_refresh",
     "curate_pack_bestfit",
     "curate_unimax_mix",
     "dedup_cdc_chunks",
-    # ---- slots 25-35: head of the r8 block (age 5 at r13; the
-    # remaining twenty-four wait for r14, age 6 — still legal, and head
+    "streaming_cdc_dedup",
+    "streaming_cdc_refresh",
+    # ---- slots 27-35: head of the r8 block (age 5 at r13; the
+    # remaining twenty-six wait for r14, age 6 — still legal, and head
     # the staged section below).
     "embed_quantize_int8",
     "dedup_suffix_repeats",
@@ -92,8 +97,6 @@ _PRIORITY: list[str] = [
     "events_hourly_rollup",
     "agg_cube_status_priority",
     "agg_grouping_sets",
-    "events_tumbling_15min",
-    "agg_distinct_counts",
     # ---- slots 36-50: the 15 standing keeps (same set since r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -114,14 +117,16 @@ _PRIORITY: list[str] = [
     # r14 PLAN (horizon + capacity proven by
     # tests/test_registry.py::test_next_round_rotation_horizon and
     # ::test_rotation_schedule_solvable_through_r16): after r13 grades
-    # slots 1-50, the stalest remaining evidence is the twenty-four
+    # slots 1-50, the stalest remaining evidence is the twenty-six
     # deferred r8 entries below (age 6 at r14 — mandatory) followed by
     # the r9 block (age 5 at r14); the r14 window = keeps + the 35
     # stalest, greedy by evidence age, exactly the policy every
     # rotation has followed.  Nothing ages past 6 under this schedule.
     # ---- r8 bottom, deferred to r14 (mandatory there; displaced from
-    # the r13 window by the twenty mandatory r7 entries + the four
+    # the r13 window by the twenty mandatory r7 entries + the six
     # graded-on-arrival r13-new queries).
+    "events_tumbling_15min",
+    "agg_distinct_counts",
     "scalar_url_map_funcs",
     "scalar_hash_encode_funcs",
     "topk_orders",
@@ -298,7 +303,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "scalar_url_map_funcs"  # first entry past the window, r13
+_WINDOW_SENTINEL = "events_tumbling_15min"  # first entry past the window, r13
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

@@ -2648,3 +2648,183 @@ def streaming_kn_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("stream"))
         .alias("origin"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming CDC-chunk dedup (r13): serve + refresh twins for the
+# content-defined chunk table, closing the trained-table symmetry for the
+# dedup_cdc_chunks family in the same round it landed (line-dedup,
+# semdedup, KN and the fuzzy rarity table all carry the same pair).
+# Boundaries are content-local (trailing CDC_W-token md5), so a document
+# chunks IDENTICALLY in the batch table and in a micro-batch — the gate
+# is stateless by construction and equality with the split-corpus oracle
+# proves batching-invariance.
+# --------------------------------------------------------------------------
+
+from .llmdata.dedup import cdc_chunks_of, cdc_chunks_sql  # noqa: E402
+
+
+def _cdc_serve_oracle() -> str:
+    return f"""
+WITH {cdc_chunks_sql()},
+hist AS (
+  SELECT DISTINCT chunk_hash FROM chunks WHERE doc_id < {CURATION_CORPUS_SPLIT}
+),
+sc AS (
+  SELECT * FROM chunks WHERE doc_id >= {CURATION_CORPUS_SPLIT}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN h.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hist_dup_chunks,
+       CAST(SUM(CASE WHEN h.chunk_hash IS NOT NULL THEN chunk_tokens ELSE 0 END) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(SUM(CASE WHEN h.chunk_hash IS NOT NULL THEN chunk_tokens ELSE 0 END) AS DOUBLE)
+             / SUM(chunk_tokens), 6) + 0 AS dup_token_fraction
+FROM sc LEFT JOIN hist h USING (chunk_hash)
+GROUP BY doc_id
+"""
+
+
+@register("streaming_cdc_dedup", oracle=_cdc_serve_oracle())
+def streaming_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC-chunk dedup under the gate — the serving twin of
+    ``dedup_cdc_chunks``: the chunk-hash table is built ONCE from the
+    static corpus slice, and every incoming crawl document is chunked
+    by the content-local boundary rule and screened against it — a
+    chunk present ANYWHERE in history is duplicate mass whose earliest
+    site lives on the historical side (keep-earliest, tie to history,
+    exactly the line-dedup gate's policy applied to shift-robust
+    chunks).  Chunks new to the corpus pass through even if repeated
+    within the stream slice; they enter the chunk table at the next
+    refresh (``streaming_cdc_refresh``).  Emits per incoming doc the
+    chunk count, history-duplicated chunk count, and duplicated token
+    mass/fraction.
+
+    Stateless by construction: boundaries depend only on the trailing
+    CDC_W tokens, so a document chunks identically in any micro-batch
+    — equality with the split-corpus batch oracle proves
+    batching-invariance without watermark or state store.
+
+    100-TB note: the historical chunk table scales with distinct
+    corpus chunks (~tokens / CDC_MOD), so its broadcast is SIZE-GATED
+    via the same ``_lazy_hist_side`` thunk as the line gate (counted
+    on first use, never at plan construction); each epoch pays one
+    doc_id-windowed chunking of the batch + one membership join + one
+    batch-local doc aggregation — incremental work scales with the
+    batch, never the corpus."""
+    d = table(spark, sf_dir, "documents")
+    hist = (
+        cdc_chunks_of(d.filter(F.col("doc_id") < CURATION_CORPUS_SPLIT))
+        .select("chunk_hash")
+        .distinct()
+        .withColumn("_hist", F.lit(True))
+        .localCheckpoint(eager=False)
+    )
+    hist_side = _lazy_hist_side(hist)
+
+    stream = _stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= CURATION_CORPUS_SPLIT
+    )
+
+    def gate_batch(batch_df: DataFrame) -> DataFrame:
+        ch = cdc_chunks_of(batch_df)
+        flags = ch.join(hist_side(), "chunk_hash", "left")
+        dup = F.col("_hist").isNotNull()
+        return flags.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hist_dup_chunks"),
+            F.sum(F.when(dup, F.col("chunk_tokens")).otherwise(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            (
+                F.round(
+                    F.sum(F.when(dup, F.col("chunk_tokens")).otherwise(0)).cast(
+                        "double"
+                    )
+                    / F.sum("chunk_tokens"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("dup_token_fraction"),
+        )
+
+    return _drain_foreachbatch(
+        stream,
+        gate_batch,
+        [
+            "doc_id",
+            "n_chunks",
+            "n_hist_dup_chunks",
+            "dup_tokens",
+            "dup_token_fraction",
+        ],
+        "streaming cdc dedup",
+        "cdc_dedup_stream_",
+    )
+
+
+def _cdc_refresh_oracle() -> str:
+    return f"""
+WITH {cdc_chunks_sql()}
+SELECT chunk_hash,
+       CASE WHEN BOOL_OR(doc_id < {CURATION_CORPUS_SPLIT})
+            THEN 'history' ELSE 'stream' END AS origin
+FROM chunks
+GROUP BY chunk_hash
+"""
+
+
+@register("streaming_cdc_refresh", oracle=_cdc_refresh_oracle())
+def streaming_cdc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-refresh half of ``streaming_cdc_dedup``: the serving
+    gate defers novel chunks to "the next refresh" — this IS that
+    refresh, graded.  Per epoch the batch's distinct chunk hashes
+    anti-join the FIXED history table (batch-scaled work only); at
+    drain the accumulated novel chunks union the history table, each
+    chunk tagged with its provenance (a chunk seen in both history and
+    stream keeps its historical origin — keep-earliest; a
+    stream-repeated novel chunk lands exactly once).
+
+    The oracle is a RETRAIN FROM SCRATCH: distinct chunk hashes over
+    the FULL corpus, origin = 'history' iff any static-slice document
+    contains the chunk.  Equality proves the incremental fold commutes
+    with rebuilding — the same property graded for the line-dedup,
+    semdedup, KN and fuzzy-rarity tables; with this pair the CDC chunk
+    table closes its serve/refresh symmetry in the round it landed.
+
+    Scale (100 TB): per-epoch increment is one windowed chunking + one
+    membership anti-join, batch-scaled; the final union touches the
+    chunk table exactly once — O(batch + table), never a corpus
+    re-chunk."""
+    d = table(spark, sf_dir, "documents")
+    hist = (
+        cdc_chunks_of(d.filter(F.col("doc_id") < CURATION_CORPUS_SPLIT))
+        .select("chunk_hash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hist_side = _lazy_hist_side(hist)
+
+    stream = _stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= CURATION_CORPUS_SPLIT
+    )
+
+    def novel_batch(batch_df: DataFrame) -> DataFrame:
+        return (
+            cdc_chunks_of(batch_df)
+            .select("chunk_hash")
+            .distinct()
+            .join(hist_side(), "chunk_hash", "left_anti")
+        )
+
+    novel = _drain_foreachbatch(
+        stream,
+        novel_batch,
+        ["chunk_hash"],
+        "streaming cdc refresh",
+        "cdc_refresh_stream_",
+    ).distinct()  # the same novel chunk may arrive in several epochs
+    return hist.select(
+        "chunk_hash", F.lit("history").alias("origin")
+    ).unionByName(novel.select("chunk_hash", F.lit("stream").alias("origin")))

@@ -421,13 +421,13 @@ _R13_R8_HEAD = [
     "events_hourly_rollup",
     "agg_cube_status_priority",
     "agg_grouping_sets",
-    "events_tumbling_15min",
-    "agg_distinct_counts",
     # scalar_url_map_funcs / scalar_hash_encode_funcs / topk_orders /
-    # json_props_extract: displaced from the window bottom by the
-    # graded-on-arrival streaming_fuzzy_refresh, curate_pack_bestfit,
-    # curate_unimax_mix and dedup_cdc_chunks (r8 evidence fresh through
-    # r14; they head the r14 window)
+    # json_props_extract / agg_distinct_counts / events_tumbling_15min:
+    # displaced from the window bottom by the six graded-on-arrival
+    # r13-new queries (streaming_fuzzy_refresh, curate_pack_bestfit,
+    # curate_unimax_mix, dedup_cdc_chunks, streaming_cdc_dedup,
+    # streaming_cdc_refresh — r8 evidence fresh through r14; they head
+    # the r14 window)
 ]
 
 
