@@ -28,103 +28,21 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # subsystem; order past the window is rotation-staged (see tranche
 # comments below), then legacy order.
 #
-# r13 rotation (VERDICT r12 item 1; executes the plan recorded in the
-# r12 registry's "r13 PLAN" comment and proven by the
-# horizon/solvability tests): slots 1-20 are the twenty r7-evidence
-# entries deferred from r12 (age 6 at r13 — the LAST legal round under
-# the freshness bar, mandatory).  Slots 21-26 are the six r13-new
-# queries (graded on arrival): the fuzzy screen's index-refresh twin
-# (VERDICT r12 item 2), best-fit-decreasing sequence packing (item 4),
-# UniMax language sampling, content-defined chunk dedup, and the CDC
-# chunk table's serve + refresh twins (landed symmetric in the same
-# round); each takes a window slot the r8 head would otherwise extend
-# into (scalar_url_map_funcs, scalar_hash_encode_funcs, topk_orders,
-# json_props_extract, agg_distinct_counts and events_tumbling_15min
-# displaced to the staged head, age 6 at r14 — mandatory there, same
-# rule as every rotation).  Slots 27-35 are the head of the r8 block
-# (age 5); its remaining twenty-six entries wait for r14 (age 6 there,
-# still at the bar) and head the staged section below.  Slots 36-50
-# keep the standing keeps.
+# r14 rotation (VERDICT r13 item 1; executes the plan recorded in the
+# r13 registry's "r14 PLAN" comment and proven by the
+# horizon/solvability tests): slots 1-26 are the twenty-six r8-evidence
+# entries deferred from r13 (age 6 at r14 — the LAST legal round under
+# the freshness bar, mandatory).  Slots 27-35 are the head of the r9
+# block (age 5); its remaining twenty-six entries wait for r15 (age 6
+# there, still at the bar) and head the staged section below.
+# Slots 36-50 keep the standing keeps.  r14-new queries (graded on
+# arrival) displace r9-head entries from the window bottom to the
+# staged head, same rule as every rotation.
 _PRIORITY: list[str] = [
-    # ---- slots 1-20: the r7 bottom, deferred from r12 (age 6 at r13 —
-    # mandatory).
-    "join_asof_forward_tolerance",
-    "dedup_lsh_quality",
-    "events_zorder_pruned",
-    "curate_snapshot_diff",
-    "text_gopher_quality_gates",
-    "curate_global_shuffle",
-    "agg_countmin_heavy_hitters",
-    "events_max_concurrency_sweep",
-    "streaming_countmin_sketch",
-    "events_sliding_window_stats",
-    "join_asof_nearest",
-    "curate_importance_resample",
-    "text_langid_ngram_profiles",
-    "streaming_sliding_window",
-    "collector_split_accounting",
-    "collector_thrift_roundtrip",
-    "collector_redirect_origin_gates",
-    "dedup_shingle_containment",
-    "sim_radius_search",
-    "text_entropy_metrics",
-    # ---- slots 21-26: r13-new (the fuzzy rarity-table refresh twin,
-    # graded by retrain-from-scratch equality — the last trained table
-    # without one; best-fit-decreasing packing with loss-mask
-    # accounting, oracle-replayed as a recursive CTE; UniMax language
-    # sampling, the water-filling closed form; content-defined chunk
-    # dedup, the shift-robust LBFS/FastCDC boundary rule; and the CDC
-    # chunk table's serve + refresh twins, closing its trained-table
-    # symmetry in the round it landed) — graded on arrival; each late
-    # arrival displaces one more r8-head entry to the staged head (r8
-    # evidence fresh through r14 — mandatory there, same rule as every
-    # rotation).
-    "streaming_fuzzy_refresh",
-    "curate_pack_bestfit",
-    "curate_unimax_mix",
-    "dedup_cdc_chunks",
-    "streaming_cdc_dedup",
-    "streaming_cdc_refresh",
-    # ---- slots 27-35: head of the r8 block (age 5 at r13; the
-    # remaining twenty-six wait for r14, age 6 — still legal, and head
-    # the staged section below).
-    "embed_quantize_int8",
-    "dedup_suffix_repeats",
-    "curate_suffix_dedup_apply",
-    "q7_volume_shipping",
-    "agg_stats_percentiles",
-    "q12_linestatus_priority",
-    "events_hourly_rollup",
-    "agg_cube_status_priority",
-    "agg_grouping_sets",
-    # ---- slots 36-50: the 15 standing keeps (same set since r7).
-    "streaming_leftouter_join",
-    "streaming_session_timeout_flush",
-    "dedup_paragraph_exact",
-    "streaming_dedup_watermark",
-    "streaming_session_window",
-    "streaming_enrich_join",
-    "streaming_stream_stream_join",
-    "streaming_stateful_sessionize",
-    "streaming_document_curation",
-    "join_skew_salted",
-    "join_bucketed_colocated",
-    "dedup_minhash_lsh",
-    "sim_ann_lsh",
-    "corpus_curation_pipeline",
-    "mm_feature_extract",
-    # ---- slot 51+ below: NOT driver-graded this round.
-    # r14 PLAN (horizon + capacity proven by
-    # tests/test_registry.py::test_next_round_rotation_horizon and
-    # ::test_rotation_schedule_solvable_through_r16): after r13 grades
-    # slots 1-50, the stalest remaining evidence is the twenty-six
-    # deferred r8 entries below (age 6 at r14 — mandatory) followed by
-    # the r9 block (age 5 at r14); the r14 window = keeps + the 35
-    # stalest, greedy by evidence age, exactly the policy every
-    # rotation has followed.  Nothing ages past 6 under this schedule.
-    # ---- r8 bottom, deferred to r14 (mandatory there; displaced from
-    # the r13 window by the twenty mandatory r7 entries + the six
-    # graded-on-arrival r13-new queries).
+    # ---- slots 1-26: the r8 bottom, deferred from r13 (age 6 at r14 —
+    # the LAST legal round under the freshness bar, mandatory; the plan
+    # recorded in the r13 registry's "r14 PLAN" comment and proven by
+    # the horizon/solvability tests).
     "events_tumbling_15min",
     "agg_distinct_counts",
     "scalar_url_map_funcs",
@@ -151,7 +69,11 @@ _PRIORITY: list[str] = [
     "curate_weighted_sample",
     "streaming_weighted_sample",
     "dedup_source_matrix",
-    # ---- r9-graded entries (fresh until r15; r14 window material).
+    # ---- slots 27-35: head of the r9 block (age 5 at r14; the
+    # remaining twenty-six wait for r15, age 6 — still at the bar, and
+    # head the staged section below).  r14-new queries graded on
+    # arrival displace entries from THIS group's bottom to the staged
+    # head (the graded-on-arrival rule every rotation has followed).
     "join_theta_quantity_over_size",
     "join_full_outer_nation_activity",
     "q14_promo_effect",
@@ -161,6 +83,31 @@ _PRIORITY: list[str] = [
     "scalar_datetime_funcs",
     "setop_intersect_active_auto",
     "window_range_frame_spend",
+    # ---- slots 36-50: the 15 standing keeps (same set since r7).
+    "streaming_leftouter_join",
+    "streaming_session_timeout_flush",
+    "dedup_paragraph_exact",
+    "streaming_dedup_watermark",
+    "streaming_session_window",
+    "streaming_enrich_join",
+    "streaming_stream_stream_join",
+    "streaming_stateful_sessionize",
+    "streaming_document_curation",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh",
+    "corpus_curation_pipeline",
+    "mm_feature_extract",
+    # ---- slot 51+ below: NOT driver-graded this round.
+    # r15 PLAN (horizon + capacity proven by
+    # tests/test_registry.py::test_next_round_rotation_horizon and
+    # ::test_rotation_schedule_solvable_through_r16): after r14 grades
+    # slots 1-50, the stalest remaining evidence is the twenty-six
+    # deferred r9 entries below (age 6 at r15 — mandatory) followed by
+    # the r10 block (age 5 at r15); the r15 window = keeps + the 35
+    # stalest, greedy by evidence age.  Nothing ages past 6.
+    # ---- r9 bottom, deferred to r15 (mandatory there).
     "window_value_picking",
     "events_type_matrix",
     "window_analytics_distribution",
@@ -259,8 +206,7 @@ _PRIORITY: list[str] = [
     "curate_contamination_audit",
     "streaming_semantic_contamination",
     "streaming_rho_scoring",
-    # ---- r12-graded entries (the non-keep r12 window; fresh until
-    # r18): the r6 bottom, the five r12-new queries, and the r7 head.
+    # ---- r12-graded entries (fresh until r18).
     "curate_dedup_apply",
     "curate_train_val_split",
     "agg_hll_partitioned_merge",
@@ -296,6 +242,43 @@ _PRIORITY: list[str] = [
     "sim_bitext_mine",
     "text_length_histogram",
     "events_scd2_intervals",
+    # ---- r13-graded entries (the non-keep r13 window: the r7 bottom,
+    # the six r13-new queries, and the r8 head; fresh until r19).
+    "join_asof_forward_tolerance",
+    "dedup_lsh_quality",
+    "events_zorder_pruned",
+    "curate_snapshot_diff",
+    "text_gopher_quality_gates",
+    "curate_global_shuffle",
+    "agg_countmin_heavy_hitters",
+    "events_max_concurrency_sweep",
+    "streaming_countmin_sketch",
+    "events_sliding_window_stats",
+    "join_asof_nearest",
+    "curate_importance_resample",
+    "text_langid_ngram_profiles",
+    "streaming_sliding_window",
+    "collector_split_accounting",
+    "collector_thrift_roundtrip",
+    "collector_redirect_origin_gates",
+    "dedup_shingle_containment",
+    "sim_radius_search",
+    "text_entropy_metrics",
+    "streaming_fuzzy_refresh",
+    "curate_pack_bestfit",
+    "curate_unimax_mix",
+    "dedup_cdc_chunks",
+    "streaming_cdc_dedup",
+    "streaming_cdc_refresh",
+    "embed_quantize_int8",
+    "dedup_suffix_repeats",
+    "curate_suffix_dedup_apply",
+    "q7_volume_shipping",
+    "agg_stats_percentiles",
+    "q12_linestatus_priority",
+    "events_hourly_rollup",
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
 ]
 
 
@@ -303,7 +286,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "events_tumbling_15min"  # first entry past the window, r13
+_WINDOW_SENTINEL = "window_value_picking"  # first entry past the window, r14
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

@@ -454,3 +454,74 @@ def test_r13_window_composition():
             # free slot: an r13-new query (never graded) or an
             # r9-or-fresher filler
             assert name not in latest_green or latest_green[name] >= 9, name
+
+
+_R14_R8_BOTTOM = [
+    "events_tumbling_15min",
+    "agg_distinct_counts",
+    "scalar_url_map_funcs",
+    "scalar_hash_encode_funcs",
+    "topk_orders",
+    "json_props_extract",
+    "array_hof_embeddings",
+    "join_left_order_counts",
+    "join_semi_open_orders",
+    "join_anti_customers_without_orders",
+    "window_rank_acctbal",
+    "window_running_spend",
+    "setop_union_segments",
+    "dedup_cascade_accounting",
+    "text_bigram_logprob",
+    "embed_dim_stats",
+    "curate_dsir_weights",
+    "text_zipf_fit",
+    "curate_ccnet_buckets",
+    "streaming_dsir_scoring",
+    "text_bpe_merge_steps",
+    "text_bpe_segment_counts",
+    "text_dup_line_fractions",
+    "curate_weighted_sample",
+    "streaming_weighted_sample",
+    "dedup_source_matrix",
+]
+
+# head of the r9 block windowed at r14 (the remaining twenty-six wait
+# for r15 at age 6, still at the bar); r14-new queries displace entries
+# from this list's BOTTOM to the staged head, and each displacement
+# removes the entry here (graded-on-arrival rule).
+_R14_R9_HEAD = [
+    "join_theta_quantity_over_size",
+    "join_full_outer_nation_activity",
+    "q14_promo_effect",
+    "events_dedup_latest",
+    "setop_except_inactive",
+    "scalar_string_funcs",
+    "scalar_datetime_funcs",
+    "setop_intersect_active_auto",
+    "window_range_frame_spend",
+]
+
+
+def test_r14_window_composition():
+    """r14 rotation (VERDICT r13 item 1, executing the plan recorded in
+    the r13 registry's "r14 PLAN" comment): the window holds (a) the
+    twenty-six r8-evidence entries deferred from r13 (age 6 at r14 —
+    the last legal round), (b) the head of the r9 block (age 5), and
+    (c) the 15 standing keeps.  Any free slot must hold either a
+    genuinely new query (never graded) or r10-or-fresher evidence.
+
+    SELF-RETIRING: pins the round-14 composition only; skips once the
+    r14 CORRECTNESS artifact is tracked.  The r15 rotation writes its
+    own pin."""
+    latest_green, rounds = _latest_green_by_round()
+    if max(rounds) + 1 != 14:
+        pytest.skip("window-composition pin for round 14; rotate + re-pin")
+    window = registry._PRIORITY[: registry.GRADED_WINDOW]
+    for name in _R14_R8_BOTTOM + _R14_R9_HEAD + _STANDING_KEEPS:
+        assert name in window, name
+    mandatory = set(_R14_R8_BOTTOM + _R14_R9_HEAD + _STANDING_KEEPS)
+    for name in window:
+        if name not in mandatory:
+            # free slot: an r14-new query (never graded) or an
+            # r10-or-fresher filler
+            assert name not in latest_green or latest_green[name] >= 10, name
