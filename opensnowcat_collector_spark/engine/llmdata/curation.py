@@ -2886,11 +2886,11 @@ UNIMAX_EPOCH_CAP = 2
 #: both allocation branches are exercised).
 UNIMAX_BUDGET_FRAC = 1.6
 
-
-@register(
-    "curate_unimax_mix",
-    oracle=f"""
-WITH counts AS (
+#: the water-filling allocation as a reusable DuckDB CTE chain ending in
+#: ``alloc`` — the ONE oracle-side definition shared by the plan query
+#: (``curate_unimax_mix``) and the sampler (``curate_unimax_apply``), so
+#: the two cannot allocate by divergent budgets.
+UNIMAX_ALLOC_SQL = f"""counts AS (
   SELECT lang, CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang
 ),
@@ -2921,15 +2921,24 @@ k AS (
 level AS (
   SELECT *, MAX(CASE WHEN i = k_i THEN theta_i END) OVER () AS water
   FROM k
-)
-SELECT lang, n_tokens, cap_tokens,
-       ROUND(CASE WHEN water IS NULL OR CAST(cap_tokens AS DOUBLE) < water
-                  THEN CAST(cap_tokens AS DOUBLE) ELSE water END, 6) + 0 AS alloc_tokens,
-       ROUND((CASE WHEN water IS NULL OR CAST(cap_tokens AS DOUBLE) < water
-                   THEN CAST(cap_tokens AS DOUBLE) ELSE water END) / n_tokens, 6) + 0 AS epochs_,
-       ROUND((CASE WHEN water IS NULL OR CAST(cap_tokens AS DOUBLE) < water
-                   THEN CAST(cap_tokens AS DOUBLE) ELSE water END) / budget, 6) + 0 AS weight_
-FROM level
+),
+alloc AS (
+  SELECT lang, n_tokens, cap_tokens,
+         ROUND(CASE WHEN water IS NULL OR CAST(cap_tokens AS DOUBLE) < water
+                    THEN CAST(cap_tokens AS DOUBLE) ELSE water END, 6) + 0 AS alloc_tokens,
+         ROUND((CASE WHEN water IS NULL OR CAST(cap_tokens AS DOUBLE) < water
+                     THEN CAST(cap_tokens AS DOUBLE) ELSE water END) / n_tokens, 6) + 0 AS epochs_,
+         ROUND((CASE WHEN water IS NULL OR CAST(cap_tokens AS DOUBLE) < water
+                     THEN CAST(cap_tokens AS DOUBLE) ELSE water END) / budget, 6) + 0 AS weight_
+  FROM level
+)"""
+
+
+@register(
+    "curate_unimax_mix",
+    oracle=f"""
+WITH {UNIMAX_ALLOC_SQL}
+SELECT lang, n_tokens, cap_tokens, alloc_tokens, epochs_, weight_ FROM alloc
 """,
 )
 def curate_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3022,4 +3031,96 @@ def curate_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(alloc, 6) + F.lit(0.0)).alias("alloc_tokens"),
         (F.round(alloc / F.col("n_tokens"), 6) + F.lit(0.0)).alias("epochs_"),
         (F.round(alloc / F.col("budget"), 6) + F.lit(0.0)).alias("weight_"),
+    )
+
+
+@register(
+    "curate_unimax_apply",
+    oracle=f"""
+WITH {UNIMAX_ALLOC_SQL},
+docs AS (
+  SELECT doc_id, lang,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS doc_tokens
+  FROM documents
+),
+keyed AS (
+  SELECT d.doc_id, d.lang, d.doc_tokens,
+         CAST(FLOOR(a.epochs_) AS BIGINT) AS full_epochs,
+         a.epochs_ - FLOOR(a.epochs_) AS frac,
+         CAST(CAST('0x' || substr(md5('ux:' || CAST(d.doc_id AS VARCHAR)),
+                                  1, {ES_HEX_DIGITS}) AS BIGINT) AS DOUBLE)
+           / {float(ES_HEX_SPAN)} AS u
+  FROM docs d JOIN alloc a USING (lang)
+)
+SELECT doc_id, lang, doc_tokens,
+       full_epochs + (CASE WHEN u < frac THEN 1 ELSE 0 END) AS n_copies,
+       doc_tokens * (full_epochs + (CASE WHEN u < frac THEN 1 ELSE 0 END))
+         AS sampled_tokens
+FROM keyed
+WHERE full_epochs + (CASE WHEN u < frac THEN 1 ELSE 0 END) > 0
+""",
+)
+def curate_unimax_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of ``curate_unimax_mix`` (VERDICT r13 item 4 —
+    the plan/apply symmetry every other mixing operator carries): the
+    allocation says HOW MANY tokens each language contributes; this
+    materializes it.  A language's allocation is epochs_l passes over
+    its corpus: every document is repeated floor(epochs_l) times (full
+    epochs — UniMax repeats whole corpora, not samples), and the
+    fractional remainder epoch takes each document independently with
+    probability frac_l = epochs_l - floor(epochs_l), decided by the
+    repo's deterministic md5-uniform (first {ES_HEX_DIGITS} hex digits
+    of md5('ux:'||doc_id) — the ``curate_sample_stratified`` /
+    Efraimidis-Spirakis idiom), so the draw reproduces across engines
+    and re-runs.  Emits one row per surviving document with its copy
+    count and sampled-token mass; per language,
+    SUM(sampled_tokens) = alloc_tokens in expectation, within the
+    binomial deviation of the fractional draw
+    (tests/test_curation.py pins the bound).
+
+    The allocation subtree is shared VERBATIM with the plan query on
+    both sides (``curate_unimax_mix`` / the ``alloc`` CTE of
+    UNIMAX_ALLOC_SQL), so the sampler can never draw from a budget the
+    plan didn't emit.
+
+    Scale (100 TB): the allocation is the mix query's one
+    map-side-combined groupBy(lang) collapsing to a |languages|-row
+    table; the sampler itself is a SCAN-STAGE broadcast join of that
+    bounded table onto the corpus — copy count and token accounting
+    are codegen'd in the scan, no additional shuffle, no corpus-keyed
+    window, no Python."""
+    alloc_df = curate_unimax_mix(spark, sf_dir).select("lang", "epochs_")
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("doc_tokens"),
+    )
+    keyed = docs.join(F.broadcast(alloc_df), "lang")
+    full = F.floor(F.col("epochs_")).cast("long")
+    frac = F.col("epochs_") - F.floor(F.col("epochs_"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ux:"), F.col("doc_id").cast("string"))),
+                1,
+                ES_HEX_DIGITS,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(float(ES_HEX_SPAN))
+    )
+    n_copies = (full + F.when(u < frac, 1).otherwise(0)).cast("long")
+    return (
+        keyed.select(
+            "doc_id",
+            "lang",
+            "doc_tokens",
+            n_copies.alias("n_copies"),
+            (F.col("doc_tokens") * n_copies).cast("long").alias("sampled_tokens"),
+        )
+        .filter(F.col("n_copies") > 0)
     )

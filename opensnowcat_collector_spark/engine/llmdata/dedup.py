@@ -2605,12 +2605,21 @@ CDC_MOD = 16
 CDC_HEX = 8
 
 
-def cdc_chunks_sql() -> str:
+def cdc_chunks_sql(with_text: bool = False) -> str:
     """DuckDB CTE chain ws -> toks -> flagged -> chunked -> chunks
     producing (doc_id, chunk_id, chunk_hash, chunk_tokens) over the
     documents table — the ONE oracle-side chunking definition shared by
     the batch query and the streaming serve/refresh twins (mirrors the
-    Spark ``cdc_chunks_of``; the two MUST change together)."""
+    Spark ``cdc_chunks_of``; the two MUST change together).
+    ``with_text`` additionally emits the reassembled chunk text — the
+    apply query needs the words themselves to rebuild cleaned
+    documents; the measurement/serving queries deliberately don't, so
+    their exchanges ship hashes only."""
+    text_col = (
+        ",\n         string_agg(wd, ' ' ORDER BY i) AS chunk_text"
+        if with_text
+        else ""
+    )
     return f"""ws AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
 ),
@@ -2639,7 +2648,7 @@ chunked AS (
 chunks AS (
   SELECT doc_id, chunk_id,
          md5(string_agg(wd, ' ' ORDER BY i)) AS chunk_hash,
-         CAST(COUNT(*) AS BIGINT) AS chunk_tokens
+         CAST(COUNT(*) AS BIGINT) AS chunk_tokens{text_col}
   FROM chunked GROUP BY doc_id, chunk_id
 )"""
 
@@ -2717,7 +2726,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cdc_chunks_of(d: DataFrame) -> DataFrame:
+def cdc_chunks_of(d: DataFrame, with_text: bool = False) -> DataFrame:
     """(doc_id, chunk_id, chunk_hash, chunk_tokens) — the CDC chunking
     of an arbitrary documents-shaped frame; the ONE Spark-side
     definition shared by the batch query and the streaming
@@ -2725,7 +2734,9 @@ def cdc_chunks_of(d: DataFrame) -> DataFrame:
     Boundaries are content-local (the trailing CDC_W-token md5), so a
     document chunks identically whether it arrives in the batch table
     or a micro-batch — the property that makes the serving gate
-    stateless."""
+    stateless.  ``with_text`` additionally emits the reassembled chunk
+    text (the apply query rebuilds cleaned documents from it; the
+    default path ships hashes only)."""
     from pyspark.sql import Window
 
     toks = d.select(
@@ -2750,16 +2761,123 @@ def cdc_chunks_of(d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("chunk_id"),
     )
-    reassembled = F.md5(
+    reassembled = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "wd"))),
+            lambda s: s.wd,
+        ),
+    )
+    aggs = [
+        F.md5(reassembled).alias("chunk_hash"),
+        F.count(F.lit(1)).alias("chunk_tokens"),
+    ]
+    if with_text:
+        aggs.append(reassembled.alias("chunk_text"))
+    return chunked.groupBy("doc_id", "chunk_id").agg(*aggs)
+
+
+#: a (doc_id, chunk_id) site collapses into one BIGINT ordering key;
+#: chunk_id must stay below this (a 10^9-chunk document is out of
+#: contract — the curation._SITE_IDX_BOUND discipline, redefined here
+#: because curation imports from this module, not the reverse)
+_CHUNK_SITE_BOUND = 1_000_000_000
+
+
+@register(
+    "dedup_cdc_apply",
+    oracle=f"""
+WITH {cdc_chunks_sql(with_text=True)},
+cstats AS (
+  SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS cnt,
+         MIN(doc_id * {_CHUNK_SITE_BOUND} + chunk_id) AS first_site
+  FROM chunks GROUP BY chunk_hash
+),
+flags AS (
+  SELECT c.doc_id, c.chunk_id, c.chunk_tokens, c.chunk_text,
+         (s.cnt < 2 OR c.doc_id * {_CHUNK_SITE_BOUND} + c.chunk_id = s.first_site)
+           AS keep
+  FROM chunks c JOIN cstats s USING (chunk_hash)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE chunk_tokens END) AS BIGINT)
+         AS removed_tokens,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+                               ORDER BY chunk_id), '')) AS cleaned_md5
+FROM flags GROUP BY doc_id
+""",
+)
+def dedup_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of ``dedup_cdc_chunks`` (VERDICT r13 item 5 —
+    the operator a production cleaner actually runs): every chunk
+    whose content occurs anywhere else in the corpus keeps exactly its
+    earliest site (min (doc_id, chunk_id)) and is removed everywhere
+    else — C4's repeated-span discard, on shift-robust content-defined
+    chunks instead of fixed lines, mirroring
+    ``curate_line_dedup_apply``.  Emits per-doc chunk/removal counts,
+    the removed token mass, and the md5 of the cleaned
+    (kept-chunks-in-order) text, so the driver grades the exact
+    reconstruction, not just the accounting.
+
+    Dataflow: the shared ``cdc_chunks_of`` subtree (with_text=True —
+    the reassembly groupBy additionally carries the chunk words, the
+    one place the apply semantics need them), then per-chunk occurrence
+    count and earliest site from a map-side-combined
+    groupBy(chunk_hash) — deliberately NOT a chunk-partitioned window
+    (the ``curate_line_dedup_apply`` lesson: a corpus-hot boilerplate
+    chunk would funnel one window partition, while partial aggregation
+    collapses it to one row per task before the exchange).  The stats
+    table joins back by chunk_hash (merge hint: it scales with distinct
+    chunks ~ corpus, never broadcast), then one doc_id aggregation
+    rebuilds the cleaned text.
+
+    Scale (100 TB): the chunking subtree's linear doc_id-keyed
+    exchanges (shared verbatim with the measurement query), plus the
+    same exchange budget as the line-level apply — one
+    map-side-combined chunk-stats exchange, one chunk_hash-keyed join,
+    one doc_id rebuild exchange; chunk text rides only the join and
+    the rebuild, exactly as line text does in the C4 cleaner.  Expected
+    chunk length CDC_MOD tokens bounds per-row payloads; the
+    (doc_id, chunk_id) site key packs into one BIGINT (chunk_id
+    bounded by _CHUNK_SITE_BOUND)."""
+    d = table(spark, sf_dir, "documents")
+    # both consumers (stats agg + join probe) read ONE chunking pass —
+    # without the checkpoint the shared subtree re-expands on each side
+    # of the self-join (the curate_line_dedup_apply / KN-count-table
+    # lesson) and the corpus is chunked twice
+    chunks = cdc_chunks_of(d, with_text=True).localCheckpoint(eager=False)
+    cstats = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.col("doc_id") * _CHUNK_SITE_BOUND + F.col("chunk_id")).alias(
+            "first_site"
+        ),
+    )
+    keep = (F.col("cnt") < 2) | (
+        F.col("doc_id") * _CHUNK_SITE_BOUND + F.col("chunk_id")
+        == F.col("first_site")
+    )
+    flags = chunks.join(cstats.hint("merge"), "chunk_hash").select(
+        "doc_id", "chunk_id", "chunk_tokens", "chunk_text", keep.alias("keep")
+    )
+    cleaned = F.md5(
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "wd"))),
-                lambda s: s.wd,
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("chunk_id", "chunk_text"))
+                    )
+                ),
+                lambda s: s.chunk_text,
             ),
         )
     )
-    return chunked.groupBy("doc_id", "chunk_id").agg(
-        reassembled.alias("chunk_hash"),
-        F.count(F.lit(1)).alias("chunk_tokens"),
+    return flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_removed"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(F.col("chunk_tokens")))
+        .cast("long")
+        .alias("removed_tokens"),
+        cleaned.alias("cleaned_md5"),
     )

@@ -2900,6 +2900,8 @@ cc AS MATERIALIZED (
 
 
 def _kn3_oracle() -> str:
+    # u/tt and g0/vv are unguarded by the inner-join invariant — see
+    # the comment at the Spark batch pair's p1 below (ADVICE r13).
     return f"""
 WITH {_kn3_tables_sql()},
 scored AS (
@@ -2994,6 +2996,13 @@ def text_kn_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("u") == 2, F.col("d2l"))
         .otherwise(F.col("d3l"))
     )
+    # u/tt and g0/vv are deliberately UNGUARDED here (contrast the
+    # GREATEST(·,1) floors in the streaming twin's oracle and
+    # _kn_score_frame): the scored-trigram chain is built from INNER
+    # joins, so u is never NULL and any surviving row implies the
+    # corpus holds >= 1 bigram type (tt >= 1) and >= 1 continuation
+    # word (vv >= 1).  A refactor toward left joins would break that
+    # invariant and must add the same floors (ADVICE r13).
     p1 = ((F.col("u").cast("double") - dl_u) / F.col("tt")) + (
         F.col("g0") / F.col("vv")
     )

@@ -80,9 +80,19 @@ _PRIORITY: list[str] = [
     "events_dedup_latest",
     "setop_except_inactive",
     "scalar_string_funcs",
-    "scalar_datetime_funcs",
-    "setop_intersect_active_auto",
-    "window_range_frame_spend",
+    # ---- r14-new (graded on arrival): the UniMax sampler — the APPLY
+    # half of curate_unimax_mix (VERDICT r13 item 4); the CDC chunk
+    # cleaner — the APPLY half of dedup_cdc_chunks (item 5); and the
+    # fuzzy screen's generation-2 re-serve — the republished refreshed
+    # artifact served through the identical screen and graded against
+    # the full-corpus-DF oracle (item 2, closing the
+    # serve->refresh->re-serve loop).  Each displaces one r9-head
+    # entry from the window bottom to the staged head
+    # (scalar_datetime_funcs, setop_intersect_active_auto,
+    # window_range_frame_spend — r9 evidence fresh through r15).
+    "curate_unimax_apply",
+    "dedup_cdc_apply",
+    "streaming_fuzzy_serve_refreshed",
     # ---- slots 36-50: the 15 standing keeps (same set since r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -107,7 +117,11 @@ _PRIORITY: list[str] = [
     # deferred r9 entries below (age 6 at r15 — mandatory) followed by
     # the r10 block (age 5 at r15); the r15 window = keeps + the 35
     # stalest, greedy by evidence age.  Nothing ages past 6.
-    # ---- r9 bottom, deferred to r15 (mandatory there).
+    # ---- r9 bottom, deferred to r15 (mandatory there; the head
+    # entries displaced by r14-new graded-on-arrival queries).
+    "scalar_datetime_funcs",
+    "setop_intersect_active_auto",
+    "window_range_frame_spend",
     "window_value_picking",
     "events_type_matrix",
     "window_analytics_distribution",
@@ -286,7 +300,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "window_value_picking"  # first entry past the window, r14
+_WINDOW_SENTINEL = "scalar_datetime_funcs"  # first entry past the window, r14
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

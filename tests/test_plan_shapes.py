@@ -968,3 +968,47 @@ def test_unimax_single_corpus_exchange(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning\(lang", plan)) == 1, plan
     assert "partial_sum" in plan, plan  # the lang count agg combines map-side
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_unimax_apply_scan_stage_broadcast(spark, sf_dir):
+    """curate_unimax_apply (r14): the sampler is a SCAN-STAGE broadcast
+    join of the bounded allocation table onto the corpus — copy count
+    and token accounting codegen'd in the scan, no corpus-keyed
+    exchange beyond the mix query's own groupBy(lang), no sort-merge
+    join, no Python."""
+    import re
+
+    plan = _plan(spark, sf_dir, "curate_unimax_apply")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the only exchanges belong to the allocation subtree: one
+    # lang-keyed corpus aggregation + its bounded-table windows
+    assert len(re.findall(r"Exchange hashpartitioning\(doc_id", plan)) == 0, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(lang", plan)) == 1, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_cdc_apply_exchange_budget_no_python(spark, sf_dir):
+    """dedup_cdc_apply (r14): the shared chunking subtree's doc_id
+    exchange, the map-side-combined chunk-stats aggregation, the
+    chunk_hash-keyed stats join, and ONE doc_id rebuild aggregation —
+    the curate_line_dedup_apply budget on CDC chunks.  The chunking
+    subtree is checkpointed so both consumers (stats agg + join probe)
+    read ONE chunking pass (no Generate/posexplode in the visible
+    plan); the stats side must partial-aggregate before its exchange
+    (a corpus-hot boilerplate chunk collapses map-side, never funnels
+    a window partition); the stats join is a SortMergeJoin
+    (corpus-scaled, never broadcast); nothing runs in Python or a
+    single partition."""
+    import re
+
+    plan = _plan(spark, sf_dir, "dedup_cdc_apply")
+    assert plan.count("Generate") == 0, plan  # behind the checkpoint
+    assert "Scan ExistingRDD" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(doc_id", plan)) == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(chunk_hash", plan)) == 2, plan
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan

@@ -707,3 +707,76 @@ def test_source_fingerprint_walks_directory_part_files(tmp_path):
     # and the fingerprint is stable when nothing changed
     assert fp2 == _source_fingerprint(str(tmp_path), "documents.parquet")
     shutil.rmtree(d)
+
+
+@pytest.mark.parametrize(
+    "republish, table_name, refresh",
+    [
+        ("republish_line_dedup", "lines", "streaming_line_dedup_refresh"),
+        ("republish_semdedup", "cells", "streaming_semdedup_refresh"),
+        ("republish_kn", "tgf", "streaming_kn_refresh"),
+        ("republish_cdc", "chunks", "streaming_cdc_refresh"),
+        ("republish_fuzzy", "sdf", "streaming_fuzzy_refresh"),
+    ],
+)
+def test_republish_persists_refreshed_table(
+    spark, sf_dir, republish, table_name, refresh
+):
+    """VERDICT r13 item 2 (the shared-helper extension): every refresh
+    family REPUBLISHES its merged table as an atomic generation-2
+    artifact, and the persisted parquet is row-for-row the refresh
+    twin's graded output (which the driver grades retrain-equal) —
+    the serve->refresh->re-serve cycle ends at a table the next epoch
+    can actually read."""
+    import os
+
+    from opensnowcat_collector_spark.engine import streaming_queries as sq
+
+    path = getattr(sq, republish)(spark, sf_dir)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    persisted = spark.read.parquet(os.path.join(path, table_name))
+    expected = getattr(sq, refresh)(spark, sf_dir)
+    if republish == "republish_fuzzy":
+        # the fuzzy artifact splits the merged table into sdf + rare
+        expected = expected.select("shingle", "df")
+    assert persisted.exceptAll(expected).count() == 0
+    assert expected.exceptAll(persisted).count() == 0
+    # pay-once: a second call short-circuits on the _SUCCESS marker
+    assert getattr(sq, republish)(spark, sf_dir) == path
+
+
+def test_fuzzy_forced_rebuild_replaces_artifact(spark, tmp_path):
+    """ADVICE r13: SPARK_GRAFT_FUZZY_REBUILD=1 must actually REPLACE an
+    existing artifact — a corrupted-yet-_SUCCESS-marked generation is
+    recoverable by the flag (before the fix, the fresh build landed in
+    tmp and publish_atomic silently kept the corrupt winner)."""
+    import os
+
+    import duckdb
+
+    from opensnowcat_collector_spark.engine.streaming_queries import (
+        build_fuzzy,
+        fuzzy_path,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT range AS doc_id,"
+        " 'alpha beta gamma delta epsilon zeta eta theta' AS text,"
+        " 'en' AS lang, 's' AS source, 40 AS n_chars FROM range(40)"
+    )
+    con.execute(f"COPY documents TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)")
+    path = build_fuzzy(spark, str(tmp_path))
+    assert path == fuzzy_path(str(tmp_path))
+    # corrupt a table but keep the _SUCCESS marker
+    marker = os.path.join(path, "sdf", "_corrupt_sentinel")
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write("junk")
+    os.environ["SPARK_GRAFT_FUZZY_REBUILD"] = "1"
+    try:
+        rebuilt = build_fuzzy(spark, str(tmp_path))
+    finally:
+        os.environ.pop("SPARK_GRAFT_FUZZY_REBUILD", None)
+    assert rebuilt == path
+    assert not os.path.exists(marker), "forced rebuild kept the corrupt artifact"
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
