@@ -164,6 +164,13 @@ HEADLINE = [
     # is pay-once (benched via the batch screen, like generation 1)
     "curate_unimax_apply",
     "dedup_cdc_apply",
+    # r14: k-center coreset (K bounded scans + one assignment agg),
+    # tokenizer fertility (capped broadcast + one lang groupBy over
+    # the pay-once BPE artifact), length curriculum (percentile row
+    # broadcast + scan-stage CASE)
+    "curate_kcenter_coreset",
+    "text_tokenizer_fertility",
+    "curate_length_curriculum",
 ]
 
 

@@ -3124,3 +3124,276 @@ def curate_unimax_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (r14): Gonzalez 1985 ("Clustering to
+# minimize the maximum intercluster distance") — the classical 2-approx
+# max-min diversity selection modern curation pipelines use to pick a
+# REPRESENTATIVE subset of an embedded corpus (coreset sampling /
+# facility-location selection; e.g. SemDeDup's complement problem:
+# instead of dropping near-duplicates, keep a maximally-spread seed
+# set).  Deterministic: seed = min vec_id, every argmax tie broken by
+# smallest vec_id, so both engines replay the identical greedy.
+# ---------------------------------------------------------------------------
+
+#: coreset size: bounded and tiny by design — each greedy round is one
+#: corpus scan, so K IS the pass budget (Gonzalez needs exactly K scans)
+KCENTER_K = 6
+
+
+def _kc_spark_d2(center: list[float]) -> str:
+    """Codegen-able squared-euclidean distance to a LITERAL center: an
+    explicit left-associated 64-term sum (the ``_SPARK_DOT`` discipline
+    — lambda HOFs run interpreted; flat arithmetic codegens and its
+    fold order matches DuckDB's sequential ``list_sum``)."""
+    from .similarity import DIM
+
+    sq = [
+        f"((CAST(embedding[{i}] AS DOUBLE) - {center[i]!r})"
+        f" * (CAST(embedding[{i}] AS DOUBLE) - {center[i]!r}))"
+        for i in range(DIM)
+    ]
+    return "(" + " + ".join(sq) + ")"
+
+
+_KC_DUCK_D2 = (
+    "list_sum(list_transform(generate_series(1, {n}), i -> "
+    "(CAST({a}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))))"
+)
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy replay (the recursive-CTE-free form of the
+    ``curate_pack_bestfit`` oracle idiom — K is a small constant, so
+    the K rounds unroll into a chained-CTE pipeline DuckDB evaluates
+    exactly): c1 = seed (min vec_id), d_m = running min distance to the
+    selected set, c_{m+1} = argmax(d_m) with the vec_id tie-break."""
+    from .similarity import DIM
+
+    d2 = _KC_DUCK_D2.format(a="e.embedding", c="c{m}.embedding", n=DIM)
+    parts = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        "c1 AS (SELECT vec_id, embedding FROM e"
+        " WHERE vec_id = (SELECT MIN(vec_id) FROM e))",
+        f"d1 AS (SELECT e.vec_id, {d2.format(m=1)} AS dmin FROM e, c1)",
+    ]
+    for m in range(2, KCENTER_K + 1):
+        parts.append(
+            f"c{m} AS (SELECT e.vec_id, e.embedding FROM d{m - 1} d"
+            " JOIN e USING (vec_id)"
+            " ORDER BY d.dmin DESC, d.vec_id LIMIT 1)"
+        )
+        if m < KCENTER_K:
+            parts.append(
+                f"d{m} AS (SELECT d.vec_id,"
+                f" LEAST(d.dmin, {d2.format(m=m)}) AS dmin"
+                f" FROM d{m - 1} d JOIN e USING (vec_id), c{m})"
+            )
+    centers = " UNION ALL ".join(
+        f"SELECT {m} AS sel_round, vec_id FROM c{m}"
+        for m in range(1, KCENTER_K + 1)
+    )
+    parts.append(f"centers AS ({centers})")
+    # per-point distances to all K centers as flat columns, then the
+    # LEAST + first-match CASE — byte-identical shape to the Spark side
+    dd = ", ".join(
+        _KC_DUCK_D2.format(a="e.embedding", c=f"c{m}.embedding", n=DIM)
+        + f" AS dd{m}"
+        for m in range(1, KCENTER_K + 1)
+    )
+    froms = ", ".join(f"c{m}" for m in range(1, KCENTER_K + 1))
+    least = "LEAST(" + ", ".join(f"dd{m}" for m in range(1, KCENTER_K + 1)) + ")"
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN dd{m} = {least} THEN {m}"
+            for m in range(1, KCENTER_K + 1)
+        )
+        + " END"
+    )
+    parts.append(f"dists AS (SELECT e.vec_id, {dd} FROM e, {froms})")
+    parts.append(
+        f"assigned AS (SELECT vec_id, {least} AS d2, {case} AS sel_round"
+        " FROM dists)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT a.sel_round, c.vec_id AS center_vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       ROUND(MAX(a.d2), 6) + 0 AS radius,
+       ROUND(AVG(a.d2), 6) + 0 AS mean_d2
+FROM assigned a JOIN centers c USING (sel_round)
+GROUP BY a.sel_round, c.vec_id
+"""
+    )
+
+
+@register("curate_kcenter_coreset", oracle=_kcenter_oracle())
+def curate_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedded corpus (Gonzalez
+    1985's max-min 2-approximation — the diversity-selection primitive
+    curation pipelines use to pick a representative seed set): start
+    from the min-vec_id seed, then K-1 times select the point FARTHEST
+    from the selected set (squared euclidean, argmax ties to the
+    smallest vec_id).  Emits per center its selection round, assigned
+    population (nearest-center, distance ties to the earliest round),
+    coverage radius (max assigned d2 — the k-center objective), and
+    mean assigned d2.
+
+    Both engines replay the IDENTICAL greedy: distances are
+    left-associated 64-term folds (the ``_SPARK_DOT`` bit-exactness
+    discipline), every argmax/assignment tie is broken
+    deterministically, and the oracle unrolls the K rounds as chained
+    CTEs (the ``curate_pack_bestfit`` replay idiom without recursion —
+    K is a compile-time constant).
+
+    Scale (100 TB): Gonzalez IS K sequential corpus scans — that is
+    the algorithm's data-access pattern, not an implementation
+    artifact — and K is a small constant by design.  Each round is one
+    scan with a codegen'd distance expression against K literal
+    centers (no joins, no shuffle) ending in a TakeOrderedAndProject
+    argmax (per-partition top-1, driver merges partition candidates);
+    the driver holds only the K x DIM center matrix — a
+    catalog-scale constant, the IVF-trainer precedent.  The final
+    assignment pass is one scan + one map-side-combined groupBy on a
+    K-valued key."""
+    from .similarity import DIM  # noqa: F401  (documents the 64-term fold)
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    seed = e.orderBy("vec_id").head()  # bounded pull: ONE row (the seed)
+    centers: list[tuple[int, list[float]]] = [(int(seed.vec_id), list(seed.embedding))]
+    for _ in range(KCENTER_K - 1):
+        dmin = F.least(*[F.expr(_kc_spark_d2(c)) for _, c in centers]) if len(
+            centers
+        ) > 1 else F.expr(_kc_spark_d2(centers[0][1]))
+        far = (
+            e.select("vec_id", "embedding", dmin.alias("dmin"))
+            .orderBy(F.col("dmin").desc(), "vec_id")
+            .head()  # bounded pull: ONE argmax row per round
+        )
+        centers.append((int(far.vec_id), list(far.embedding)))
+
+    dd = [F.expr(_kc_spark_d2(c)).alias(f"dd{m + 1}") for m, (_, c) in enumerate(centers)]
+    dists = e.select("vec_id", *dd)
+    least = F.least(*[F.col(f"dd{m}") for m in range(1, KCENTER_K + 1)])
+    sel = F.lit(None)
+    for m in range(KCENTER_K, 0, -1):
+        sel = F.when(F.col(f"dd{m}") == F.col("d2"), m).otherwise(sel)
+    assigned = dists.withColumn("d2", least).select(
+        "vec_id", "d2", sel.alias("sel_round")
+    )
+    center_ids = {m + 1: vid for m, (vid, _) in enumerate(centers)}
+    cid = F.lit(None)
+    for m in range(KCENTER_K, 0, -1):
+        cid = F.when(F.col("sel_round") == m, center_ids[m]).otherwise(cid)
+    return (
+        assigned.groupBy("sel_round")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            (F.round(F.max("d2"), 6) + F.lit(0.0)).alias("radius"),
+            (F.round(F.avg("d2"), 6) + F.lit(0.0)).alias("mean_d2"),
+        )
+        .select(
+            "sel_round",
+            cid.cast("long").alias("center_vec_id"),
+            "n_assigned",
+            "radius",
+            "mean_d2",
+        )
+    )
+
+
+@register(
+    "curate_length_curriculum",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+th AS (
+  SELECT quantile_cont(n, 0.25) AS q1, quantile_cont(n, 0.5) AS q2,
+         quantile_cont(n, 0.75) AS q3
+  FROM toks
+),
+staged AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= q1 THEN 1 WHEN n <= q2 THEN 2
+              WHEN n <= q3 THEN 3 ELSE 4 END AS stage
+  FROM toks, th
+),
+agg AS (
+  SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS stage_tokens,
+         CAST(MIN(n) AS BIGINT) AS min_len, CAST(MAX(n) AS BIGINT) AS max_len
+  FROM staged GROUP BY stage
+)
+SELECT stage, n_docs, stage_tokens,
+       CAST(SUM(stage_tokens) OVER (ORDER BY stage
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_tokens,
+       min_len, max_len
+FROM agg
+""",
+)
+def curate_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length curriculum staging: split the corpus into four
+    length-quartile stages (short -> long, the schedule
+    length-curriculum pretraining consumes: early steps train on short
+    sequences, later phases unlock the tail) and emit each stage's
+    document/token mass, cumulative token budget, and length bounds.
+    Quartile cuts are EXACT interpolated percentiles over the integer
+    token counts (the ``agg_stats_percentiles`` cross-engine
+    discipline: linear interpolation on int64 inputs is
+    engine-independent; at 100 TB swap to approx_percentile when an
+    epsilon is acceptable — the plan shape is otherwise unchanged).
+
+    Scale (100 TB): one corpus scan computes token counts; the three
+    cuts are ONE sort-based aggregate collapsing to a single broadcast
+    row; stage assignment is a codegen'd CASE in the scan stage
+    (deliberately thresholds-broadcast, NOT a corpus-wide NTILE — a
+    global ntile needs a total sort + single-partition window, the
+    exact anti-pattern); the rollup is a map-side-combined groupBy on
+    a 4-valued key, and the cumulative sum runs over FOUR rows."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n")
+    )
+    th = toks.agg(
+        F.expr("percentile(n, 0.25)").alias("q1"),
+        F.expr("percentile(n, 0.5)").alias("q2"),
+        F.expr("percentile(n, 0.75)").alias("q3"),
+    )
+    stage = (
+        F.when(F.col("n") <= F.col("q1"), 1)
+        .when(F.col("n") <= F.col("q2"), 2)
+        .when(F.col("n") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    agg = (
+        toks.crossJoin(F.broadcast(th))
+        .select("n", stage.alias("stage"))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("stage_tokens"),
+            F.min("n").alias("min_len"),
+            F.max("n").alias("max_len"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # the window universe is the four curriculum stages — bounded
+    w = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        "stage",
+        "n_docs",
+        "stage_tokens",
+        F.sum("stage_tokens").over(w).cast("long").alias("cum_tokens"),
+        "min_len",
+        "max_len",
+    )

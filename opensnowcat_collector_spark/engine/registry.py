@@ -77,9 +77,6 @@ _PRIORITY: list[str] = [
     "join_theta_quantity_over_size",
     "join_full_outer_nation_activity",
     "q14_promo_effect",
-    "events_dedup_latest",
-    "setop_except_inactive",
-    "scalar_string_funcs",
     # ---- r14-new (graded on arrival): the UniMax sampler — the APPLY
     # half of curate_unimax_mix (VERDICT r13 item 4); the CDC chunk
     # cleaner — the APPLY half of dedup_cdc_chunks (item 5); and the
@@ -93,6 +90,17 @@ _PRIORITY: list[str] = [
     "curate_unimax_apply",
     "dedup_cdc_apply",
     "streaming_fuzzy_serve_refreshed",
+    # ---- r14-new continued: greedy k-center coreset selection
+    # (Gonzalez max-min diversity over the embedded corpus, unrolled
+    # chained-CTE oracle replay) and per-language tokenizer fertility
+    # (the Acs/XLM-R tokenizer-equity table over the trained BPE);
+    # displace scalar_string_funcs and setop_except_inactive.
+    "curate_kcenter_coreset",
+    "text_tokenizer_fertility",
+    # ---- r14-new continued: length-quartile curriculum staging
+    # (thresholds-broadcast stage assignment, never a global NTILE);
+    # displaces events_dedup_latest.
+    "curate_length_curriculum",
     # ---- slots 36-50: the 15 standing keeps (same set since r7).
     "streaming_leftouter_join",
     "streaming_session_timeout_flush",
@@ -119,6 +127,9 @@ _PRIORITY: list[str] = [
     # stalest, greedy by evidence age.  Nothing ages past 6.
     # ---- r9 bottom, deferred to r15 (mandatory there; the head
     # entries displaced by r14-new graded-on-arrival queries).
+    "events_dedup_latest",
+    "setop_except_inactive",
+    "scalar_string_funcs",
     "scalar_datetime_funcs",
     "setop_intersect_active_auto",
     "window_range_frame_spend",
@@ -300,7 +311,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "scalar_datetime_funcs"  # first entry past the window, r14
+_WINDOW_SENTINEL = "events_dedup_latest"  # first entry past the window, r14
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

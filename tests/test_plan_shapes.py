@@ -1012,3 +1012,47 @@ def test_cdc_apply_exchange_budget_no_python(spark, sf_dir):
     assert "partial_count" in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_kcenter_scan_argmax_no_shuffle_rounds(spark, sf_dir):
+    """curate_kcenter_coreset (r14): each greedy round is one scan with
+    a codegen'd literal-center distance ending in
+    TakeOrderedAndProject (per-partition top-1, no global sort); the
+    final assignment pass is one scan + a map-side-combined groupBy on
+    the K-valued key with no joins and no Python."""
+    import re
+
+    plan = _plan(spark, sf_dir, "curate_kcenter_coreset")
+    # final plan: the assignment aggregation (the K selection rounds
+    # execute during construction — each is its own bounded-pull job)
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_fertility_capped_broadcast_single_lang_exchange(spark, sf_dir):
+    """text_tokenizer_fertility (r14): the segmentation subtree is the
+    text_bpe_segment_counts shape — artifact scan + capped BROADCAST
+    word mapping — and the only corpus-keyed exchange is the
+    map-side-combined groupBy(lang)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "text_tokenizer_fertility")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "spark_graft_bpe" in plan, plan  # reads the trained artifact
+    assert len(re.findall(r"Exchange hashpartitioning\(lang", plan)) >= 1, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_length_curriculum_broadcast_thresholds_no_global_sort(spark, sf_dir):
+    """curate_length_curriculum (r14): stage assignment must be a
+    thresholds-BROADCAST codegen'd CASE in the scan stage — never a
+    corpus-wide NTILE (global sort + single-partition window); the
+    only SinglePartition window runs over the four stage rows."""
+    plan = _plan(spark, sf_dir, "curate_length_curriculum")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "Sort [n" not in plan, plan  # no corpus-wide length sort
+    assert "partial_count" in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan

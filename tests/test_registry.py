@@ -490,17 +490,16 @@ _R14_R8_BOTTOM = [
 # from this list's BOTTOM to the staged head, and each displacement
 # removes the entry here (graded-on-arrival rule).
 _R14_R9_HEAD = [
+    # events_dedup_latest / setop_except_inactive / scalar_string_funcs /
     # scalar_datetime_funcs / setop_intersect_active_auto /
-    # window_range_frame_spend: displaced from the window bottom by
-    # the graded-on-arrival curate_unimax_apply, dedup_cdc_apply and
-    # streaming_fuzzy_serve_refreshed (r9 evidence fresh through r15;
-    # they head the r15 window)
+    # window_range_frame_spend: displaced from the window bottom by the
+    # graded-on-arrival curate_unimax_apply, dedup_cdc_apply,
+    # streaming_fuzzy_serve_refreshed, curate_kcenter_coreset,
+    # text_tokenizer_fertility and curate_length_curriculum (r9
+    # evidence fresh through r15; they head the r15 window)
     "join_theta_quantity_over_size",
     "join_full_outer_nation_activity",
     "q14_promo_effect",
-    "events_dedup_latest",
-    "setop_except_inactive",
-    "scalar_string_funcs",
 ]
 
 
