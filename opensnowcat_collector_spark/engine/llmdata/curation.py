@@ -3263,7 +3263,16 @@ def curate_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     K-valued key."""
     from .similarity import DIM  # noqa: F401  (documents the 64-term fold)
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Gonzalez makes K+1 passes over the SAME projection — pin it once
+    # (lazy localCheckpoint: rounds 2..K and the assignment scan read
+    # materialized blocks instead of re-reading and re-projecting the
+    # parquet; at 100 TB this is the difference between K column scans
+    # and one)
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=False)
+    )
 
     seed = e.orderBy("vec_id").head()  # bounded pull: ONE row (the seed)
     centers: list[tuple[int, list[float]]] = [(int(seed.vec_id), list(seed.embedding))]
