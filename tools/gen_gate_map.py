@@ -146,6 +146,11 @@ def main() -> None:
         f"# {n_reg} registered, each with a DuckDB oracle",
         rsrc,
     )
+    healed = re.sub(
+        r"the repo registers \d+\.",
+        f"the repo registers {n_reg}.",
+        healed,
+    )
     if healed != rsrc:
         open(readme, "w").write(healed)
         print(f"healed README registry count -> {n_reg}")
