@@ -924,3 +924,62 @@ def test_cdc_apply_keeps_earliest_site(spark, tmp_path):
     # doc 1 loses the shared interior chunks (all but the seam/prefix)
     assert rows[1].n_removed >= rows[1].n_chunks - 2, rows[1]
     assert rows[1].removed_tokens > 300, rows[1]
+
+
+def test_kcenter_partition_and_center_self_assignment(spark, sf_dir):
+    """Gonzalez invariants on the graded corpus: all K rounds emit a
+    center, the K centers are distinct points, the assignment is a
+    PARTITION (populations sum to the corpus, every group nonempty —
+    each center is at distance 0 from itself so its group holds at
+    least the center), and each cluster's radius bounds its mean.
+    (Per-cluster radii are NOT monotone in selection order — only the
+    selection-time max-min distances are, and those are internal to
+    the greedy; don't pin them.)"""
+    from opensnowcat_collector_spark.engine.llmdata.curation import (
+        KCENTER_K,
+        curate_kcenter_coreset,
+    )
+    from opensnowcat_collector_spark.engine.tables import table
+
+    rows = sorted(
+        curate_kcenter_coreset(spark, sf_dir).collect(),
+        key=lambda r: r.sel_round,
+    )
+    assert [r.sel_round for r in rows] == list(range(1, KCENTER_K + 1))
+    assert len({r.center_vec_id for r in rows}) == KCENTER_K
+    n_vecs = table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_assigned for r in rows) == n_vecs
+    assert all(r.n_assigned >= 1 for r in rows), rows
+    assert all(r.mean_d2 <= r.radius + 1e-9 for r in rows), rows
+
+
+def test_cdc_apply_identity_on_duplicate_free_corpus(spark, tmp_path):
+    """A corpus with NO repeated chunk reconstructs verbatim: zero
+    removals and cleaned_md5 == md5(original text) for every doc —
+    the cleaner is a no-op exactly when there is nothing to clean."""
+    import hashlib
+
+    import duckdb
+
+    from opensnowcat_collector_spark.engine.llmdata.dedup import dedup_cdc_apply
+
+    texts = {
+        i: " ".join(f"u{i}w{j}x{(i * 37 + j) % 101}" for j in range(120))
+        for i in range(4)
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    for i, t in texts.items():
+        con.execute(
+            "INSERT INTO documents VALUES (?, ?, 'en', 's', 0)", [i, t]
+        )
+    con.execute(f"COPY documents TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)")
+    rows = {r.doc_id: r for r in dedup_cdc_apply(spark, str(tmp_path)).collect()}
+    assert set(rows) == set(texts)
+    for i, t in texts.items():
+        assert rows[i].n_removed == 0, rows[i]
+        assert rows[i].removed_tokens == 0, rows[i]
+        assert rows[i].cleaned_md5 == hashlib.md5(t.encode()).hexdigest()
