@@ -121,10 +121,14 @@ _PRIORITY: list[str] = [
     # r15 PLAN (horizon + capacity proven by
     # tests/test_registry.py::test_next_round_rotation_horizon and
     # ::test_rotation_schedule_solvable_through_r16): after r14 grades
-    # slots 1-50, the stalest remaining evidence is the twenty-six
-    # deferred r9 entries below (age 6 at r15 — mandatory) followed by
-    # the r10 block (age 5 at r15); the r15 window = keeps + the 35
-    # stalest, greedy by evidence age.  Nothing ages past 6.
+    # slots 1-50, the stalest remaining evidence is the THIRTY-TWO r9
+    # entries below (the twenty-six deferred at r13 plus the six head
+    # entries the r14-new graded-on-arrival queries displaced; age 6
+    # at r15 — mandatory) followed by the r10 block (age 5 at r15);
+    # the r15 window = keeps + 32 mandatory + THREE free slots — the
+    # full budget for r15-new graded-on-arrival queries, which is why
+    # r14 stopped at six new registrations (rotation-capacity rule).
+    # Nothing ages past 6.
     # ---- r9 bottom, deferred to r15 (mandatory there; the head
     # entries displaced by r14-new graded-on-arrival queries).
     "events_dedup_latest",
