@@ -1634,3 +1634,64 @@ def test_kn_perplexity_buckets_are_exact_terciles_of_kn_scores(spark, sf_dir):
         ranked = sorted(rs, key=lambda r: (r["kn3_neg_logprob"], r["doc_id"]))
         labels = [order[r["bucket"]] for r in ranked]
         assert labels == sorted(labels), lang  # monotone along the rank
+
+
+def test_fertility_consistent_with_doc_level_segmentation(spark, sf_dir):
+    """text_tokenizer_fertility (r14) must be EXACTLY the per-language
+    rollup of text_bpe_segment_counts' per-document segmentation (the
+    two share the subtree — this pins that they also cannot drift at
+    the aggregation layer), with fertility >= 1 (every word is at
+    least one subword) and the word totals partitioning the corpus."""
+    import collections
+
+    from opensnowcat_collector_spark.engine.tables import table
+
+    seg = _run(spark, sf_dir, "text_bpe_segment_counts")
+    lang_of = {
+        r["doc_id"]: r["lang"]
+        for r in table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    words = collections.Counter()
+    subs = collections.Counter()
+    docs = collections.Counter()
+    for r in seg:
+        lang = lang_of[r["doc_id"]]
+        words[lang] += r["n_words"]
+        subs[lang] += r["n_subwords"]
+        docs[lang] += 1
+    rows = {r["lang"]: r for r in _run(spark, sf_dir, "text_tokenizer_fertility")}
+    assert set(rows) == set(words)
+    for lang, r in rows.items():
+        assert r["n_docs"] == docs[lang], lang
+        assert r["n_words"] == words[lang], lang
+        assert r["n_subwords"] == subs[lang], lang
+        assert r["fertility"] >= 1.0, (lang, r["fertility"])
+
+
+def test_length_curriculum_partitions_with_monotone_boundaries(spark, sf_dir):
+    """curate_length_curriculum (r14): the four stages PARTITION the
+    corpus (doc and token totals match the table; the running
+    cum_tokens ends at the grand total) and stage length ranges are
+    strictly ordered — a stage-m document is never longer than any
+    stage-(m+1) document (quartile cuts are half-open by the CASE)."""
+    import pyspark.sql.functions as F
+
+    from opensnowcat_collector_spark.engine.tables import table
+
+    rows = sorted(_run(spark, sf_dir, "curate_length_curriculum"),
+                  key=lambda r: r["stage"])
+    assert [r["stage"] for r in rows] == [1, 2, 3, 4]
+    d = table(spark, sf_dir, "documents")
+    tot = d.select(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(F.split("text", " "))).alias("toks"),
+    ).head()
+    assert sum(r["n_docs"] for r in rows) == tot["docs"]
+    assert sum(r["stage_tokens"] for r in rows) == tot["toks"]
+    assert rows[-1]["cum_tokens"] == tot["toks"]
+    running = 0
+    for r in rows:
+        running += r["stage_tokens"]
+        assert r["cum_tokens"] == running, r
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_len"] < b["min_len"], (a, b)

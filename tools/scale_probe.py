@@ -109,6 +109,18 @@ PROBE_QUERIES = [
     # r12: CCNet tercile gate on the KN-trigram score (serving plan +
     # one lang-partitioned window)
     "curate_kn_perplexity_buckets",
+    # r13 representatives: content-defined chunking (three linear
+    # all-JVM exchanges), best-fit packing (per-shard Arrow greedy over
+    # three int columns), UniMax allocation (one lang groupBy)
+    "dedup_cdc_chunks",
+    "curate_pack_bestfit",
+    "curate_unimax_mix",
+    # r14 representatives: the CDC cleaner (chunk-text join + doc
+    # rebuild), k-center coreset (K bounded scans + argmax), tokenizer
+    # fertility (capped broadcast over the pay-once BPE artifact)
+    "dedup_cdc_apply",
+    "curate_kcenter_coreset",
+    "text_tokenizer_fertility",
 ]
 
 KEY_SHIFTS = {
