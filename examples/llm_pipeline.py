@@ -282,6 +282,61 @@ def main() -> None:
     chunks = qs["curate_chunk_overlap"](spark, sf_dir)
     print(f"retrieval chunks (64-token windows, 16 overlap): {chunks.count()}")
 
+    cdc = qs["dedup_cdc_chunks"](spark, sf_dir)
+    c = cdc.agg({"n_chunks": "sum", "dup_tokens": "sum"}).first()
+    print(
+        f"CDC chunk dedup: {c['sum(n_chunks)']} content-defined chunks, "
+        f"{c['sum(dup_tokens)']} duplicated tokens"
+    )
+    cda = qs["dedup_cdc_apply"](spark, sf_dir)
+    ca = cda.agg({"n_removed": "sum", "removed_tokens": "sum"}).first()
+    print(
+        f"CDC cleaner applied: removed {ca['sum(n_removed)']} chunks "
+        f"({ca['sum(removed_tokens)']} tokens, keep-earliest)"
+    )
+
+    fert = qs["text_tokenizer_fertility"](spark, sf_dir)
+    print("tokenizer fertility by language (subwords/word):")
+    for row in fert.orderBy(fert.fertility.desc()).collect():
+        print(f"   {row.lang}: {row.fertility:.3f} ({row.n_words} words)")
+
+    uni_mix = qs["curate_unimax_mix"](spark, sf_dir)
+    print("UniMax allocation (epoch-capped uniform budget):")
+    for row in uni_mix.orderBy(uni_mix.alloc_tokens.desc()).collect():
+        print(
+            f"   {row.lang}: {row.alloc_tokens:.0f} tokens "
+            f"({row.epochs_:.2f} epochs)"
+        )
+    uapp = qs["curate_unimax_apply"](spark, sf_dir)
+    ua = uapp.agg({"sampled_tokens": "sum", "n_copies": "sum"}).first()
+    print(
+        f"UniMax applied: {ua['sum(sampled_tokens)']} tokens materialized "
+        f"across {ua['sum(n_copies)']} document copies"
+    )
+
+    cur = qs["curate_length_curriculum"](spark, sf_dir)
+    print("length curriculum (short -> long stages):")
+    for row in cur.orderBy("stage").collect():
+        print(
+            f"   stage {row.stage}: {row.n_docs} docs, "
+            f"lengths {row.min_len}-{row.max_len}, cum {row.cum_tokens} tokens"
+        )
+
+    kc = qs["curate_kcenter_coreset"](spark, sf_dir)
+    print("k-center coreset (max-min diverse seeds):")
+    for row in kc.orderBy("sel_round").collect():
+        print(
+            f"   round {row.sel_round}: vec {row.center_vec_id} covers "
+            f"{row.n_assigned} (radius {row.radius:.3f})"
+        )
+
+    bf = qs["curate_pack_bestfit"](spark, sf_dir)
+    b = bf.agg({"fill_rate": "avg", "pad_tokens": "sum"}).first()
+    print(
+        f"best-fit packing: mean fill {b['avg(fill_rate)']:.3f}, "
+        f"{b['sum(pad_tokens)']} pad tokens"
+    )
+
     card = qs["curate_dataset_card"](spark, sf_dir)
     print("dataset card:")
     for row in card.collect():
