@@ -129,6 +129,17 @@ _PRIORITY: list[str] = [
     # full budget for r15-new graded-on-arrival queries, which is why
     # r14 stopped at six new registrations (rotation-capacity rule).
     # Nothing ages past 6.
+    #
+    # STRUCTURAL CAPACITY NOTE (r14): with k standing keeps re-graded
+    # every round and the 6-round bar, total registrable queries is
+    # bounded by N <= 300 - 5k (rotating load (N-k)/6 must fit the
+    # 50-k non-keep slots).  k=15 gives N <= 225; the registry holds
+    # 222, so THREE registrations remain EVER under the current keeps
+    # policy.  To grow past that, retire keeps into the rotation:
+    # every keep moved frees five registrable slots (k=10 -> N <= 250).
+    # The keeps have a fresh grade every round, so moving them into
+    # the rotation only relaxes their re-grade cadence to the same
+    # 6-round bar as everything else — no coverage is lost.
     # ---- r9 bottom, deferred to r15 (mandatory there; the head
     # entries displaced by r14-new graded-on-arrival queries).
     "events_dedup_latest",
