@@ -1903,7 +1903,11 @@ def curate_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked candidates — the standard verify-after-block economics."""
     from .dedup import exploded_shingles
 
-    sh = exploded_shingles(spark, sf_dir)
+    # three consumers (DF count, train side, benchmark side) each re-ran
+    # the corpus explode+distinct — materialize the shingle rows once
+    # (optimization r14, guide §2.4; the dedup_minhash_lsh checkpoint
+    # precedent)
+    sh = exploded_shingles(spark, sf_dir).localCheckpoint(eager=False)
     sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = sdf.filter(F.col("df") <= FUZZY_BLOCK_DF).select("shingle")
     is_bench = (F.col("doc_id") % BENCH_MOD) == 0

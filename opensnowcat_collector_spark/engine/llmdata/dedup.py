@@ -303,21 +303,43 @@ def _minhash_aggs():
     shingle rows — codegen-friendly, no array lambdas.  The 12 hashes are
     8-hex-char chunks of 3 seeded md5s (not 12 independent md5s): md5 is
     the per-row hot cost at scale, and disjoint bit-ranges of one digest
-    are independent min-wise hash functions (measured 3.2x faster)."""
+    are independent min-wise hash functions (measured 3.2x faster).
+
+    The min runs over the LONG value of each chunk, not the hex string:
+    on fixed-width lowercase hex, lexicographic order == numeric order,
+    so the aggregate is value-identical — but a primitive-long buffer
+    lets Spark plan a HashAggregate where the string min forced a
+    SortAggregate (plus its two per-side sorts) in every signature
+    subtree (optimization r14, guide §2.3 narrower types).
+    ``_band_keys`` reconstructs the exact original hex strings, so band
+    keys (and therefore candidate sets and results) are unchanged."""
     return [
         F.min(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{s // 4}:"), F.col("shingle"))), (s % 4) * 8 + 1, 8
-            )
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{s // 4}:"), F.col("shingle"))),
+                    (s % 4) * 8 + 1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
         ).alias(f"mh_{s}")
         for s in range(N_MINHASH)
     ]
 
 
+def _mh_hex(c: "F.Column") -> "F.Column":
+    """Exact inverse of the long decode in ``_minhash_aggs``: the
+    original 8-char lowercase hex chunk (conv emits uppercase, no
+    leading zeros — lower + lpad restores the md5 substring verbatim)."""
+    return F.lpad(F.lower(F.conv(c, 10, 16)), 8, "0")
+
+
 def _band_keys():
     cols = []
     for band in range(N_BANDS):
-        parts = [F.col(f"mh_{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        parts = [_mh_hex(F.col(f"mh_{band * BAND_ROWS + r}")) for r in range(BAND_ROWS)]
         cols.append(F.md5(F.concat(*parts)).alias(f"band_{band}"))
     return cols
 
@@ -408,9 +430,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = ex.groupBy("doc_id").agg(
         *_minhash_aggs(), F.count(F.lit(1)).alias("n_sh")
     )
-    banded = sigs.select("doc_id", *_band_keys())
+    banded = sigs.select("doc_id", "n_sh", *_band_keys())
+    # n_sh RIDES the band rows (one extra long per band row) so the
+    # jaccard denominators fall out of the candidate join itself —
+    # before r14 the denominators were two separate joins against the
+    # counts table, each of which re-ran the whole signature
+    # aggregation over the shingle rows (4 doc_id aggregation subtrees
+    # in the before-plan; now 2, one per self-join side — optimization
+    # r14, guide §2.3/§2.4: two fewer corpus-scaled aggregations + two
+    # fewer joins for 8 bytes per band row)
     bands_long = banded.select(
         "doc_id",
+        "n_sh",
         F.explode(
             F.map_from_arrays(
                 F.array(*[F.lit(f"band_{b}") for b in range(N_BANDS)]),
@@ -432,7 +463,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .distinct()
     )
     # verification: count-based exact Jaccard over the same exploded
@@ -440,17 +476,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps this linear in candidate shingle volume).  Row width stays
     # bounded — measured equal-speed with the
     # array_intersect-over-collect_set alternative at sf0.1 and strictly
-    # safer on long documents.
-    counts = sigs.select("doc_id", "n_sh")
+    # safer on long documents.  The denominators (n_a, n_b) arrived with
+    # the candidates, so no join back to a counts table is needed.
     ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
     eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         cand.join(ea.hint("merge"), "doc_a")
         .join(eb.hint("merge"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return _jaccard_from_counts(inter, counts)
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return inter.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
 
 
 # 16-bit SimHash: bit b comes from bit b of md5(word) (hex digit b//4,

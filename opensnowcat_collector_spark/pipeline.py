@@ -48,6 +48,10 @@ class PipelineResult:
     #: collector_split_accounting gate) can attribute bad rows to their
     #: request_id, which the BAD_ROW_SCHEMA rows deliberately do not carry
     split_out: DataFrame | None = None
+    #: the same split-stage output BEFORE the shared localCheckpoint —
+    #: diagnostic handle only (the checkpoint renders the Python stage as
+    #: an ExistingRDD scan in SQL plans, so plan pins inspect this one)
+    split_out_raw: DataFrame | None = None
 
 
 def enrich(raw: DataFrame, cfg: CollectorConfig) -> DataFrame:
@@ -182,9 +186,17 @@ def run(raw: DataFrame, cfg: CollectorConfig) -> PipelineResult:
     small = sized.filter(F.col("serialized_size") < max_bytes)
     oversized = sized.filter(F.col("serialized_size") >= max_bytes)
 
-    split_out = oversized.mapInPandas(
+    split_out_raw = oversized.mapInPandas(
         split.make_split_map_fn(cfg, max_bytes), split.SPLIT_OUT_SCHEMA
     )
+    # The Python split stage has two downstream consumers (split goods
+    # union + bad rows): without a checkpoint each consumer re-ran the
+    # whole mapInPandas (and its upstream JVM serialize+size routing)
+    # from the scan — two MapInPandas stages for one logical split
+    # (optimization r14, guide §4 / §2.4).  Lazy: callers that never
+    # execute (plan-only inspection) pay nothing; foreachBatch callers
+    # pass batch frames, so localCheckpoint is always legal here.
+    split_out = split_out_raw.localCheckpoint(eager=False)
     # The split stage emits full payload rows, so split goods union straight
     # back — no re-join on request_id (which is NOT unique after the
     # Amplitude fan-out and could cross-match sibling payloads' bodies).
@@ -213,4 +225,10 @@ def run(raw: DataFrame, cfg: CollectorConfig) -> PipelineResult:
         )
     )
     bad = bad_split.select("bad.*").unionByName(bad_qs.select("bad.*"))
-    return PipelineResult(enriched=enriched, good=good, bad=bad, split_out=split_out)
+    return PipelineResult(
+        enriched=enriched,
+        good=good,
+        bad=bad,
+        split_out=split_out,
+        split_out_raw=split_out_raw,
+    )

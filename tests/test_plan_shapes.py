@@ -45,7 +45,13 @@ def test_q3_broadcasts_dim_and_pushes_filters(spark, sf_dir):
 
 
 def test_split_pipeline_single_python_stage(spark):
-    """Only the oversized subset pays a Python stage, and exactly one."""
+    """Only the oversized subset pays a Python stage, and exactly one.
+
+    Since the r14 optimization the split stage is localCheckpoint'd in
+    pipeline.run (its two consumers — split goods and bad rows — each
+    re-ran the whole mapInPandas before), so the ONE MapInPandas lives
+    in split_out's plan and the good/bad plans read the checkpoint
+    (ExistingRDD) instead of re-expanding the Python stage."""
     from opensnowcat_collector_spark import pipeline
     from opensnowcat_collector_spark.config import CollectorConfig
     from opensnowcat_collector_spark.schema import RAW_REQUEST_SCHEMA
@@ -54,8 +60,11 @@ def test_split_pipeline_single_python_stage(spark):
 
     raw = spark.createDataFrame(raw_requests(), RAW_REQUEST_SCHEMA)
     res = pipeline.run(raw, CollectorConfig(deterministic_now_ms=1705320000000))
-    plan = res.good._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") == 1, plan
+    split_plan = res.split_out_raw._jdf.queryExecution().executedPlan().toString()
+    assert split_plan.count("MapInPandas") == 1, split_plan
+    good_plan = res.good._jdf.queryExecution().executedPlan().toString()
+    assert good_plan.count("MapInPandas") == 0, good_plan
+    assert "ExistingRDD" in good_plan, good_plan
 
 
 def test_topk_avoids_global_sort(spark, sf_dir):
@@ -249,12 +258,16 @@ def test_langid_profiles_broadcast_scoring(spark, sf_dir):
 
 
 def test_split_accounting_python_only_on_oversized(spark, sf_dir):
-    """The graded split-accounting query pays exactly one MapInPandas per
-    pipeline branch (good + bad), each restricted to the oversized
-    subset; the small-event routing stays JVM-side and the accounting
-    joins never degenerate to nested-loop shapes."""
+    """Since the r14 optimization the two pipeline branches (good + bad)
+    share ONE checkpointed split stage — the graded plan shows the
+    checkpoint scan (ExistingRDD) and ZERO re-expanded MapInPandas nodes
+    where it previously re-ran the Python stage once per branch; the
+    single-Python-stage property itself is pinned on split_out_raw in
+    test_split_pipeline_single_python_stage.  The accounting joins never
+    degenerate to nested-loop shapes."""
     plan = _plan(spark, sf_dir, "collector_split_accounting")
-    assert plan.count("MapInPandas") == 2, plan
+    assert plan.count("MapInPandas") == 0, plan
+    assert "ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
