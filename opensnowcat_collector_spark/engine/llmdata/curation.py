@@ -1291,7 +1291,11 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear passes over the bigram stream plus one bounded broadcast.
     The single-row totals crossJoin is a broadcast of one row."""
     d = table(spark, sf_dir, "documents")
-    bg = dsir_bigram_buckets(d)
+    # two consumers (the bucket-count aggregation and the scoring join)
+    # each re-ran the corpus bigram explode + per-bigram md5 —
+    # materialize the bucketed bigram stream once (optimization r14,
+    # guide §2.4; the curate_fuzzy_contamination checkpoint precedent)
+    bg = dsir_bigram_buckets(d).localCheckpoint(eager=False)
     bk = dsir_bucket_counts(bg)
     tot = bk.agg(
         F.sum("cnt_r").alias("r_tot"), F.sum("cnt_t").alias("t_tot")
@@ -3267,39 +3271,53 @@ def curate_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     K-valued key."""
     from .similarity import DIM  # noqa: F401  (documents the 64-term fold)
 
-    # Gonzalez makes K+1 passes over the SAME projection — pin it once
-    # (lazy localCheckpoint: rounds 2..K and the assignment scan read
-    # materialized blocks instead of re-reading and re-projecting the
-    # parquet; at 100 TB this is the difference between K column scans
-    # and one)
-    e = (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .localCheckpoint(eager=False)
-    )
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     seed = e.orderBy("vec_id").head()  # bounded pull: ONE row (the seed)
     centers: list[tuple[int, list[float]]] = [(int(seed.vec_id), list(seed.embedding))]
-    for _ in range(KCENTER_K - 1):
-        dmin = F.least(*[F.expr(_kc_spark_d2(c)) for _, c in centers]) if len(
-            centers
-        ) > 1 else F.expr(_kc_spark_d2(centers[0][1]))
+    # INCREMENTAL running-min state (optimization r14): round m used to
+    # rebuild LEAST over all m fresh 64-term distance expressions, so
+    # the generated code grew as O(m * DIM) and — because every round is
+    # a brand-new plan with new center literals — Janino recompiled the
+    # whole thing each time; the final assignment then recomputed all K
+    # distances once more (profiled: per-round wall grew 0.22 -> 0.54 s
+    # with m at sf0.1 while the data work is constant).  Instead the
+    # per-point (dmin, sel_round) pair is materialized after each round
+    # (lazy localCheckpoint; the argmax head() triggers it), so EVERY
+    # round's plan is one constant 64-term distance + a running min/if —
+    # bounded codegen no matter how large K grows (guide §7.3: plan
+    # compilation is driver-side, single-threaded, and was the dominant
+    # local cost) — and the assignment falls out of the last state for
+    # free.  Semantics are unchanged: sequential min == LEAST, and the
+    # strict-< update keeps the EARLIEST round on distance ties, exactly
+    # the oracle's first-match CASE.  Same storage shape as before (one
+    # materialized copy of the projection; superseded round states are
+    # dropped by the ContextCleaner once dereferenced).
+    state = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_kc_spark_d2(centers[0][1])).alias("dmin"),
+        F.lit(1).alias("sel_round"),
+    ).localCheckpoint(eager=False)
+    for m in range(2, KCENTER_K + 1):
         far = (
-            e.select("vec_id", "embedding", dmin.alias("dmin"))
-            .orderBy(F.col("dmin").desc(), "vec_id")
+            state.orderBy(F.col("dmin").desc(), "vec_id")
             .head()  # bounded pull: ONE argmax row per round
         )
         centers.append((int(far.vec_id), list(far.embedding)))
+        d2new = F.expr(_kc_spark_d2(centers[-1][1]))
+        state = state.select(
+            "vec_id",
+            "embedding",
+            F.when(d2new < F.col("dmin"), d2new)
+            .otherwise(F.col("dmin"))
+            .alias("dmin"),
+            F.when(d2new < F.col("dmin"), F.lit(m))
+            .otherwise(F.col("sel_round"))
+            .alias("sel_round"),
+        ).localCheckpoint(eager=False)
 
-    dd = [F.expr(_kc_spark_d2(c)).alias(f"dd{m + 1}") for m, (_, c) in enumerate(centers)]
-    dists = e.select("vec_id", *dd)
-    least = F.least(*[F.col(f"dd{m}") for m in range(1, KCENTER_K + 1)])
-    sel = F.lit(None)
-    for m in range(KCENTER_K, 0, -1):
-        sel = F.when(F.col(f"dd{m}") == F.col("d2"), m).otherwise(sel)
-    assigned = dists.withColumn("d2", least).select(
-        "vec_id", "d2", sel.alias("sel_round")
-    )
+    assigned = state.select("vec_id", F.col("dmin").alias("d2"), "sel_round")
     center_ids = {m + 1: vid for m, (vid, _) in enumerate(centers)}
     cid = F.lit(None)
     for m in range(KCENTER_K, 0, -1):

@@ -2103,10 +2103,20 @@ def _suffix_repeat_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "pos",
             "n_tokens",
-            F.slice("w", F.col("pos"), SUFFIX_CAP).alias("suffix"),
             F.array_join(F.slice("w", F.col("pos"), SUFFIX_BLOCK_TOKENS), " ").alias("blk"),
             F.array_join(F.slice("w", F.col("pos"), SUFFIX_CAP), " ").alias("skey"),
         )
+    )
+    # the suffix ARRAY is exactly split(skey, ' ') (tokens cannot contain
+    # the separator — they were produced by splitting on it, and empty
+    # tokens round-trip), so the exchange ships only the joined string
+    # and the array is reconstructed on the reduce side: the explicit
+    # repartition pins the exchange BELOW the reconstruction projection
+    # (window partitioning is satisfied by it, no second exchange) and
+    # shuffle bytes drop by the whole per-row array payload
+    # (optimization r14, guide §2.3 shuffle fewer bytes)
+    suf = suf.repartition(F.col("blk")).withColumn(
+        "suffix", F.split(F.col("skey"), " ")
     )
     win = Window.partitionBy("blk").orderBy("skey", "doc_id", "pos")
     nbr = suf.select(

@@ -265,7 +265,16 @@ def build_ann_index(
             sketch_udf()(F.col("embedding")).alias("sketch"),
         ).withColumn("bucket", F.concat(F.lit("b"), F.col("sketch")))
         tmp = f"{path}.build-{os.getpid()}"
-        sk.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        # cluster by bucket before the partitioned write: without it every
+        # scan task that held rows of a bucket wrote its own file (up to
+        # tasks x buckets fragments — measured 2k+ tiny files at sf0.1,
+        # guide §6 small-files), with it each bucket directory holds one
+        # file per owning task (~1).  Probe-side listing + footer reads
+        # drop proportionally; at production bucket sizes pair this with
+        # spark.sql.files.maxRecordsPerFile for the upper bound.
+        sk.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(tmp)
         _publish_index(tmp, path)
     return path
 
@@ -1596,7 +1605,12 @@ def compact_ann_index(spark: SparkSession, sf_dir: str) -> str:
         dead = spark.read.parquet(os.path.join(src_path, "_tombstones"))
         live = idx.join(F.broadcast(dead), "vec_id", "left_anti")
         tmp = f"{path}.build-{os.getpid()}"
-        live.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        # same bucket-clustered write as build_ann_index (guide §6):
+        # compaction exists to fix file fragmentation, so it must not
+        # reintroduce task x bucket fragments itself
+        live.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(tmp)
         with open(os.path.join(tmp, "_COMPACT_SUCCESS"), "w", encoding="utf-8"):
             pass
         with open(os.path.join(tmp, "_SUCCESS"), "w", encoding="utf-8"):
@@ -2058,26 +2072,40 @@ def sim_ann_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate-SET membership (value-level jitter is absorbed by the
     # driver's 4-dp hash, set membership is not).  Plan shape is
     # unchanged — the sums still partial-aggregate map-side.
-    qp = proj.filter(F.col("vec_id") == 0).select(
-        "j", F.round(F.col("p") * F.lit(1000000.0), 0).cast("long").alias("qk")
+    # The query-side sketch is RP_DIM rows of exact scaled int64 — a
+    # catalog-scale constant.  Pull it ONCE driver-side (the
+    # query_sketch bounded-pull precedent) instead of running the whole
+    # projection subtree twice more (once for the broadcast join, once
+    # for the norm aggregate — two scans + two broadcasts in the
+    # r14-before plan); qk becomes a literal-array lookup on j and the
+    # query norm a literal, with values bit-identical to the joined
+    # ones (optimization r14, guide §2.4).
+    qp_rows = (
+        proj.filter(F.col("vec_id") == 0)
+        .select("j", F.round(F.col("p") * F.lit(1000000.0), 0).cast("long").alias("qk"))
+        .toPandas()  # bounded pull: RP_DIM rows (the sanctioned small-index idiom)
     )
-    qn = qp.agg(F.sum(F.col("qk") * F.col("qk")).alias("nq2"))
+    qk_by_j = {int(j): int(qk) for j, qk in zip(qp_rows["j"], qp_rows["qk"])}
+    nq2 = sum(v * v for v in qk_by_j.values())  # exact python int
+    qk = F.element_at(
+        F.array(*[F.lit(qk_by_j[j]) for j in range(RP_DIM)]),
+        (F.col("j") + 1).cast("int"),
+    )
     pr = proj.filter(F.col("vec_id") != 0).select(
         "vec_id",
         "j",
         F.round(F.col("p") * F.lit(1000000.0), 0).cast("long").alias("pk"),
     )
     sk = (
-        pr.join(F.broadcast(qp), "j")
-        .crossJoin(F.broadcast(qn))
-        .groupBy("vec_id", "nq2")
+        pr.select("vec_id", "pk", qk.alias("qk"))
+        .groupBy("vec_id")
         .agg(
             (
                 F.round(
                     F.sum(F.col("pk") * F.col("qk")).cast("double")
                     / (
                         F.sqrt(F.sum(F.col("pk") * F.col("pk")).cast("double"))
-                        * F.sqrt(F.col("nq2").cast("double"))
+                        * F.sqrt(F.lit(nq2).cast("double"))
                     ),
                     6,
                 )
