@@ -448,7 +448,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)]),
             )
         ).alias("band_idx", "band_key"),
-    )
+    ).localCheckpoint(eager=False)
     # Every side of the candidate/verify joins below scales with the
     # corpus (band rows, candidate pairs, exploded shingles), and the
     # localCheckpoint'd subtree carries no size statistics — at 64x the
