@@ -2871,64 +2871,90 @@ def dedup_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kept-chunks-in-order) text, so the driver grades the exact
     reconstruction, not just the accounting.
 
-    Dataflow: the shared ``cdc_chunks_of`` subtree (with_text=True —
-    the reassembly groupBy additionally carries the chunk words, the
-    one place the apply semantics need them), then per-chunk occurrence
-    count and earliest site from a map-side-combined
-    groupBy(chunk_hash) — deliberately NOT a chunk-partitioned window
-    (the ``curate_line_dedup_apply`` lesson: a corpus-hot boilerplate
-    chunk would funnel one window partition, while partial aggregation
-    collapses it to one row per task before the exchange).  The stats
-    table joins back by chunk_hash (merge hint: it scales with distinct
-    chunks ~ corpus, never broadcast), then one doc_id aggregation
-    rebuilds the cleaned text.
+    Dataflow (optimization r14, guide §8 "decide with small rows, move
+    big rows once"): every removal decision depends only on
+    (chunk_hash, site) — never on the chunk words — so the stats
+    aggregation and the keep/remove join run over the NARROW projection
+    of the shared ``cdc_chunks_of`` subtree (with_text=True — the
+    reassembly groupBy additionally carries the chunk words, the one
+    place the apply semantics need them).  Per-chunk earliest site
+    comes from a map-side-combined groupBy(chunk_hash) — deliberately
+    NOT a chunk-partitioned window (the ``curate_line_dedup_apply``
+    lesson: a corpus-hot boilerplate chunk would funnel one window
+    partition, while partial aggregation collapses it to one row per
+    task before the exchange).  ``keep`` simplifies to
+    site == first_site (a unique chunk's lone site IS its first site,
+    so the cnt < 2 disjunct is redundant — the oracle spells both for
+    readability); the surviving REMOVED sites come back as narrow
+    marker rows UNIONED with the chunk rows into one doc_id rebuild
+    aggregation, which collects the kept text and the removed ids in
+    the same pass — no join back of text, no second doc_id exchange.
 
     Scale (100 TB): the chunking subtree's linear doc_id-keyed
-    exchanges (shared verbatim with the measurement query), plus the
-    same exchange budget as the line-level apply — one
-    map-side-combined chunk-stats exchange, one chunk_hash-keyed join,
-    one doc_id rebuild exchange; chunk text rides only the join and
-    the rebuild, exactly as line text does in the C4 cleaner.  Expected
-    chunk length CDC_MOD tokens bounds per-row payloads; the
-    (doc_id, chunk_id) site key packs into one BIGINT (chunk_id
-    bounded by _CHUNK_SITE_BOUND)."""
+    exchanges (shared verbatim with the measurement query), one
+    map-side-combined chunk-stats exchange and one chunk_hash-keyed
+    join — BOTH on 32-byte-hash/8-byte-long rows — and chunk text
+    crosses exactly ONE exchange, the doc_id rebuild (before r14 it
+    also rode the chunk_hash join: at expected chunk length CDC_MOD
+    tokens that exchange shipped ~10x the bytes of the narrow one that
+    replaced it).  The (doc_id, chunk_id) site key packs into one
+    BIGINT (chunk_id bounded by _CHUNK_SITE_BOUND)."""
     d = table(spark, sf_dir, "documents")
-    # both consumers (stats agg + join probe) read ONE chunking pass —
-    # without the checkpoint the shared subtree re-expands on each side
-    # of the self-join (the curate_line_dedup_apply / KN-count-table
-    # lesson) and the corpus is chunked twice
+    # both consumers (narrow stats/flags arm + text rebuild arm) read
+    # ONE chunking pass — without the checkpoint the shared subtree
+    # re-expands per consumer (the curate_line_dedup_apply /
+    # KN-count-table lesson) and the corpus is chunked twice
     chunks = cdc_chunks_of(d, with_text=True).localCheckpoint(eager=False)
-    cstats = chunks.groupBy("chunk_hash").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(F.col("doc_id") * _CHUNK_SITE_BOUND + F.col("chunk_id")).alias(
-            "first_site"
-        ),
+    site = F.col("doc_id") * _CHUNK_SITE_BOUND + F.col("chunk_id")
+    narrow = chunks.select(
+        "doc_id", "chunk_id", "chunk_hash", "chunk_tokens", site.alias("site")
     )
-    keep = (F.col("cnt") < 2) | (
-        F.col("doc_id") * _CHUNK_SITE_BOUND + F.col("chunk_id")
-        == F.col("first_site")
-    )
-    flags = chunks.join(cstats.hint("merge"), "chunk_hash").select(
-        "doc_id", "chunk_id", "chunk_tokens", "chunk_text", keep.alias("keep")
-    )
-    cleaned = F.md5(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("keep"), F.struct("chunk_id", "chunk_text"))
-                    )
-                ),
-                lambda s: s.chunk_text,
-            ),
+    cstats = narrow.groupBy("chunk_hash").agg(F.min("site").alias("first_site"))
+    # merge hint: cstats scales with distinct chunks ~ corpus, never
+    # broadcast.  Only the narrow columns cross this exchange.
+    removed = (
+        narrow.join(cstats.hint("merge"), "chunk_hash")
+        .filter(F.col("site") != F.col("first_site"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            "chunk_tokens",
+            F.lit(None).cast("string").alias("chunk_text"),
+            F.lit(True).alias("is_removed"),
         )
     )
-    return flags.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_removed"),
-        F.sum(F.when(F.col("keep"), 0).otherwise(F.col("chunk_tokens")))
+    both = chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_tokens",
+        "chunk_text",
+        F.lit(False).alias("is_removed"),
+    ).unionByName(removed)
+    rebuilt = both.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("is_removed"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_chunks"),
+        F.sum(F.when(F.col("is_removed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("is_removed"), F.col("chunk_tokens")).otherwise(0))
         .cast("long")
         .alias("removed_tokens"),
+        F.array_sort(
+            F.collect_list(
+                F.when(~F.col("is_removed"), F.struct("chunk_id", "chunk_text"))
+            )
+        ).alias("cs"),
+        F.collect_list(F.when(F.col("is_removed"), F.col("chunk_id"))).alias(
+            "removed_ids"
+        ),
+    )
+    kept = F.filter(
+        F.col("cs"),
+        lambda s: ~F.array_contains(F.col("removed_ids"), s.chunk_id),
+    )
+    cleaned = F.md5(F.concat_ws(" ", F.transform(kept, lambda s: s.chunk_text)))
+    return rebuilt.select(
+        "doc_id", "n_chunks", "n_removed", "removed_tokens",
         cleaned.alias("cleaned_md5"),
     )

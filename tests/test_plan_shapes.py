@@ -1002,27 +1002,51 @@ def test_unimax_apply_scan_stage_broadcast(spark, sf_dir):
 
 
 def test_cdc_apply_exchange_budget_no_python(spark, sf_dir):
-    """dedup_cdc_apply (r14): the shared chunking subtree's doc_id
-    exchange, the map-side-combined chunk-stats aggregation, the
-    chunk_hash-keyed stats join, and ONE doc_id rebuild aggregation —
-    the curate_line_dedup_apply budget on CDC chunks.  The chunking
-    subtree is checkpointed so both consumers (stats agg + join probe)
-    read ONE chunking pass (no Generate/posexplode in the visible
-    plan); the stats side must partial-aggregate before its exchange
-    (a corpus-hot boilerplate chunk collapses map-side, never funnels
-    a window partition); the stats join is a SortMergeJoin
-    (corpus-scaled, never broadcast); nothing runs in Python or a
-    single partition."""
+    """dedup_cdc_apply (r14 optimization, guide §8): removal decisions
+    run entirely on the NARROW (hash, site) projection — the
+    map-side-combined chunk-stats aggregation and the chunk_hash-keyed
+    stats join ship no chunk text — and the surviving removed-site
+    markers UNION with the chunk rows into ONE doc_id rebuild
+    aggregation, so chunk TEXT crosses exactly one exchange.  The
+    chunking subtree is checkpointed so both arms read ONE chunking
+    pass (no Generate/posexplode in the visible plan); the stats side
+    must partial-aggregate before its exchange (a corpus-hot
+    boilerplate chunk collapses map-side, never funnels a window
+    partition); the stats join is a SortMergeJoin (corpus-scaled,
+    never broadcast); nothing runs in Python or a single partition."""
     import re
 
     plan = _plan(spark, sf_dir, "dedup_cdc_apply")
     assert plan.count("Generate") == 0, plan  # behind the checkpoint
     assert "Scan ExistingRDD" in plan, plan
+    # ONE doc_id exchange (the text rebuild over the union), two
+    # chunk_hash exchanges (stats agg + narrow stats-join side)
     assert len(re.findall(r"Exchange hashpartitioning\(doc_id", plan)) == 1, plan
     assert len(re.findall(r"Exchange hashpartitioning\(chunk_hash", plan)) == 2, plan
     assert plan.count("SortMergeJoin") == 1, plan
+    assert "Union" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
-    assert "partial_count" in plan, plan
+    # chunk_text must NOT ride the chunk_hash-keyed exchanges: both ship
+    # only the narrow decision columns (the formatted plan carries each
+    # Exchange's Input column list; the tree string does not)
+    qs = registry.all_queries()
+    df = qs["dedup_cdc_apply"](spark, sf_dir)
+    fmt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    hash_exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+        r"Arguments: hashpartitioning\(chunk_hash",
+        fmt,
+    )
+    assert len(hash_exchanges) == 2, fmt
+    for cols in hash_exchanges:
+        assert "chunk_text" not in cols, cols
+    # the chunk-stats side partial-aggregates (min first_site) before
+    # its exchange — the map-side-combine property
+    assert "partial_min" in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
 
