@@ -1689,8 +1689,13 @@ def curate_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFra
     is the corpus-scale half: ONE broadcast join of the constant weight
     table onto the feature stream + one doc_id aggregation — scoring
     100 TB is a single linear pass, exactly like the DSIR scoring
-    join."""
-    docs = table(spark, sf_dir, "documents")
+    join.  The doc rows are scale-adaptively spread before the
+    per-token feature hashing (``tables.spread_scan``, optimization
+    r14: the explode+md5 on a one-split scan ran single-task; a no-op
+    once the scan has real splits)."""
+    from ..tables import spread_scan
+
+    docs = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     return qc_scores(spark, sf_dir, docs).join(
         docs.select("doc_id", "lang"), "doc_id"
     ).select(

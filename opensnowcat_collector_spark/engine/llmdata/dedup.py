@@ -77,9 +77,51 @@ def shingles_of(d: DataFrame) -> DataFrame:
     )
 
 
+def distinct_shingles_of(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) with per-doc *distinct* shingles, computed
+    entirely in the scan stage — ZERO shuffle (optimization r14, guide
+    §2.4).  (doc_id, shingle) duplicates can only exist within one
+    document, so ``array_distinct`` on the per-doc shingle array before
+    the explode is row-for-row identical to the global ``.distinct()``
+    it replaces (verified ``exceptAll`` empty both ways at sf0.1), and
+    the corpus-wide exchange + sort/hash-dedup the old form paid — once
+    per consumer, in every minhash/containment/contamination plan — is
+    gone.  The distinct runs on the assembled STRINGS (not the zipped
+    word triples) so null-padded tail triples collapse exactly as the
+    exploded form did.  Matches the oracle shape, which has always been
+    list_distinct-then-UNNEST."""
+    n_sh = F.greatest(F.size("ws") - 2, F.lit(1))
+    zipped = F.arrays_zip(
+        F.slice("ws", 1, n_sh).alias("w1"),
+        F.slice("ws", 2, n_sh).alias("w2"),
+        F.slice("ws", 3, n_sh).alias("w3"),
+    )
+    arr = F.array_distinct(
+        F.transform(zipped, lambda t: F.concat_ws(" ", t.w1, t.w2, t.w3))
+    )
+    return d.select("doc_id", F.split(F.lower("text"), " ").alias("ws")).select(
+        "doc_id", F.explode(arr).alias("shingle")
+    )
+
+
 def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) with *distinct* shingles — one shuffle."""
-    return raw_shingles(spark, sf_dir).distinct()
+    """(doc_id, shingle) with *distinct* shingles — scan-stage (see
+    ``distinct_shingles_of``).
+
+    Explode parallelism is scale-adaptive (guide §2): a small corpus
+    arrives as fewer scan splits than cores (sf0.1 documents is one
+    row group -> ONE split), which would run the explode, the checkpoint
+    write and every consumer's map side on a single task.  When that
+    happens the NARROW document rows are hash-spread on doc_id first
+    (``tables.spread_scan``; keyed, never round-robin).  Shuffling raw
+    text once is strictly cheaper than the corpus-wide exploded-shingle
+    exchange this helper used to pay, and at production scale the scan
+    already has >= parallelism splits so no shuffle is added at all."""
+    from ..tables import spread_scan
+
+    return distinct_shingles_of(
+        spread_scan(table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 _DUCK_SHINGLE_CTE = """

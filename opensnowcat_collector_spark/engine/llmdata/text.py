@@ -895,8 +895,16 @@ def text_dup_line_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     {LINE_CHUNK_WORDS}), one groupBy keyed by (doc_id, line) — the key
     embeds doc_id, so hot lines CANNOT skew a partition the way the
     corpus-wide paragraph shuffle can — then a map-side-combinable
-    doc_id rollup.  No self-join, no window, no Python."""
-    return dup_line_fractions(table(spark, sf_dir, "documents"))
+    doc_id rollup.  No self-join, no window, no Python.  The doc rows
+    are scale-adaptively spread before the line chunking
+    (``tables.spread_scan``, optimization r14: the chunk-array slice
+    loop on a one-split scan ran single-task; measured 1.4 -> 0.7 s at
+    sf0.1, a no-op once the scan has real splits)."""
+    from ..tables import spread_scan
+
+    return dup_line_fractions(
+        spread_scan(table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 def dup_line_fractions(d: DataFrame) -> DataFrame:
@@ -2479,7 +2487,12 @@ def text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = spark.read.parquet(os.path.join(path, "ctx"))
     cont = spark.read.parquet(os.path.join(path, "cont"))
     tt = spark.read.parquet(os.path.join(path, "tt"))
-    d = table(spark, sf_dir, "documents")
+    from ..tables import spread_scan
+
+    # same scale-adaptive doc_id spread as the trigram scorer: the
+    # scoring joins broadcast, so the final groupBy(doc_id) rides the
+    # spread and the bigram stream never crosses an exchange
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     ws = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
     bg = flat_bigrams(ws)
     p = (F.col("cb").cast("double") - F.lit(KN_DISCOUNT)) / F.col("c1").cast(
@@ -2970,7 +2983,15 @@ def text_kn_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rd(name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(path, name))
 
-    d = table(spark, sf_dir, "documents")
+    from ..tables import spread_scan
+
+    # scale-adaptive scan spread (optimization r14): the count-table
+    # joins below all broadcast (Zipf-small artifacts), so a doc_id
+    # hash spread of the one-split scan survives the whole scoring
+    # chain and the final groupBy(doc_id) rides it — the trigram
+    # stream itself never crosses an exchange.  No-op once the scan
+    # has >= parallelism splits.
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     ws = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
     tg = flat_trigrams(ws)
     j = (

@@ -1746,7 +1746,7 @@ def streaming_semdedup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from .llmdata.curation import BENCH_MOD, CONTAMINATION_THRESHOLD  # noqa: E402
-from .llmdata.dedup import shingles_of  # noqa: E402
+from .llmdata.dedup import distinct_shingles_of  # noqa: E402
 from .relational import ORACLE as _ORACLE  # noqa: E402  (post-registration read)
 
 
@@ -1765,7 +1765,7 @@ def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming crawl document is screened against it per micro-batch:
     distinct 3-gram shingles, broadcast membership probe, per-doc
     overlap fraction vs CONTAMINATION_THRESHOLD.  Shingling is shared
-    verbatim with the batch twin (``dedup.shingles_of``), so the two
+    verbatim with the batch twin (``dedup.distinct_shingles_of``), so the two
     graded definitions cannot diverge.  Docs with zero benchmark
     overlap are absent (the batch twin's inner-join semantics).
 
@@ -1783,7 +1783,7 @@ def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental work scales with the batch, never the corpus."""
     docs = table(spark, sf_dir, "documents")
     bench = (
-        shingles_of(docs.filter((F.col("doc_id") % BENCH_MOD) == 0))
+        distinct_shingles_of(docs.filter((F.col("doc_id") % BENCH_MOD) == 0))
         .select("shingle")
         .distinct()
         .localCheckpoint(eager=False)
@@ -1794,7 +1794,7 @@ def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def screen_batch(batch_df: DataFrame) -> DataFrame:
-        sh = shingles_of(batch_df).distinct()
+        sh = distinct_shingles_of(batch_df)
         counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
         hits = (
             sh.join(F.broadcast(bench), "shingle")
@@ -2255,7 +2255,7 @@ def fuzzy_path(sf_dir: str) -> str:
     data.  The fingerprint is the recursive part-file walk of
     ``_source_fingerprint`` (ADVICE r12).  The tuning constants the
     persisted tables depend on (blocking threshold, benchmark modulus,
-    corpus split, shingle width — hard-coded 3 in ``shingles_of``) are
+    corpus split, shingle width — hard-coded 3 in ``distinct_shingles_of``) are
     folded into the key so changing any of them invalidates the
     artifact automatically instead of serving a stale blocking set
     (ADVICE r13)."""
@@ -2284,7 +2284,7 @@ def _fuzzy_static_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFram
     static_docs = d.filter(
         (F.col("doc_id") < CURATION_CORPUS_SPLIT) | is_bench
     )
-    static_sh = shingles_of(static_docs).distinct().localCheckpoint(eager=False)
+    static_sh = distinct_shingles_of(static_docs).localCheckpoint(eager=False)
     sdf = static_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = sdf.filter(F.col("df") <= FUZZY_BLOCK_DF).select("shingle")
     be = static_sh.join(
@@ -2433,7 +2433,7 @@ def _fuzzy_screen_stream(
     )
 
     def screen_batch(batch_df: DataFrame) -> DataFrame:
-        sh = shingles_of(batch_df).distinct()
+        sh = distinct_shingles_of(batch_df)
         pairs = (
             sh.join(rare, "shingle")
             .join(F.broadcast(be), "shingle")
@@ -2540,8 +2540,7 @@ def streaming_fuzzy_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def batch_dfs(batch_df: DataFrame) -> DataFrame:
         return (
-            shingles_of(batch_df)
-            .distinct()
+            distinct_shingles_of(batch_df)
             .groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df_s"))
         )

@@ -91,6 +91,29 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive scan spread (optimization r14, guide §2.5 "input
+    skew: one huge unsplittable file ... repartition immediately after
+    the read").  The sf-scale parquet tables are single row groups, so
+    every scan is ONE split and all pre-exchange compute (explodes,
+    per-token md5s, higher-order array functions) runs on one task; at
+    production scale the scan has >= parallelism splits and this is a
+    no-op.  The spread hashes a UNIQUE key (never round-robin: a
+    keyless ``repartition(n)`` locally sorts its whole input first —
+    SPARK-23207 — which costs more than the single-task compute it
+    rescues).  Apply ONLY where measured: an added exchange in front of
+    cheap scan work loses (q1/count-min measured slower with it); heavy
+    per-row compute before the first exchange wins (shingles, line
+    chunking, token-bucket features)."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, *[F.col(k) for k in keys])
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: table(spark, sf_dir, n) for n in TABLE_NAMES}
 

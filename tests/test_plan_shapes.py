@@ -510,16 +510,22 @@ def test_bpe_segment_counts_broadcast_scoring_single_exchange(spark, sf_dir):
 
 
 def test_dup_line_fractions_two_combined_exchanges_no_python(spark, sf_dir):
-    """MassiveText duplicate-line fractions (r8): exactly two exchanges —
-    (doc_id, line) for the occurrence counts, then doc_id for the rollup
-    — both fed by map-side partial aggregates; the (doc_id, line) key
-    embeds doc_id, so a corpus-hot line can never skew one partition.
-    Single explode, no join, no window, no Python."""
+    """MassiveText duplicate-line fractions (r8; re-shaped by the r14
+    scan spread): at sf scale the one-split scan is hash-spread on
+    doc_id BEFORE the line chunking (``tables.spread_scan``), and both
+    aggregations — (doc_id, line) occurrence counts, then the doc_id
+    rollup — ride that single doc-keyed exchange (hashpartitioning on
+    doc_id satisfies every doc-prefixed grouping), so exploded line
+    rows never cross an exchange at all.  At production scale the
+    spread is a no-op and the two map-side-combined aggregation
+    exchanges reappear — either way the (doc_id, line) key embeds
+    doc_id, so a corpus-hot line can never skew one partition.  Single
+    explode, no join, no window, no Python."""
     plan = _plan(spark, sf_dir, "text_dup_line_fractions")
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
     assert plan.count("Generate explode") == 1, plan
     assert "Join" not in plan and "Window" not in plan, plan
-    assert "partial_count" in plan and "partial_sum" in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
