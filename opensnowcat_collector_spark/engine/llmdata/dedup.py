@@ -2145,7 +2145,6 @@ def _suffix_repeat_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "pos",
             "n_tokens",
-            F.array_join(F.slice("w", F.col("pos"), SUFFIX_BLOCK_TOKENS), " ").alias("blk"),
             F.array_join(F.slice("w", F.col("pos"), SUFFIX_CAP), " ").alias("skey"),
         )
     )
@@ -2156,11 +2155,19 @@ def _suffix_repeat_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition pins the exchange BELOW the reconstruction projection
     # (window partitioning is satisfied by it, no second exchange) and
     # shuffle bytes drop by the whole per-row array payload
-    # (optimization r14, guide §2.3 shuffle fewer bytes)
-    suf = suf.repartition(F.col("blk")).withColumn(
+    # (optimization r14, guide §2.3 shuffle fewer bytes).  The block key
+    # is the SUFFIX_BLOCK_TOKENS-token PREFIX of skey, so it is derived
+    # with one substring_index over the already-joined string instead of
+    # a second per-position array slice+join, and it is never shipped at
+    # all: the repartition and the window partition on the SAME
+    # canonicalized expression (verified: one exchange keyed
+    # substring_index(skey), the window rides it), so only skey crosses
+    # the wire and the block key is re-evaluated where needed.
+    blk = F.substring_index(F.col("skey"), " ", SUFFIX_BLOCK_TOKENS)
+    suf = suf.repartition(blk).withColumn(
         "suffix", F.split(F.col("skey"), " ")
     )
-    win = Window.partitionBy("blk").orderBy("skey", "doc_id", "pos")
+    win = Window.partitionBy(blk).orderBy("skey", "doc_id", "pos")
     nbr = suf.select(
         "doc_id",
         "pos",

@@ -60,10 +60,51 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: lazy-PLAN memo: session -> {(path, mtime_ns, size) -> DataFrame}.
+#: Caches only the DataFrame handle (file listing + schema inference —
+#: ``spark.read.parquet`` costs 300-600 ms per call on this VM, paid by
+#: EVERY query construction); no data is ever cached — each action
+#: recomputes from the parquet files.  Keyed by the session object
+#: (weakly, so a replaced session drops its entries) and the file's
+#: (mtime, size) so a rewritten table is re-read, never served stale.
+import weakref as _weakref
+
+_PLAN_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
     ensure_shipped(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        memo_key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        memo_key = None  # e.g. a directory-backed table; fall through
+    if memo_key is not None:
+        per_session = _PLAN_MEMO.setdefault(spark, {})
+        hit = per_session.get(memo_key)
+        if hit is not None:
+            if name == "events":
+                _ensure_events_confs(spark)
+            return hit
+    df = _load_table(spark, sf_dir, name)
+    if memo_key is not None:
+        per_session[memo_key] = df
+    return df
+
+
+def _ensure_events_confs(spark: SparkSession) -> None:
+    for conf_key, want in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        if spark.conf.get(conf_key, None) != want:
+            spark.conf.set(conf_key, want)
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # DELIBERATE session-global side effect, scoped to the events
         # loader and idempotent (set only when differing).  Both confs are
@@ -79,12 +120,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # - UTC timezone: ts becomes tz-aware via timestamp_micros below,
         #   so hour/day extraction follows the session timezone — pin UTC
         #   to match the oracle's naive-timestamp semantics.
-        for conf_key, want in (
-            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-            ("spark.sql.session.timeZone", "UTC"),
-        ):
-            if spark.conf.get(conf_key, None) != want:
-                spark.conf.set(conf_key, want)
+        _ensure_events_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_event_ts(df)
@@ -109,7 +145,14 @@ def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
 
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    # the .rdd probe is driver-side planning (~50 ms); the table() plan
+    # memo shares DataFrame handles, so the split count is remembered on
+    # the object and later callers skip the probe entirely
+    n = getattr(df, "_graft_scan_parts", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        df._graft_scan_parts = n
+    if n < par:
         df = df.repartition(par, *[F.col(k) for k in keys])
     return df
 

@@ -333,11 +333,15 @@ def test_entropy_metrics_partial_agg_no_python(spark, sf_dir):
 
 def test_suffix_repeats_blocked_window_no_global_sort(spark, sf_dir):
     """The suffix sort must be the hash-partitioned blocked window —
-    never a single-partition global sort; LCP terms stay codegen'd (no
-    Python, no interpreted higher-order aggregate)."""
+    never a single-partition global sort; the block key is the
+    substring_index PREFIX of skey evaluated in the exchange (r14: the
+    key itself is never shipped — only skey crosses the wire, and the
+    window rides the same expression with no second exchange); LCP
+    terms stay codegen'd (no Python, no interpreted higher-order
+    aggregate)."""
     plan = _plan(spark, sf_dir, "dedup_suffix_repeats")
     assert "SinglePartition" not in plan, plan
-    assert re.search(r"hashpartitioning\(blk", plan), plan
+    assert re.search(r"hashpartitioning\(substring_index\(skey", plan), plan
     assert plan.count("Exchange") <= 3, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "aggregate(" not in plan  # no interpreted lambda LCP
