@@ -34,6 +34,7 @@ from ..config import (
     RedirectMacroConfig,
     SinkConfig,
 )
+from ..sqlfrag import sql_str
 from .relational import register
 from .tables import table
 
@@ -520,75 +521,71 @@ def collector_split_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-free left joins on the same key — co-partitioned by AQE,
     linear in request count."""
     e = table(spark, sf_dir, "events")
-    uid = F.col("user_id")
-    uid_s = uid.cast("string")
-    m = uid % 8
-    n = (uid % 40 + 3).cast("int")
     pad760 = "x" * 760
     pad400 = "x" * 400
     pad700x = "x" * 700
     pad700z = "z" * 700
 
-    small_el = lambda i: F.concat(  # noqa: E731
-        F.lit('{"e":"pv","i":"'), F.lpad(i.cast("string"), 9, "0"), F.lit('"}')
+    # synthesis as parsed SQL fragments (sqlfrag, optimization r14):
+    # identical expression trees, ~15 py4j calls instead of ~500
+    m = "(user_id % 8)"
+    n = "cast(user_id % 40 + 3 as int)"
+    small_el = (
+        lambda i: "concat('{\"e\":\"pv\",\"i\":\"',"
+        f" lpad(cast({i} as string), 9, '0'), '\"}}')"
     )
-    big_el = lambda i: F.concat(  # noqa: E731
-        F.lit('{"e":"pv","i":"'),
-        F.lpad(i.cast("string"), 9, "0"),
-        F.lit('","pad":"' + pad400 + '"}'),
+    big_el = (
+        lambda i: "concat('{\"e\":\"pv\",\"i\":\"',"
+        f" lpad(cast({i} as string), 9, '0'),"
+        " '\",\"pad\":\"" + pad400 + "\"}')"
     )
 
-    def sd_body(elements_col) -> F.Column:
-        return F.concat(
-            F.lit('{"schema":"' + _IGLU + '","data":['),
-            F.array_join(elements_col, ","),
-            F.lit("]}"),
-        )
+    def sd_body(elements: str) -> str:
+        head = '{"schema":"' + _IGLU + '","data":['
+        return f"concat({sql_str(head)}, array_join({elements}, ','), ']}}')"
 
-    els_small = F.transform(F.sequence(F.lit(1), n), small_el)
-    els_mixed = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.when(i % 3 == 1, big_el(i)).otherwise(small_el(i)),
+    els_small = f"transform(sequence(1, {n}), i -> {small_el('i')})"
+    els_mixed = (
+        f"transform(sequence(1, {n}),"
+        f" i -> CASE WHEN i % 3 = 1 THEN {big_el('i')}"
+        f" ELSE {small_el('i')} END)"
     )
-    one_el = F.array(small_el(F.lit(1)))
+    one_el = f"array({small_el('1')})"
 
     body = (
-        F.when(m == 0, sd_body(one_el))
-        .when(m == 1, sd_body(els_small))
-        .when(m == 2, F.lit(pad700z))
-        .when(m == 3, F.lit(None).cast("string"))
-        .when(m == 4, sd_body(els_mixed))
-        .when(m == 5, F.lit('{"schema":"nope","data":"' + pad700x + '"}'))
-        .when(m == 6, F.lit('{"schema":"' + _IGLU + '","data":"' + pad700x + '"}'))
-        .otherwise(sd_body(one_el))  # m == 7: small body, huge querystring
+        f"CASE WHEN {m} = 0 THEN {sd_body(one_el)}"
+        f" WHEN {m} = 1 THEN {sd_body(els_small)}"
+        f" WHEN {m} = 2 THEN '{pad700z}'"
+        f" WHEN {m} = 3 THEN cast(NULL as string)"
+        f" WHEN {m} = 4 THEN {sd_body(els_mixed)}"
+        f" WHEN {m} = 5 THEN {sql_str(chr(123) + chr(34) + 'schema' + chr(34) + ':' + chr(34) + 'nope' + chr(34) + ',' + chr(34) + 'data' + chr(34) + ':' + chr(34) + pad700x + chr(34) + chr(125))}"
+        f" WHEN {m} = 6 THEN {sql_str(chr(123) + chr(34) + 'schema' + chr(34) + ':' + chr(34) + _IGLU + chr(34) + ',' + chr(34) + 'data' + chr(34) + ':' + chr(34) + pad700x + chr(34) + chr(125))}"
+        f" ELSE {sd_body(one_el)} END"  # m == 7: small body, huge querystring
     )
     qs = (
-        F.when(
-            m.isin(3, 7),
-            F.concat(F.lit("e=pv&pad=" + pad760 + "&nuid=u-"), uid_s),
-        ).otherwise(F.concat(F.lit("e=pv&nuid=u-"), uid_s))
+        f"CASE WHEN {m} IN (3, 7)"
+        f" THEN concat('e=pv&pad={pad760}&nuid=u-', cast(user_id as string))"
+        " ELSE concat('e=pv&nuid=u-', cast(user_id as string)) END"
     )
-    is_get = m == 3
-    raw = e.select(
-        F.concat(F.lit("ev-"), F.col("event_id").cast("string")).alias("request_id"),
-        F.when(is_get, F.lit("GET")).otherwise(F.lit("POST")).alias("method"),
-        F.when(is_get, F.lit("/i"))
-        .otherwise(F.lit("/com.snowplowanalytics.snowplow/tp2"))
-        .alias("path"),
-        qs.alias("querystring"),
-        body.alias("body"),
-        F.lit("UA").alias("user_agent"),
-        F.lit(None).cast("string").alias("referer_uri"),
-        F.lit("collector.local").alias("hostname"),
-        F.lit("10.0.0.1").alias("remote_ip"),
-        F.array().cast("array<string>").alias("headers"),
-        F.lit(None).cast("string").alias("origin"),
-        F.create_map().cast("map<string,string>").alias("cookies"),
-        F.when(is_get, F.lit(None).cast("string"))
-        .otherwise(F.lit("application/json"))
-        .alias("content_type"),
-        F.lit(None).cast("string").alias("sp_anonymous"),
-        F.col("ts").alias("request_time"),
+    is_get = f"{m} = 3"
+    raw = e.selectExpr(
+        "concat('ev-', cast(event_id as string)) as request_id",
+        f"CASE WHEN {is_get} THEN 'GET' ELSE 'POST' END as method",
+        f"CASE WHEN {is_get} THEN '/i'"
+        " ELSE '/com.snowplowanalytics.snowplow/tp2' END as path",
+        f"{qs} as querystring",
+        f"{body} as body",
+        "'UA' as user_agent",
+        "cast(NULL as string) as referer_uri",
+        "'collector.local' as hostname",
+        "'10.0.0.1' as remote_ip",
+        "cast(array() as array<string>) as headers",
+        "cast(NULL as string) as origin",
+        "cast(map() as map<string,string>) as cookies",
+        f"CASE WHEN {is_get} THEN cast(NULL as string)"
+        " ELSE 'application/json' END as content_type",
+        "cast(NULL as string) as sp_anonymous",
+        "ts as request_time",
     )
     res = pipeline.run(raw, _SPLIT_CFG)
 

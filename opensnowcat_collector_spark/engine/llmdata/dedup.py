@@ -57,23 +57,26 @@ def raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingles_of(table(spark, sf_dir, "documents"))
 
 
+#: shared SQL fragments for the shingle builders: expression trees are
+#: built as ONE parsed string instead of dozens of Column calls — py4j
+#: round-trips cost ~3 ms each on this VM and these helpers sit on every
+#: shingle consumer's construction path (optimization r14, the guide
+#: §7.3 driver-overhead class; the parsed plan is operator-identical).
+_SHINGLE_N = "greatest(size(ws) - 2, 1)"
+_SHINGLE_ZIP = (
+    f"arrays_zip(slice(ws, 1, {_SHINGLE_N}), slice(ws, 2, {_SHINGLE_N}),"
+    f" slice(ws, 3, {_SHINGLE_N}))"
+)
+
+
 def shingles_of(d: DataFrame) -> DataFrame:
     """The shingle expression of ``raw_shingles`` over an arbitrary
     documents-shaped frame (streaming micro-batches reuse it so the
     serving twin cannot diverge from the batch definition)."""
-    n_sh = F.greatest(F.size("ws") - 2, F.lit(1))
-    zipped = F.arrays_zip(
-        F.slice("ws", 1, n_sh).alias("w1"),
-        F.slice("ws", 2, n_sh).alias("w2"),
-        F.slice("ws", 3, n_sh).alias("w3"),
-    )
     return (
-        d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
-        .select("doc_id", F.explode(zipped).alias("t"))
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.col("t.w1"), F.col("t.w2"), F.col("t.w3")).alias("shingle"),
-        )
+        d.selectExpr("doc_id", "split(lower(text), ' ') as ws")
+        .selectExpr("doc_id", f"explode({_SHINGLE_ZIP}) as t")
+        .selectExpr("doc_id", "concat_ws(' ', t['0'], t['1'], t['2']) as shingle")
     )
 
 
@@ -90,17 +93,12 @@ def distinct_shingles_of(d: DataFrame) -> DataFrame:
     word triples) so null-padded tail triples collapse exactly as the
     exploded form did.  Matches the oracle shape, which has always been
     list_distinct-then-UNNEST."""
-    n_sh = F.greatest(F.size("ws") - 2, F.lit(1))
-    zipped = F.arrays_zip(
-        F.slice("ws", 1, n_sh).alias("w1"),
-        F.slice("ws", 2, n_sh).alias("w2"),
-        F.slice("ws", 3, n_sh).alias("w3"),
+    arr = (
+        f"array_distinct(transform({_SHINGLE_ZIP},"
+        " t -> concat_ws(' ', t['0'], t['1'], t['2'])))"
     )
-    arr = F.array_distinct(
-        F.transform(zipped, lambda t: F.concat_ws(" ", t.w1, t.w2, t.w3))
-    )
-    return d.select("doc_id", F.split(F.lower("text"), " ").alias("ws")).select(
-        "doc_id", F.explode(arr).alias("shingle")
+    return d.selectExpr("doc_id", "split(lower(text), ' ') as ws").selectExpr(
+        "doc_id", f"explode({arr}) as shingle"
     )
 
 
@@ -354,36 +352,47 @@ def _minhash_aggs():
     SortAggregate (plus its two per-side sorts) in every signature
     subtree (optimization r14, guide §2.3 narrower types).
     ``_band_keys`` reconstructs the exact original hex strings, so band
-    keys (and therefore candidate sets and results) are unchanged."""
+    keys (and therefore candidate sets and results) are unchanged.
+
+    Built as parsed strings: one F.expr per aggregate instead of ~8
+    Column round-trips each (~190 ms -> ~10 ms per construction on this
+    VM; the parsed expression tree is identical)."""
     return [
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{s // 4}:"), F.col("shingle"))),
-                    (s % 4) * 8 + 1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"mh_{s}")
+        F.expr(
+            f"min(cast(conv(substring(md5(concat('{s // 4}:', shingle)),"
+            f" {(s % 4) * 8 + 1}, 8), 16, 10) as bigint)) as mh_{s}"
+        )
         for s in range(N_MINHASH)
     ]
 
 
-def _mh_hex(c: "F.Column") -> "F.Column":
+def _mh_hex(c: str) -> str:
     """Exact inverse of the long decode in ``_minhash_aggs``: the
     original 8-char lowercase hex chunk (conv emits uppercase, no
-    leading zeros — lower + lpad restores the md5 substring verbatim)."""
-    return F.lpad(F.lower(F.conv(c, 10, 16)), 8, "0")
+    leading zeros — lower + lpad restores the md5 substring verbatim).
+    SQL fragment (see ``_minhash_aggs`` on why strings)."""
+    return f"lpad(lower(conv({c}, 10, 16)), 8, '0')"
 
 
 def _band_keys():
     cols = []
     for band in range(N_BANDS):
-        parts = [_mh_hex(F.col(f"mh_{band * BAND_ROWS + r}")) for r in range(BAND_ROWS)]
-        cols.append(F.md5(F.concat(*parts)).alias(f"band_{band}"))
+        parts = ", ".join(
+            _mh_hex(f"mh_{band * BAND_ROWS + r}") for r in range(BAND_ROWS)
+        )
+        cols.append(F.expr(f"md5(concat({parts})) as band_{band}"))
     return cols
+
+
+#: the band-wide-to-long explode as one parsed generator expression
+#: (use with ``selectExpr(..., f"{_BANDS_EXPLODE} as (band_idx, band_key)")``)
+_BANDS_EXPLODE = (
+    "explode(map_from_arrays(array("
+    + ", ".join(f"'band_{b}'" for b in range(N_BANDS))
+    + "), array("
+    + ", ".join(f"band_{b}" for b in range(N_BANDS))
+    + ")))"
+)
 
 
 def _minhash_duck() -> str:
@@ -481,15 +490,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the before-plan; now 2, one per self-join side — optimization
     # r14, guide §2.3/§2.4: two fewer corpus-scaled aggregations + two
     # fewer joins for 8 bytes per band row)
-    bands_long = banded.select(
-        "doc_id",
-        "n_sh",
-        F.explode(
-            F.map_from_arrays(
-                F.array(*[F.lit(f"band_{b}") for b in range(N_BANDS)]),
-                F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)]),
-            )
-        ).alias("band_idx", "band_key"),
+    bands_long = banded.selectExpr(
+        "doc_id", "n_sh", f"{_BANDS_EXPLODE} as (band_idx, band_key)"
     ).localCheckpoint(eager=False)
     # Every side of the candidate/verify joins below scales with the
     # corpus (band rows, candidate pairs, exploded shingles), and the
@@ -501,15 +503,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(
             b.hint("merge"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            F.expr(
+                "a.band_idx = b.band_idx AND a.band_key = b.band_key"
+                " AND a.doc_id < b.doc_id"
+            ),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.n_sh").alias("n_b"),
+        .selectExpr(
+            "a.doc_id as doc_a",
+            "a.n_sh as n_a",
+            "b.doc_id as doc_b",
+            "b.n_sh as n_b",
         )
         .distinct()
     )
@@ -520,20 +523,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array_intersect-over-collect_set alternative at sf0.1 and strictly
     # safer on long documents.  The denominators (n_a, n_b) arrived with
     # the candidates, so no join back to a counts table is needed.
-    ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
-    eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ea = ex.selectExpr("doc_id as doc_a", "shingle")
+    eb = ex.selectExpr("doc_id as doc_b", "shingle")
     inter = (
         cand.join(ea.hint("merge"), "doc_a")
         .join(eb.hint("merge"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(F.expr("count(1) as n_inter"))
     )
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    )
-    return inter.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
-    )
+    return inter.selectExpr(
+        "doc_a",
+        "doc_b",
+        "cast(n_inter as double) / (n_a + n_b - n_inter) as jaccard",
+    ).filter(f"jaccard >= {JACCARD_THRESHOLD}")
 
 
 # 16-bit SimHash: bit b comes from bit b of md5(word) (hex digit b//4,

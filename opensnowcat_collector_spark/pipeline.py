@@ -87,67 +87,67 @@ def enrich(raw: DataFrame, cfg: CollectorConfig) -> DataFrame:
 def build_events(enriched: DataFrame, cfg: CollectorConfig) -> DataFrame:
     """buildEvent (CollectorService.scala:251-305): one row per stored
     event, with bridge bodies/paths coalesced over the originals and
-    Amplitude batches exploded into per-event rows."""
-    is_event = (
-        F.col("mapped_path").rlike(_EVENT_PATH_RE)
-        & ~F.col("mapped_path").rlike(_OPS_PATH_RE)
-        & F.col("method").isin("GET", "POST", "HEAD")
-    )
-    stored = (
-        enriched.filter(is_event)
-        .filter(~F.col("do_not_track") & ~F.col("bounce"))
+    Amplitude batches exploded into per-event rows.
+
+    Built as parsed SQL fragments (``sqlfrag``): the filter/projection
+    trees are identical, construction is ~1 py4j call per operation
+    (optimization r14)."""
+    from .sqlfrag import sql_str
+
+    stored = enriched.filter(
+        f"mapped_path rlike {sql_str(_EVENT_PATH_RE)}"
+        f" AND NOT mapped_path rlike {sql_str(_OPS_PATH_RE)}"
+        " AND method IN ('GET', 'POST', 'HEAD')"
+        " AND NOT do_not_track AND NOT bounce"
         # invalid querystring rows route to bad (F3), handled in run()
-        .filter(F.col("qs_valid"))
+        " AND qs_valid"
         # bridge-invalid rows are rejected with 400 and produce no event
-        .filter(F.coalesce(F.col("ajs_valid"), F.lit(True)))
-        .filter(F.coalesce(F.col("amp_valid"), F.lit(True)))
+        " AND coalesce(ajs_valid, true) AND coalesce(amp_valid, true)"
     )
     # Amplitude fan-out: one row per element of amp_events
     amp = (
-        stored.filter(F.col("is_amplitude"))
+        stored.filter("is_amplitude")
         .withColumn("amp_event", F.explode("amp_events"))
     )
     amp = amplitude.rewrite_event(amp)
-    non_amp = stored.filter(~F.col("is_amplitude"))
+    non_amp = stored.filter("NOT is_amplitude")
 
-    def payload_cols(df: DataFrame, body_col, path_col, ct_col) -> DataFrame:
-        ts = (
-            F.lit(cfg.deterministic_now_ms).cast("long")
-            if cfg.deterministic_now_ms is not None
-            else F.unix_millis(F.current_timestamp())
-        )
-        return df.select(
+    ts = (
+        f"cast({cfg.deterministic_now_ms} as bigint)"
+        if cfg.deterministic_now_ms is not None
+        else "unix_millis(current_timestamp())"
+    )
+
+    def payload_cols(df: DataFrame, body: str, path: str, ct: str) -> DataFrame:
+        return df.selectExpr(
             "request_id",
-            F.lit(COLLECTOR_PAYLOAD_SCHEMA).alias("schema"),
-            F.col("ip_address"),
-            ts.alias("timestamp"),
-            F.lit("UTF-8").alias("encoding"),
-            F.lit(cfg.collector_tag).alias("collector"),
-            F.col("querystring"),
-            body_col.alias("body"),
-            path_col.alias("path"),
-            F.col("user_agent"),
-            F.col("referer_uri"),
-            F.col("hostname"),
-            F.col("network_user_id"),
-            F.concat(
-                F.col("scrubbed_headers"),
-                F.when(
-                    F.col("content_type").isNotNull(), F.array(F.col("content_type"))
-                ).otherwise(F.array().cast("array<string>")),
-            ).alias("headers"),
-            ct_col.alias("content_type"),
-            F.col("partition_key"),
+            f"{sql_str(COLLECTOR_PAYLOAD_SCHEMA)} as schema",
+            "ip_address",
+            f"{ts} as timestamp",
+            "'UTF-8' as encoding",
+            f"{sql_str(cfg.collector_tag)} as collector",
+            "querystring",
+            f"{body} as body",
+            f"{path} as path",
+            "user_agent",
+            "referer_uri",
+            "hostname",
+            "network_user_id",
+            "concat(scrubbed_headers,"
+            " CASE WHEN content_type IS NOT NULL THEN array(content_type)"
+            " ELSE cast(array() as array<string>) END) as headers",
+            f"{ct} as content_type",
+            "partition_key",
         )
 
     events_non_amp = payload_cols(
         non_amp,
-        F.coalesce(F.col("ajs_body"), F.col("body")),
-        F.coalesce(F.col("ajs_path"), F.col("mapped_path")),
-        F.coalesce(F.col("ajs_content_type"), F.col("content_type")),
+        "coalesce(ajs_body, body)",
+        "coalesce(ajs_path, mapped_path)",
+        "coalesce(ajs_content_type, content_type)",
     )
     events_amp = payload_cols(
-        amp, F.col("amp_body"), F.col("amp_path"), F.lit("application/json")
+        amp, "amp_body", "amp_path", "'application/json'"
     )
     return events_non_amp.unionByName(events_amp)
 
@@ -172,19 +172,20 @@ def run(raw: DataFrame, cfg: CollectorConfig) -> PipelineResult:
     # canonical compact-JSON UTF-8 size.  ignoreNullFields=false so the
     # JVM serialization matches the Python splitter's canonical form
     # (null fields included) byte-for-byte.
-    serialized = F.to_json(
-        F.struct(*[F.col(c) for c in split._PAYLOAD_FIELDS]), {"ignoreNullFields": "false"}
+    serialized = F.expr(
+        f"to_json(struct({', '.join(split._PAYLOAD_FIELDS)}),"
+        " map('ignoreNullFields', 'false'))"
     )
     size_expr = (
         split.thrift_size_expr()
         if cfg.good_sink.size_accounting == "thrift"
-        else F.octet_length(F.col("serialized")).cast("long")
+        else F.expr("cast(octet_length(serialized) as bigint)")
     )
     sized = events.withColumn("serialized", serialized).withColumn(
         "serialized_size", size_expr
     )
-    small = sized.filter(F.col("serialized_size") < max_bytes)
-    oversized = sized.filter(F.col("serialized_size") >= max_bytes)
+    small = sized.filter(f"serialized_size < {max_bytes}")
+    oversized = sized.filter(f"serialized_size >= {max_bytes}")
 
     split_out_raw = oversized.mapInPandas(
         split.make_split_map_fn(cfg, max_bytes), split.SPLIT_OUT_SCHEMA
@@ -200,27 +201,27 @@ def run(raw: DataFrame, cfg: CollectorConfig) -> PipelineResult:
     # The split stage emits full payload rows, so split goods union straight
     # back — no re-join on request_id (which is NOT unique after the
     # Amplitude fan-out and could cross-match sibling payloads' bodies).
-    split_good = split_out.filter(F.col("is_bad") == 0).select(
-        *[F.col(c) for c in small.columns], F.col("split_index")
+    split_good = split_out.filter("is_bad = 0").select(
+        *small.columns, "split_index"
     )
     good = small.withColumn("split_index", F.lit(0)).unionByName(split_good)
 
-    bad_split = split_out.filter(F.col("is_bad") == 1).select(
+    bad_split = split_out.filter("is_bad = 1").select(
         badrows.size_violation(
             cfg,
             max_bytes,
-            F.col("bad_actual_size"),
-            F.col("bad_expectation"),
-            F.col("bad_payload"),
+            "bad_actual_size",
+            "bad_expectation",
+            "bad_payload",
         ).alias("bad")
     )
     bad_qs = (
-        enriched.filter(~F.col("qs_valid"))
+        enriched.filter("NOT qs_valid")
         .select(
             badrows.generic_error(
                 cfg,
-                F.array(F.lit("Illegal query: invalid percent-encoding")),
-                F.col("querystring"),
+                "array('Illegal query: invalid percent-encoding')",
+                "querystring",
             ).alias("bad")
         )
     )

@@ -10,56 +10,62 @@ renders the wire format for sinks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..config import CollectorConfig
 from ..schema import GENERIC_ERROR_SCHEMA, SIZE_VIOLATION_SCHEMA
+from ..sqlfrag import sql_str
 
 
-def _now_ms(cfg: CollectorConfig) -> Column:
+def _now_ms(cfg: CollectorConfig) -> str:
     if cfg.deterministic_now_ms is not None:
-        return F.lit(cfg.deterministic_now_ms).cast("long")
-    return F.unix_millis(F.current_timestamp())
+        return f"cast({cfg.deterministic_now_ms} as bigint)"
+    return "unix_millis(current_timestamp())"
 
 
 def size_violation(
     cfg: CollectorConfig,
     max_bytes: int,
-    actual_size: Column,
-    expectation: str | Column,
-    payload: Column,
+    actual_size: str,
+    expectation: str,
+    payload: str,
 ) -> Column:
     """SizeViolation struct with the payload truncated to maxBytes/10
-    (SplitBatch.scala:142)."""
-    exp = F.lit(expectation) if isinstance(expectation, str) else expectation
-    return F.struct(
-        F.lit("size_violation").alias("kind"),
-        F.lit(cfg.app_name).alias("app_name"),
-        F.lit(cfg.app_version).alias("app_version"),
-        _now_ms(cfg).alias("failure_timestamp"),
-        F.lit(max_bytes).cast("int").alias("maximum_allowed_size_bytes"),
-        actual_size.cast("int").alias("actual_size_bytes"),
-        F.concat(F.lit("oversized collector payload: "), exp).alias("expectation"),
-        F.lit(None).cast("array<string>").alias("errors"),
-        F.substring(payload, 1, max_bytes // 10).alias("payload"),
-        F.col("partition_key").alias("partition_key"),
+    (SplitBatch.scala:142).  ``actual_size`` / ``expectation`` /
+    ``payload`` are SQL fragments (column references or expressions) —
+    the struct is built as ONE parsed expression (optimization r14,
+    ``sqlfrag``)."""
+    return F.expr(
+        "named_struct("
+        "'kind', 'size_violation',"
+        f" 'app_name', {sql_str(cfg.app_name)},"
+        f" 'app_version', {sql_str(cfg.app_version)},"
+        f" 'failure_timestamp', {_now_ms(cfg)},"
+        f" 'maximum_allowed_size_bytes', cast({max_bytes} as int),"
+        f" 'actual_size_bytes', cast({actual_size} as int),"
+        f" 'expectation', concat('oversized collector payload: ', {expectation}),"
+        " 'errors', cast(NULL as array<string>),"
+        f" 'payload', substring({payload}, 1, {max_bytes // 10}),"
+        " 'partition_key', partition_key)"
     )
 
 
-def generic_error(cfg: CollectorConfig, errors: Column, payload: Column) -> Column:
-    """GenericError struct (illegal querystring path)."""
-    return F.struct(
-        F.lit("generic_error").alias("kind"),
-        F.lit(cfg.app_name).alias("app_name"),
-        F.lit(cfg.app_version).alias("app_version"),
-        _now_ms(cfg).alias("failure_timestamp"),
-        F.lit(None).cast("int").alias("maximum_allowed_size_bytes"),
-        F.lit(None).cast("int").alias("actual_size_bytes"),
-        F.lit(None).cast("string").alias("expectation"),
-        errors.alias("errors"),
-        F.coalesce(payload, F.lit("")).alias("payload"),
-        F.col("partition_key").alias("partition_key"),
+def generic_error(cfg: CollectorConfig, errors: str, payload: str) -> Column:
+    """GenericError struct (illegal querystring path).  ``errors`` /
+    ``payload`` are SQL fragments."""
+    return F.expr(
+        "named_struct("
+        "'kind', 'generic_error',"
+        f" 'app_name', {sql_str(cfg.app_name)},"
+        f" 'app_version', {sql_str(cfg.app_version)},"
+        f" 'failure_timestamp', {_now_ms(cfg)},"
+        " 'maximum_allowed_size_bytes', cast(NULL as int),"
+        " 'actual_size_bytes', cast(NULL as int),"
+        " 'expectation', cast(NULL as string),"
+        f" 'errors', {errors},"
+        f" 'payload', coalesce({payload}, ''),"
+        " 'partition_key', partition_key)"
     )
 
 

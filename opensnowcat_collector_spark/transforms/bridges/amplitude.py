@@ -43,14 +43,32 @@ def origin_allowed(origin: Column, allowed_domains: tuple[str, ...]) -> Column:
     return F.coalesce(conds, F.lit(False))
 
 
+def _origin_allowed_frag(allowed_domains: tuple[str, ...]) -> str:
+    """``origin_allowed`` as a SQL fragment (same tree, see ``sqlfrag``)."""
+    from ...sqlfrag import sql_str
+
+    if not allowed_domains or "*" in allowed_domains:
+        return "true"
+    conds = []
+    for d in allowed_domains:
+        base = d[2:] if d.startswith("*.") else d
+        conds.append(
+            f"(origin IS NOT NULL AND (origin = {sql_str(base)}"
+            f" OR endswith(origin, {sql_str('.' + base)})))"
+        )
+    return f"coalesce({' OR '.join(conds)}, false)"
+
+
 def disabled(df: DataFrame) -> DataFrame:
     """Bridge switched off (experimental.enableAmplitudeBridge=false, the
     reference default): Amplitude-path requests fall through as plain
     vendor events — same columns, null/false, no explode."""
-    return (
-        df.withColumn("is_amplitude", F.lit(False))
-        .withColumn("amp_valid", F.lit(None).cast("boolean"))
-        .withColumn("amp_events", F.lit(None).cast("array<string>"))
+    return df.withColumns(
+        {
+            "is_amplitude": F.lit(False),
+            "amp_valid": F.expr("cast(NULL as boolean)"),
+            "amp_events": F.expr("cast(NULL as array<string>)"),
+        }
     )
 
 
@@ -64,29 +82,33 @@ def fan_out(df: DataFrame, allowed_domains: tuple[str, ...] = ()) -> DataFrame:
       allowed + size cap), amp_events (array<string> of per-event JSON) —
     the pipeline explodes ``amp_events`` and builds per-event bodies via
     :func:`rewrite_event`.
+
+    Built as parsed SQL fragments (``sqlfrag``, optimization r14).
     """
-    matched = is_amplitude(F.col("path")) & (F.col("method") == "POST")
-    body = F.col("body")
-    api_key = F.get_json_object(body, "$.api_key")
+    from ...sqlfrag import sql_str
+
+    matched = f"(path rlike {sql_str(_AMP_RE)} AND method = 'POST')"
     # JSON array of events as strings: from_json to array<string> keeps each
     # element's raw JSON via get_json_object indexing trick; instead parse
     # into an array of strings with from_json(schema 'array<string>') on the
     # events subtree — Spark renders each object element back to JSON text.
-    events_raw = F.get_json_object(body, "$.events")
-    events_arr = F.from_json(events_raw, "array<string>")
-    size_ok = F.length(F.coalesce(body, F.lit(""))) <= MAX_REQUEST_BYTES
+    events_arr = "from_json(get_json_object(body, '$.events'), 'array<string>')"
     valid = (
-        body.isNotNull()
-        & api_key.isNotNull()
-        & events_arr.isNotNull()
-        & (F.size(events_arr) > 0)
-        & origin_allowed(F.col("origin"), allowed_domains)
-        & size_ok
+        "(body IS NOT NULL"
+        " AND get_json_object(body, '$.api_key') IS NOT NULL"
+        f" AND {events_arr} IS NOT NULL"
+        f" AND size({events_arr}) > 0"
+        f" AND {_origin_allowed_frag(allowed_domains)}"
+        f" AND length(coalesce(body, '')) <= {MAX_REQUEST_BYTES})"
     )
-    return (
-        df.withColumn("is_amplitude", matched)
-        .withColumn("amp_valid", F.when(matched, valid))
-        .withColumn("amp_events", F.when(matched & valid, events_arr))
+    return df.withColumns(
+        {
+            "is_amplitude": F.expr(matched),
+            "amp_valid": F.expr(f"CASE WHEN {matched} THEN {valid} END"),
+            "amp_events": F.expr(
+                f"CASE WHEN {matched} AND {valid} THEN {events_arr} END"
+            ),
+        }
     )
 
 
@@ -100,37 +122,39 @@ def rewrite_event(df: DataFrame, event_col: str = "amp_event") -> DataFrame:
     - event wrapped as {"data": event} inside the amplitude payload schema
       inside an unstruct envelope, base64 into ue_px.
     """
-    ev = F.col(event_col)
-    ip_sub = F.when(
-        F.get_json_object(ev, "$.ip") == "$remote",
-        # textual substitution keeps the rest of the event JSON untouched
-        F.replace(ev, F.lit('"$remote"'), F.concat(F.lit('"'), F.col("ip_address"), F.lit('"'))),
-    ).otherwise(ev)
+    from ...sqlfrag import sql_str
 
-    event_payload = F.concat(
-        F.lit('{"schema":"' + UNSTRUCT_SCHEMA + '","data":{"schema":"'),
-        F.lit(AMPLITUDE_EVENT_SCHEMA),
-        F.lit('","data":{"data":'),
-        ip_sub,
-        F.lit("}}}"),
+    ev = event_col
+    remote_quoted = sql_str('"$remote"')
+    # textual substitution keeps the rest of the event JSON untouched
+    ip_sub = (
+        f"CASE WHEN get_json_object({ev}, '$.ip') = '$remote'"
+        f" THEN replace({ev}, {remote_quoted},"
+        " concat('\"', ip_address, '\"'))"
+        f" ELSE {ev} END"
     )
-    tv = F.coalesce(F.get_json_object(ip_sub, "$.library"), F.lit("amplitude-unknown"))
-    tracker_event = F.struct(
-        F.lit(APP_ID).alias("aid"),
-        F.lit("ue").alias("e"),
-        tv.alias("tv"),
-        F.lit("app").alias("p"),
-        F.base64(F.encode(event_payload, "UTF-8")).alias("ue_px"),
-        F.col("network_user_id").alias("tnuid"),
-        F.get_json_object(ip_sub, "$.user_id").alias("uid"),
-        F.get_json_object(ip_sub, "$.device_id").alias("duid"),
-        F.get_json_object(ip_sub, "$.time").alias("dtm"),
+    head = (
+        '{"schema":"' + UNSTRUCT_SCHEMA + '","data":{"schema":"'
+        + AMPLITUDE_EVENT_SCHEMA + '","data":{"data":'
     )
-    envelope = F.to_json(
-        F.struct(
-            F.lit(PAYLOAD_DATA_SCHEMA).alias("schema"),
-            F.array(tracker_event).alias("data"),
-        ),
-        {"ignoreNullFields": "true"},
+    tail = sql_str("}" * 3)
+    event_payload = f"concat({sql_str(head)}, {ip_sub}, {tail})"
+    tracker_event = (
+        "named_struct("
+        f"'aid', {sql_str(APP_ID)},"
+        " 'e', 'ue',"
+        f" 'tv', coalesce(get_json_object({ip_sub}, '$.library'), 'amplitude-unknown'),"
+        " 'p', 'app',"
+        f" 'ue_px', base64(encode({event_payload}, 'UTF-8')),"
+        " 'tnuid', network_user_id,"
+        f" 'uid', get_json_object({ip_sub}, '$.user_id'),"
+        f" 'duid', get_json_object({ip_sub}, '$.device_id'),"
+        f" 'dtm', get_json_object({ip_sub}, '$.time'))"
     )
-    return df.withColumn("amp_body", envelope).withColumn("amp_path", F.lit(CANONICAL_PATH))
+    envelope = (
+        f"to_json(named_struct('schema', {sql_str(PAYLOAD_DATA_SCHEMA)},"
+        f" 'data', array({tracker_event})), map('ignoreNullFields', 'true'))"
+    )
+    return df.withColumns(
+        {"amp_body": F.expr(envelope), "amp_path": F.lit(CANONICAL_PATH)}
+    )

@@ -50,12 +50,14 @@ def disabled(df: DataFrame) -> DataFrame:
     the reference default): Segment-path requests fall through as plain
     /{vendor}/{version} events — same columns, all null/false, so the
     pipeline's coalesces keep the original body/path untouched."""
-    return (
-        df.withColumn("is_analyticsjs", F.lit(False))
-        .withColumn("ajs_valid", F.lit(None).cast("boolean"))
-        .withColumn("ajs_body", F.lit(None).cast("string"))
-        .withColumn("ajs_path", F.lit(None).cast("string"))
-        .withColumn("ajs_content_type", F.lit(None).cast("string"))
+    return df.withColumns(
+        {
+            "is_analyticsjs": F.lit(False),
+            "ajs_valid": F.expr("cast(NULL as boolean)"),
+            "ajs_body": F.expr("cast(NULL as string)"),
+            "ajs_path": F.expr("cast(NULL as string)"),
+            "ajs_content_type": F.expr("cast(NULL as string)"),
+        }
     )
 
 
@@ -73,60 +75,66 @@ def rewrite(df: DataFrame) -> DataFrame:
       tv   <- context.library.version (required — rows without it are
               rejected upstream; here they yield null tv and are routed bad
               by the pipeline's bridge-validity predicate)
+
+    Built as parsed SQL fragments (``sqlfrag``): identical expression
+    trees, ~1 py4j call per output column (optimization r14).
     """
-    seg = F.regexp_extract(F.col("path"), _SEG_RE, 1)
-    matched = is_analyticsjs(F.col("path")) & (F.col("method") == "POST")
-    body = F.col("body")
+    from ...sqlfrag import sql_str
+
+    seg_re = sql_str(_SEG_RE)
+    seg = f"regexp_extract(path, {seg_re}, 1)"
+    matched = f"(path rlike {seg_re} AND method = 'POST')"
+    schema_map = "map(" + ", ".join(
+        f"{sql_str(k)}, {sql_str(schema)}"
+        for k, (_, schema) in SEGMENT_EVENT_SCHEMAS.items()
+    ) + ")"
 
     # Splice the raw body into the unstruct envelope textually so the
     # embedded event stays JSON (to_json of a string column would quote it).
-    event_payload = F.concat(
-        F.lit('{"schema":"' + UNSTRUCT_SCHEMA + '","data":{"schema":"'),
-        _event_schema_expr(seg),
-        F.lit('","data":'),
-        body,
-        F.lit("}}"),
+    head = '{"schema":"' + UNSTRUCT_SCHEMA + '","data":{"schema":"'
+    mid = '","data":'
+    event_payload = (
+        f"concat({sql_str(head)}, {schema_map}[{seg}],"
+        f" {sql_str(mid)}, body, {sql_str('}}')})"
     )
 
-    tv = F.get_json_object(body, "$.context.library.version")
-    uid = F.coalesce(F.col("cookies")["ajs_user_id"], F.get_json_object(body, "$.userId"))
-    duid = F.col("cookies")["ajs_anonymous_id"]
+    tv = "get_json_object(body, '$.context.library.version')"
+    uid = "coalesce(cookies['ajs_user_id'], get_json_object(body, '$.userId'))"
 
-    tracker_event = F.struct(
-        F.lit(APP_ID).alias("aid"),
-        F.lit("ue").alias("e"),
-        tv.alias("tv"),
-        F.lit("web").alias("p"),
-        F.base64(F.encode(event_payload, "UTF-8")).alias("ue_px"),
-        F.col("network_user_id").alias("tnuid"),
-        F.get_json_object(body, "$.properties.url").alias("url"),
-        F.get_json_object(body, "$.properties.page").alias("page"),
-        F.get_json_object(body, "$.context.locale").alias("lang"),
-        F.get_json_object(body, "$.context.timezone").alias("tz"),
-        uid.alias("uid"),
-        duid.alias("duid"),
+    tracker_event = (
+        "named_struct("
+        f"'aid', {sql_str(APP_ID)},"
+        " 'e', 'ue',"
+        f" 'tv', {tv},"
+        " 'p', 'web',"
+        f" 'ue_px', base64(encode({event_payload}, 'UTF-8')),"
+        " 'tnuid', network_user_id,"
+        " 'url', get_json_object(body, '$.properties.url'),"
+        " 'page', get_json_object(body, '$.properties.page'),"
+        " 'lang', get_json_object(body, '$.context.locale'),"
+        " 'tz', get_json_object(body, '$.context.timezone'),"
+        f" 'uid', {uid},"
+        " 'duid', cookies['ajs_anonymous_id'])"
     )
-    envelope = F.to_json(
-        F.struct(
-            F.lit(PAYLOAD_DATA_SCHEMA).alias("schema"),
-            F.array(tracker_event).alias("data"),
-        ),
-        {"ignoreNullFields": "true"},
+    envelope = (
+        f"to_json(named_struct('schema', {sql_str(PAYLOAD_DATA_SCHEMA)},"
+        f" 'data', array({tracker_event})), map('ignoreNullFields', 'true'))"
     )
-    return (
-        df.withColumn("is_analyticsjs", matched)
-        .withColumn("ajs_valid", F.when(matched, body.isNotNull() & tv.isNotNull()))
-        .withColumn("ajs_body", F.when(matched & tv.isNotNull(), envelope))
-        .withColumn("ajs_path", F.when(matched, F.lit(CANONICAL_PATH)))
-        .withColumn(
-            "ajs_content_type",
-            F.when(
-                matched,
-                F.replace(
-                    F.lower(F.coalesce(F.col("content_type"), F.lit("application/json"))),
-                    F.lit("text/plain"),
-                    F.lit("application/json"),
-                ),
+    return df.withColumns(
+        {
+            "is_analyticsjs": F.expr(matched),
+            "ajs_valid": F.expr(
+                f"CASE WHEN {matched} THEN body IS NOT NULL AND {tv} IS NOT NULL END"
             ),
-        )
+            "ajs_body": F.expr(
+                f"CASE WHEN {matched} AND {tv} IS NOT NULL THEN {envelope} END"
+            ),
+            "ajs_path": F.expr(
+                f"CASE WHEN {matched} THEN {sql_str(CANONICAL_PATH)} END"
+            ),
+            "ajs_content_type": F.expr(
+                f"CASE WHEN {matched} THEN replace(lower(coalesce(content_type,"
+                " 'application/json')), 'text/plain', 'application/json') END"
+            ),
+        }
     )

@@ -12,49 +12,53 @@ Nondeterminism: ``uuid()`` is frozen to a request-id-derived UUID when
 ``cfg.deterministic_now_ms`` is set, so golden tests compare exact values
 (the reference's tests face the same issue and assert only structure —
 SURVEY §7 risk register).
+
+Expressions are parsed SQL fragments (``sqlfrag``): identical trees,
+one py4j call per transform (optimization r14).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import ZERO_UUID, CollectorConfig
+from ..sqlfrag import sql_str
 
 
-def _uuid_expr(cfg: CollectorConfig, seed_col: str = "request_id") -> Column:
+def _uuid_frag(cfg: CollectorConfig, seed_col: str = "request_id") -> str:
     if cfg.deterministic_now_ms is not None:
         # deterministic v4-shaped UUID from md5(request_id)
-        h = F.md5(F.col(seed_col))
-        return F.concat_ws(
-            "-",
-            F.substring(h, 1, 8),
-            F.substring(h, 9, 4),
-            F.concat(F.lit("4"), F.substring(h, 14, 3)),
-            F.concat(F.lit("8"), F.substring(h, 18, 3)),
-            F.substring(h, 21, 12),
+        h = f"md5({seed_col})"
+        return (
+            f"concat_ws('-', substring({h}, 1, 8), substring({h}, 9, 4),"
+            f" concat('4', substring({h}, 14, 3)),"
+            f" concat('8', substring({h}, 18, 3)), substring({h}, 21, 12))"
         )
-    return F.uuid()
+    return "uuid()"
 
 
 def resolve_network_user_id(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
     """Adds ``network_user_id`` plus the intermediate ``nuid_opt_missing``
     flag the bounce filter needs (CollectorService.scala:134-141)."""
-    qs_params = F.str_to_map(F.coalesce(F.col("querystring"), F.lit("")), F.lit("&"), F.lit("="))
-    nuid_opt = F.when(
-        F.col("sp_anonymous").isNotNull(), F.lit(ZERO_UUID)
-    ).otherwise(F.coalesce(qs_params["nuid"], F.col("cookies")[cfg.cookie.name]))
-    bouncing = qs_params[cfg.cookie_bounce.name].isNotNull()
-    nuid = F.coalesce(
-        nuid_opt,
-        F.when(bouncing, F.lit(cfg.cookie_bounce.fallback_network_user_id)).otherwise(
-            _uuid_expr(cfg)
-        ),
+    qs_params = "str_to_map(coalesce(querystring, ''), '&', '=')"
+    nuid_opt = (
+        f"CASE WHEN sp_anonymous IS NOT NULL THEN {sql_str(ZERO_UUID)}"
+        f" ELSE coalesce({qs_params}['nuid'],"
+        f" cookies[{sql_str(cfg.cookie.name)}]) END"
     )
-    return (
-        df.withColumn("nuid_opt_missing", nuid_opt.isNull())
-        .withColumn("qs_bouncing", bouncing)
-        .withColumn("network_user_id", nuid)
+    bouncing = f"{qs_params}[{sql_str(cfg.cookie_bounce.name)}] IS NOT NULL"
+    nuid = (
+        f"coalesce({nuid_opt}, CASE WHEN {bouncing}"
+        f" THEN {sql_str(cfg.cookie_bounce.fallback_network_user_id)}"
+        f" ELSE {_uuid_frag(cfg)} END)"
+    )
+    return df.withColumns(
+        {
+            "nuid_opt_missing": F.expr(f"({nuid_opt}) IS NULL"),
+            "qs_bouncing": F.expr(bouncing),
+            "network_user_id": F.expr(nuid),
+        }
     )
 
 
@@ -64,10 +68,14 @@ def ip_and_partition_key(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
     with useIpAddressAsPartitionKey the stream co-locates per-client events
     (useful for sessionization but skew-prone at scale; random UUID is the
     default for uniform shard load, exactly as in the reference)."""
-    ip = F.coalesce(F.col("remote_ip"), F.lit("unknown"))
-    pk = (
-        F.when(F.col("remote_ip").isNull(), _uuid_expr(cfg))
-        .when(F.lit(cfg.use_ip_address_as_partition_key), F.col("remote_ip"))
-        .otherwise(_uuid_expr(cfg))
+    use_ip = "true" if cfg.use_ip_address_as_partition_key else "false"
+    return df.withColumns(
+        {
+            "ip_address": F.expr("coalesce(remote_ip, 'unknown')"),
+            "partition_key": F.expr(
+                f"CASE WHEN remote_ip IS NULL THEN {_uuid_frag(cfg)}"
+                f" WHEN {use_ip} THEN remote_ip"
+                f" ELSE {_uuid_frag(cfg)} END"
+            ),
+        }
     )
-    return df.withColumn("ip_address", ip).withColumn("partition_key", pk)

@@ -4,6 +4,9 @@ redirect-domain allowlist.
 
 reference: model.scala:69-78, CollectorService.scala:134-141,161,374-464,
 466-478,485-518.
+
+Expressions are parsed SQL fragments (``sqlfrag``): identical trees,
+one py4j call per transform (optimization r14).
 """
 
 from __future__ import annotations
@@ -12,6 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import CollectorConfig
+from ..sqlfrag import sql_str, sql_str_list
 
 
 def do_not_track(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
@@ -19,10 +23,11 @@ def do_not_track(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
     regex -> event not stored (response still 200)."""
     if not cfg.do_not_track_cookie.enabled:
         return df.withColumn("do_not_track", F.lit(False))
-    val = F.col("cookies")[cfg.do_not_track_cookie.name]
+    val = f"cookies[{sql_str(cfg.do_not_track_cookie.name)}]"
+    rx = sql_str(f"^(?:{cfg.do_not_track_cookie.value})$")
     return df.withColumn(
         "do_not_track",
-        val.isNotNull() & val.rlike(f"^(?:{cfg.do_not_track_cookie.value})$"),
+        F.expr(f"{val} IS NOT NULL AND {val} rlike {rx}"),
     )
 
 
@@ -34,10 +39,10 @@ def cookie_bounce(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
         return df.withColumn("bounce", F.lit(False))
     return df.withColumn(
         "bounce",
-        F.col("nuid_opt_missing")
-        & ~F.col("qs_bouncing")
-        & F.col("pixel_expected")
-        & ~F.col("is_redirect"),
+        F.expr(
+            "nuid_opt_missing AND NOT qs_bouncing AND pixel_expected"
+            " AND NOT is_redirect"
+        ),
     )
 
 
@@ -45,22 +50,24 @@ _ALWAYS_SCRUBBED = ["remote-address", "raw-request-uri"]
 _ANON_SCRUBBED = _ALWAYS_SCRUBBED + ["x-forwarded-for", "x-real-ip", "cookie"]
 
 
-def _header_name(h: Column) -> Column:
-    return F.lower(F.trim(F.substring_index(h, ":", 1)))
+def _header_name(h: str) -> str:
+    return f"lower(trim(substring_index({h}, ':', 1)))"
 
 
 def scrub_headers(df: DataFrame) -> DataFrame:
     """F6: drop Remote-Address / Raw-Request-URI always; additionally
     X-Forwarded-For / X-Real-Ip / Cookie under SP-Anonymous — a
     higher-order filter() over the headers array, no explode."""
-    always = F.array(*[F.lit(x) for x in _ALWAYS_SCRUBBED])
-    anon = F.array(*[F.lit(x) for x in _ANON_SCRUBBED])
-    denylist = F.when(F.col("sp_anonymous").isNotNull(), anon).otherwise(always)
+    denylist = (
+        "CASE WHEN sp_anonymous IS NOT NULL"
+        f" THEN array({sql_str_list(_ANON_SCRUBBED)})"
+        f" ELSE array({sql_str_list(_ALWAYS_SCRUBBED)}) END"
+    )
     return df.withColumn(
         "scrubbed_headers",
-        F.filter(
-            F.coalesce(F.col("headers"), F.array().cast("array<string>")),
-            lambda h: ~F.array_contains(denylist, _header_name(h)),
+        F.expr(
+            "filter(coalesce(headers, cast(array() as array<string>)),"
+            f" h -> NOT array_contains({denylist}, {_header_name('h')}))"
         ),
     )
 
@@ -70,16 +77,19 @@ def cookie_domain(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
     matches exactly or as a subdomain, else fallback
     (CollectorService.scala:485-518).  The origin column carries the
     Origin-header host."""
+    fallback = f"cast({sql_str(cfg.cookie.fallback_domain)} as string)" if (
+        cfg.cookie.fallback_domain is not None
+    ) else "cast(NULL as string)"
     if not cfg.cookie.domains:
-        return df.withColumn("cookie_domain", F.lit(cfg.cookie.fallback_domain).cast("string"))
-    host = F.col("origin")
-    match = None
-    for d in cfg.cookie.domains:
-        cond = host.isNotNull() & ((host == d) | host.endswith("." + d))
-        this = F.when(cond, F.lit(d))
-        match = this if match is None else match.when(cond, F.lit(d))
-    domain = match.otherwise(F.lit(cfg.cookie.fallback_domain).cast("string"))
-    return df.withColumn("cookie_domain", domain)
+        return df.withColumn("cookie_domain", F.expr(fallback))
+    whens = " ".join(
+        "WHEN origin IS NOT NULL AND (origin = {d} OR endswith(origin, {sub}))"
+        " THEN {d}".format(d=sql_str(d), sub=sql_str("." + d))
+        for d in cfg.cookie.domains
+    )
+    return df.withColumn(
+        "cookie_domain", F.expr(f"CASE {whens} ELSE {fallback} END")
+    )
 
 
 def set_cookie_struct(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
@@ -92,24 +102,30 @@ def set_cookie_struct(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
             "secure:boolean,http_only:boolean,same_site:string>"
         ))
     now_ms = (
-        F.lit(cfg.deterministic_now_ms)
+        str(cfg.deterministic_now_ms)
         if cfg.deterministic_now_ms is not None
-        else F.unix_millis(F.current_timestamp())
+        else "unix_millis(current_timestamp())"
     )
-    struct = F.struct(
-        F.lit(cfg.cookie.name).alias("name"),
-        F.col("network_user_id").alias("value"),
-        (now_ms + F.lit(cfg.cookie.expiration_ms)).alias("expires_ms"),
-        F.col("cookie_domain").alias("domain"),
-        F.lit("/").alias("path"),
-        F.lit(cfg.cookie.secure).alias("secure"),
-        F.lit(cfg.cookie.http_only).alias("http_only"),
-        F.lit(cfg.cookie.same_site).cast("string").alias("same_site"),
+    same_site = (
+        f"cast({sql_str(cfg.cookie.same_site)} as string)"
+        if cfg.cookie.same_site is not None
+        else "cast(NULL as string)"
+    )
+    struct = (
+        f"named_struct('name', {sql_str(cfg.cookie.name)},"
+        " 'value', network_user_id,"
+        f" 'expires_ms', {now_ms} + {cfg.cookie.expiration_ms},"
+        " 'domain', cookie_domain,"
+        " 'path', '/',"
+        f" 'secure', {'true' if cfg.cookie.secure else 'false'},"
+        f" 'http_only', {'true' if cfg.cookie.http_only else 'false'},"
+        f" 'same_site', {same_site})"
     )
     return df.withColumn(
         "set_cookie",
-        F.when(F.col("do_not_track") | F.col("sp_anonymous").isNotNull(), F.lit(None)).otherwise(
-            struct
+        F.expr(
+            "CASE WHEN do_not_track OR sp_anonymous IS NOT NULL THEN NULL"
+            f" ELSE {struct} END"
         ),
     )
 
@@ -146,18 +162,27 @@ def redirect_allowed(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
     match as Some("") — is still allowed in that mode; only the non-empty
     path reaches the try block where MalformedURLException => false
     (target unparseable -> disallowed)."""
-    target = F.col("query_params")["u"]
+    target = "query_params['u']"
     if not cfg.redirect_domains:
-        allowed = target.isNotNull()
+        allowed = f"{target} IS NOT NULL"
     else:
-        host = F.nullif(F.regexp_extract(target, _URL_HOST_RE, 1), F.lit(""))
-        allowed = host.isNotNull() & host.isin(*cfg.redirect_domains)
-    return df.withColumn("redirect_allowed", F.when(F.col("is_redirect"), allowed))
+        host = f"nullif(regexp_extract({target}, {sql_str(_URL_HOST_RE)}, 1), '')"
+        allowed = (
+            f"{host} IS NOT NULL AND {host} IN ({sql_str_list(cfg.redirect_domains)})"
+        )
+    return df.withColumn(
+        "redirect_allowed",
+        F.expr(f"CASE WHEN is_redirect THEN {allowed} END"),
+    )
 
 
 def redirect_location(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
     """T6: substitute the redirect macro (default ``${SP_NUID}``) with the
-    resolved nuid in the target when enabled."""
+    resolved nuid in the target when enabled.
+
+    The macro token stays a COLUMN literal: embedding ``${SP_NUID}`` in
+    SQL text would be rewritten by variable substitution before parsing
+    (see ``sqlfrag.sql_str``)."""
     target = F.col("query_params")["u"]
     if cfg.redirect_macro.enabled:
         token = cfg.redirect_macro.placeholder or "${SP_NUID}"
@@ -165,5 +190,6 @@ def redirect_location(df: DataFrame, cfg: CollectorConfig) -> DataFrame:
     else:
         loc = target
     return df.withColumn(
-        "redirect_location", F.when(F.col("is_redirect") & F.col("redirect_allowed"), loc)
+        "redirect_location",
+        F.when(F.col("is_redirect") & F.col("redirect_allowed"), loc),
     )
