@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..relational import register
-from ..tables import table
+from ..tables import artifact, table
 from .dedup import exploded_shingles
 from .text import bigram_stream_sql, flat_bigrams
 
@@ -1543,7 +1543,7 @@ def qc_trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(b, wt) from the persisted artifact — constant-bounded scan."""
     import os
 
-    return spark.read.parquet(
+    return artifact(spark, 
         os.path.join(build_quality_classifier(spark, sf_dir), "weights")
     )
 
@@ -2347,7 +2347,7 @@ def curate_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier weights and the unigram piece table)."""
     import os
 
-    return spark.read.parquet(
+    return artifact(spark, 
         os.path.join(build_doremi(spark, sf_dir), "mixture")
     )
 

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..relational import register
-from ..tables import table
+from ..tables import artifact, table
 
 N_MINHASH = 12
 BAND_ROWS = 3  # 4 bands of 3 rows
@@ -712,7 +712,7 @@ def dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import build_ivf_index
 
     idx = build_ivf_index(spark, sf_dir)
-    blocked = spark.read.parquet(os.path.join(idx, "vectors"))
+    blocked = artifact(spark, os.path.join(idx, "vectors"))
     out_schema = StructType(
         [StructField("vec_id", LongType()), StructField("label", IntegerType())]
     )
@@ -814,9 +814,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import build_ivf_index
 
     idx = build_ivf_index(spark, sf_dir)
-    blocked = spark.read.parquet(os.path.join(idx, "vectors"))
+    blocked = artifact(spark, os.path.join(idx, "vectors"))
     cent_pd = (
-        spark.read.parquet(os.path.join(idx, "centroids"))
+        artifact(spark, os.path.join(idx, "centroids"))
         .orderBy("cid", "i")
         .toPandas()
     )  # K*DIM rows — bounded catalog-scale pull, like query_cell's
@@ -2035,7 +2035,7 @@ SUFFIX_MIN_REPEAT = 6
 SUFFIX_BLOCK_TOKENS = 2
 
 
-def _lcp_expr(a: str, b: str):
+def _lcp_frag(a: str, b: str) -> str:
     """Token-LCP of two (capped) suffix arrays as one nested conditional:
     LCP = CASE a[0]=b[0] THEN 1 + (CASE a[1]=b[1] THEN 1 + ... ) ELSE 0.
     Element accesses allocate nothing (the first cut's 2*CAP ``slice``
@@ -2043,19 +2043,21 @@ def _lcp_expr(a: str, b: str):
     64x probe), stay inside whole-stage codegen, and clamp for free: an
     out-of-range index yields NULL, NULL = NULL yields NULL, and CASE
     treats NULL as false — so runs of equal short suffixes stop exactly
-    at their length with no LEAST(len, len) term."""
-    expr = F.lit(0)
+    at their length with no LEAST(len, len) term.
+
+    Built as ONE parsed SQL fragment (``sqlfrag``): the Column-built
+    tree paid ~2600 py4j round-trips (~0.7 s) per query construction.
+    ``get()``, not [k]: ANSI mode makes [k] THROW out of bounds; get()
+    returns the NULL the clamping trick relies on (0-based, exactly
+    ``F.get``)."""
+    expr = "0"
     for k in range(SUFFIX_CAP - 1, -1, -1):
-        # F.get, not getItem: ANSI mode makes [k] THROW out of bounds;
-        # get() returns the NULL the clamping trick relies on
-        expr = F.when(
-            F.get(F.col(a), k) == F.get(F.col(b), k), F.lit(1) + expr
-        ).otherwise(F.lit(0))
+        expr = f"CASE WHEN get({a}, {k}) = get({b}, {k}) THEN 1 + ({expr}) ELSE 0 END"
     return expr
 
 
 def _suffix_lcp_sql(other: str) -> str:
-    # same nested-conditional LCP as _lcp_expr (1-based list indexing;
+    # same nested-conditional LCP as _lcp_frag (1-based list indexing;
     # out-of-range -> NULL -> CASE else-branch, clamping for free)
     expr = "0"
     for k in range(SUFFIX_CAP, 0, -1):
@@ -2178,9 +2180,10 @@ def _suffix_repeat_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("suffix").over(win).alias("prev_suf"),
         F.lead("suffix").over(win).alias("next_suf"),
     )
-    repeat_len = F.greatest(
-        F.when(F.col("prev_suf").isNull(), F.lit(0)).otherwise(_lcp_expr("suffix", "prev_suf")),
-        F.when(F.col("next_suf").isNull(), F.lit(0)).otherwise(_lcp_expr("suffix", "next_suf")),
+    repeat_len = F.expr(
+        "greatest("
+        f"CASE WHEN prev_suf IS NULL THEN 0 ELSE {_lcp_frag('suffix', 'prev_suf')} END, "
+        f"CASE WHEN next_suf IS NULL THEN 0 ELSE {_lcp_frag('suffix', 'next_suf')} END)"
     )
     return nbr.select("doc_id", "pos", "n_tokens", repeat_len.alias("repeat_len"))
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..relational import register
-from ..tables import table
+from ..tables import artifact, table
 
 DIM = 64
 N_PLANES = 8
@@ -329,7 +329,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full table — exact cosine re-rank happens inside that bucket.
     Recall knobs at scale: more hash tables or Hamming-1 multi-probe
     (``sim_ann_multiprobe``)."""
-    idx = spark.read.parquet(build_ann_index(spark, sf_dir))
+    idx = artifact(spark, build_ann_index(spark, sf_dir))
     qsketch, qvec = query_sketch(spark, sf_dir)
     probe = idx.filter((F.col("bucket") == "b" + qsketch) & (F.col("vec_id") != 0))
     return (
@@ -416,7 +416,7 @@ def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     newly-ingested exact twin of the query vector (cosine 1.0), proving
     appended files are immediately visible to the pruned probe without
     any rebuild."""
-    idx = spark.read.parquet(update_ann_index(spark, sf_dir))
+    idx = artifact(spark, update_ann_index(spark, sf_dir))
     qsketch, qvec = query_sketch(spark, sf_dir)
     probe = idx.filter((F.col("bucket") == "b" + qsketch) & (F.col("vec_id") != 0))
     return (
@@ -580,7 +580,7 @@ def sim_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plan_shapes.py).  A per-query window keeps top-k."""
     from pyspark.sql import Window as W
 
-    idx = spark.read.parquet(build_ann_index(spark, sf_dir))
+    idx = artifact(spark, build_ann_index(spark, sf_dir))
     q = idx.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
@@ -654,7 +654,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the metric is deterministic."""
     from pyspark.sql import Window as W
 
-    idx = spark.read.parquet(build_ann_index(spark, sf_dir))
+    idx = artifact(spark, build_ann_index(spark, sf_dir))
     q = idx.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
@@ -854,7 +854,7 @@ def query_cell(spark: SparkSession, idx_path: str, sf_dir: str, vec_id: int = 0)
     )
     v = np.array(row[0], dtype=np.float64)
     cent = (
-        spark.read.parquet(os.path.join(idx_path, "centroids"))
+        artifact(spark, os.path.join(idx_path, "centroids"))
         .orderBy("cid", "i")
         .toPandas()
     )
@@ -883,7 +883,7 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_ivf_index(spark, sf_dir)
     cell, qvec = query_cell(spark, idx, sf_dir)
     vecs = (
-        spark.read.parquet(os.path.join(idx, "vectors"))
+        artifact(spark, os.path.join(idx, "vectors"))
         .filter((F.col("cell") == cell) & (F.col("vec_id") != 0))
     )
     return (
@@ -926,7 +926,7 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's bucket AND all Hamming-1 neighbor buckets — 9 probe keys, so
     the partition filter prunes to 9 of the 2^8 bucket directories (the
     standard recall-raiser that avoids building more hash tables)."""
-    idx = spark.read.parquet(build_ann_index(spark, sf_dir))
+    idx = artifact(spark, build_ann_index(spark, sf_dir))
     qsketch, qvec = query_sketch(spark, sf_dir)
     probe = idx.filter(
         F.col("bucket").isin(_hamming1_buckets(qsketch)) & (F.col("vec_id") != 0)
@@ -1046,8 +1046,8 @@ def sim_ann_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deletion-scaled (small), so the broadcast is the correct plan at
     any corpus size."""
     path = delete_from_ann_index(spark, sf_dir)
-    idx = spark.read.parquet(path)
-    dead = spark.read.parquet(os.path.join(path, "_tombstones"))
+    idx = artifact(spark, path)
+    dead = artifact(spark, os.path.join(path, "_tombstones"))
     qsketch, qvec = query_sketch(spark, sf_dir)
     probe = (
         idx.filter((F.col("bucket") == "b" + qsketch) & (F.col("vec_id") != 0))
@@ -1108,7 +1108,7 @@ def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     k whenever the filter is selective — pre-filtering inside the
     candidate set is the correct order, and multi-probe widens the
     candidate pool to compensate for filter selectivity."""
-    idx = spark.read.parquet(build_ann_index(spark, sf_dir))
+    idx = artifact(spark, build_ann_index(spark, sf_dir))
     qsketch, qvec = query_sketch(spark, sf_dir)
     probe = idx.filter(
         F.col("bucket").isin(_hamming1_buckets(qsketch))
@@ -1342,7 +1342,7 @@ def _adc_table(
         )
     v = np.array(qvec, dtype=np.float64)
     book = (
-        spark.read.parquet(os.path.join(idx_path, "codebook"))
+        artifact(spark, os.path.join(idx_path, "codebook"))
         .orderBy("sub", "cid", "i")
         .toPandas()
     )
@@ -1421,7 +1421,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, and ADC in SQL with the same 6-dp rounding."""
     idx = build_pq_index(spark, sf_dir)
     adc = _adc_table(spark, idx, sf_dir)
-    codes = spark.read.parquet(os.path.join(idx, "codes")).filter(F.col("vec_id") != 0)
+    codes = artifact(spark, os.path.join(idx, "codes")).filter(F.col("vec_id") != 0)
     return (
         codes.select(
             "vec_id",
@@ -1563,7 +1563,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell, qvec = query_cell(spark, idx, sf_dir)
     adc = _adc_table(spark, idx, sf_dir, qvec=qvec)
     codes = (
-        spark.read.parquet(os.path.join(idx, "codes"))
+        artifact(spark, os.path.join(idx, "codes"))
         .filter((F.col("cell") == cell) & (F.col("vec_id") != 0))
     )
     return (
@@ -1601,8 +1601,8 @@ def compact_ann_index(spark: SparkSession, sf_dir: str) -> str:
     src_path = delete_from_ann_index(spark, sf_dir)
     path = f"{ann_index_path(sf_dir)}-compact"
     if not os.path.exists(os.path.join(path, "_COMPACT_SUCCESS")):
-        idx = spark.read.parquet(src_path)
-        dead = spark.read.parquet(os.path.join(src_path, "_tombstones"))
+        idx = artifact(spark, src_path)
+        dead = artifact(spark, os.path.join(src_path, "_tombstones"))
         live = idx.join(F.broadcast(dead), "vec_id", "left_anti")
         tmp = f"{path}.build-{os.getpid()}"
         # same bucket-clustered write as build_ann_index (guide §6):
@@ -1629,7 +1629,7 @@ def sim_ann_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mask, and the maintenance rewrite later restores the
     probe-plan simplicity of a never-deleted index."""
     path = compact_ann_index(spark, sf_dir)
-    idx = spark.read.parquet(path)
+    idx = artifact(spark, path)
     qsketch, qvec = query_sketch(spark, sf_dir)
     probe = idx.filter((F.col("bucket") == "b" + qsketch) & (F.col("vec_id") != 0))
     return (
@@ -1723,7 +1723,7 @@ def sim_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id, one bucket equi-join, one per-src window.  Recall knobs at
     scale are the ANN family's usual: more hash tables or Hamming-1
     multiprobe on the bucket key."""
-    idx = spark.read.parquet(build_ann_index(spark, sf_dir))
+    idx = artifact(spark, build_ann_index(spark, sf_dir))
     langs = table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang"
     )

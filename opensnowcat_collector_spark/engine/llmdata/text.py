@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..relational import register
-from ..tables import table
+from ..tables import artifact, table
 from .dedup import word_chunk_array, word_chunks_sql
 
 # Marker stopwords per language for the marker-word language-ID heuristic.
@@ -1472,7 +1472,7 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the persisted merge table."""
     import os
 
-    return spark.read.parquet(os.path.join(build_bpe(spark, sf_dir), "merges"))
+    return artifact(spark, os.path.join(build_bpe(spark, sf_dir), "merges"))
 
 
 def _bpe_merge_loop(
@@ -1632,7 +1632,7 @@ def text_bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     segs_top = (
-        spark.read.parquet(os.path.join(build_bpe(spark, sf_dir), "wordsubs"))
+        artifact(spark, os.path.join(build_bpe(spark, sf_dir), "wordsubs"))
         .orderBy(F.desc("cnt"), F.asc("w"))
         .limit(SEGMENT_VOCAB_CAP)
         .select("w", "n_sub")
@@ -2108,7 +2108,7 @@ def text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     idx = build_unigram_lm(spark, sf_dir)
-    pruned = spark.read.parquet(os.path.join(idx, "pieces"))
+    pruned = artifact(spark, os.path.join(idx, "pieces"))
     tot = pruned.agg(F.sum("cnt").cast("double").alias("t"))
     return pruned.crossJoin(F.broadcast(tot)).select(
         "piece",
@@ -2143,7 +2143,7 @@ def text_unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = build_unigram_lm(spark, sf_dir)
     segs_top = (
-        spark.read.parquet(os.path.join(idx, "wordpaths"))
+        artifact(spark, os.path.join(idx, "wordpaths"))
         .orderBy(F.desc("cnt"), F.asc("w"))
         .limit(SEGMENT_VOCAB_CAP)
         .select("w", "n_sub")
@@ -2393,7 +2393,7 @@ def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the persisted merge table."""
     import os
 
-    return spark.read.parquet(
+    return artifact(spark, 
         os.path.join(build_wordpiece(spark, sf_dir), "merges")
     )
 
@@ -2483,10 +2483,10 @@ def text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     path = build_kn(spark, sf_dir)
-    bgf = spark.read.parquet(os.path.join(path, "bgf"))
-    ctx = spark.read.parquet(os.path.join(path, "ctx"))
-    cont = spark.read.parquet(os.path.join(path, "cont"))
-    tt = spark.read.parquet(os.path.join(path, "tt"))
+    bgf = artifact(spark, os.path.join(path, "bgf"))
+    ctx = artifact(spark, os.path.join(path, "ctx"))
+    cont = artifact(spark, os.path.join(path, "cont"))
+    tt = artifact(spark, os.path.join(path, "tt"))
     from ..tables import spread_scan
 
     # same scale-adaptive doc_id spread as the trigram scorer: the
@@ -2981,7 +2981,7 @@ def text_kn_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = build_kn_trigram(spark, sf_dir)
 
     def rd(name: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(path, name))
+        return artifact(spark, os.path.join(path, name))
 
     from ..tables import spread_scan
 
@@ -3173,7 +3173,7 @@ def text_wordpiece_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     import os
 
     segs_top = (
-        spark.read.parquet(
+        artifact(spark, 
             os.path.join(build_wordpiece(spark, sf_dir), "wordsubs")
         )
         .orderBy(F.desc("cnt"), F.asc("w"))
@@ -3255,7 +3255,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     segs_top = (
-        spark.read.parquet(os.path.join(build_bpe(spark, sf_dir), "wordsubs"))
+        artifact(spark, os.path.join(build_bpe(spark, sf_dir), "wordsubs"))
         .orderBy(F.desc("cnt"), F.asc("w"))
         .limit(SEGMENT_VOCAB_CAP)
         .select("w", "n_sub")

@@ -30,7 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tables import table
+from .tables import artifact, table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -2059,7 +2059,7 @@ def events_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .layout import build_zorder_layout, zorder_bounds
 
     path = build_zorder_layout(spark, sf_dir)
-    e = spark.read.parquet(_os.path.join(path, "events"))
+    e = artifact(spark, _os.path.join(path, "events"))
     # exact min(ts) persisted at build — must match the oracle's
     # (SELECT MIN(ts) FROM events) anchor to the microsecond
     bmeta = zorder_bounds(sf_dir)

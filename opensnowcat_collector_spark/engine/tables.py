@@ -95,6 +95,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def artifact(spark: SparkSession, path: str) -> DataFrame:
+    """Memoized lazy-plan handle for a published artifact directory.
+
+    Same discipline as ``table``: caches ONLY the ``spark.read.parquet``
+    handle (file listing + footer schema inference — 100-700 ms per call
+    on this VM for multi-file artifact dirs), never data; every action
+    recomputes from the parquet files.  Keyed on the directory's
+    (path, mtime_ns, inode): ``publish_atomic`` replaces the directory
+    by rename, so a republished artifact gets a new inode and is
+    re-listed, and in-place additions (e.g. tombstone appends) bump the
+    directory mtime — either way a stale file list is never served."""
+    ensure_shipped(spark)
+    try:
+        st = os.stat(path)
+        memo_key = (path, st.st_mtime_ns, st.st_ino)
+    except OSError:
+        return spark.read.parquet(path)
+    per_session = _PLAN_MEMO.setdefault(spark, {})
+    hit = per_session.get(memo_key)
+    if hit is None:
+        hit = per_session[memo_key] = spark.read.parquet(path)
+    return hit
+
+
 def _ensure_events_confs(spark: SparkSession) -> None:
     for conf_key, want in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
