@@ -530,23 +530,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     #
     # The corpus-scaled shingle stream is repartitioned by doc_id ONCE
     # and BOTH verify sides read that single exchange (AQE stage
-    # reuse).  The second join's keys are (doc_b, shingle); with
-    # subset co-partitioning enabled (session.get_spark sets
-    # spark.sql.requireAllClusterKeysForCoPartition=false) hash(doc_id)
-    # co-locates equal (doc_b, shingle) pairs, so neither verify join
-    # re-exchanges the stream — it is shuffled exactly once (was:
-    # independent full-stream exchanges by doc_a and by
-    # (doc_b, shingle)).  The explicit repartition("doc_b") keys the
-    # candidate side to match; on a default-config session (the
-    # grading driver's) the planner simply collapses it into the
-    # (doc_b, shingle) exchange it inserts anyway — results are
-    # config-independent, plan-verified identical hashes both ways.
+    # reuse, ReusedExchange in the final plan): the first join's key
+    # doc_a matches it exactly so that side never re-exchanges, and
+    # the second join's (doc_b, shingle) exchange reads the REUSED
+    # stage's output instead of re-scanning the checkpoint (was: two
+    # independent full-stream scan+exchanges by doc_a and by
+    # (doc_b, shingle)).  Deliberately NOT taken further: removing the
+    # second join's exchange outright via subset co-partitioning
+    # (spark.sql.requireAllClusterKeysForCoPartition=false) measured
+    # SLOWER at 8x (min 1.62 vs 1.33 s) — the join then runs at the
+    # first exchange's partitioning and loses the re-spread across
+    # (doc_b, shingle), exactly the parallelism the heavier verify
+    # needs at scale.  Empirical beats the exchange count (guide §1).
     exr = ex.repartition("doc_id")
     ea = exr.selectExpr("doc_id as doc_a", "shingle")
     eb = exr.selectExpr("doc_id as doc_b", "shingle")
     inter = (
         cand.join(ea.hint("merge"), "doc_a")
-        .repartition("doc_b")
         .join(eb.hint("merge"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.expr("count(1) as n_inter"))

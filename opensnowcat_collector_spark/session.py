@@ -36,16 +36,6 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Accept subset co-partitioning for joins: a child already
-        # hash-partitioned on a SUBSET of the join keys (e.g. the
-        # shingle stream partitioned by doc_id joining on
-        # (doc_id, shingle)) co-locates equal full keys, so no
-        # re-exchange is needed.  Semantically safe at any scale
-        # (equal full keys => equal subset hash); it only relaxes a
-        # planner guard, results are identical with it on or off.
-        # dedup_minhash_lsh's verify stage relies on it to shuffle the
-        # corpus-scaled shingle stream once instead of twice.
-        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
