@@ -2217,20 +2217,26 @@ def cms_heavy_hitters(ev: DataFrame, sketch: DataFrame) -> DataFrame:
         .groupBy("k")
         .agg(F.min("cnt").alias("est_count"))
     )
+    # src as an INT flag (1=phi, 0=topk): max over a primitive plans a
+    # HashAggregate; the oracle's MAX(src)='phi' over {'phi','a_topk'}
+    # is the same predicate ('phi' is the lexicographic max, present
+    # iff a phi row exists <=> int max = 1).  The string form planned
+    # a SortAggregate — two extra Sorts on a bounded set, pure stage
+    # overhead (optimization r14 section 17, guide §2.3 narrower types).
     phi = (
         est.crossJoin(F.broadcast(total))
         .filter(F.col("est_count") * CMS_PHI_DENOM >= F.col("n"))
-        .select("k", "est_count", F.lit("phi").alias("src"))
+        .select("k", "est_count", F.lit(1).alias("src_phi"))
     )
     topk = (
         est.orderBy(F.col("est_count").desc(), "k")
         .limit(CMS_TOP_K)
-        .select("k", "est_count", F.lit("a_topk").alias("src"))
+        .select("k", "est_count", F.lit(0).alias("src_phi"))
     )
     heavy = (
         phi.unionByName(topk)
         .groupBy("k", "est_count")
-        .agg((F.max("src") == "phi").alias("is_phi_survivor"))
+        .agg((F.max("src_phi") == 1).alias("is_phi_survivor"))
     )
     return (
         ev.join(F.broadcast(heavy), "k")
