@@ -28,120 +28,20 @@ from .llmdata import curation, dedup, multimodal, similarity, text  # noqa: F401
 # subsystem; order past the window is rotation-staged (see tranche
 # comments below), then legacy order.
 #
-# r14 rotation (VERDICT r13 item 1; executes the plan recorded in the
-# r13 registry's "r14 PLAN" comment and proven by the
-# horizon/solvability tests): slots 1-26 are the twenty-six r8-evidence
-# entries deferred from r13 (age 6 at r14 — the LAST legal round under
-# the freshness bar, mandatory).  Slots 27-35 are the head of the r9
-# block (age 5); its remaining twenty-six entries wait for r15 (age 6
-# there, still at the bar) and head the staged section below.
-# Slots 36-50 keep the standing keeps.  r14-new queries (graded on
-# arrival) displace r9-head entries from the window bottom to the
-# staged head, same rule as every rotation.
+# r15 rotation (VERDICT r14 item 9; executes the plan recorded in the
+# r14 registry's "r15 PLAN" comment and proven by the
+# horizon/solvability tests): slots 1-32 are the thirty-two r9-evidence
+# entries deferred from r14 (the twenty-six deferred at r13 plus the
+# six head entries displaced by r14-new graded-on-arrival queries; age
+# 6 at r15 — the LAST legal round under the freshness bar, mandatory).
+# r15 is an optimization round — no new queries — so the three free
+# slots fall to the greedy staleness rule: the head of the r10 block
+# (age 5), slots 33-35.  Slots 36-50 keep the standing keeps.
 _PRIORITY: list[str] = [
-    # ---- slots 1-26: the r8 bottom, deferred from r13 (age 6 at r14 —
+    # ---- slots 1-32: the r9 block, deferred from r14 (age 6 at r15 —
     # the LAST legal round under the freshness bar, mandatory; the plan
-    # recorded in the r13 registry's "r14 PLAN" comment and proven by
+    # recorded in the r14 registry's "r15 PLAN" comment and proven by
     # the horizon/solvability tests).
-    "events_tumbling_15min",
-    "agg_distinct_counts",
-    "scalar_url_map_funcs",
-    "scalar_hash_encode_funcs",
-    "topk_orders",
-    "json_props_extract",
-    "array_hof_embeddings",
-    "join_left_order_counts",
-    "join_semi_open_orders",
-    "join_anti_customers_without_orders",
-    "window_rank_acctbal",
-    "window_running_spend",
-    "setop_union_segments",
-    "dedup_cascade_accounting",
-    "text_bigram_logprob",
-    "embed_dim_stats",
-    "curate_dsir_weights",
-    "text_zipf_fit",
-    "curate_ccnet_buckets",
-    "streaming_dsir_scoring",
-    "text_bpe_merge_steps",
-    "text_bpe_segment_counts",
-    "text_dup_line_fractions",
-    "curate_weighted_sample",
-    "streaming_weighted_sample",
-    "dedup_source_matrix",
-    # ---- slots 27-35: head of the r9 block (age 5 at r14; the
-    # remaining twenty-six wait for r15, age 6 — still at the bar, and
-    # head the staged section below).  r14-new queries graded on
-    # arrival displace entries from THIS group's bottom to the staged
-    # head (the graded-on-arrival rule every rotation has followed).
-    "join_theta_quantity_over_size",
-    "join_full_outer_nation_activity",
-    "q14_promo_effect",
-    # ---- r14-new (graded on arrival): the UniMax sampler — the APPLY
-    # half of curate_unimax_mix (VERDICT r13 item 4); the CDC chunk
-    # cleaner — the APPLY half of dedup_cdc_chunks (item 5); and the
-    # fuzzy screen's generation-2 re-serve — the republished refreshed
-    # artifact served through the identical screen and graded against
-    # the full-corpus-DF oracle (item 2, closing the
-    # serve->refresh->re-serve loop).  Each displaces one r9-head
-    # entry from the window bottom to the staged head
-    # (scalar_datetime_funcs, setop_intersect_active_auto,
-    # window_range_frame_spend — r9 evidence fresh through r15).
-    "curate_unimax_apply",
-    "dedup_cdc_apply",
-    "streaming_fuzzy_serve_refreshed",
-    # ---- r14-new continued: greedy k-center coreset selection
-    # (Gonzalez max-min diversity over the embedded corpus, unrolled
-    # chained-CTE oracle replay) and per-language tokenizer fertility
-    # (the Acs/XLM-R tokenizer-equity table over the trained BPE);
-    # displace scalar_string_funcs and setop_except_inactive.
-    "curate_kcenter_coreset",
-    "text_tokenizer_fertility",
-    # ---- r14-new continued: length-quartile curriculum staging
-    # (thresholds-broadcast stage assignment, never a global NTILE);
-    # displaces events_dedup_latest.
-    "curate_length_curriculum",
-    # ---- slots 36-50: the 15 standing keeps (same set since r7).
-    "streaming_leftouter_join",
-    "streaming_session_timeout_flush",
-    "dedup_paragraph_exact",
-    "streaming_dedup_watermark",
-    "streaming_session_window",
-    "streaming_enrich_join",
-    "streaming_stream_stream_join",
-    "streaming_stateful_sessionize",
-    "streaming_document_curation",
-    "join_skew_salted",
-    "join_bucketed_colocated",
-    "dedup_minhash_lsh",
-    "sim_ann_lsh",
-    "corpus_curation_pipeline",
-    "mm_feature_extract",
-    # ---- slot 51+ below: NOT driver-graded this round.
-    # r15 PLAN (horizon + capacity proven by
-    # tests/test_registry.py::test_next_round_rotation_horizon and
-    # ::test_rotation_schedule_solvable_through_r16): after r14 grades
-    # slots 1-50, the stalest remaining evidence is the THIRTY-TWO r9
-    # entries below (the twenty-six deferred at r13 plus the six head
-    # entries the r14-new graded-on-arrival queries displaced; age 6
-    # at r15 — mandatory) followed by the r10 block (age 5 at r15);
-    # the r15 window = keeps + 32 mandatory + THREE free slots — the
-    # full budget for r15-new graded-on-arrival queries, which is why
-    # r14 stopped at six new registrations (rotation-capacity rule).
-    # Nothing ages past 6.
-    #
-    # STRUCTURAL CAPACITY NOTE (r14): with k standing keeps re-graded
-    # every round and the 6-round bar, total registrable queries is
-    # bounded by N <= 300 - 5k (rotating load (N-k)/6 must fit the
-    # 50-k non-keep slots).  k=15 gives N <= 225; the registry holds
-    # 222, so THREE registrations remain EVER under the current keeps
-    # policy.  To grow past that, retire keeps into the rotation:
-    # every keep moved frees five registrable slots (k=10 -> N <= 250).
-    # The keeps have a fresh grade every round, so moving them into
-    # the rotation only relaxes their re-grade cadence to the same
-    # 6-round bar as everything else — no coverage is lost.
-    # ---- r9 bottom, deferred to r15 (mandatory there; the head
-    # entries displaced by r14-new graded-on-arrival queries).
     "events_dedup_latest",
     "setop_except_inactive",
     "scalar_string_funcs",
@@ -174,10 +74,53 @@ _PRIORITY: list[str] = [
     "curate_fuzzy_contamination",
     "curate_line_dedup_apply",
     "dedup_source_order_plan",
-    # ---- r10-graded entries (fresh until r16).
+    # ---- slots 33-35: the three free slots.  r15 is an optimization
+    # round (no new registrations), so the greedy staleness rule fills
+    # them with the head of the r10 block (age 5 at r15; the remaining
+    # thirty wait for r16, age 6 — still at the bar, and head the
+    # staged section below).
     "q10_returned_items",
     "collector_enrich_events",
     "collector_bridge_roundtrip",
+    # ---- slots 36-50: the 15 standing keeps (same set since r7).
+    "streaming_leftouter_join",
+    "streaming_session_timeout_flush",
+    "dedup_paragraph_exact",
+    "streaming_dedup_watermark",
+    "streaming_session_window",
+    "streaming_enrich_join",
+    "streaming_stream_stream_join",
+    "streaming_stateful_sessionize",
+    "streaming_document_curation",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh",
+    "corpus_curation_pipeline",
+    "mm_feature_extract",
+    # ---- slot 51+ below: NOT driver-graded this round.
+    # r16 PLAN (horizon + capacity proven by
+    # tests/test_registry.py::test_next_round_rotation_horizon and
+    # ::test_rotation_schedule_solvable_through_r16): after r15 grades
+    # slots 1-50, the stalest remaining evidence is the THIRTY r10
+    # entries below (the block minus the three head entries promoted
+    # into the r15 free slots; age 6 at r16 — mandatory) followed by
+    # the r11 block (age 5 at r16); the r16 window = keeps + 30
+    # mandatory + FIVE free slots for r16-new graded-on-arrival
+    # queries (rotation-capacity rule).  Nothing ages past 6.
+    #
+    # STRUCTURAL CAPACITY NOTE (r14): with k standing keeps re-graded
+    # every round and the 6-round bar, total registrable queries is
+    # bounded by N <= 300 - 5k (rotating load (N-k)/6 must fit the
+    # 50-k non-keep slots).  k=15 gives N <= 225; the registry holds
+    # 222, so THREE registrations remain EVER under the current keeps
+    # policy.  To grow past that, retire keeps into the rotation:
+    # every keep moved frees five registrable slots (k=10 -> N <= 250).
+    # The keeps have a fresh grade every round, so moving them into
+    # the rotation only relaxes their re-grade cadence to the same
+    # 6-round bar as everything else — no coverage is lost.
+    # ---- r10 bottom, deferred to r16 (mandatory there; the three
+    # head entries were promoted into the r15 free slots).
     "collector_bounce_events",
     "streaming_hourly_rollup",
     "agg_approx_distinct",
@@ -319,6 +262,43 @@ _PRIORITY: list[str] = [
     "events_hourly_rollup",
     "agg_cube_status_priority",
     "agg_grouping_sets",
+    # ---- r14-graded entries (the non-keep r14 window: the r8 bottom,
+    # the r9 head, and the six r14-new queries; fresh until r20).
+    "events_tumbling_15min",
+    "agg_distinct_counts",
+    "scalar_url_map_funcs",
+    "scalar_hash_encode_funcs",
+    "topk_orders",
+    "json_props_extract",
+    "array_hof_embeddings",
+    "join_left_order_counts",
+    "join_semi_open_orders",
+    "join_anti_customers_without_orders",
+    "window_rank_acctbal",
+    "window_running_spend",
+    "setop_union_segments",
+    "dedup_cascade_accounting",
+    "text_bigram_logprob",
+    "embed_dim_stats",
+    "curate_dsir_weights",
+    "text_zipf_fit",
+    "curate_ccnet_buckets",
+    "streaming_dsir_scoring",
+    "text_bpe_merge_steps",
+    "text_bpe_segment_counts",
+    "text_dup_line_fractions",
+    "curate_weighted_sample",
+    "streaming_weighted_sample",
+    "dedup_source_matrix",
+    "join_theta_quantity_over_size",
+    "join_full_outer_nation_activity",
+    "q14_promo_effect",
+    "curate_unimax_apply",
+    "dedup_cdc_apply",
+    "streaming_fuzzy_serve_refreshed",
+    "curate_kcenter_coreset",
+    "text_tokenizer_fertility",
+    "curate_length_curriculum",
 ]
 
 
@@ -326,7 +306,7 @@ _PRIORITY: list[str] = [
 #: or below this line is an explicit per-round decision (judge ADVICE r3)
 GRADED_WINDOW = 50
 
-_WINDOW_SENTINEL = "events_dedup_latest"  # first entry past the window, r14
+_WINDOW_SENTINEL = "collector_bounce_events"  # first entry past the window, r15
 
 #: escape hatch for `_ordered`'s unlisted-extras check: set True only to
 #: deliberately run with queries that are not yet placed in _PRIORITY

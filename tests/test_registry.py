@@ -503,6 +503,74 @@ _R14_R9_HEAD = [
 ]
 
 
+_R15_R9_BOTTOM = [
+    "events_dedup_latest",
+    "setop_except_inactive",
+    "scalar_string_funcs",
+    "scalar_datetime_funcs",
+    "setop_intersect_active_auto",
+    "window_range_frame_spend",
+    "window_value_picking",
+    "events_type_matrix",
+    "window_analytics_distribution",
+    "agg_pivot_status",
+    "embed_norms",
+    "sim_bucket_histogram",
+    "text_fingerprint",
+    "events_sessionize",
+    "q22_global_sales_opportunity",
+    "q19_disjunctive_revenue",
+    "q18_large_orders",
+    "join_range_price_bins",
+    "agg_rollup_region_nation",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "curate_quality_classifier",
+    "curate_quality_classifier_score",
+    "curate_classifier_eval",
+    "streaming_quality_scoring",
+    "curate_fuzzy_contamination",
+    "curate_line_dedup_apply",
+    "dedup_source_order_plan",
+]
+
+# head of the r10 block windowed at r15 into the three free slots (r15
+# is an optimization round with no new registrations, so the greedy
+# staleness rule fills the free budget; the remaining thirty r10
+# entries wait for r16 at age 6, still at the bar).
+_R15_R10_HEAD = [
+    "q10_returned_items",
+    "collector_enrich_events",
+    "collector_bridge_roundtrip",
+]
+
+
+def test_r15_window_composition():
+    """r15 rotation (VERDICT r14 item 9, executing the plan recorded in
+    the r14 registry's "r15 PLAN" comment): the window holds (a) the
+    thirty-two r9-evidence entries deferred from r14 (age 6 at r15 —
+    the last legal round), (b) the head of the r10 block (age 5) in
+    the free slots, and (c) the 15 standing keeps.
+
+    SELF-RETIRING: pins the round-15 composition only; skips once the
+    r15 CORRECTNESS artifact is tracked.  The r16 rotation writes its
+    own pin."""
+    latest_green, rounds = _latest_green_by_round()
+    if max(rounds) + 1 != 15:
+        pytest.skip("window-composition pin for round 15; rotate + re-pin")
+    window = registry._PRIORITY[: registry.GRADED_WINDOW]
+    for name in _R15_R9_BOTTOM + _R15_R10_HEAD + _STANDING_KEEPS:
+        assert name in window, name
+    # no free slots beyond the r10 head: 32 + 3 + 15 fill the window
+    assert len(window) == len(
+        set(_R15_R9_BOTTOM + _R15_R10_HEAD + _STANDING_KEEPS)
+    )
+
+
 def test_r14_window_composition():
     """r14 rotation (VERDICT r13 item 1, executing the plan recorded in
     the r13 registry's "r14 PLAN" comment): the window holds (a) the
