@@ -3310,14 +3310,29 @@ def curate_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .head()  # bounded pull: ONE argmax row per round
         )
         centers.append((int(far.vec_id), list(far.embedding)))
-        d2new = F.expr(_kc_spark_d2(centers[-1][1]))
-        state = state.select(
+        # Single-copy d2 tree (optimization r15): inlining d2new into both
+        # whens put ~4 copies of the 64-term tree into one select, and
+        # Dataset construction analyzes eagerly — per-round build time was
+        # ~2x the argmax job itself (profiled: ~225 ms/round, dominated by
+        # analysis+codegen over the duplicated tree).  Aliasing d2n in its
+        # own projection keeps ONE copy per round; CollapseProject leaves
+        # expensive multi-referenced aliases un-inlined, and whole-stage
+        # codegen fuses the two projections back into one pass, so the
+        # executed plan (and the result, bit-for-bit) is unchanged.
+        staged = state.select(
             "vec_id",
             "embedding",
-            F.when(d2new < F.col("dmin"), d2new)
+            "dmin",
+            "sel_round",
+            F.expr(_kc_spark_d2(centers[-1][1])).alias("d2n"),
+        )
+        state = staged.select(
+            "vec_id",
+            "embedding",
+            F.when(F.col("d2n") < F.col("dmin"), F.col("d2n"))
             .otherwise(F.col("dmin"))
             .alias("dmin"),
-            F.when(d2new < F.col("dmin"), F.lit(m))
+            F.when(F.col("d2n") < F.col("dmin"), F.lit(m))
             .otherwise(F.col("sel_round"))
             .alias("sel_round"),
         ).localCheckpoint(eager=False)

@@ -1078,6 +1078,48 @@ def test_kcenter_scan_argmax_no_shuffle_rounds(spark, sf_dir):
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
 
 
+def test_kcenter_round_update_keeps_single_distance_copy(spark, sf_dir):
+    """curate_kcenter_coreset (r15 optimization): the per-round state
+    update aliases the 64-term distance tree ONCE (`d2n`) and updates
+    dmin/sel_round from the attribute; CollapseProject must NOT inline
+    the expensive alias back into the consuming whens (that
+    duplication was ~4 copies per round and doubled construction
+    time).  Pin: the optimized single-round update plan contains
+    exactly one copy of the distance tree's last term."""
+    from pyspark.sql import functions as F
+
+    from opensnowcat_collector_spark.engine.llmdata.curation import _kc_spark_d2
+    from opensnowcat_collector_spark.engine.llmdata.similarity import DIM
+    from opensnowcat_collector_spark.engine.tables import table
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    center = [float(i) for i in range(DIM)]
+    staged = e.select(
+        "vec_id",
+        "embedding",
+        F.lit(0.0).alias("dmin"),
+        F.lit(1).alias("sel_round"),
+        F.expr(_kc_spark_d2(center)).alias("d2n"),
+    )
+    upd = staged.select(
+        "vec_id",
+        F.when(F.col("d2n") < F.col("dmin"), F.col("d2n"))
+        .otherwise(F.col("dmin"))
+        .alias("dmin"),
+        F.when(F.col("d2n") < F.col("dmin"), F.lit(2))
+        .otherwise(F.col("sel_round"))
+        .alias("sel_round"),
+    )
+    optimized = upd._jdf.queryExecution().optimizedPlan().toString()
+    # the final distance term appears exactly once (alias preserved)
+    assert optimized.count(f"embedding#") >= 1
+    last_term = f"[{DIM - 1}]"
+    assert optimized.count(last_term) == 2, (  # (a[63] - c) * (a[63] - c)
+        optimized.count(last_term),
+        "distance tree duplicated back into the consumers",
+    )
+
+
 def test_fertility_capped_broadcast_single_lang_exchange(spark, sf_dir):
     """text_tokenizer_fertility (r14): the segmentation subtree is the
     text_bpe_segment_counts shape — artifact scan + capped BROADCAST

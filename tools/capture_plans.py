@@ -2,7 +2,8 @@
 
 Usage: python tools/capture_plans.py <suffix> [name ...]
 
-Writes plans/r14/<query>_<suffix>.txt for each named query (default: the
+Writes plans/$SPARK_GRAFT_PLANS_ROUND (default r15)/<query>_<suffix>.txt
+for each named query (default: the
 full bench HEADLINE list).  The suffix is "before"/"after" per the
 optimization-round deliverable.  Pay-once artifacts (ANN index, bucketed
 layout) are built outside capture, mirroring bench.py, so the captured
@@ -27,7 +28,9 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO_ROOT, "plans", "r14")
+    out_dir = os.path.join(
+        REPO_ROOT, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(app_name="capture-plans")
