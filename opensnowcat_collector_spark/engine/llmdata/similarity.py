@@ -2072,40 +2072,36 @@ def sim_ann_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate-SET membership (value-level jitter is absorbed by the
     # driver's 4-dp hash, set membership is not).  Plan shape is
     # unchanged — the sums still partial-aggregate map-side.
-    # The query-side sketch is RP_DIM rows of exact scaled int64 — a
-    # catalog-scale constant.  Pull it ONCE driver-side (the
-    # query_sketch bounded-pull precedent) instead of running the whole
-    # projection subtree twice more (once for the broadcast join, once
-    # for the norm aggregate — two scans + two broadcasts in the
-    # r14-before plan); qk becomes a literal-array lookup on j and the
-    # query norm a literal, with values bit-identical to the joined
-    # ones (optimization r14, guide §2.4).
-    qp_rows = (
-        proj.filter(F.col("vec_id") == 0)
-        .select("j", F.round(F.col("p") * F.lit(1000000.0), 0).cast("long").alias("qk"))
-        .toPandas()  # bounded pull: RP_DIM rows (the sanctioned small-index idiom)
+    # IN-PLAN query sketch (optimization r15, reverting the r14
+    # bounded-pull rewrite): r14 pulled the RP_DIM-row query sketch
+    # driver-side to deduplicate the projection subtree (3 copies -> 1,
+    # minus two broadcasts), but the extra driver-synchronized pull
+    # job cost more than the saved subtrees in BOTH driver runs
+    # (1.48 s -> 1.83/1.94 s, VERDICT r14) and in the round-15
+    # interleaved 7-rep A/B (in-plan med 0.87-1.06 s vs pull
+    # 1.03-1.36 s, values bit-identical).  The duplicated subtrees are
+    # cheap at any scale: both carry a pushed vec_id = 0 predicate to
+    # the scan, so they never touch the corpus.
+    qp = proj.filter(F.col("vec_id") == 0).select(
+        "j", F.round(F.col("p") * F.lit(1000000.0), 0).cast("long").alias("qk")
     )
-    qk_by_j = {int(j): int(qk) for j, qk in zip(qp_rows["j"], qp_rows["qk"])}
-    nq2 = sum(v * v for v in qk_by_j.values())  # exact python int
-    qk = F.element_at(
-        F.array(*[F.lit(qk_by_j[j]) for j in range(RP_DIM)]),
-        (F.col("j") + 1).cast("int"),
-    )
+    qn = qp.agg(F.sum(F.col("qk") * F.col("qk")).alias("nq2"))
     pr = proj.filter(F.col("vec_id") != 0).select(
         "vec_id",
         "j",
         F.round(F.col("p") * F.lit(1000000.0), 0).cast("long").alias("pk"),
     )
     sk = (
-        pr.select("vec_id", "pk", qk.alias("qk"))
-        .groupBy("vec_id")
+        pr.join(F.broadcast(qp), "j")
+        .crossJoin(F.broadcast(qn))
+        .groupBy("vec_id", "nq2")
         .agg(
             (
                 F.round(
                     F.sum(F.col("pk") * F.col("qk")).cast("double")
                     / (
                         F.sqrt(F.sum(F.col("pk") * F.col("pk")).cast("double"))
-                        * F.sqrt(F.lit(nq2).cast("double"))
+                        * F.sqrt(F.col("nq2").cast("double"))
                     ),
                     6,
                 )
