@@ -1912,11 +1912,16 @@ def curate_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked candidates — the standard verify-after-block economics."""
     from .dedup import exploded_shingles
 
-    # three consumers (DF count, train side, benchmark side) each re-ran
-    # the corpus explode+distinct — materialize the shingle rows once
-    # (optimization r14, guide §2.4; the dedup_minhash_lsh checkpoint
-    # precedent)
-    sh = exploded_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    # NO shared-shingle checkpoint (optimization r15, reverting r14
+    # section 5): materializing the explode once for the three
+    # consumers (DF count, train side, benchmark side) probed as a
+    # wash locally but measured 0.78x in BOTH r14 driver runs — the
+    # materialization barrier serializes work the scheduler otherwise
+    # overlaps (the same checkpoint-economics failure the minhash
+    # `sigs` checkpoint hit).  The three subtrees re-run the explode;
+    # each is a linear scan-stage pass and the bench/train sides carry
+    # pushed doc_id%BENCH_MOD predicates.
+    sh = exploded_shingles(spark, sf_dir)
     sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = sdf.filter(F.col("df") <= FUZZY_BLOCK_DF).select("shingle")
     is_bench = (F.col("doc_id") % BENCH_MOD) == 0
