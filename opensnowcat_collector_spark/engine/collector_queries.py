@@ -600,24 +600,46 @@ def collector_split_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_elements_out"),
     )
     exp = F.col("bad_expectation")
-    reason = (
-        F.when(exp == "GET requests cannot be split", "get")
-        .when(exp.startswith("cannot split POST requests which are not json"), "not_json")
-        .when(exp == "cannot split POST requests which are not self-describing",
-              "not_self_describing")
-        .when(exp == "cannot split POST requests which do not contain a data array",
-              "no_data_array")
+    # Order-preserving int coding of the reason label (optimization r15):
+    # max(<string>) has no fixed-width aggregation buffer, so the bads
+    # arm planned a SortAggregate pair (sort + partial + sort + final).
+    # The codes below are assigned in the labels' LEXICOGRAPHIC order
+    # (element_too_big < envelope_too_big < get < no_data_array <
+    # not_json < not_self_describing — note 'no_' < 'not' on '_' < 't'),
+    # so max(code) selects exactly the row max(label) would; the label
+    # is decoded after the aggregate.  All three aggregates are now
+    # fixed-width -> HashAggregate (guide §2.3 narrower types;
+    # the agg_countmin_heavy_hitters int-flag precedent).
+    reason_code = (
+        F.when(exp == "GET requests cannot be split", 3)
+        .when(exp.startswith("cannot split POST requests which are not json"), 5)
+        .when(exp == "cannot split POST requests which are not self-describing", 6)
+        .when(exp == "cannot split POST requests which do not contain a data array", 4)
         .when(exp == 'cannot split this POST request because event without "data"'
-              " field is still too big", "envelope_too_big")
-        .when(exp == "this POST request split is still too large", "element_too_big")
+              " field is still too big", 2)
+        .when(exp == "this POST request split is still too large", 1)
     )
+    _REASON_LABELS = {
+        1: "element_too_big",
+        2: "envelope_too_big",
+        3: "get",
+        4: "no_data_array",
+        5: "not_json",
+        6: "not_self_describing",
+    }
+    decoded = F.lit(None).cast("string")
+    for code, label in _REASON_LABELS.items():
+        decoded = F.when(F.col("reason_code") == code, label).otherwise(decoded)
     bads = (
         res.split_out.filter(F.col("is_bad") == 1)
         .groupBy("request_id")
         .agg(
             F.count(F.lit(1)).alias("n_bad"),
-            F.max(reason).alias("reason"),
+            F.max(reason_code).alias("reason_code"),
             F.max("bad_actual_size").cast("long").alias("max_bad_size"),
+        )
+        .select(
+            "request_id", "n_bad", decoded.alias("reason"), "max_bad_size"
         )
     )
     base = raw.select("request_id")
