@@ -27,6 +27,17 @@ def ensure_shipped(spark: SparkSession) -> None:
     if key in _SHIPPED:
         return
     _SHIPPED.add(key)
+    # Pin the parser mode every sqlfrag-built expression was escaped for
+    # (ADVICE r14): sql_str escapes backslashes for the DEFAULT
+    # escapedStringLiterals=false mode, and rejects '${' because
+    # variable substitution rewrites it inside literals.  A session
+    # created externally with escapedStringLiterals=true would silently
+    # change every embedded regex (bridge-path/pixel/querystring
+    # matching) with no error — pin the conf like _ensure_events_confs
+    # pins nanosAsLong/UTC.  Idempotent, runs once per SparkContext on
+    # the same first-touch path as the package shipping.
+    if spark.conf.get("spark.sql.parser.escapedStringLiterals", "false") != "false":
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     repo_root = os.path.dirname(pkg_dir)
     base = os.path.join(

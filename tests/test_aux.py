@@ -279,3 +279,21 @@ def test_collector_thrift_roundtrip_constants():
             assert len(encode_collector_payload(payload(uid, eid))) == closed_form(
                 uid, eid
             ), (uid, eid)
+
+
+def test_ensure_shipped_pins_parser_escape_mode(spark):
+    """sqlfrag's sql_str escapes for escapedStringLiterals=false; a
+    session flipped to =true would silently change every embedded
+    regex (ADVICE r14).  ensure_shipped must pin the conf back on its
+    once-per-context first-touch path."""
+    from opensnowcat_collector_spark import ship
+
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        ship._SHIPPED.discard(id(spark.sparkContext))
+        ship.ensure_shipped(spark)
+        assert (
+            spark.conf.get("spark.sql.parser.escapedStringLiterals") == "false"
+        )
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
