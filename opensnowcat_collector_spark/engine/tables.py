@@ -104,8 +104,17 @@ def artifact(spark: SparkSession, path: str) -> DataFrame:
     recomputes from the parquet files.  Keyed on the directory's
     (path, mtime_ns, inode): ``publish_atomic`` replaces the directory
     by rename, so a republished artifact gets a new inode and is
-    re-listed, and in-place additions (e.g. tombstone appends) bump the
-    directory mtime — either way a stale file list is never served."""
+    re-listed, and in-place additions to the directory's DIRECT children
+    (e.g. a tombstone file appended at the top level) bump its mtime.
+
+    INVARIANT (ADVICE r14): the key sees only the top-level directory's
+    metadata — appending files INSIDE a hive-partition subdirectory
+    (``bucket=*/``) does not bump the parent mtime and would serve a
+    stale listing.  Every writer in this repo publishes via
+    ``publish_atomic`` (fresh path + rename, new inode), which is why
+    the memo is safe; a future in-place partition-append maintenance
+    path must either touch the top-level dir or key on a recursive
+    newest-mtime fingerprint instead."""
     ensure_shipped(spark)
     try:
         st = os.stat(path)
