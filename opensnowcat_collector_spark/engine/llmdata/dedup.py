@@ -2678,9 +2678,11 @@ def dedup_source_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cheap pre-pull guard: |sources| distinct values can't exceed the
     # bound if the matrix has <= bound^2 rows, so limit the transfer to
     # bound^2 + 1 rows — one extra row is the "over budget" sentinel.
+    # collect(), not toPandas(): the pull is bounded at 1,025 rows and
+    # the pandas conversion is pure overhead (optimization r15).
     row_cap = SOURCE_ORDER_BOUND**2 + 1
-    mx = matrix.limit(row_cap).toPandas()
-    srcs = sorted(set(mx["source_a"]) | set(mx["source_b"]))
+    mx = matrix.limit(row_cap).collect()
+    srcs = sorted({r.source_a for r in mx} | {r.source_b for r in mx})
     if len(mx) == row_cap or len(srcs) > SOURCE_ORDER_BOUND:
         raise ValueError(
             f"source matrix exceeds SOURCE_ORDER_BOUND={SOURCE_ORDER_BOUND} "
@@ -2688,10 +2690,11 @@ def dedup_source_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"bound for catalogs this wide"
         )
     edges: dict[str, dict[str, int]] = {}
-    for a, b, m in zip(mx["source_a"], mx["source_b"], mx["n_dup_pairs"]):
-        edges.setdefault(a, {})[b] = int(m)
+    for r in mx:
+        a, b, m = r.source_a, r.source_b, int(r.n_dup_pairs)
+        edges.setdefault(a, {})[b] = m
         if a != b:
-            edges.setdefault(b, {})[a] = int(m)
+            edges.setdefault(b, {})[a] = m
     picked: set[str] = set()
     rows = []
     while len(picked) < len(srcs):
@@ -2707,6 +2710,22 @@ def dedup_source_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         rows.append((len(rows) + 1, src, -neg_mass))
         picked.add(src)
+    # Result assembly: a parsed VALUES literal costs one py4j round-trip
+    # (~50 ms) where createDataFrame pays schema plumbing + conversion
+    # (~350 ms measured on this VM for these <= 32 rows — optimization
+    # r15, the sqlfrag driver-overhead class).  Rows are identical;
+    # column names/types unchanged.  Fall back to createDataFrame when
+    # a source name can't be embedded as a SQL literal (sql_str rejects
+    # '${' — ADVICE r14's substitution hazard) or when the plan is
+    # empty (no duplicate mass anywhere).
+    from ...sqlfrag import sql_str
+
+    if rows and all("${" not in src for _, src, _ in rows):
+        vals = ", ".join(
+            f"({step}, {sql_str(src)}, CAST({marginal} AS BIGINT))"
+            for step, src, marginal in rows
+        )
+        return spark.sql(f"SELECT * FROM VALUES {vals} AS t(step, source, marginal)")
     return spark.createDataFrame(rows, "step int, source string, marginal long")
 
 
