@@ -2678,10 +2678,12 @@ def dedup_source_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cheap pre-pull guard: |sources| distinct values can't exceed the
     # bound if the matrix has <= bound^2 rows, so limit the transfer to
     # bound^2 + 1 rows — one extra row is the "over budget" sentinel.
-    # collect(), not toPandas(): the pull is bounded at 1,025 rows and
-    # the pandas conversion is pure overhead (optimization r15).
+    # take(cap), not limit().toPandas(): the pull is bounded at 1,025
+    # rows by the take argument itself and the pandas conversion is pure
+    # overhead (optimization r15; take is the guard-sanctioned bounded
+    # pull — tests/test_plan_shapes.py bans unbounded .collect()).
     row_cap = SOURCE_ORDER_BOUND**2 + 1
-    mx = matrix.limit(row_cap).collect()
+    mx = matrix.take(row_cap)
     srcs = sorted({r.source_a for r in mx} | {r.source_b for r in mx})
     if len(mx) == row_cap or len(srcs) > SOURCE_ORDER_BOUND:
         raise ValueError(
